@@ -1,0 +1,210 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (SURVEY.md §2B "Aggregations").
+  * All money sums go through DECIMAL(18,2) (exact, associative) so partial
+  * aggregation + merge order can never perturb the result; Spark's
+  * HashAggregate does the partial/final split automatically.
+  */
+object Aggregates {
+  import Tables._
+
+  /** Geometric mean as a typed Aggregator (the `udaf_typed` row): buffers
+    * (sum of ln, count), merges associatively, finishes with exp(sum/n).
+    */
+  object GeoMean extends Aggregator[Double, (Double, Long), Double] {
+    def zero: (Double, Long) = (0.0, 0L)
+    def reduce(b: (Double, Long), x: Double): (Double, Long) =
+      (b._1 + math.log(x), b._2 + 1)
+    def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    def finish(b: (Double, Long)): Double =
+      if (b._2 == 0) 0.0 else math.exp(b._1 / b._2)
+    def bufferEncoder: Encoder[(Double, Long)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // flagship TPC-H-Q1-style pricing summary (also SparkEntry.entry)
+    "agg_group" -> ((s, d) => q1(s, d)),
+
+    "agg_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          sum_distinct(money(col("l_quantity"))).cast("double").as("sum_dq"))
+        .orderBy("l_returnflag")),
+
+    // rollup via spark.sql: DataFrame `.rollup` + post-agg column reuse trips
+    // DetectAmbiguousSelfJoin in 4.1 (dataset-id tagging through the Expand),
+    // and the SQL form is the same logical plan
+    "agg_rollup" -> { (s, d) =>
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "c_acctbal")
+        .createOrReplaceTempView("cust_geo_rollup")
+      s.sql(
+        s"""SELECT r_name, n_name, count(*) AS cnt,
+           |${sql.moneySum("c_acctbal")} AS sum_bal,
+           |CAST(grouping(r_name) AS INT) AS g_r,
+           |CAST(grouping(n_name) AS INT) AS g_n
+           |FROM cust_geo_rollup
+           |GROUP BY ROLLUP (r_name, n_name)
+           |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    },
+
+    "agg_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), moneySum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    "agg_grouping_sets" -> { (s, d) =>
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        s"""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           |${sql.moneySum("l_quantity")} AS sum_qty
+           |FROM lineitem_gs
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           |ORDER BY l_returnflag ASC NULLS FIRST,
+           |         l_linestatus ASC NULLS FIRST""".stripMargin)
+    },
+
+    "agg_filtered" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("l_quantity") < 25, money(col("l_quantity"))))
+            .cast("double").as("small_qty"),
+          count(when(col("l_discount") > 0.05, lit(1))).as("big_disc_cnt"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
+    "agg_collect" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey") <= 2000)
+        .groupBy("l_orderkey")
+        .agg(concat_ws(",",
+          sort_array(collect_list(col("l_linenumber")))).as("lines"))
+        .orderBy("l_orderkey")),
+
+    // HLL sketch; no oracle (approximate) — sanity-checked in tests
+    "agg_approx_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")),
+
+    "agg_stats" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("corr_qe"))
+        .orderBy("l_returnflag")),
+
+    "udaf_typed" -> { (s, d) =>
+      val geo = udaf(GeoMean)
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(geo(col("l_quantity")), 4).as("geo_qty"))
+        .orderBy("l_returnflag")
+    }
+  )
+
+  /** TPC-H Q1 analog; cites reference `core.py:108-110` (run_job is the only
+    * computation hook there — this is the kind of body a child job supplies).
+    */
+  def q1(s: SparkSession, d: String): DataFrame = {
+    val disc = discPrice(col("l_extendedprice"), col("l_discount"))
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base"),
+        sum(disc).cast("double").as("sum_disc"),
+        sum(disc * frac(lit(1) + money(col("l_tax")))).cast("double")
+          .as("sum_charge"),
+        moneyAvg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val q1Sql = {
+    val disc = sql.discPrice("l_extendedprice", "l_discount")
+    s"""SELECT l_returnflag, l_linestatus,
+       |${sql.moneySum("l_quantity")} AS sum_qty,
+       |${sql.moneySum("l_extendedprice")} AS sum_base,
+       |CAST(sum($disc) AS DOUBLE) AS sum_disc,
+       |CAST(sum($disc * CAST(1 + ${sql.money("l_tax")} AS DECIMAL(8,2)))
+       |  AS DOUBLE) AS sum_charge,
+       |${sql.moneyAvg("l_quantity")} AS avg_qty,
+       |count(*) AS cnt
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  }
+
+  def oracle: Map[String, String] = Map(
+    "agg_group" -> q1Sql,
+    "agg_distinct" ->
+      s"""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+         |CAST(sum(DISTINCT ${sql.money("l_quantity")}) AS DOUBLE) AS sum_dq
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_rollup" ->
+      s"""SELECT r_name, n_name, count(*) AS cnt,
+         |${sql.moneySum("c_acctbal")} AS sum_bal,
+         |CAST(grouping(r_name) AS INT) AS g_r,
+         |CAST(grouping(n_name) AS INT) AS g_n
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)
+         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+         |${sql.moneySum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+         |${sql.moneySum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_filtered" ->
+      s"""SELECT l_returnflag,
+         |CAST(sum(${sql.money("l_quantity")})
+         |  FILTER (WHERE l_quantity < 25) AS DOUBLE) AS small_qty,
+         |count(*) FILTER (WHERE l_discount > 0.05) AS big_disc_cnt,
+         |count(*) AS cnt
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_collect" ->
+      """SELECT l_orderkey,
+        |string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS lines
+        |FROM lineitem WHERE l_orderkey <= 2000
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |round(var_samp(l_quantity), 4) AS var_qty,
+        |round(corr(l_quantity, l_extendedprice), 4) AS corr_qe
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "udaf_typed" ->
+      """SELECT l_returnflag,
+        |round(exp(avg(ln(l_quantity))), 4) AS geo_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2B
+  * "LLM-data-pipeline extensions").
+  *
+  * Scale design: `dedup_exact` is a hash-groupBy (one shuffle on the content
+  * fingerprint — the canonical 100 TB exact-dedup plan). `dedup_minhash` is
+  * the full shingle → MinHash → banded-LSH pipeline: the only joins are
+  * equi-joins on (band, band_hash) and on shingle *restricted to LSH
+  * candidates*, so nothing ever goes quadratic in the corpus size.
+  *
+  * Determinism: hash family is xxhash64(shingle, permutation-index) — fixed
+  * constants, no RNG — so every run (and the DuckDB exact-Jaccard oracle)
+  * sees the same pairs. With 64 permutations in 16 bands of 4, a true pair at
+  * Jaccard 0.9 is missed with probability (1-0.9^4)^16 < 4e-8; the fixture's
+  * planted near-dups all sit at J >= 0.9 (measured) so LSH recall is
+  * effectively 1 and the emitted table equals the exact-Jaccard table.
+  */
+object Dedup {
+  import Tables._
+
+  val NumPerms = 64
+  val Bands = 16
+  val RowsPerBand = 4 // NumPerms / Bands
+  val JaccardThreshold = 0.8
+
+  /** doc_id -> distinct 3-word shingles (lower/trim normalized). */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .withColumn("shingles",
+        when(size(col("toks")) >= 3,
+          array_distinct(expr(
+            """transform(sequence(0, size(toks) - 3),
+              |  i -> concat_ws(' ', slice(toks, i + 1, 3)))""".stripMargin)))
+          .otherwise(array()))
+      .select("doc_id", "shingles")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("norm",
+          regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+        .groupBy("norm")
+        .agg(min(col("doc_id")).as("keeper"),
+          count(lit(1)).as("n_copies"))
+        .select(col("keeper"), col("n_copies"),
+          sha2(col("norm"), 256).as("fingerprint"))
+        .orderBy("keeper")),
+
+    "dedup_minhash" -> { (s, d) =>
+      val sh = shingled(s, d).cache()
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+
+      // 64 permutation-minimum signatures per doc (single shuffle)
+      val mins = (0 until NumPerms)
+        .map(p => min(xxhash64(col("sh"), lit(p))).as(s"mh$p"))
+      val sig = ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+
+      // band each signature: 16 keys of 4 rows each
+      val bandCols = (0 until Bands).map { b =>
+        val rows = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+        xxhash64(rows: _*)
+      }
+      val banded = sig.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+
+      // LSH candidates: equal (band, band-hash), ordered pair, distinct
+      val right = banded
+        .withColumnRenamed("doc_id", "doc_b_id")
+      val cands = banded.join(right,
+          banded("band") === right("band") && banded("bh") === right("bh")
+            && banded("doc_id") < right("doc_b_id"))
+        .select(banded("doc_id").as("doc_a"), col("doc_b_id").as("doc_b"))
+        .distinct()
+
+      // exact Jaccard, computed only on the candidate set
+      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+      val exA = ex.select(col("doc_id").as("doc_a"), col("sh"))
+      val exB = ex.select(col("doc_id").as("db"), col("sh").as("sh_b"))
+      val common = cands
+        .join(exA, "doc_a")
+        .join(exB, col("doc_b") === col("db") && col("sh") === col("sh_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("jac",
+          col("c").cast("double") / (col("na") + col("nb") - col("c")))
+        .filter(col("jac") >= JaccardThreshold)
+        .select("doc_a", "doc_b", "jac")
+        .orderBy("doc_a", "doc_b")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keeper, count(*) AS n_copies,
+        |sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |  AS fingerprint
+        |FROM documents
+        |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |ORDER BY keeper""".stripMargin,
+    // exact Jaccard over ALL pairs sharing a shingle (inverted index —
+    // no LSH on the oracle side, which is what makes it an oracle)
+    "dedup_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        |        FROM documents)),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jac
+        |FROM common
+        |JOIN sizes s1 ON s1.doc_id = doc_a
+        |JOIN sizes s2 ON s2.doc_id = doc_b
+        |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin
+  )
+}

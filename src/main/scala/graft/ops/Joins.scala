@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2B "Joins").
+  *
+  * Scale notes (100 TB):
+  *  - dimension joins (`nation`, `region`, filtered `orders`) are explicitly
+  *    `broadcast()` so they never shuffle the fact side;
+  *  - fact-fact joins (lineitem⋈orders) shuffle on the join key and rely on
+  *    AQE for skew splitting — the idiomatic scalable plan;
+  *  - the as-of join deliberately avoids the naive range-join explosion: it
+  *    is a union + single window pass (one shuffle by user_id), the pattern
+  *    that stays linear at any scale.
+  */
+object Joins {
+  import Tables._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_broadcast" -> ((s, d) =>
+      t(s, d, "nation")
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"), "inner")
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")),
+
+    "join_shuffle" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(discPrice(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority")),
+
+    "join_outer" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)),
+
+    // full outer with genuinely unmatched keys on both sides
+    "join_outer_full" -> { (s, d) =>
+      val c = t(s, d, "customer").groupBy("c_nationkey")
+        .agg(count(lit(1)).as("c_cnt"))
+      val su = t(s, d, "supplier").groupBy("s_nationkey")
+        .agg(count(lit(1)).as("s_cnt"))
+      c.join(su, col("c_nationkey") === col("s_nationkey"), "full")
+        .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nk"),
+          col("c_cnt"), col("s_cnt"))
+        .orderBy("nk")
+    },
+
+    "join_semi" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "join_anti" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "join_cross" -> ((s, d) =>
+      t(s, d, "region").crossJoin(t(s, d, "nation"))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")),
+
+    // non-equi theta join: tiny side broadcast -> BroadcastNestedLoopJoin
+    "join_theta" -> ((s, d) =>
+      broadcast(t(s, d, "orders").filter(col("o_orderkey") <= 20))
+        .join(events(s, d), col("value") < col("o_totalprice") / 1000)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_ev"))
+        .orderBy("o_orderkey")),
+
+    // as-of: for each purchase, the latest click at-or-before it (per user).
+    // Single window pass over the union of both event roles — no range-join
+    // blowup; equal timestamps order clicks first so ties count as "before".
+    "join_asof" -> { (s, d) =>
+      val ev = events(s, d)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_purchase"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("is_purchase",
+          when(col("event_type") === "purchase", 1).otherwise(0))
+        .withColumn("click_ts",
+          when(col("event_type") === "click", col("ts")))
+        .withColumn("last_click_ts",
+          last("click_ts", ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+        .orderBy("event_id")
+    },
+
+    "join_star" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("cnt"),
+          sum(discPrice(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("revenue"))
+        .orderBy("r_name", "n_name"))
+  )
+
+  private val revenueSql =
+    s"CAST(sum(${sql.discPrice("l_extendedprice", "l_discount")}) AS DOUBLE)"
+
+  def oracle: Map[String, String] = Map(
+    "join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "join_shuffle" ->
+      s"""SELECT o_orderpriority, count(*) AS cnt, $revenueSql AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_outer" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+    "join_outer_full" ->
+      """SELECT coalesce(c_nationkey, s_nationkey) AS nk, c_cnt, s_cnt
+        |FROM (SELECT c_nationkey, count(*) AS c_cnt FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey, count(*) AS s_cnt FROM supplier GROUP BY 1) s
+        |ON c_nationkey = s_nationkey
+        |ORDER BY nk""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "join_theta" ->
+      """SELECT o_orderkey, count(*) AS n_ev
+        |FROM orders, events
+        |WHERE o_orderkey <= 20 AND value < o_totalprice / 1000
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "join_asof" ->
+      """SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "join_star" ->
+      s"""SELECT r_name, n_name, count(*) AS cnt, $revenueSql AS revenue
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+  )
+}

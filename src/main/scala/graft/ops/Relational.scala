@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Projections, predicates and conditional projection (SURVEY.md §2B).
+  * Per-row double arithmetic is IEEE-identical across engines as long as the
+  * expression tree has the same shape, so no decimal detour is needed here —
+  * only aggregates need it (see Tables).
+  */
+object Relational {
+  import Tables._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "project_select" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).as("revenue_tax"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "filter_pred" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity").between(10, 20)
+          && col("l_returnflag").isin("A", "R")
+          && col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00"))
+          && (col("l_discount") > 0.05 || col("l_tax") < 0.04)
+          && col("l_returnflag").isNotNull)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+          "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "case_when" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .withColumn("bucket",
+          when(col("l_quantity") < 10, "low")
+            .when(col("l_quantity") < 30, "mid")
+            .otherwise("high"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"), moneySum(col("l_quantity")).as("sum_qty"))
+        .orderBy("bucket"))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "project_select" ->
+      """SELECT l_orderkey, l_linenumber,
+        |l_extendedprice * (1 - l_discount) AS revenue,
+        |l_extendedprice * (1 - l_discount) * (1 + l_tax) AS revenue_tax
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20
+        |  AND l_returnflag IN ('A','R')
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND (l_discount > 0.05 OR l_tax < 0.04)
+        |  AND l_returnflag IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "case_when" ->
+      s"""SELECT CASE WHEN l_quantity < 10 THEN 'low'
+         |            WHEN l_quantity < 30 THEN 'mid'
+         |            ELSE 'high' END AS bucket,
+         |count(*) AS cnt, ${sql.moneySum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
+  )
+}

@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar functions: string / date / math / conditional / array / json, plus
+  * the explode generator and a Scala UDF (SURVEY.md §2B "Scalar functions").
+  * Everything stays inside whole-stage codegen except the one deliberate UDF
+  * row (`udf_scalar`), which exists to demonstrate the extension point.
+  */
+object ScalarFns {
+  import Tables._
+
+  /** Text normalization used by dedup as well: trim, lowercase, collapse
+    * whitespace runs.
+    */
+  val normalizeText: String => String =
+    s => if (s == null) null else s.trim.toLowerCase.replaceAll("\\s+", " ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        substring(col("p_name"), 1, 5).as("sub"),
+        length(col("p_name")).cast("long").as("len"),
+        lpad(col("p_size").cast("string"), 4, "0").as("pad"),
+        regexp_replace(col("p_type"), " ", "_").as("rep"),
+        split(col("p_name"), " ").getItem(0).as("first_word"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("cat"))
+        .orderBy("p_partkey")),
+
+    "fn_date" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        date_trunc("month", col("o_orderdate")).as("mon"),
+        datediff(col("o_orderdate"), to_timestamp(lit("1995-01-01 00:00:00")))
+          .cast("long").as("days_since"),
+        (col("o_orderdate") + expr("INTERVAL 3 DAY")).as("plus3d"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy("o_orderkey")),
+
+    "fn_math" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") / 3, 6).as("third"),
+        floor(col("l_extendedprice")).cast("long").as("flr"),
+        ceil(col("l_extendedprice")).cast("long").as("cl"),
+        abs(col("l_quantity") - 25).as("dev"),
+        sqrt(col("l_quantity")).as("rt"),
+        round(log(col("l_extendedprice")), 6).as("lg"),
+        round(pow(col("l_discount"), 2), 6).as("sq"),
+        (col("l_orderkey") % 7).as("m7"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "fn_cond" -> ((s, d) =>
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("<none>"))
+          .as("seg"),
+        greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+        least(col("c_acctbal"), lit(1000.0)).as("bal_cap"))
+        .orderBy("c_custkey")),
+
+    // higher-order array functions over the embedding vectors; the fold in
+    // `aggregate` is a sequential left fold => bit-identical to DuckDB's
+    // list_aggregate sum
+    "fn_array" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("n_dim"),
+          round(expr(
+            "aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"), 6)
+            .as("total"),
+          round(expr(
+            "aggregate(slice(v, 1, 5), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"),
+            6).as("head5"),
+          round(array_max(col("v")), 6).as("mx"),
+          round(array_min(col("v")), 6).as("mn"))
+        .orderBy("vec_id")),
+
+    "fn_explode" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
+        .orderBy("doc_id", "pos")),
+
+    "fn_json" -> ((s, d) =>
+      events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+
+    "udf_scalar" -> { (s, d) =>
+      val norm = udf(normalizeText)
+      t(s, d, "documents").select(
+        col("doc_id"),
+        length(norm(col("text"))).cast("long").as("norm_len"),
+        substring(norm(col("text")), 1, 40).as("norm_prefix"))
+        .orderBy("doc_id")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+        |substring(p_name, 1, 5) AS sub, length(p_name) AS len,
+        |lpad(CAST(p_size AS VARCHAR), 4, '0') AS pad,
+        |regexp_replace(p_type, ' ', '_', 'g') AS rep,
+        |string_split(p_name, ' ')[1] AS first_word,
+        |regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |p_brand || '#' || p_type AS cat
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_date" ->
+      """SELECT o_orderkey,
+        |CAST(year(o_orderdate) AS BIGINT) AS y,
+        |CAST(month(o_orderdate) AS BIGINT) AS m,
+        |CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+        |date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+        |  AS days_since,
+        |o_orderdate + INTERVAL 3 DAY AS plus3d,
+        |CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |round(l_extendedprice / 3, 6) AS third,
+        |CAST(floor(l_extendedprice) AS BIGINT) AS flr,
+        |CAST(ceil(l_extendedprice) AS BIGINT) AS cl,
+        |abs(l_quantity - 25) AS dev,
+        |sqrt(l_quantity) AS rt,
+        |round(ln(l_extendedprice), 6) AS lg,
+        |round(power(l_discount, 2), 6) AS sq,
+        |l_orderkey % 7 AS m7
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_cond" ->
+      """SELECT c_custkey,
+        |coalesce(nullif(c_mktsegment, 'BUILDING'), '<none>') AS seg,
+        |greatest(c_acctbal, 0.0) AS bal_floor,
+        |least(c_acctbal, 1000.0) AS bal_cap
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_array" ->
+      """SELECT vec_id,
+        |len(v) AS n_dim,
+        |round(list_aggregate(v, 'sum'), 6) AS total,
+        |round(list_aggregate(list_slice(v, 1, 5), 'sum'), 6) AS head5,
+        |round(list_max(v), 6) AS mx,
+        |round(list_min(v), 6) AS mn
+        |FROM (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings) e
+        |ORDER BY vec_id""".stripMargin,
+    "fn_explode" ->
+      """SELECT doc_id,
+        |CAST(generate_subscripts(w, 1) - 1 AS BIGINT) AS pos,
+        |unnest(w) AS word
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |      FROM documents WHERE doc_id < 20) d
+        |ORDER BY doc_id, pos""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id,
+        |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "udf_scalar" ->
+      """SELECT doc_id,
+        |length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |  AS norm_len,
+        |substring(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 40)
+        |  AS norm_prefix
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scans, format conversions and compressed writes — the reference
+  * ecosystem's namesake capability ("data compression and format
+  * conversion", reference `pyproject.toml:7`), re-expressed as Spark
+  * sources/sinks (SURVEY.md §2B "Scans / sources / sinks").
+  */
+object Scans {
+  import Tables._
+
+  /** Scratch dir for in-job conversion round-trips; keyed by (query, sf) so
+    * concurrent scale factors never collide. Lives under target/ (ours).
+    */
+  private def scratch(key: String, sfDir: String): String = {
+    val sf = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"/root/repo/target/tmp/$key/$sf"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_parquet" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // parquet -> csv (explicit schema on re-read) -> verify content survives
+    "scan_csv" -> { (s, d) =>
+      val out = scratch("scan_csv", d)
+      val nation = t(s, d, "nation")
+      nation.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema(nation.schema).option("header", "true").csv(out)
+        .orderBy("n_nationkey")
+    },
+
+    // parquet -> json-lines -> re-read with the original schema
+    "scan_json" -> { (s, d) =>
+      val out = scratch("scan_json", d)
+      val cust = t(s, d, "customer")
+      cust.write.mode("overwrite").json(out)
+      s.read.schema(cust.schema).json(out).orderBy("c_custkey")
+    },
+
+    // full conversion job: parquet -> gzip csv -> re-read -> aggregate
+    "convert_parquet_csv" -> { (s, d) =>
+      val out = scratch("convert_parquet_csv", d)
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      li.write.mode("overwrite").option("compression", "gzip")
+        .option("header", "true").csv(out)
+      s.read.schema(li.schema).option("header", "true").csv(out)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), moneySum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    "convert_parquet_json" -> { (s, d) =>
+      val out = scratch("convert_parquet_json", d)
+      val ord = t(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      ord.write.mode("overwrite").option("compression", "gzip").json(out)
+      s.read.schema(ord.schema).json(out)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    // compression codec round-trip: zstd parquet must be value-identical
+    "write_compressed" -> { (s, d) =>
+      val out = scratch("write_compressed", d)
+      t(s, d, "part").write.mode("overwrite")
+        .option("compression", "zstd").parquet(out)
+      s.read.parquet(out)
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+          "p_retailprice")
+        .orderBy("p_partkey")
+    },
+
+    // schema inference on a csv written without one; emits the inferred
+    // schema as rows (no oracle — schema check, not a row check)
+    "schema_inference" -> { (s, d) =>
+      val out = scratch("schema_inference", d)
+      t(s, d, "nation").write.mode("overwrite")
+        .option("header", "true").csv(out)
+      val inferred = s.read.option("header", "true")
+        .option("inferSchema", "true").csv(out).schema
+      import s.implicits._
+      inferred.fields.toSeq.map(f => (f.name, f.dataType.simpleString))
+        .toDF("col_name", "inferred_type").orderBy("col_name")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "scan_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "scan_csv" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "scan_json" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "convert_parquet_csv" ->
+      s"""SELECT l_returnflag, count(*) AS cnt,
+         |${sql.moneySum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "convert_parquet_json" ->
+      s"""SELECT o_orderpriority, count(*) AS cnt,
+         |${sql.moneySum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "write_compressed" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin
+  )
+}

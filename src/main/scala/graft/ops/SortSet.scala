@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sorts, top-k, and set operations (SURVEY.md §2B).
+  * Null placement is always explicit: Spark's ASC default is NULLS FIRST but
+  * DuckDB's is NULLS LAST, so relying on either default would silently
+  * diverge.
+  */
+object SortSet {
+  import Tables._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sort_multi" -> ((s, d) =>
+      t(s, d, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .orderBy(col("c_mktsegment").asc_nulls_first,
+          col("c_acctbal").desc_nulls_last, col("c_custkey"))),
+
+    // global top-k: Catalyst plans this as TakeOrderedAndProject (no full sort)
+    "limit_topk" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc_nulls_last, col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(100)),
+
+    "set_union_all" -> { (s, d) =>
+      val c = t(s, d, "customer").select(col("c_nationkey").as("nk"))
+      val su = t(s, d, "supplier").select(col("s_nationkey").as("nk"))
+      c.unionAll(su).groupBy("nk").agg(count(lit(1)).as("cnt")).orderBy("nk")
+    },
+
+    "set_union" -> { (s, d) =>
+      val c = t(s, d, "customer").select(col("c_nationkey").as("nk"))
+      val su = t(s, d, "supplier").select(col("s_nationkey").as("nk"))
+      c.union(su).distinct().orderBy("nk")
+    },
+
+    "set_intersect" -> { (s, d) =>
+      val c = t(s, d, "customer").select(col("c_nationkey").as("nk"))
+      val su = t(s, d, "supplier").select(col("s_nationkey").as("nk"))
+      c.intersect(su).orderBy("nk")
+    },
+
+    "set_except" -> { (s, d) =>
+      val c = t(s, d, "customer").select(col("c_nationkey").as("nk"))
+      val su = t(s, d, "supplier").select(col("s_nationkey").as("nk"))
+      c.except(su).orderBy("nk")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "sort_multi" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |ORDER BY c_mktsegment ASC NULLS FIRST, c_acctbal DESC NULLS LAST,
+        |         c_custkey""".stripMargin,
+    "limit_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC NULLS LAST, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+    "set_union_all" ->
+      """SELECT nk, count(*) AS cnt FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nk FROM supplier) u
+        |GROUP BY nk ORDER BY nk""".stripMargin,
+    "set_union" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+    "set_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+    "set_except" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin
+  )
+}

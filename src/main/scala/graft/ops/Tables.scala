@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Fixture-table loaders + determinism helpers shared by every operator.
+  *
+  * Determinism contract (SURVEY.md §7.4): money columns are doubles that hold
+  * exact 2-decimal values, so `DECIMAL(18,2)` casts are lossless in both Spark
+  * and DuckDB; all double *sums* go through decimal (exact, associative) and
+  * are cast back to double only at the very end, so partition/merge order can
+  * never change a result bit.
+  */
+object Tables {
+
+  /** Read one fixture table: `{sfDir}/{name}.parquet`. */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is Parquet TIMESTAMP(NANOS) which Spark 4.x cannot read
+    * natively; read it as Long nanos and truncate to microseconds — exactly
+    * what DuckDB does on its side (BASELINE.md "known parity hazard").
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, sfDir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Exact money value: lossless on the 2-decimal fixture doubles. */
+  def money(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Small exact factor like (1 - l_discount); bounded so decimal products
+    * stay within precision 38 in BOTH engines.
+    */
+  def frac(c: Column): Column = c.cast(DecimalType(8, 2))
+
+  /** Order-insensitive sum of a money double: exact decimal sum, emitted as
+    * double. Mirror in DuckDB: CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE).
+    */
+  def moneySum(c: Column): Column = sum(money(c)).cast("double")
+
+  /** Deterministic average: exact decimal sum divided (in IEEE double) by the
+    * row count. Mirror: CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE)/count(*).
+    */
+  def moneyAvg(c: Column): Column =
+    sum(money(c)).cast("double") / count(lit(1))
+
+  /** l_extendedprice * (1 - l_discount) as an exact decimal. */
+  def discPrice(price: Column, discount: Column): Column =
+    money(price) * frac(lit(1) - money(discount))
+
+  /** SQL fragments for the DuckDB oracle, kept adjacent so the two sides
+    * cannot drift apart.
+    */
+  object sql {
+    def money(c: String): String = s"CAST($c AS DECIMAL(18,2))"
+    def moneySum(c: String): String = s"CAST(sum(${money(c)}) AS DOUBLE)"
+    def moneyAvg(c: String): String = s"${moneySum(c)} / count(*)"
+    def discPrice(p: String, d: String): String =
+      s"${money(p)} * CAST(1 - ${money(d)} AS DECIMAL(8,2))"
+  }
+}

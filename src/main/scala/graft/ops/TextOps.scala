@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §2B):
+  * tokenization, tf-idf, n-grams, corpus stats, quality scoring, language-ID
+  * heuristic, and winnowing fingerprints. Tokenization is a single
+  * `split(lower(trim(text)), ' ')` everywhere so every operator agrees on
+  * token identity with the DuckDB oracle.
+  */
+object TextOps {
+  import Tables._
+
+  private def toks(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+
+  /** Stopword marker sets for the language-ID heuristic; fixed, tiny, and
+    * mirrored verbatim in the oracle SQL.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> ((s, d) =>
+      toks(s, d)
+        .select(explode(col("toks")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))),
+
+    "text_tfidf" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val tf = toks(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), "word")
+        .crossJoin(broadcast(n))
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("word"), col("tf"),
+          round(col("tf").cast("double")
+            * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6)
+            .as("tfidf"))
+        .orderBy("doc_id", "word")
+    },
+
+    "text_ngrams" -> ((s, d) =>
+      toks(s, d)
+        .withColumn("grams",
+          when(size(col("toks")) >= 2, expr(
+            """transform(sequence(0, size(toks) - 2),
+              |  i -> concat_ws(' ', slice(toks, i + 1, 2)))""".stripMargin))
+            .otherwise(array()))
+        .select(explode(col("grams")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))),
+
+    "text_lang_stats" -> ((s, d) =>
+      toks(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)))
+            .as("avg_chars"),
+          sum(size(col("toks"))).cast("long").as("n_tokens"))
+        .orderBy("lang")),
+
+    "text_quality" -> ((s, d) =>
+      toks(s, d)
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("len"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double")
+            / size(col("toks"))).as("avg_word_len"),
+          (expr("""size(filter(toks,
+               |  t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))"""
+              .stripMargin).cast("double") / size(col("toks")))
+            .as("stopword_ratio"),
+          expr("size(array_distinct(toks))").cast("double")
+            .divide(size(col("toks"))).as("ttr"))
+        .orderBy("doc_id")),
+
+    "text_langid" -> { (s, d) =>
+      val scored = LangMarkers.foldLeft(toks(s, d)) { case (df, (lang, ws)) =>
+        df.withColumn(s"s_$lang", expr(
+          s"size(filter(toks, t -> t IN (${ws.map("'" + _ + "'").mkString(", ")})))"))
+      }
+      val langs = LangMarkers.map(_._1)
+      val pred = langs.init.foldRight(lit(langs.last)) { case (lang, rest) =>
+        val others = langs.filterNot(_ == lang)
+        when(others.map(o => col(s"s_$lang") >= col(s"s_$o"))
+          .reduce(_ && _), lang).otherwise(rest)
+      }
+      scored.select(col("doc_id"), col("lang").as("actual"),
+        pred.as("predicted"),
+        col("s_en").cast("long").as("score_en"))
+        .orderBy("doc_id")
+    },
+
+    // winnowing fingerprints: 3-gram shingle hashes, min over each window of
+    // 4 — xxhash64 has no DuckDB twin, so rows-only check + unit spec
+    "text_fingerprint" -> ((s, d) =>
+      toks(s, d)
+        .filter(size(col("toks")) >= 6)
+        .withColumn("hashes", expr(
+          """transform(sequence(0, size(toks) - 3),
+            |  i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3))))"""
+            .stripMargin))
+        .withColumn("fps", expr(
+          """array_distinct(transform(sequence(0, size(hashes) - 4),
+            |  j -> array_min(slice(hashes, j + 1, 4))))""".stripMargin))
+        .select(col("doc_id"), explode(col("fps")).as("fingerprint"))
+        .orderBy("doc_id", "fingerprint"))
+  )
+
+  private val inLists = LangMarkers.map { case (lang, ws) =>
+    lang -> ws.map("'" + _ + "'").mkString(", ")
+  }.toMap
+
+  def oracle: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word
+        |      FROM documents) w
+        |GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
+    "text_tfidf" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, tf.word AS word, tf,
+        |  round(CAST(tf AS DOUBLE) * ln((n_docs + 1.0) / (df + 1.0)), 6)
+        |    AS tfidf
+        |FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+        |WHERE doc_id < 50
+        |ORDER BY doc_id, word""".stripMargin,
+    "text_ngrams" ->
+      """SELECT bigram, count(*) AS cnt
+        |FROM (SELECT unnest(list_transform(
+        |        generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]))
+        |        AS bigram
+        |      FROM (SELECT string_split(lower(trim(text)), ' ') AS w
+        |            FROM documents) t) g
+        |GROUP BY bigram ORDER BY cnt DESC, bigram""".stripMargin,
+    "text_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |CAST(sum(len(string_split(lower(trim(text)), ' '))) AS BIGINT)
+        |  AS n_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |CAST(len(w) AS BIGINT) AS n_tokens,
+        |CAST(length(text) AS BIGINT) AS len,
+        |CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w)
+        |  AS avg_word_len,
+        |CAST(len(list_filter(w,
+        |  t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
+        |  / len(w) AS stopword_ratio,
+        |CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr
+        |FROM (SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS w
+        |      FROM documents) d
+        |ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter(w, t -> t IN (${inLists("en")}))) AS s_en,
+         |    len(list_filter(w, t -> t IN (${inLists("es")}))) AS s_es,
+         |    len(list_filter(w, t -> t IN (${inLists("de")}))) AS s_de,
+         |    len(list_filter(w, t -> t IN (${inLists("fr")}))) AS s_fr,
+         |    len(list_filter(w, t -> t IN (${inLists("zh")}))) AS s_zh
+         |  FROM (SELECT doc_id, lang,
+         |          string_split(lower(trim(text)), ' ') AS w
+         |        FROM documents) d)
+         |SELECT doc_id, lang AS actual,
+         |  CASE
+         |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+         |     AND s_en >= s_zh THEN 'en'
+         |    WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr
+         |     AND s_es >= s_zh THEN 'es'
+         |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+         |     AND s_de >= s_zh THEN 'de'
+         |    WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de
+         |     AND s_fr >= s_zh THEN 'fr'
+         |    ELSE 'zh' END AS predicted,
+         |  CAST(s_en AS BIGINT) AS score_en
+         |FROM scored ORDER BY doc_id""".stripMargin
+  )
+}

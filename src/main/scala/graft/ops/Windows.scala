@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function operators (SURVEY.md §2B "Window functions").
+  * Every window order includes a unique tiebreak key so frames are
+  * deterministic; computed rank-style ints are cast to BIGINT to match
+  * DuckDB's output types.
+  */
+object Windows {
+  import Tables._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rank" -> { (s, d) =>
+      val byPrice = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val byPriceTies = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc)
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(byPrice).cast("long").as("rn"),
+          rank().over(byPriceTies).cast("long").as("rnk"),
+          dense_rank().over(byPriceTies).cast("long").as("drnk"))
+        .orderBy("o_orderpriority", "rn")
+    },
+
+    "win_lag_lead" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          lag("value", 1, -1.0).over(w).as("prev_val"),
+          lead("value", 1, -1.0).over(w).as("next_val"))
+        .orderBy("event_id")
+    },
+
+    "win_running" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(money(col("o_totalprice"))).over(w).cast("double")
+            .as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    "win_moving" -> { (s, d) =>
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+        .rangeBetween(-100, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (sum(money(col("o_totalprice"))).over(w).cast("double")
+            / count(lit(1)).over(w)).as("mov_avg"))
+        .orderBy("o_orderkey")
+    },
+
+    "win_ntile_first" -> { (s, d) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal", "c_custkey")
+      val wAll = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          first("c_name").over(w).as("poorest"),
+          last("c_name").over(wAll).as("richest"))
+        .orderBy("c_custkey")
+    },
+
+    "win_topk_group" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "win_rank" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |row_number() OVER (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |rank() OVER (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC) AS rnk,
+        |dense_rank() OVER (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC) AS drnk
+        |FROM orders ORDER BY o_orderpriority, rn""".stripMargin,
+    "win_lag_lead" ->
+      """SELECT event_id, user_id, value,
+        |lag(value, 1, -1.0) OVER w AS prev_val,
+        |lead(value, 1, -1.0) OVER w AS next_val
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "win_running" ->
+      s"""SELECT o_custkey, o_orderkey, o_orderdate,
+         |CAST(sum(${sql.money("o_totalprice")}) OVER (
+         |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |  AS running_total
+         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_moving" ->
+      s"""SELECT o_orderkey, o_orderpriority,
+         |CAST(sum(${sql.money("o_totalprice")}) OVER w AS DOUBLE)
+         |  / count(*) OVER w AS mov_avg
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+         |  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+         |ORDER BY o_orderkey""".stripMargin,
+    "win_ntile_first" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |ntile(4) OVER w AS quartile,
+        |first_value(c_name) OVER w AS poorest,
+        |last_value(c_name) OVER (PARTITION BY c_mktsegment
+        |  ORDER BY c_acctbal, c_custkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "win_topk_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) ranked
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+  )
+}

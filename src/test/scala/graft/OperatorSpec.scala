@@ -1,0 +1,119 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+/** Per-operator smoke + semantics on sf0.001. The DuckDB oracle (driver t2 /
+  * tools/check.py) is the deep correctness gate for `oracleSql` keys; this
+  * spec pins every query runnable end-to-end plus targeted assertions for
+  * the non-SQL-expressible ops.
+  */
+class OperatorSpec extends SparkSpec {
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"query $name runs on sf0.001") {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty)
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("entry flagship returns rows > 0") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("approx_count_distinct lands within 10% of exact") {
+    val rows = SparkEntry.queries("agg_approx_distinct")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
+  test("schema_inference recovers the nation column types") {
+    val m = SparkEntry.queries("schema_inference")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("n_nationkey") == "int")
+    assert(m("n_name") == "string")
+  }
+
+  test("sim_pairs_lsh finds exactly the exact-threshold pairs") {
+    val exact = SparkEntry.queries("sim_pairs_threshold")(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val lsh = SparkEntry.queries("sim_pairs_lsh")(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
+  }
+
+  test("sim_topk_ivf reaches >= 50% recall of exact top-k on its queries") {
+    val ivf = SparkEntry.queries("sim_topk_ivf")(spark, sf)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recompute exact top-k for the ivf query range [10, 20)
+    val vecs = Tables.t(spark, sf, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    import org.apache.spark.sql.expressions.Window
+    val q = vecs.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val exact = q.crossJoin(vecs).filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr(
+        """aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0 AS DOUBLE),
+          |  (acc, x) -> acc + x)
+          |/ (sqrt(aggregate(qv, CAST(0 AS DOUBLE), (a, x) -> a + x * x))
+          |   * sqrt(aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + x * x)))"""
+          .stripMargin))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+    assert(ivf.nonEmpty)
+  }
+
+  test("text_fingerprint is stable and within-doc deduplicated") {
+    val fp = SparkEntry.queries("text_fingerprint")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(fp.nonEmpty)
+    assert(fp.distinct.length == fp.length) // array_distinct held
+    val fp2 = SparkEntry.queries("text_fingerprint")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(fp.toSeq == fp2.toSeq) // deterministic across runs
+  }
+
+  test("multimodal_decode stub is deterministic and byte-derived") {
+    val rows = SparkEntry.queries("multimodal_decode")(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val m = Multimodal.Media(r.getAs[Long]("doc_id"), "image",
+        Array.fill(r.getAs[Long]("n_bytes").toInt)(0.toByte))
+      assert(r.getAs[Int]("width") == 16 + (m.payload.length % 640))
+    }
+  }
+
+  test("dedup_minhash finds all planted near-duplicate pairs (J >= 0.9)") {
+    val pairs = SparkEntry.queries("dedup_minhash")(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getAs[Double]("jac") >= 0.8))
+  }
+
+  test("join_asof: every matched click precedes its purchase") {
+    val rows = SparkEntry.queries("join_asof")(spark, sf)
+      .filter(col("last_click_ts").isNotNull).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getTimestamp(3).after(r.getTimestamp(2)))
+    }
+  }
+}

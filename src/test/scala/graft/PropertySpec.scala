@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Property-based invariants (SURVEY.md §5.2 item 4) over seeded random
+  * inputs — deterministic across runs (fixed seed), 20 trials each.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+  private def trials = 1 to 20
+
+  test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    for (_ <- trials) {
+      val texts = List.fill(rnd.nextInt(30) + 1)(
+        List.fill(rnd.nextInt(5) + 1)(rnd.nextPrintableChar().toString)
+          .mkString(if (rnd.nextBoolean()) " " else "  "))
+      val df = texts.toDF("text")
+        .withColumn("norm",
+          regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+        .select("norm").distinct()
+      val once = df.collect().map(_.getString(0)).sorted.toSeq
+      val twice = df.distinct().collect().map(_.getString(0)).sorted.toSeq
+      assert(once == twice)
+    }
+  }
+
+  test("top-k is a prefix of the full sort") {
+    for (_ <- trials) {
+      val xs = List.fill(30)(rnd.nextInt(2001) - 1000)
+      val k = rnd.nextInt(10) + 1
+      val df = xs.zipWithIndex.toDF("v", "id")
+      val full = df.orderBy(col("v").desc, col("id")).collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSeq
+      val topk = df.orderBy(col("v").desc, col("id")).limit(k).collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSeq
+      assert(topk == full.take(k))
+    }
+  }
+
+  test("union-all cardinality is additive; union-distinct is set union") {
+    for (_ <- trials) {
+      val a = List.fill(rnd.nextInt(40))(rnd.nextInt(21))
+      val b = List.fill(rnd.nextInt(40))(rnd.nextInt(21))
+      val da = a.toDF("v")
+      val db = b.toDF("v")
+      assert(da.unionAll(db).count() == a.size + b.size)
+      assert(da.union(db).distinct().count() == (a.toSet ++ b.toSet).size)
+    }
+  }
+
+  test("minhash signatures are order-insensitive (set semantics)") {
+    for (_ <- trials) {
+      val shingles = List.fill(rnd.nextInt(50) + 1)(
+        rnd.alphanumeric.take(rnd.nextInt(8) + 1).mkString)
+      val df = shingles.toDF("sh")
+      val sig1 = df.agg(min(xxhash64(col("sh"), lit(0))),
+        min(xxhash64(col("sh"), lit(1)))).collect()(0)
+      val sig2 = df.orderBy(col("sh").desc).agg(
+        min(xxhash64(col("sh"), lit(0))),
+        min(xxhash64(col("sh"), lit(1)))).collect()(0)
+      assert(sig1 == sig2)
+    }
+  }
+
+  test("jaccard via minhash estimate is monotone-consistent at the extremes") {
+    // identical sets => identical signatures; disjoint random sets almost
+    // surely differ in at least one of 16 permutations
+    val a = (1 to 40).map(i => s"tok$i")
+    val da = a.toDF("sh")
+    val sigs = (0 until 16).map(p => min(xxhash64(col("sh"), lit(p))))
+    val s1 = da.agg(sigs.head, sigs.tail: _*).collect()(0).toSeq
+    val s2 = da.agg(sigs.head, sigs.tail: _*).collect()(0).toSeq
+    assert(s1 == s2)
+    val db = (1 to 40).map(i => s"other$i").toDF("sh")
+    val s3 = db.agg(sigs.head, sigs.tail: _*).collect()(0).toSeq
+    assert(s1 != s3)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming semantics pinned by hand-computed expected sets (SURVEY.md
+  * §5.2 item 5): watermark late-drop, stateful dedup, session windows, and
+  * mapGroupsWithState running state.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long = 1L,
+    typ: String = "click", value: Double = 1.0): Event =
+    Event(id, ts(minute), user, typ, value)
+
+  test("tumbling window with watermark drops too-late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.toMemorySink(
+      Streams.tumblingCounts(in.toDF()), "tumbling_t", OutputMode.Append())
+    // batch 1: events in hour 0 and hour 1; watermark advances to 70-10=60min
+    in.addData(ev(1, 5), ev(2, 30), ev(3, 70))
+    q.processAllAvailable()
+    // batch 2: a row at minute 20 is older than the 60-min watermark ->
+    // its hour-0 window is already closed in Append mode; row is dropped
+    in.addData(ev(4, 20), ev(5, 80))
+    q.processAllAvailable()
+    // batch 3: advance watermark far enough to flush hour-1
+    in.addData(ev(6, 300))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("tumbling_t")
+      .select("wstart", "cnt").as[(Timestamp, Long)].collect().toMap
+    assert(out(ts(0)) == 2L) // late ev(4) did NOT land in hour 0
+    assert(out(ts(60)) == 2L) // ev(3), ev(5)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups per (user, type)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.toMemorySink(
+      Streams.dedupWithinWatermark(in.toDF()), "dedup_t", OutputMode.Append())
+    in.addData(ev(1, 0, user = 1), ev(2, 1, user = 1), ev(3, 2, user = 2))
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.table("dedup_t").count()
+    assert(n == 2) // (u1,click) deduped, (u2,click) kept
+  }
+
+  test("session windows merge events within the 30-minute gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.toMemorySink(
+      Streams.sessionCounts(in.toDF()), "session_t", OutputMode.Append())
+    // user 1: events at 0, 20, 40 (one session: gaps < 30m);
+    //          event at 120 (second session)
+    in.addData(ev(1, 0), ev(2, 20), ev(3, 40), ev(4, 120))
+    // close sessions by advancing the watermark far ahead
+    in.addData(ev(5, 600, user = 9))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("session_t")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Timestamp, Timestamp, Long)].collect()
+      .filter(_._1 == 1L).sortBy(_._2.getTime)
+    assert(out.length == 2)
+    assert(out(0) == ((1L, ts(0), ts(70), 3L))) // end = last(40m) + 30m gap
+    assert(out(1) == ((1L, ts(120), ts(150), 1L)))
+  }
+
+  test("mapGroupsWithState keeps running per-user aggregates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.runningUserState(in.toDS())
+      .writeStream.format("memory").queryName("state_t")
+      .outputMode(OutputMode.Update()).start()
+    in.addData(ev(1, 0, user = 1, value = 2.0), ev(2, 1, user = 1, value = 3.0))
+    q.processAllAvailable()
+    in.addData(ev(3, 2, user = 1, value = 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val snaps = spark.table("state_t")
+      .as[Streams.UserSnapshot].collect().filter(_.user_id == 1L)
+      .sortBy(_.n_events)
+    assert(snaps.last.n_events == 3L)
+    assert(snaps.last.total_value == 10.0)
+  }
+}
