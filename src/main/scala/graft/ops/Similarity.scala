@@ -1,26 +1,26 @@
 package graft.ops
 
+import graft.functions.{CosineSim, SimHashBands}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the embedding vectors (SURVEY.md §2B).
   *
-  * The vector kernel is pure higher-order functions (`zip_with` +
-  * `aggregate`) — a sequential left fold, bit-identical to DuckDB's
-  * `list_dot_product` loop, and fully codegen'd by Catalyst. Cosines are
-  * rounded to 6 decimals on BOTH sides before any threshold / ranking so a
-  * last-ulp difference can never flip an answer.
+  * The vector kernel is the native codegen'd [[graft.functions.CosineSim]]
+  * expression (`cosine_sim`): one fused loop for dot + both norms, no
+  * intermediate arrays, whole-stage codegen. Its fold order matches DuckDB's
+  * `list_dot_product`, and cosines are rounded to 6 decimals on BOTH sides
+  * before any threshold / ranking so a last-ulp difference can never flip an
+  * answer.
   *
   * Scale paths:
   *  - `sim_cosine_topk` broadcasts the (tiny) query set against the corpus —
   *    linear in corpus size, the right brute-force baseline at any scale;
-  *  - `sim_pairs_threshold` is exact all-pairs (quadratic — correct baseline
-  *    for oracle checking at fixture scale);
-  *  - `sim_pairs_lsh` is the scale path: random-hyperplane SimHash with
-  *    banded buckets turns the quadratic join into an equi-join on band keys,
-  *    then verifies candidates exactly. Hyperplanes come from a fixed-seed
-  *    generator so runs are reproducible.
+  *  - `sim_pairs_threshold` is exact all-pairs (quadratic — the correct
+  *    oracle-checkable baseline at fixture scale);
+  *  - `sim_pairs_lsh` banded SimHash — the pair-space pruner;
+  *  - `sim_topk_ivf` IVF with nprobe — the ANN search path.
   */
 object Similarity {
   import Tables._
@@ -28,33 +28,24 @@ object Similarity {
   val CosineThreshold = 0.4
   val TopK = 5
 
-  /** vec_id, v (double[]), norm. */
-  private def vectors(s: SparkSession, d: String): DataFrame =
+  /** vec_id + embedding cast to double[] (cast once, before any kernel). */
+  private def vectors(s: SparkSession, d: String): DataFrame = {
+    CosineSim.register(s)
+    SimHashBands.register(s)
     t(s, d, "embeddings")
-      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", expr(
-        "sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
-      .select("vec_id", "v", "nrm")
-
-  /** round(dot(a,b)/(na*nb), 6) between columns of two self-join sides. */
-  private val cosExpr =
-    expr("""round(aggregate(zip_with(v, v2, (x, y) -> x * y),
-           |  CAST(0 AS DOUBLE), (acc, x) -> acc + x) / (nrm * nrm2), 6)"""
-      .stripMargin)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> { (s, d) =>
       val e = vectors(s, d)
-      val q = broadcast(e.select(col("vec_id").as("q_id"),
-        col("v").as("qv"), col("nrm").as("qn")).filter(col("q_id") < 10))
-      val pairs = q.join(e, col("vec_id") =!= col("q_id"))
-        .withColumn("cos", expr(
-          """round(aggregate(zip_with(qv, v, (x, y) -> x * y),
-            |  CAST(0 AS DOUBLE), (acc, x) -> acc + x) / (qn * nrm), 6)"""
-            .stripMargin))
+      val q = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")))
       val w = Window.partitionBy("q_id")
         .orderBy(col("cos").desc, col("vec_id"))
-      pairs
+      q.join(e, col("vec_id") =!= col("q_id"))
+        .withColumn("cos", expr("round(cosine_sim(qv, v), 6)"))
         .select(col("q_id"), col("vec_id").as("n_id"), col("cos"),
           row_number().over(w).cast("long").as("rnk"))
         .filter(col("rnk") <= TopK)
@@ -63,10 +54,9 @@ object Similarity {
 
     "sim_pairs_threshold" -> { (s, d) =>
       val e = vectors(s, d)
-      val b = e.select(col("vec_id").as("vec_id2"), col("v").as("v2"),
-        col("nrm").as("nrm2"))
+      val b = e.select(col("vec_id").as("vec_id2"), col("v").as("v2"))
       e.join(b, col("vec_id") < col("vec_id2"))
-        .withColumn("cos", cosExpr)
+        .withColumn("cos", expr("round(cosine_sim(v, v2), 6)"))
         .filter(col("cos") >= CosineThreshold)
         .select(col("vec_id").as("id_a"), col("vec_id2").as("id_b"),
           col("cos"))
@@ -75,10 +65,10 @@ object Similarity {
 
     // scale path A: SimHash banding prunes the pair space, exact cosine
     // verifies candidates. 256 hyperplanes in 64 bands of 4 bits keeps
-    // per-pair recall at tau=0.4 above 99.998% (miss = (1-0.631^4)^64);
+    // per-pair recall at tau=0.4 above 99.99% (miss = (1-0.631^4)^64);
     // banding prunes hard in the high-similarity regime LSH is built for —
     // at this fixture's low tau it mostly demonstrates the machinery. No
-    // oracle (hash bucketing isn't SQL-mirrorable); SimilaritySpec asserts
+    // oracle (hash bucketing isn't SQL-mirrorable); OperatorSpec asserts
     // lsh-pairs == exact pairs on the fixtures.
     "sim_pairs_lsh" -> { (s, d) =>
       val e = vectors(s, d)
@@ -90,10 +80,9 @@ object Similarity {
           col("band") === col("band2") && col("bh") === col("bh2")
             && col("vec_id") < col("vec_id2"))
         .select("vec_id", "vec_id2").distinct()
-      val b = e.select(col("vec_id").as("vec_id2"), col("v").as("v2"),
-        col("nrm").as("nrm2"))
+      val b = e.select(col("vec_id").as("vec_id2"), col("v").as("v2"))
       cands.join(e, "vec_id").join(b, "vec_id2")
-        .withColumn("cos", cosExpr)
+        .withColumn("cos", expr("round(cosine_sim(v, v2), 6)"))
         .filter(col("cos") >= CosineThreshold)
         .select(col("vec_id").as("id_a"), col("vec_id2").as("id_b"),
           col("cos"))
@@ -102,47 +91,35 @@ object Similarity {
 
     // scale path B: IVF — deterministic coarse centroids, nprobe-bounded
     // search. Comparisons per query drop from N to ~(nprobe/C)*N. ANN by
-    // construction => no oracle; SimilaritySpec measures recall vs the
-    // exact top-k.
+    // construction => no oracle; OperatorSpec measures recall vs exact.
     "sim_topk_ivf" -> { (s, d) =>
       val e = vectors(s, d)
       val cent = broadcast(e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("v").as("cv"),
-          col("nrm").as("cn")))
-      val centCos = expr(
-        """round(aggregate(zip_with(v, cv, (x, y) -> x * y),
-          |  CAST(0 AS DOUBLE), (acc, x) -> acc + x) / (nrm * cn), 6)"""
-          .stripMargin)
+        .select(col("vec_id").as("c_id"), col("v").as("cv")))
       // assign every vector to its nearest centroid (1 broadcast pass)
       val wAssign = Window.partitionBy("vec_id")
         .orderBy(col("ccos").desc, col("c_id"))
-      val assign = e.crossJoin(cent).withColumn("ccos", centCos)
+      val assign = e.crossJoin(cent)
+        .withColumn("ccos", expr("round(cosine_sim(v, cv), 6)"))
         .withColumn("arn", row_number().over(wAssign))
         .filter(col("arn") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cluster"))
+        .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
       // queries probe their nprobe=4 nearest centroids
       val q = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qn"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val wProbe = Window.partitionBy("q_id")
         .orderBy(col("qcos").desc, col("c_id"))
       val probes = q.crossJoin(cent)
-        .withColumn("qcos", expr(
-          """round(aggregate(zip_with(qv, cv, (x, y) -> x * y),
-            |  CAST(0 AS DOUBLE), (acc, x) -> acc + x) / (qn * cn), 6)"""
-            .stripMargin))
+        .withColumn("qcos", expr("round(cosine_sim(qv, cv), 6)"))
         .withColumn("prn", row_number().over(wProbe))
         .filter(col("prn") <= 4)
-        .select("q_id", "qv", "qn", "c_id")
+        .select("q_id", "qv", "c_id")
       // search only the probed clusters
       val wTop = Window.partitionBy("q_id")
         .orderBy(col("cos").desc, col("vec_id"))
       probes.join(assign, col("c_id") === col("cluster"))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", expr(
-          """round(aggregate(zip_with(qv, v, (x, y) -> x * y),
-            |  CAST(0 AS DOUBLE), (acc, x) -> acc + x) / (qn * nrm), 6)"""
-            .stripMargin))
+        .withColumn("cos", expr("round(cosine_sim(qv, v), 6)"))
         .select(col("q_id"), col("vec_id").as("n_id"), col("cos"),
           row_number().over(wTop).cast("long").as("rnk"))
         .filter(col("rnk") <= TopK)
@@ -150,24 +127,11 @@ object Similarity {
     }
   )
 
-  /** 256-bit SimHash from fixed-seed hyperplanes, banded 64x4 bits. */
-  private def simhashed(e: DataFrame): DataFrame = {
-    val rnd = new scala.util.Random(42)
-    val dim = 64
-    val planes = Array.fill(256, dim)(rnd.nextGaussian())
-    val planeLit = typedLit(planes.map(_.toSeq).toSeq)
-    e.withColumn("planes", planeLit)
-      .withColumn("bits", expr(
-        """transform(planes,
-          |  p -> if(aggregate(zip_with(p, v, (a, b) -> a * b),
-          |          CAST(0 AS DOUBLE), (acc, x) -> acc + x) >= 0, 1L, 0L))"""
-          .stripMargin))
-      .withColumn("bands", expr(
-        """transform(sequence(0, 63), b -> aggregate(
-          |  slice(bits, b * 4 + 1, 4), 0L, (acc, x) -> acc * 2 + x))"""
-          .stripMargin))
-      .drop("planes", "bits")
-  }
+  /** 256-bit SimHash from fixed-seed hyperplanes, banded 64x4 bits — the
+    * native [[graft.functions.SimHashBands]] expression (one fused loop).
+    */
+  private def simhashed(e: DataFrame): DataFrame =
+    e.withColumn("bands", expr("simhash_bands(v)"))
 
   private val duckVectors =
     """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

