@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines (SURVEY.md §2B
@@ -26,6 +27,7 @@ object Dedup {
   val Bands = 16
   val RowsPerBand = 4 // NumPerms / Bands
   val JaccardThreshold = 0.8
+  val HammingMax = 8 // dedup_simhash pair threshold (of 64 bits)
 
   /** doc_id -> distinct 3-word shingles (lower/trim normalized). */
   private def shingled(s: SparkSession, d: String): DataFrame =
@@ -94,8 +96,101 @@ object Dedup {
         .filter(col("jac") >= JaccardThreshold)
         .select("doc_a", "doc_b", "jac")
         .orderBy("doc_a", "doc_b")
+    },
+
+    // exact n-gram Jaccard via the shingle inverted index — the LSH-free
+    // baseline (quadratic only in docs *sharing a shingle*); same oracle
+    // shape as dedup_minhash, but no candidate pruning step
+    "dedup_ngram_jaccard" -> { (s, d) =>
+      val sh = shingled(s, d)
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+      val common = ex
+        .join(ex.select(col("doc_id").as("db"), col("sh").as("sh_b")),
+          col("sh") === col("sh_b") && col("doc_id") < col("db"))
+        .groupBy(col("doc_id").as("doc_a"), col("db").as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+          "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+          "doc_b")
+        .withColumn("jac",
+          col("c").cast("double") / (col("na") + col("nb") - col("c")))
+        .filter(col("jac") >= JaccardThreshold)
+        .select("doc_a", "doc_b", "jac")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Charikar SimHash near-dup: one 64-bit signature per doc (native
+    // expression), banded 8x8 bits for candidates, Hamming verify via
+    // bit_count(xor). No oracle (hash sketch) — DedupSpec cross-checks
+    // against the minhash pair set.
+    "dedup_simhash" -> { (s, d) =>
+      graft.functions.CharikarSimHash.register(s)
+      val sig = t(s, d, "documents")
+        .withColumn("toks", split(lower(trim(col("text"))), " "))
+        .select(col("doc_id"), expr("charikar_simhash(toks)").as("sig"))
+      val banded = sig.select(col("doc_id"), col("sig"),
+        explode(expr(
+          """transform(sequence(0, 7),
+            |  b -> struct(b AS band, shiftright(sig, b * 8) & 255 AS bh))"""
+            .stripMargin)).as("bk"))
+        .select(col("doc_id"), col("sig"), col("bk.band").as("band"),
+          col("bk.bh").as("bh"))
+      val right = banded.select(col("doc_id").as("doc_b"),
+        col("sig").as("sig_b"), col("band").as("band2"), col("bh").as("bh2"))
+      banded.join(right,
+          col("band") === col("band2") && col("bh") === col("bh2")
+            && col("doc_id") < col("doc_b"))
+        .select(col("doc_id").as("doc_a"), col("doc_b"), col("sig"),
+          col("sig_b"))
+        .distinct()
+        .withColumn("hamming", expr("bit_count(sig ^ sig_b)").cast("long"))
+        .filter(col("hamming") <= HammingMax)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // embedding-cosine near-dup: pairs above tau collapse to (keeper, dup)
+    // with the smallest-id keeper — the decision step of an embedding dedup
+    // pipeline (vec_id keys the embeddings fixture)
+    "dedup_embedding" -> { (s, d) =>
+      val pairs = Similarity.queries("sim_pairs_threshold")(s, d)
+      val w = Window.partitionBy("id_b").orderBy("id_a")
+      pairs
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id_b").as("dup_id"), col("id_a").as("keeper"),
+          col("cos"))
+        .orderBy("dup_id")
     }
   )
+
+  /** Exact shingle-set Jaccard in DuckDB — oracle for both the LSH and the
+    * inverted-index Spark implementations (they must agree with it and so
+    * with each other).
+    */
+  private val exactJaccardSql =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(w) - 2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+      |        FROM documents)),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+      |common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jac
+      |FROM common
+      |JOIN sizes s1 ON s1.doc_id = doc_a
+      |JOIN sizes s2 ON s2.doc_id = doc_b
+      |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -107,25 +202,23 @@ object Dedup {
         |ORDER BY keeper""".stripMargin,
     // exact Jaccard over ALL pairs sharing a shingle (inverted index —
     // no LSH on the oracle side, which is what makes it an oracle)
-    "dedup_minhash" ->
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, len(w) - 2),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
-        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
-        |        FROM documents)),
-        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-        |common AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jac
-        |FROM common
-        |JOIN sizes s1 ON s1.doc_id = doc_a
-        |JOIN sizes s2 ON s2.doc_id = doc_b
-        |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin
+    "dedup_minhash" -> exactJaccardSql,
+    "dedup_ngram_jaccard" -> exactJaccardSql,
+    "dedup_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |    AS v FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v))
+        |       * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |thr AS (SELECT * FROM pairs WHERE cos >= 0.4),
+        |r AS (SELECT id_b AS dup_id, id_a AS keeper, cos,
+        |  row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+        |  FROM thr)
+        |SELECT dup_id, keeper, cos FROM r WHERE rn = 1
+        |ORDER BY dup_id""".stripMargin
   )
 }

@@ -50,12 +50,15 @@ object TextOps {
         .orderBy("doc_id", "word")
     },
 
+    // bigrams as zip_with over two shifted slices: two array allocations per
+    // row instead of one slice per element (the transform(sequence) form)
     "text_ngrams" -> ((s, d) =>
       toks(s, d)
         .withColumn("grams",
           when(size(col("toks")) >= 2, expr(
-            """transform(sequence(0, size(toks) - 2),
-              |  i -> concat_ws(' ', slice(toks, i + 1, 2)))""".stripMargin))
+            """zip_with(slice(toks, 1, size(toks) - 1),
+              |         slice(toks, 2, size(toks) - 1),
+              |         (a, b) -> concat(a, ' ', b))""".stripMargin))
             .otherwise(array()))
         .select(explode(col("grams")).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
@@ -83,7 +86,9 @@ object TextOps {
               .stripMargin).cast("double") / size(col("toks")))
             .as("stopword_ratio"),
           expr("size(array_distinct(toks))").cast("double")
-            .divide(size(col("toks"))).as("ttr"))
+            .divide(size(col("toks"))).as("ttr"),
+          size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+            .cast("long").as("n_regex_tokens"))
         .orderBy("doc_id")),
 
     "text_langid" -> { (s, d) =>
@@ -163,7 +168,9 @@ object TextOps {
         |CAST(len(list_filter(w,
         |  t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
         |  / len(w) AS stopword_ratio,
-        |CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr
+        |CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+        |CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+        |  AS n_regex_tokens
         |FROM (SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS w
         |      FROM documents) d
         |ORDER BY doc_id""".stripMargin,

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSim, SimHashBands, WinnowFingerprints}
+import graft.functions.{CharikarSimHash, CosineSim, SimHashBands, WinnowFingerprints}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
@@ -20,5 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("winnow_fps"),
       WinnowFingerprints.info,
       (args: Seq[Expression]) => WinnowFingerprints(args.head)))
+    ext.injectFunction((FunctionIdentifier("charikar_simhash"),
+      CharikarSimHash.info,
+      (args: Seq[Expression]) => CharikarSimHash(args.head)))
   }
 }

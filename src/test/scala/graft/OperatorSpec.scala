@@ -28,13 +28,18 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("approx_count_distinct lands within 10% of exact") {
-    val rows = SparkEntry.queries("agg_approx_distinct")(spark, sf)
-      .collect()
-    rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
+    val approxRows = SparkEntry.queries("agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("approx_parts"))
+      .toMap
+    val exactRows = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("exact_parts"))
+      .toMap
+    exactRows.foreach { case (flag, exact) =>
+      val approx = approxRows(flag).toDouble
       assert(math.abs(approx - exact) / exact < 0.1,
-        s"approx $approx vs exact $exact")
+        s"$flag: approx $approx vs exact $exact")
     }
   }
 
@@ -100,6 +105,27 @@ class OperatorSpec extends SparkSpec {
         Array.fill(r.getAs[Long]("n_bytes").toInt)(0.toByte))
       assert(r.getAs[Int]("width") == 16 + (m.payload.length % 640))
     }
+  }
+
+  test("dedup_simhash covers the minhash near-dup pairs") {
+    val mh = SparkEntry.queries("dedup_minhash")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = SparkEntry.queries("dedup_simhash")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val covered = (mh & sh).size.toDouble / math.max(mh.size, 1)
+    assert(covered >= 0.8, s"simhash covered $covered of minhash pairs")
+  }
+
+  test("dedup_ngram_jaccard equals dedup_minhash (LSH recall check)") {
+    val exact = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("dedup_minhash")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"missed: ${exact -- lsh}, extra: ${lsh -- exact}")
   }
 
   test("dedup_minhash finds all planted near-duplicate pairs (J >= 0.9)") {

@@ -75,6 +75,35 @@ class StreamingSpec extends SparkSpec {
     assert(out(1) == ((1L, ts(120), ts(150), 1L)))
   }
 
+  test("file-source readStream tumbling counts equal the batch twin") {
+    // the real readStream path: stream the fixture events parquet (as the
+    // repaired-μs frame re-emitted to a scratch dir), aggregate with the
+    // same window expression, compare to the batch twin
+    val src = "/root/repo/target/tmp/stream_src/events"
+    val batch = graft.ops.Tables.events(spark, sf)
+    batch.write.mode("overwrite").parquet(src)
+    val streamed = spark.readStream.schema(batch.schema).parquet(src)
+    val q = Streams.toMemorySink(
+      Streams.tumblingCounts(streamed), "file_stream_t",
+      OutputMode.Complete())
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("file_stream_t")
+      .select("wstart", "event_type", "cnt")
+      .as[(Timestamp, String, Long)].collect().toSet
+    val want = batch
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col("ts"), "1 hour"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .count()
+      .select(org.apache.spark.sql.functions.col("window.start"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("count"))
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("mapGroupsWithState keeps running per-user aggregates across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
