@@ -14,6 +14,7 @@ object Verify {
       // events.ts is Parquet TIMESTAMP(NANOS): read as Long nanos, repaired
       // to microseconds in Tables.events (BASELINE.md parity hazard)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

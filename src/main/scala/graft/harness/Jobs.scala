@@ -1,0 +1,78 @@
+package graft.harness
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Concrete ETL jobs filling the reference's `run_job` hook
+  * (`core.py:108-110`): the reference ecosystem's namesake work is
+  * "data compression and format conversion" (reference `pyproject.toml:7`),
+  * expressed here as Spark read → write plans.
+  *
+  * Settings keys (via `JobSettings.extra`):
+  *  - `input_format` / `output_format`: parquet | csv | json | orc
+  *    (default parquet → parquet)
+  *  - `compression`: codec for the output (zstd, gzip, snappy, none…)
+  *  - `partition_by`: optional comma-separated partition columns
+  */
+class FormatConversionJob(s: JobSettings) extends GenericEtl[JobSettings](s) {
+
+  private def read(spark: SparkSession): DataFrame = {
+    val fmt = settings.extra.getOrElse("input_format", "parquet")
+    val r = spark.read.format(fmt)
+    fmt match {
+      case "csv" => r.option("header", "true").option("inferSchema", "true")
+        .load(settings.inputSource)
+      case _ => r.load(settings.inputSource)
+    }
+  }
+
+  override def runJob(spark: SparkSession): JobResponse =
+    try {
+      val df = read(spark)
+      val fmt = settings.extra.getOrElse("output_format", "parquet")
+      var w = df.write.mode("overwrite").format(fmt)
+      settings.extra.get("compression").foreach(c =>
+        w = w.option("compression", c))
+      if (fmt == "csv") w = w.option("header", "true")
+      settings.extra.get("partition_by").foreach(cols =>
+        w = w.partitionBy(cols.split(",").toSeq: _*))
+      w.save(settings.outputDirectory)
+      val opts: Map[String, String] =
+        if (fmt == "csv") Map("header" -> "true") else Map.empty
+      val n = spark.read.format(fmt).options(opts)
+        .load(settings.outputDirectory).count()
+      JobResponse(200, Some(s"wrote $n rows as $fmt"), Some(n.toString))
+    } catch {
+      case e: Exception => JobResponse(500, Some(e.toString), None)
+    }
+}
+
+/** Re-encodes a dataset with a different parquet codec and reports the
+  * before/after byte sizes (the "compression job" shape of the reference
+  * ecosystem).
+  */
+class CompressionJob(s: JobSettings) extends GenericEtl[JobSettings](s) {
+
+  private def dirBytes(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.getContentSummary(p).getLength
+  }
+
+  override def runJob(spark: SparkSession): JobResponse =
+    try {
+      val codec = settings.extra.getOrElse("compression", "zstd")
+      val df = spark.read.parquet(settings.inputSource)
+      df.write.mode("overwrite").option("compression", codec)
+        .parquet(settings.outputDirectory)
+      val before = dirBytes(spark, settings.inputSource)
+      val after = dirBytes(spark, settings.outputDirectory)
+      val n = spark.read.parquet(settings.outputDirectory).count()
+      JobResponse(200,
+        Some(s"recompressed $n rows with $codec: $before -> $after bytes"),
+        Some(s"""{"rows": $n, "bytes_in": $before, "bytes_out": $after}"""))
+    } catch {
+      case e: Exception => JobResponse(500, Some(e.toString), None)
+    }
+}

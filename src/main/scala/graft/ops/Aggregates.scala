@@ -113,6 +113,20 @@ object Aggregates {
             .as("corr_qe"))
         .orderBy("l_returnflag")),
 
+    // two-stage salted aggregation — the skew-mitigation pattern: stage 1
+    // spreads each hot key over 16 salt buckets, stage 2 merges. Results
+    // are identical to the plain groupBy (decimal sums are associative),
+    // which is exactly why the technique is safe at 100 TB.
+    "agg_skew_salted" -> ((s, d) =>
+      events(s, d)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pc"), sum(money(col("value"))).as("ps"))
+        .groupBy("event_type")
+        .agg(sum(col("pc")).as("cnt"), sum(col("ps")).cast("double")
+          .as("sum_val"))
+        .orderBy("event_type")),
+
     "udaf_typed" -> { (s, d) =>
       val geo = udaf(GeoMean)
       t(s, d, "lineitem")
@@ -205,6 +219,10 @@ object Aggregates {
     "udaf_typed" ->
       """SELECT l_returnflag,
         |round(exp(avg(ln(l_quantity))), 4) AS geo_qty
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_skew_salted" ->
+      s"""SELECT event_type, count(*) AS cnt,
+         |${sql.moneySum("value")} AS sum_val
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

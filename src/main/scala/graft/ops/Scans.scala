@@ -79,6 +79,31 @@ object Scans {
         .orderBy("p_partkey")
     },
 
+    // parquet -> ORC (zlib) round-trip: the third columnar format Spark
+    // ships a native vectorized reader for
+    "convert_parquet_orc" -> { (s, d) =>
+      val out = scratch("convert_parquet_orc", d)
+      t(s, d, "supplier").write.mode("overwrite")
+        .option("compression", "zlib").orc(out)
+      s.read.orc(out)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy("s_suppkey")
+    },
+
+    // hive-style partitioned write + partition-pruned read-back: the scan
+    // only lists/reads the o_year=1997 directory (PartitionFilters in the
+    // plan — PlanSpec pins this)
+    "write_partitioned" -> { (s, d) =>
+      val out = scratch("write_partitioned", d)
+      t(s, d, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_year") === 1997)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_year")
+        .orderBy("o_orderkey")
+    },
+
     // schema inference on a csv written without one; emits the inferred
     // schema as rows (no oracle — schema check, not a row check)
     "schema_inference" -> { (s, d) =>
@@ -113,6 +138,14 @@ object Scans {
          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "write_compressed" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
-        |FROM part ORDER BY p_partkey""".stripMargin
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "convert_parquet_orc" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "write_partitioned" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |CAST(year(o_orderdate) AS INT) AS o_year
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -1,0 +1,70 @@
+package graft
+
+import graft.harness._
+
+/** Concrete job layer: conversion + compression jobs end-to-end, and the
+  * CLI argument surface (mirrors reference `core.py:15-47` + `run_job`).
+  */
+class JobsSpec extends SparkSpec {
+
+  private val out = "/root/repo/target/tmp/jobs_spec"
+
+  test("FormatConversionJob converts parquet to csv and reports rows") {
+    val job = new FormatConversionJob(JobSettings(
+      s"$sf/nation.parquet", s"$out/nation_csv",
+      Map("output_format" -> "csv", "compression" -> "gzip")))
+    val r = job.runJob(spark)
+    assert(r.statusCode == 200, r)
+    assert(r.data.contains("25"))
+    val back = spark.read.option("header", "true").csv(s"$out/nation_csv")
+    assert(back.count() == 25)
+  }
+
+  test("FormatConversionJob honors partition_by") {
+    val job = new FormatConversionJob(JobSettings(
+      s"$sf/nation.parquet", s"$out/nation_part",
+      Map("output_format" -> "parquet", "partition_by" -> "n_regionkey")))
+    assert(job.runJob(spark).statusCode == 200)
+    val dirs = new java.io.File(s"$out/nation_part").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("n_regionkey=")))
+  }
+
+  test("FormatConversionJob returns 500 on a bad input path") {
+    val job = new FormatConversionJob(JobSettings("/no/such/dir", s"$out/x"))
+    val r = job.runJob(spark)
+    assert(r.statusCode == 500)
+    assert(r.message.nonEmpty)
+  }
+
+  test("CompressionJob re-encodes parquet and reports byte sizes") {
+    val job = new CompressionJob(JobSettings(
+      s"$sf/lineitem.parquet", s"$out/lineitem_zstd",
+      Map("compression" -> "zstd")))
+    val r = job.runJob(spark)
+    assert(r.statusCode == 200, r)
+    assert(r.data.exists(_.contains("bytes_out")))
+  }
+
+  test("JobRunner parses -j / -c / --job like the reference CLI") {
+    val (j1, s1) = JobRunner.parseArgs(Array(
+      "--job", "CompressionJob", "-j",
+      """{"input_source": "/a", "output_directory": "/b", "compression": "zstd"}"""))
+    assert(j1 == "CompressionJob")
+    assert(s1 == JobSettings("/a", "/b", Map("compression" -> "zstd")))
+
+    val f = java.nio.file.Files.createTempFile("js", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"input_source": "/c", "output_directory": "/d"}""")
+    val (j2, s2) = JobRunner.parseArgs(Array("-c", f.toString))
+    assert(j2 == "FormatConversionJob")
+    assert(s2 == JobSettings("/c", "/d"))
+
+    intercept[IllegalArgumentException] {
+      JobRunner.parseArgs(Array("--bogus"))
+    }
+    intercept[IllegalArgumentException] {
+      JobRunner.makeJob("NopeJob", JobSettings("/a", "/b"))
+    }
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression tests: the scale properties SCALE.md claims are
+  * pinned here so a refactor can't silently regress them.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def optimized(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  test("scan_parquet pushes the filter into the parquet scan") {
+    val p = plan(SparkEntry.queries("scan_parquet")(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,1000)]"), p)
+  }
+
+  test("projection prunes the read schema to selected columns") {
+    val p = plan(SparkEntry.queries("scan_parquet")(spark, sf))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,"
+      + "l_quantity:double,l_extendedprice:double>"), p)
+  }
+
+  test("join_broadcast plans a BroadcastHashJoin") {
+    val p = plan(SparkEntry.queries("join_broadcast")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("limit_topk plans TakeOrderedAndProject (no global sort)") {
+    val p = plan(SparkEntry.queries("limit_topk")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("agg_group does partial aggregation before the shuffle") {
+    val p = plan(SparkEntry.queries("agg_group")(spark, sf))
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("bucketed join needs no shuffle on either side") {
+    // force SMJ (tiny fixtures would broadcast) and check the join subtree
+    // has no shuffle exchange: bucketed output partitioning satisfies the
+    // join's distribution requirement
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      SparkEntry.queries("join_bucketed")(spark, sf).count() // create tables
+      val sfx = sf.replaceAll("[^A-Za-z0-9]", "_")
+      val joined = spark.table(s"li_bkt_$sfx")
+        .join(spark.table(s"ord_bkt_$sfx"),
+          col("l_orderkey") === col("o_orderkey"))
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning"), p)
+      assert(p.contains("SelectedBucketsCount"), p)
+    }
+  }
+
+  test("write_partitioned read-back prunes partitions") {
+    val df = SparkEntry.queries("write_partitioned")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("PartitionFilters: [isnotnull(o_year"), p)
+  }
+
+  test("as-of join is a single window pass, not a range join") {
+    val p = plan(SparkEntry.queries("join_asof")(spark, sf))
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("native cosine_sim stays inside whole-stage codegen in projections") {
+    graft.functions.CosineSim.register(spark)
+    val df = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .selectExpr("cosine_sim(v, v) AS c")
+    // the `*(n)` prefix marks a WholeStageCodegen stage in the compact
+    // plan rendering — the projection containing cosine_sim must carry it
+    val p = plan(df)
+    assert("\\*\\(\\d+\\) Project \\[cosine_sim".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("similarity threshold is pushed into the join (no post-materialize)") {
+    // Catalyst folds `cos >= tau` into the BNLJ condition, so non-matching
+    // pairs are never projected — the pair scan filters as it goes
+    val p = plan(SparkEntry.queries("sim_pairs_threshold")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert("BroadcastNestedLoopJoin[^\\n]*cosine_sim".r
+      .findFirstIn(p).isDefined, p)
+  }
+
+  test("salted aggregation folds into two hash aggregates, one scan") {
+    val o = optimized(SparkEntry.queries("agg_skew_salted")(spark, sf))
+    assert("Relation".r.findAllIn(o).size == 1, o)
+    val p = plan(SparkEntry.queries("agg_skew_salted")(spark, sf))
+    assert(p.contains("partial_sum"), p)
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
