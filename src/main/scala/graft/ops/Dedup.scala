@@ -30,7 +30,7 @@ object Dedup {
   val HammingMax = 8 // dedup_simhash pair threshold (of 64 bits)
 
   /** doc_id -> distinct 3-word shingles (lower/trim normalized). */
-  private def shingled(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingled(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .withColumn("toks", split(lower(trim(col("text"))), " "))
       .withColumn("shingles",

@@ -55,9 +55,12 @@ object Similarity {
     "sim_pairs_threshold" -> { (s, d) =>
       val e = vectors(s, d)
       val b = e.select(col("vec_id").as("vec_id2"), col("v").as("v2"))
-      e.join(b, col("vec_id") < col("vec_id2"))
+      // cheap ordered-pair predicate FIRST in the join condition: the BNLJ
+      // evaluates conjuncts in order, so half the pair space skips the
+      // cosine kernel entirely
+      e.join(b, col("vec_id") < col("vec_id2")
+          && expr("round(cosine_sim(v, v2), 6)") >= CosineThreshold)
         .withColumn("cos", expr("round(cosine_sim(v, v2), 6)"))
-        .filter(col("cos") >= CosineThreshold)
         .select(col("vec_id").as("id_a"), col("vec_id2").as("id_b"),
           col("cos"))
         .orderBy("id_a", "id_b")
