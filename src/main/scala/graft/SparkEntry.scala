@@ -19,6 +19,7 @@ object SparkEntry {
     (Windows.queries, Windows.oracle),
     (SortSet.queries, SortSet.oracle),
     (ScalarFns.queries, ScalarFns.oracle),
+    (SqlOps.queries, SqlOps.oracle),
     (StreamTwin.queries, StreamTwin.oracle),
     (Dedup.queries, Dedup.oracle),
     (Similarity.queries, Similarity.oracle),

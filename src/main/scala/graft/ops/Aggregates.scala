@@ -127,6 +127,18 @@ object Aggregates {
           .as("sum_val"))
         .orderBy("event_type")),
 
+    // interpolated percentiles: Spark `percentile` and DuckDB
+    // `quantile_cont` share the linear-interpolation definition
+    "agg_percentile" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"))
+        .orderBy("l_returnflag")),
+
     "udaf_typed" -> { (s, d) =>
       val geo = udaf(GeoMean)
       t(s, d, "lineitem")
@@ -223,6 +235,13 @@ object Aggregates {
     "agg_skew_salted" ->
       s"""SELECT event_type, count(*) AS cnt,
          |${sql.moneySum("value")} AS sum_val
-         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+        |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -100,6 +100,27 @@ object ScalarFns {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")),
 
+    // nested struct column round-trip: struct survives parquet and the
+    // oracle compare (DuckDB struct_pack on its side)
+    "fn_struct" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          struct(col("lang").as("lang"), col("n_chars").as("n"),
+            col("source").as("src")).as("meta"))
+        .orderBy("doc_id")),
+
+    // bitwise ops (Spark SQL ^ is xor; DuckDB ^ is power, its xor is xor())
+    "fn_bitwise" -> ((s, d) =>
+      events(s, d).select(
+        col("event_id"),
+        expr("event_id & 255").as("band"),
+        expr("event_id | 4096").as("bor"),
+        expr("event_id ^ user_id").as("bxor"),
+        expr("shiftleft(user_id, 3)").as("shl"),
+        expr("shiftright(event_id, 2)").as("shr"),
+        expr("CAST(bit_count(event_id) AS BIGINT)").as("bits"))
+        .orderBy("event_id")),
+
     "udf_scalar" -> { (s, d) =>
       val norm = udf(normalizeText)
       t(s, d, "documents").select(
@@ -169,6 +190,19 @@ object ScalarFns {
     "fn_json" ->
       """SELECT event_id,
         |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_struct" ->
+      """SELECT doc_id,
+        |struct_pack(lang := lang, n := n_chars, src := source) AS meta
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT event_id,
+        |event_id & 255 AS band,
+        |event_id | 4096 AS bor,
+        |xor(event_id, user_id) AS bxor,
+        |user_id << 3 AS shl,
+        |event_id >> 2 AS shr,
+        |CAST(bit_count(event_id) AS BIGINT) AS bits
         |FROM events ORDER BY event_id""".stripMargin,
     "udf_scalar" ->
       """SELECT doc_id,

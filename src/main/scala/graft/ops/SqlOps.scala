@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-surface operators exercised through `spark.sql` on temp views:
+  * scalar subqueries (decorrelated by Catalyst's RewriteSubquery rules),
+  * correlated EXISTS, and CTEs. The SQL text is shared verbatim with the
+  * DuckDB oracle — both engines parse the identical ANSI statement.
+  */
+object SqlOps {
+  import Tables._
+
+  /** Register the fixture tables this module needs as temp views. */
+  private def views(s: SparkSession, d: String): Unit = {
+    t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    t(s, d, "customer").createOrReplaceTempView("customer")
+  }
+
+  /** ANSI SQL shared by Spark and DuckDB, keyed by query name. */
+  val sharedSql: Map[String, String] = Map(
+    // scalar subquery: customers above the (deterministic decimal) average
+    "sql_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |         / count(*)
+        |  FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+    // correlated scalar subquery: each order vs its customer's order count
+    "sql_correlated" ->
+      """SELECT o_orderkey,
+        |  (SELECT count(*) FROM orders o2
+        |   WHERE o2.o_custkey = o1.o_custkey) AS cust_orders
+        |FROM orders o1
+        |WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin,
+    // chained CTEs feeding a join
+    "sql_cte" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  FROM lineitem GROUP BY l_orderkey),
+        |top AS (SELECT * FROM big WHERE qty > 150)
+        |SELECT t.l_orderkey, t.qty, o.o_orderpriority
+        |FROM top t JOIN orders o ON t.l_orderkey = o.o_orderkey
+        |ORDER BY t.l_orderkey""".stripMargin)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    sharedSql.map { case (name, q) =>
+      name -> ((s: SparkSession, d: String) => { views(s, d); s.sql(q) })
+    }
+
+  def oracle: Map[String, String] = sharedSql
+}

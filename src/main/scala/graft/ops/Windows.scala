@@ -69,6 +69,16 @@ object Windows {
         .orderBy("c_custkey")
     },
 
+    "win_percent" -> { (s, d) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal", "c_custkey")
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("c_custkey")
+    },
+
     "win_topk_group" -> { (s, d) =>
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -119,6 +129,13 @@ object Windows {
         |last_value(c_name) OVER (PARTITION BY c_mktsegment
         |  ORDER BY c_acctbal, c_custkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "win_percent" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |percent_rank() OVER w AS pr,
+        |cume_dist() OVER w AS cd
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
