@@ -20,6 +20,7 @@ object SparkEntry {
     (SortSet.queries, SortSet.oracle),
     (ScalarFns.queries, ScalarFns.oracle),
     (SqlOps.queries, SqlOps.oracle),
+    (Analytics.queries, Analytics.oracle),
     (StreamTwin.queries, StreamTwin.oracle),
     (Dedup.queries, Dedup.oracle),
     (Similarity.queries, Similarity.oracle),

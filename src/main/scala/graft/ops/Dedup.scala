@@ -54,21 +54,14 @@ object Dedup {
         .orderBy("keeper")),
 
     "dedup_minhash" -> { (s, d) =>
+      graft.functions.MinHashBands.register(s)
       val sh = shingled(s, d).cache()
       val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
 
-      // 64 permutation-minimum signatures per doc (single shuffle)
-      val mins = (0 until NumPerms)
-        .map(p => min(xxhash64(col("sh"), lit(p))).as(s"mh$p"))
-      val sig = ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-
-      // band each signature: 16 keys of 4 rows each
-      val bandCols = (0 until Bands).map { b =>
-        val rows = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
-        xxhash64(rows: _*)
-      }
-      val banded = sig.select(col("doc_id"),
-        posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+      // fused native sketch: shingles -> 64 minima -> 16 band keys as a
+      // pure projection (no shuffle to build signatures)
+      val banded = sh.select(col("doc_id"),
+        posexplode(expr("minhash_bands(shingles)")).as(Seq("band", "bh")))
 
       // LSH candidates: equal (band, band-hash), ordered pair, distinct
       val right = banded

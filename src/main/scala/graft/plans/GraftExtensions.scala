@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CharikarSimHash, CosineSim, SimHashBands, WinnowFingerprints}
+import graft.functions.{CharikarSimHash, CosineSim, MinHashBands, SimHashBands, WinnowFingerprints}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
@@ -23,5 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("charikar_simhash"),
       CharikarSimHash.info,
       (args: Seq[Expression]) => CharikarSimHash(args.head)))
+    ext.injectFunction((FunctionIdentifier("minhash_bands"),
+      MinHashBands.info,
+      (args: Seq[Expression]) => MinHashBands(args.head)))
   }
 }
