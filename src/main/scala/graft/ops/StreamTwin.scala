@@ -55,6 +55,25 @@ object StreamTwin {
           max(col("ts")).as("last_ts"))
         .orderBy("user_id")),
 
+    // twin of the stream-stream interval join (purchase attribution):
+    // same join condition as Streams.purchaseAttribution
+    "stream_join" -> { (s, d) =>
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+      purchases.join(clicks, expr(
+        """p_user = c_user AND
+          |click_ts BETWEEN purchase_ts - INTERVAL 10 MINUTES
+          |            AND purchase_ts""".stripMargin))
+        .select(col("purchase_id"), col("click_id"),
+          col("p_user").as("user_id"))
+        .orderBy("purchase_id", "click_id")
+    },
+
     // twin of the watermarked hourly count (late-row drop is pinned by the
     // streaming spec; batch sees all rows) — distinct users per hour
     "stream_watermark_late" -> ((s, d) =>
@@ -104,6 +123,14 @@ object StreamTwin {
       s"""SELECT user_id, count(*) AS n_events,
          |${sql.moneySum("value")} AS total_value, max(ts) AS last_ts
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |p.user_id AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "stream_watermark_late" ->
       """SELECT date_trunc('hour', ts) AS wstart, count(*) AS cnt,
         |count(DISTINCT user_id) AS n_users

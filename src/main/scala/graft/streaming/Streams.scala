@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode}
 
 /** Structured Streaming operators (SURVEY.md §2B "Streaming").
   *
@@ -73,6 +73,59 @@ object Streams {
           state.update(next)
           UserSnapshot(userId, next.n_events, next.total_value)
       }
+  }
+
+  /** Stream-stream interval join: purchases attributed to same-user clicks
+    * within the 10 minutes before the purchase. Watermarks on BOTH sides
+    * bound the join state — the condition every production stream-stream
+    * join needs to avoid unbounded buffers.
+    */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "30 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "30 minutes")
+    purchases.join(clicks, expr(
+      """p_user = c_user AND
+        |click_ts BETWEEN purchase_ts - INTERVAL 10 MINUTES
+        |            AND purchase_ts""".stripMargin))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
+  /** Spark 4 arbitrary-state v2 (`transformWithState`): same running
+    * per-user totals as [[runningUserState]] but on the StatefulProcessor
+    * API with typed ValueState (requires the RocksDB state store).
+    */
+  class RunningTotalsProcessor
+    extends StatefulProcessor[Long, Event, UserSnapshot] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserState]("totals",
+        Encoders.product[UserState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[UserSnapshot] = {
+      val prev = Option(state.get()).getOrElse(UserState(0L, 0.0))
+      val batch = rows.toSeq
+      val next = UserState(prev.n_events + batch.size,
+        prev.total_value + batch.map(_.value).sum)
+      state.update(next)
+      Iterator.single(UserSnapshot(key, next.n_events, next.total_value))
+    }
+  }
+
+  def runningUserStateV2(events: Dataset[Event]): Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Convenience writer used by specs: stream to an in-memory table. */

@@ -104,6 +104,58 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.toMemorySink(
+      Streams.purchaseAttribution(in.toDF()), "attr_t", OutputMode.Append())
+    in.addData(
+      ev(1, 0, user = 1, typ = "click"),
+      ev(2, 5, user = 1, typ = "purchase"), // within 10m of click 1 -> match
+      ev(3, 30, user = 1, typ = "purchase"), // no click within 10m
+      ev(4, 3, user = 2, typ = "click"), // different user
+      ev(5, 100, user = 9, typ = "view"))
+    q.processAllAvailable()
+    // flush join state well past the watermark
+    in.addData(ev(6, 600, user = 9, typ = "view"))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("attr_t")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 1L)))
+  }
+
+  test("transformWithState (arbitrary state v2) matches mapGroupsWithState") {
+    val old = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[Event]
+      val q = Streams.runningUserStateV2(in.toDS())
+        .writeStream.format("memory").queryName("state_v2_t")
+        .outputMode(OutputMode.Update()).start()
+      in.addData(ev(1, 0, user = 1, value = 2.0),
+        ev(2, 1, user = 1, value = 3.0))
+      q.processAllAvailable()
+      in.addData(ev(3, 2, user = 1, value = 5.0))
+      q.processAllAvailable()
+      q.stop()
+      val snaps = spark.table("state_v2_t")
+        .as[Streams.UserSnapshot].collect().filter(_.user_id == 1L)
+        .sortBy(_.n_events)
+      assert(snaps.last.n_events == 3L)
+      assert(snaps.last.total_value == 10.0)
+    } finally {
+      old match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mapGroupsWithState keeps running per-user aggregates across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
