@@ -95,14 +95,28 @@ object Scans {
     // plan — PlanSpec pins this)
     "write_partitioned" -> { (s, d) =>
       val out = scratch("write_partitioned", d)
-      t(s, d, "orders")
+      val withYear = t(s, d, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
-        .write.mode("overwrite").partitionBy("o_year").parquet(out)
-      s.read.parquet(out)
+      withYear.write.mode("overwrite").partitionBy("o_year").parquet(out)
+      // explicit schema on read-back: an empty partitioned write leaves no
+      // files to infer from, and production read paths declare schemas
+      s.read.schema(withYear.schema).parquet(out)
         .filter(col("o_year") === 1997)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_year")
         .orderBy("o_orderkey")
     },
+
+    // custom DataSource V2 connector (graft.sources.SynthEventsSource):
+    // partition-aware deterministic generator, aggregated and checked
+    // against the same arithmetic reproduced in the DuckDB oracle
+    "source_custom_v2" -> ((s, _) =>
+      s.read.format("graft.sources.SynthEventsSource")
+        .option("rows", 4000).option("partitions", 8).load()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          moneySum(col("value")).as("sum_val"),
+          max(col("event_id")).as("max_id"))
+        .orderBy("event_type")),
 
     // schema inference on a csv written without one; emits the inferred
     // schema as rows (no oracle — schema check, not a row check)
@@ -146,6 +160,18 @@ object Scans {
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |CAST(year(o_orderdate) AS INT) AS o_year
         |FROM orders WHERE year(o_orderdate) = 1997
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    // mirrors SynthEventsSource's row formulas over generate_series
+    "source_custom_v2" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 3999)) AS id),
+        |rows_ AS (SELECT id AS event_id,
+        |  ['click','view','purchase','signup','error'][CAST(id % 5 AS INT) + 1]
+        |    AS event_type,
+        |  ((id * 37) % 10000) / 100.0 AS value
+        |FROM ids)
+        |SELECT event_type, count(*) AS cnt,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+        |max(event_id) AS max_id
+        |FROM rows_ GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
