@@ -121,6 +121,19 @@ object ScalarFns {
         expr("CAST(bit_count(event_id) AS BIGINT)").as("bits"))
         .orderBy("event_id")),
 
+    // MapType construction + lookup (DuckDB element_at returns a 1-list;
+    // the oracle unwraps with [1]). Maps never appear in output columns
+    // (unordered stringification — SURVEY §7.4); only extracted scalars do.
+    "fn_map" -> ((s, d) =>
+      events(s, d).select(
+        col("event_id"),
+        element_at(map_from_arrays(
+          array(lit("eid"), lit("uid")),
+          array(col("event_id"), col("user_id"))), "uid").as("uid"),
+        size(map_from_arrays(array(lit("a"), lit("b")),
+          array(lit(1L), lit(2L)))).cast("long").as("n_keys"))
+        .orderBy("event_id")),
+
     "udf_scalar" -> { (s, d) =>
       val norm = udf(normalizeText)
       t(s, d, "documents").select(
@@ -203,6 +216,11 @@ object ScalarFns {
         |user_id << 3 AS shl,
         |event_id >> 2 AS shr,
         |CAST(bit_count(event_id) AS BIGINT) AS bits
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_map" ->
+      """SELECT event_id,
+        |element_at(MAP {'eid': event_id, 'uid': user_id}, 'uid')[1] AS uid,
+        |CAST(cardinality(MAP {'a': 1, 'b': 2}) AS BIGINT) AS n_keys
         |FROM events ORDER BY event_id""".stripMargin,
     "udf_scalar" ->
       """SELECT doc_id,

@@ -91,6 +91,23 @@ object TextOps {
             .cast("long").as("n_regex_tokens"))
         .orderBy("doc_id")),
 
+    // the end-to-end training-data decision step: score every doc, keep
+    // those passing all thresholds — the filter a real corpus pipeline
+    // applies before training
+    "pipeline_quality_filter" -> ((s, d) =>
+      toks(s, d)
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("ttr", expr("size(array_distinct(toks))").cast("double")
+          .divide(size(col("toks"))))
+        .withColumn("avg_word_len",
+          length(regexp_replace(col("text"), " ", "")).cast("double")
+            / size(col("toks")))
+        .filter(col("n_tokens").between(10, 500)
+          && col("ttr") >= 0.2
+          && col("avg_word_len").between(2.0, 12.0))
+        .select("doc_id", "n_tokens", "ttr", "avg_word_len")
+        .orderBy("doc_id")),
+
     "text_langid" -> { (s, d) =>
       val scored = LangMarkers.foldLeft(toks(s, d)) { case (df, (lang, ws)) =>
         df.withColumn(s"s_$lang", expr(
@@ -173,6 +190,19 @@ object TextOps {
         |  AS n_regex_tokens
         |FROM (SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS w
         |      FROM documents) d
+        |ORDER BY doc_id""".stripMargin,
+    "pipeline_quality_filter" ->
+      """SELECT doc_id,
+        |CAST(len(w) AS BIGINT) AS n_tokens,
+        |CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+        |CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w)
+        |  AS avg_word_len
+        |FROM (SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS w
+        |      FROM documents) d
+        |WHERE len(w) BETWEEN 10 AND 500
+        |  AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.2
+        |  AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w)
+        |      BETWEEN 2.0 AND 12.0
         |ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       s"""WITH scored AS (
