@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (SURVEY.md §2B):
@@ -15,6 +15,23 @@ object TextOps {
   private def toks(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .withColumn("toks", split(lower(trim(col("text"))), " "))
+
+  /** Shared quality metrics — single definition per side so the Spark code
+    * and the oracle SQL cannot drift (the Tables.sql pattern).
+    */
+  private object metrics {
+    val nTokens: Column = size(col("toks")).cast("long")
+    val ttr: Column = expr("size(array_distinct(toks))").cast("double")
+      .divide(size(col("toks")))
+    val avgWordLen: Column =
+      length(regexp_replace(col("text"), " ", "")).cast("double") /
+        size(col("toks"))
+    // SQL twins over `w` = string_split(lower(trim(text)), ' ')
+    val nTokensSql = "CAST(len(w) AS BIGINT)"
+    val ttrSql = "CAST(len(list_distinct(w)) AS DOUBLE) / len(w)"
+    val avgWordLenSql =
+      "CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w)"
+  }
 
   /** Stopword marker sets for the language-ID heuristic; fixed, tiny, and
     * mirrored verbatim in the oracle SQL.
@@ -77,16 +94,14 @@ object TextOps {
     "text_quality" -> ((s, d) =>
       toks(s, d)
         .select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_tokens"),
+          metrics.nTokens.as("n_tokens"),
           length(col("text")).cast("long").as("len"),
-          (length(regexp_replace(col("text"), " ", "")).cast("double")
-            / size(col("toks"))).as("avg_word_len"),
+          metrics.avgWordLen.as("avg_word_len"),
           (expr("""size(filter(toks,
                |  t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))"""
               .stripMargin).cast("double") / size(col("toks")))
             .as("stopword_ratio"),
-          expr("size(array_distinct(toks))").cast("double")
-            .divide(size(col("toks"))).as("ttr"),
+          metrics.ttr.as("ttr"),
           size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
             .cast("long").as("n_regex_tokens"))
         .orderBy("doc_id")),
@@ -94,16 +109,15 @@ object TextOps {
     // the end-to-end training-data decision step: score every doc, keep
     // those passing all thresholds — the filter a real corpus pipeline
     // applies before training
+    // thresholds reject ~25% of fixture docs at every scale, so the
+    // keep/reject decision is genuinely exercised by the oracle gate
     "pipeline_quality_filter" -> ((s, d) =>
       toks(s, d)
-        .withColumn("n_tokens", size(col("toks")).cast("long"))
-        .withColumn("ttr", expr("size(array_distinct(toks))").cast("double")
-          .divide(size(col("toks"))))
-        .withColumn("avg_word_len",
-          length(regexp_replace(col("text"), " ", "")).cast("double")
-            / size(col("toks")))
-        .filter(col("n_tokens").between(10, 500)
-          && col("ttr") >= 0.2
+        .withColumn("n_tokens", metrics.nTokens)
+        .withColumn("ttr", metrics.ttr)
+        .withColumn("avg_word_len", metrics.avgWordLen)
+        .filter(col("n_tokens").between(15, 80)
+          && col("ttr") >= 0.3
           && col("avg_word_len").between(2.0, 12.0))
         .select("doc_id", "n_tokens", "ttr", "avg_word_len")
         .orderBy("doc_id")),
@@ -177,32 +191,29 @@ object TextOps {
         |  AS n_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "text_quality" ->
-      """SELECT doc_id,
-        |CAST(len(w) AS BIGINT) AS n_tokens,
+      s"""SELECT doc_id,
+        |${metrics.nTokensSql} AS n_tokens,
         |CAST(length(text) AS BIGINT) AS len,
-        |CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w)
-        |  AS avg_word_len,
+        |${metrics.avgWordLenSql} AS avg_word_len,
         |CAST(len(list_filter(w,
         |  t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
         |  / len(w) AS stopword_ratio,
-        |CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+        |${metrics.ttrSql} AS ttr,
         |CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
         |  AS n_regex_tokens
         |FROM (SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS w
         |      FROM documents) d
         |ORDER BY doc_id""".stripMargin,
     "pipeline_quality_filter" ->
-      """SELECT doc_id,
-        |CAST(len(w) AS BIGINT) AS n_tokens,
-        |CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
-        |CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w)
-        |  AS avg_word_len
+      s"""SELECT doc_id,
+        |${metrics.nTokensSql} AS n_tokens,
+        |${metrics.ttrSql} AS ttr,
+        |${metrics.avgWordLenSql} AS avg_word_len
         |FROM (SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS w
         |      FROM documents) d
-        |WHERE len(w) BETWEEN 10 AND 500
-        |  AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.2
-        |  AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w)
-        |      BETWEEN 2.0 AND 12.0
+        |WHERE ${metrics.nTokensSql} BETWEEN 15 AND 80
+        |  AND ${metrics.ttrSql} >= 0.3
+        |  AND ${metrics.avgWordLenSql} BETWEEN 2.0 AND 12.0
         |ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       s"""WITH scored AS (
