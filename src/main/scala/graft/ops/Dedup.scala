@@ -13,19 +13,17 @@ import org.apache.spark.sql.functions._
   * equi-joins on (band, band_hash) and on shingle *restricted to LSH
   * candidates*, so nothing ever goes quadratic in the corpus size.
   *
-  * Determinism: hash family is xxhash64(shingle, permutation-index) — fixed
-  * constants, no RNG — so every run (and the DuckDB exact-Jaccard oracle)
-  * sees the same pairs. With 64 permutations in 16 bands of 4, a true pair at
-  * Jaccard 0.9 is missed with probability (1-0.9^4)^16 < 4e-8; the fixture's
-  * planted near-dups all sit at J >= 0.9 (measured) so LSH recall is
-  * effectively 1 and the emitted table equals the exact-Jaccard table.
+  * Determinism: the MinHash permutation family lives in the native
+  * [[graft.functions.MinHashBands]] expression — fixed FNV-1a constants, no
+  * RNG — so every run (and the DuckDB exact-Jaccard oracle) sees the same
+  * pairs. With 64 permutations in 16 bands of 4, a true pair at Jaccard 0.9
+  * is missed with probability (1-0.9^4)^16 < 4e-8; the fixture's planted
+  * near-dups all sit at J >= 0.9 (measured) so LSH recall is effectively 1
+  * and the emitted table equals the exact-Jaccard table.
   */
 object Dedup {
   import Tables._
 
-  val NumPerms = 64
-  val Bands = 16
-  val RowsPerBand = 4 // NumPerms / Bands
   val JaccardThreshold = 0.8
   val HammingMax = 8 // dedup_simhash pair threshold (of 64 bits)
 

@@ -1,0 +1,48 @@
+package graft
+
+/** Golden values pinned at sf0.001, cross-computed in DuckDB 1.0.0 at the
+  * time the full oracle gate was green (85/85). These protect future
+  * refactors: a regression shows up here in seconds without re-running the
+  * whole DuckDB comparison.
+  */
+class GoldenSpec extends SparkSpec {
+
+  test("flagship Q1 pins its six groups exactly") {
+    val rows = graft.ops.Aggregates.q1(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getAs[Double]("sum_qty"), r.getAs[Long]("cnt"))).toSeq
+    val expected = Seq(
+      ("A", "F", 13096.0, 510L),
+      ("A", "O", 13173.0, 534L),
+      ("N", "F", 15619.0, 594L),
+      ("N", "O", 13130.0, 528L),
+      ("R", "F", 13038.0, 531L),
+      ("R", "O", 13188.0, 528L))
+    assert(rows == expected)
+  }
+
+  test("dedup_minhash pins 28 near-dup pairs at sf0.001") {
+    assert(SparkEntry.queries("dedup_minhash")(spark, sf).count() == 28L)
+  }
+
+  test("sim_pairs_threshold and its LSH twin agree on pair count") {
+    val exact = SparkEntry.queries("sim_pairs_threshold")(spark, sf).count()
+    val lsh = SparkEntry.queries("sim_pairs_lsh")(spark, sf).count()
+    assert(exact == lsh)
+    assert(exact > 0)
+  }
+
+  test("join_cross pins the 125-row cartesian") {
+    assert(SparkEntry.queries("join_cross")(spark, sf).count() == 125L)
+  }
+
+  test("source_custom_v2 pins the synthetic generator aggregate") {
+    val rows = SparkEntry.queries("source_custom_v2")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("cnt"),
+        r.getAs[Long]("max_id"))).toSeq
+    assert(rows.map(_._2).sum == 4000L)
+    assert(rows.map(_._1) == Seq("click", "error", "purchase", "signup",
+      "view"))
+    assert(rows.map(_._3).max == 3999L)
+  }
+}
