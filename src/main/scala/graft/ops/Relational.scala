@@ -19,7 +19,8 @@ object Relational {
           .as("revenue"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))
           * (lit(1) + col("l_tax"))).as("revenue_tax"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // (okey, linenumber) is not unique — order by all output columns
+        .orderBy("l_orderkey", "l_linenumber", "revenue", "revenue_tax")),
 
     "filter_pred" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -30,7 +31,8 @@ object Relational {
           && col("l_returnflag").isNotNull)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
           "l_shipdate")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+          "l_shipdate")),
 
     "case_when" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -48,7 +50,8 @@ object Relational {
       """SELECT l_orderkey, l_linenumber,
         |l_extendedprice * (1 - l_discount) AS revenue,
         |l_extendedprice * (1 - l_discount) * (1 + l_tax) AS revenue_tax
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, revenue, revenue_tax""".stripMargin,
     "filter_pred" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
         |FROM lineitem
@@ -57,7 +60,8 @@ object Relational {
         |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND (l_discount > 0.05 OR l_tax < 0.04)
         |  AND l_returnflag IS NOT NULL
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |         l_shipdate""".stripMargin,
     "case_when" ->
       s"""SELECT CASE WHEN l_quantity < 10 THEN 'low'
          |            WHEN l_quantity < 30 THEN 'mid'

@@ -56,7 +56,10 @@ object ScalarFns {
         round(log(col("l_extendedprice")), 6).as("lg"),
         round(pow(col("l_discount"), 2), 6).as("sq"),
         (col("l_orderkey") % 7).as("m7"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // (okey, linenumber) is not unique — order by enough outputs to make
+        // ties identical tuples ("third" determines every price-derived col;
+        // "rt"/"dev" the quantity-derived ones)
+        .orderBy("l_orderkey", "l_linenumber", "third", "rt", "sq")),
 
     "fn_cond" -> ((s, d) =>
       t(s, d, "customer").select(
@@ -175,7 +178,8 @@ object ScalarFns {
         |round(ln(l_extendedprice), 6) AS lg,
         |round(power(l_discount, 2), 6) AS sq,
         |l_orderkey % 7 AS m7
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, third, rt, sq"""
+        .stripMargin,
     "fn_cond" ->
       """SELECT c_custkey,
         |coalesce(nullif(c_mktsegment, 'BUILDING'), '<none>') AS seg,

@@ -20,11 +20,16 @@ object Scans {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // NOTE: (l_orderkey, l_linenumber) is NOT unique in the fixtures
+    // (~20% duplicate pairs) — row-level lineitem queries must ORDER BY
+    // every output column so ties are identical tuples (full rows are
+    // unique), making row order well-defined on both engines
     "scan_parquet" -> ((s, d) =>
       t(s, d, "lineitem")
         .filter(col("l_orderkey") < 1000)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice")),
 
     // parquet -> csv (explicit schema on re-read) -> verify content survives
     "scan_csv" -> { (s, d) =>
@@ -136,7 +141,8 @@ object Scans {
     "scan_parquet" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_orderkey < 1000
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"""
+        .stripMargin,
     "scan_csv" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "scan_json" ->
