@@ -54,7 +54,13 @@ object SimHashBands {
   }
 
   def compute(v: ArrayData): ArrayData = {
-    val n = math.min(v.numElements(), Dim)
+    val n = v.numElements()
+    // fail fast: a vector wider than the plane matrix would silently hash
+    // only its prefix, degrading the documented LSH recall
+    if (n > Dim) {
+      throw new IllegalArgumentException(
+        s"simhash_bands: vector dim $n exceeds plane dim $Dim")
+    }
     val bands = new Array[Long](NumBands)
     var bit = 0
     while (bit < NumBits) {

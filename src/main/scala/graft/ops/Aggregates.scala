@@ -49,13 +49,14 @@ object Aggregates {
         .join(broadcast(t(s, d, "region")),
           col("n_regionkey") === col("r_regionkey"))
         .select("r_name", "n_name", "c_acctbal")
-        .createOrReplaceTempView("cust_geo_rollup")
+        .createOrReplaceTempView(
+          s"cust_geo_rollup_${d.replaceAll("[^A-Za-z0-9]", "_")}")
       s.sql(
         s"""SELECT r_name, n_name, count(*) AS cnt,
            |${sql.moneySum("c_acctbal")} AS sum_bal,
            |CAST(grouping(r_name) AS INT) AS g_r,
            |CAST(grouping(n_name) AS INT) AS g_n
-           |FROM cust_geo_rollup
+           |FROM cust_geo_rollup_${d.replaceAll("[^A-Za-z0-9]", "_")}
            |GROUP BY ROLLUP (r_name, n_name)
            |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
     },
@@ -68,11 +69,14 @@ object Aggregates {
           col("l_linestatus").asc_nulls_first)),
 
     "agg_grouping_sets" -> { (s, d) =>
-      t(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+      // view name keyed by sf so concurrent scale factors on one session
+      // can't clobber each other (same contract as Scans.scratch)
+      val v = s"lineitem_gs_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      t(s, d, "lineitem").createOrReplaceTempView(v)
       s.sql(
         s"""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
            |${sql.moneySum("l_quantity")} AS sum_qty
-           |FROM lineitem_gs
+           |FROM $v
            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
            |ORDER BY l_returnflag ASC NULLS FIRST,
            |         l_linestatus ASC NULLS FIRST""".stripMargin)

@@ -53,13 +53,19 @@ object Dedup {
 
     "dedup_minhash" -> { (s, d) =>
       graft.functions.MinHashBands.register(s)
-      val sh = shingled(s, d).cache()
+      // no cache: shingling is a cheap projection, and a session-lifetime
+      // cache would pin memory across the whole harness run
+      val sh = shingled(s, d)
       val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
 
       // fused native sketch: shingles -> 64 minima -> 16 band keys as a
-      // pure projection (no shuffle to build signatures)
-      val banded = sh.select(col("doc_id"),
-        posexplode(expr("minhash_bands(shingles)")).as(Seq("band", "bh")))
+      // pure projection (no shuffle to build signatures). Shingle-less
+      // (short) docs are excluded BEFORE banding: minhash_bands of an
+      // empty set is a constant, which would make every short doc collide
+      // in every band (quadratic candidates on short-doc-heavy corpora).
+      val banded = sh.filter(size(col("shingles")) > 0)
+        .select(col("doc_id"),
+          posexplode(expr("minhash_bands(shingles)")).as(Seq("band", "bh")))
 
       // LSH candidates: equal (band, band-hash), ordered pair, distinct
       val right = banded

@@ -107,10 +107,13 @@ object Joins {
       val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
       val liT = s"li_bkt_$sfx"
       val ordT = s"ord_bkt_$sfx"
-      if (!s.catalog.tableExists(liT)) {
-        // a previous session may have left the managed location on disk
-        // without a catalog entry — clear it so saveAsTable can create
+      // require BOTH tables (a run killed mid-create must self-repair, not
+      // serve a half-created pair forever)
+      if (!(s.catalog.tableExists(liT) && s.catalog.tableExists(ordT))) {
+        // drop any partial catalog entries and clear managed locations a
+        // previous session may have left on disk without catalog entries
         Seq(liT, ordT).foreach { tbl =>
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
           val loc = new org.apache.hadoop.fs.Path(
             s.sessionState.conf.warehousePath, tbl)
           val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
 object ScalarFns {
   import Tables._
 
-  /** Text normalization used by dedup as well: trim, lowercase, collapse
-    * whitespace runs.
+  /** Text normalization: trim, lowercase, collapse whitespace runs. Same
+    * contract as `dedup_exact`'s native regexp pipeline — the two are
+    * separate implementations (UDF here, codegen'd functions there) and
+    * BOTH are pinned to the same SQL expression by their oracles, which is
+    * what keeps them from drifting.
     */
   val normalizeText: String => String =
     s => if (s == null) null else s.trim.toLowerCase.replaceAll("\\s+", " ")

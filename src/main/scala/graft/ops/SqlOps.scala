@@ -10,7 +10,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SqlOps {
   import Tables._
 
-  /** Register the fixture tables this module needs as temp views. */
+  /** Register the fixture tables this module needs as temp views. View
+    * names must equal the oracle's table names (the SQL text is shared
+    * verbatim), so unlike the scratch dirs they cannot be sf-suffixed —
+    * these queries rely on the harness contract that a session runs one
+    * scale factor at a time (Verify/Bench both iterate sequentially).
+    */
   private def views(s: SparkSession, d: String): Unit = {
     t(s, d, "lineitem").createOrReplaceTempView("lineitem")
     t(s, d, "orders").createOrReplaceTempView("orders")

@@ -98,7 +98,7 @@ object StreamTwin {
          |GROUP BY 1 ORDER BY wstart""".stripMargin,
     "stream_session" ->
       """WITH o AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS brk
@@ -106,7 +106,7 @@ object StreamTwin {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         |  SELECT user_id, ts,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM o)
         |SELECT user_id, min(ts) AS session_start,
