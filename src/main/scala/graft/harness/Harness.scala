@@ -39,14 +39,27 @@ object JobSettings {
     JobSettings(get("INPUT_SOURCE"), get("OUTPUT_DIRECTORY"), extra)
   }
 
-  /** E1: parse + validate from a CLI JSON string (`core.py:23-34`). */
+  /** E1: parse + validate from a CLI JSON string (`core.py:23-34`).
+    * Extra keys are accepted but runtime-validated like pydantic would
+    * (`core.py:69,78`): scalars only — an object or array value is a
+    * structural config error, not a string in disguise, and silently
+    * coercing it with `asText()` (which yields "" for containers) would
+    * swallow the mistake.
+    */
   def fromJson(json: String): JobSettings = {
     val node = new ObjectMapper().readTree(json)
     require(node.hasNonNull("input_source"), "input_source is required")
     require(node.hasNonNull("output_directory"), "output_directory is required")
+    require(node.get("input_source").isTextual,
+      "input_source must be a string path")
+    require(node.get("output_directory").isTextual,
+      "output_directory must be a string path")
     val known = Set("input_source", "output_directory")
     val extra = node.fields().asScala.collect {
-      case e if !known(e.getKey) => e.getKey -> e.getValue.asText()
+      case e if !known(e.getKey) =>
+        require(e.getValue.isValueNode,
+          s"setting '${e.getKey}' must be a scalar, got ${e.getValue.getNodeType}")
+        e.getKey -> e.getValue.asText()
     }.toMap
     JobSettings(node.get("input_source").asText(),
       node.get("output_directory").asText(), extra)

@@ -158,9 +158,13 @@ object Dedup {
 
     // embedding-cosine near-dup: pairs above tau collapse to (keeper, dup)
     // with the smallest-id keeper — the decision step of an embedding dedup
-    // pipeline (vec_id keys the embeddings fixture)
+    // pipeline (vec_id keys the embeddings fixture). The pair source is the
+    // SimHash-banded candidate path (equi-join on band keys + exact verify,
+    // recall ~1 by amplification — Similarity.prunedThresholdPairs), NOT
+    // the all-pairs BNLJ: the decision step must not inherit a quadratic
+    // plan from its candidate generator.
     "dedup_embedding" -> { (s, d) =>
-      val pairs = Similarity.queries("sim_pairs_threshold")(s, d)
+      val pairs = Similarity.prunedThresholdPairs(s, d)
       val w = Window.partitionBy("id_b").orderBy("id_a")
       pairs
         .withColumn("rn", row_number().over(w))

@@ -60,10 +60,15 @@ object Joins {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
+    // anti-join against the *filtered* right side: every customer has at
+    // least one order at every sf, so an unfiltered anti-join is vacuously
+    // empty (a wrong implementation returning 0 rows would also "pass").
+    // Restricting to big-ticket orders makes the result non-empty and
+    // discriminating: customers with orders but none above the cutoff.
     "join_anti" -> ((s, d) =>
       t(s, d, "customer")
-        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
-          "left_anti")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
@@ -102,31 +107,11 @@ object Joins {
     // bucketed co-located join: both facts bucketed+sorted on the join key
     // into catalog tables -> the SortMergeJoin needs NO shuffle of either
     // side (PlanSpec pins the exchange-free join). This is the 100 TB
-    // repeated-join pattern: pay the partitioning once at write time.
+    // repeated-join pattern: pay the partitioning once at write time —
+    // which is why `ensureBucketed` is a separate warm-up step (Bench calls
+    // it before timing) and the query itself measures only the join.
     "join_bucketed" -> { (s, d) =>
-      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
-      val liT = s"li_bkt_$sfx"
-      val ordT = s"ord_bkt_$sfx"
-      // require BOTH tables (a run killed mid-create must self-repair, not
-      // serve a half-created pair forever)
-      if (!(s.catalog.tableExists(liT) && s.catalog.tableExists(ordT))) {
-        // drop any partial catalog entries and clear managed locations a
-        // previous session may have left on disk without catalog entries
-        Seq(liT, ordT).foreach { tbl =>
-          s.sql(s"DROP TABLE IF EXISTS $tbl")
-          val loc = new org.apache.hadoop.fs.Path(
-            s.sessionState.conf.warehousePath, tbl)
-          val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-          if (fs.exists(loc)) fs.delete(loc, true)
-        }
-        t(s, d, "lineitem")
-          .select("l_orderkey", "l_extendedprice", "l_discount")
-          .write.mode("overwrite")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
-        t(s, d, "orders").select("o_orderkey", "o_orderpriority")
-          .write.mode("overwrite")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordT)
-      }
+      val (liT, ordT) = ensureBucketed(s, d)
       s.table(liT)
         .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
@@ -150,6 +135,37 @@ object Joins {
             .cast("double").as("revenue"))
         .orderBy("r_name", "n_name"))
   )
+
+  /** Create (once per warehouse) the bucketed+sorted lineitem/orders tables
+    * behind `join_bucketed`, returning their names. Idempotent; requires
+    * BOTH tables (a run killed mid-create must self-repair, not serve a
+    * half-created pair forever). Kept out of the query body's timed path so
+    * the bench measures the exchange-free join, not `saveAsTable`.
+    */
+  def ensureBucketed(s: SparkSession, d: String): (String, String) = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    val liT = s"li_bkt_$sfx"
+    val ordT = s"ord_bkt_$sfx"
+    if (!(s.catalog.tableExists(liT) && s.catalog.tableExists(ordT))) {
+      // drop any partial catalog entries and clear managed locations a
+      // previous session may have left on disk without catalog entries
+      Seq(liT, ordT).foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.sessionState.conf.warehousePath, tbl)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
+      t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordT)
+    }
+    (liT, ordT)
+  }
 
   private val revenueSql =
     s"CAST(sum(${sql.discPrice("l_extendedprice", "l_discount")}) AS DOUBLE)"
@@ -184,7 +200,9 @@ object Joins {
         |ORDER BY c_custkey""".stripMargin,
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin,
     "join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation

@@ -106,14 +106,24 @@ object ScalarFns {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")),
 
-    // nested struct column round-trip: struct survives parquet and the
-    // oracle compare (DuckDB struct_pack on its side)
-    "fn_struct" -> ((s, d) =>
+    // nested struct round-trip: build the struct, prove it survives parquet
+    // storage, then project its fields BACK to scalar columns. Raw struct
+    // (like raw map — SURVEY §7.4) never reaches the output: the driver's
+    // pandas checker can't sort/hash nested python dicts.
+    "fn_struct" -> { (s, d) =>
+      val out = s"/root/repo/target/tmp/fn_struct/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
       t(s, d, "documents")
         .select(col("doc_id"),
           struct(col("lang").as("lang"), col("n_chars").as("n"),
             col("source").as("src")).as("meta"))
-        .orderBy("doc_id")),
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .select(col("doc_id"),
+          col("meta.lang").as("lang"),
+          col("meta.n").cast("long").as("n"),
+          col("meta.src").as("src"))
+        .orderBy("doc_id")
+    },
 
     // bitwise ops (Spark SQL ^ is xor; DuckDB ^ is power, its xor is xor())
     "fn_bitwise" -> ((s, d) =>
@@ -212,9 +222,12 @@ object ScalarFns {
         |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
     "fn_struct" ->
-      """SELECT doc_id,
-        |struct_pack(lang := lang, n := n_chars, src := source) AS meta
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, m.lang AS lang, CAST(m.n AS BIGINT) AS n,
+        |m.src AS src
+        |FROM (SELECT doc_id,
+        |  struct_pack(lang := lang, n := n_chars, src := source) AS m
+        |  FROM documents) d
+        |ORDER BY doc_id""".stripMargin,
     "fn_bitwise" ->
       """SELECT event_id,
         |event_id & 255 AS band,

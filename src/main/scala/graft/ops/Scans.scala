@@ -123,12 +123,24 @@ object Scans {
           max(col("event_id")).as("max_id"))
         .orderBy("event_type")),
 
-    // schema inference on a csv written without one; emits the inferred
-    // schema as rows (no oracle — schema check, not a row check)
+    // schema inference on an untyped csv covering Spark's full inference
+    // lattice (int / bigint / double / string / date / timestamp /
+    // boolean); emits (column_name, inferred_type) rows, oracle-checked
+    // against the declared expectation (a wrong inference — e.g. bigint
+    // collapsing to int, or dates read as strings — hash-mismatches)
     "schema_inference" -> { (s, d) =>
       val out = scratch("schema_inference", d)
-      t(s, d, "nation").write.mode("overwrite")
-        .option("header", "true").csv(out)
+      t(s, d, "nation")
+        .select(
+          col("n_nationkey").cast("int").as("id_int"),
+          // + 3e9 forces values past Int.MaxValue so inference must widen
+          (col("n_nationkey").cast("bigint") + lit(3000000000L)).as("id_big"),
+          round(col("n_regionkey").cast("double") / 3.0, 6).as("ratio"),
+          col("n_name").as("name"),
+          to_date(lit("2024-03-01")).as("d"),
+          to_timestamp(lit("2024-03-01 12:34:56")).as("ts"),
+          (col("n_nationkey") % 2 === 0).as("flag"))
+        .write.mode("overwrite").option("header", "true").csv(out)
       val inferred = s.read.option("header", "true")
         .option("inferSchema", "true").csv(out).schema
       import s.implicits._
@@ -167,6 +179,14 @@ object Scans {
         |CAST(year(o_orderdate) AS INT) AS o_year
         |FROM orders WHERE year(o_orderdate) = 1997
         |ORDER BY o_orderkey""".stripMargin,
+    // pins the expected inference result per column (the Spark side is the
+    // system under test; the oracle is the declared type expectation)
+    "schema_inference" ->
+      """SELECT * FROM (VALUES
+        |  ('d', 'date'), ('flag', 'boolean'), ('id_big', 'bigint'),
+        |  ('id_int', 'int'), ('name', 'string'), ('ratio', 'double'),
+        |  ('ts', 'timestamp')) AS t(col_name, inferred_type)
+        |ORDER BY col_name""".stripMargin,
     // mirrors SynthEventsSource's row formulas over generate_series
     "source_custom_v2" ->
       """WITH ids AS (SELECT unnest(generate_series(0, 3999)) AS id),

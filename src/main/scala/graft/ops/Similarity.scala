@@ -19,13 +19,17 @@ import org.apache.spark.sql.functions._
   *    linear in corpus size, the right brute-force baseline at any scale;
   *  - `sim_pairs_threshold` is exact all-pairs (quadratic — the correct
   *    oracle-checkable baseline at fixture scale);
-  *  - `sim_pairs_lsh` banded SimHash — the pair-space pruner;
-  *  - `sim_topk_ivf` IVF with nprobe — the ANN search path.
+  *  - `sim_pairs_lsh` LSH-pruned pair search in its winning regime: doc
+  *    shingle-hash vectors, MinHash-banded candidates, exact verify;
+  *  - `sim_topk_ivf` IVF with nprobe — the ANN search path;
+  *  - `prunedThresholdPairs` SimHash-banded candidates over the embeddings
+  *    — the recall-first pruner behind `dedup_embedding`.
   */
 object Similarity {
   import Tables._
 
   val CosineThreshold = 0.4
+  val DocCosineThreshold = 0.8
   val TopK = 5
 
   /** vec_id + embedding cast to double[] (cast once, before any kernel). */
@@ -35,6 +39,47 @@ object Similarity {
     t(s, d, "embeddings")
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+  }
+
+  /** doc_id + 512-dim signed hashing-trick vector over the doc's 3-word
+    * shingle set ([[graft.functions.HashTfVec]]) — the featurization feeding
+    * `sim_pairs_lsh`. Shingle-less (short) docs are dropped: a zero vector
+    * has no direction.
+    */
+  private[graft] def docVectors(s: SparkSession, d: String): DataFrame = {
+    CosineSim.register(s)
+    graft.functions.HashTfVec.register(s)
+    Dedup.shingled(s, d).filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), expr("hash_tf_vec(shingles)").as("v"))
+  }
+
+  /** Threshold pairs over the embeddings via SimHash-banded candidates +
+    * exact verify — the pruned path `dedup_embedding` rides instead of the
+    * all-pairs BNLJ. 256 hyperplanes in 64 bands of 4 bits holds per-pair
+    * recall at tau=0.4 above 99.99% (miss = (1-0.631^4)^64 ~ 2e-5);
+    * OperatorSpec asserts equality with `sim_pairs_threshold` on the
+    * fixtures, and the fixed-seed planes make that equality deterministic.
+    * On near-orthogonal fixture data the band join admits most pairs (no
+    * banding can prune at tau=0.4 with this margin) — but on real corpora,
+    * where near-dup embeddings cluster far above the threshold, the same
+    * plan prunes hard while the BNLJ stays quadratic regardless.
+    */
+  private[graft] def prunedThresholdPairs(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(s, d)
+    val banded = simhashed(e)
+      .select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+    val right = banded.select(col("vec_id").as("vec_id2"),
+      col("band").as("band2"), col("bh").as("bh2"))
+    val cands = banded.join(right,
+        col("band") === col("band2") && col("bh") === col("bh2")
+          && col("vec_id") < col("vec_id2"))
+      .select("vec_id", "vec_id2").distinct()
+    val b = e.select(col("vec_id").as("vec_id2"), col("v").as("v2"))
+    cands.join(e, "vec_id").join(b, "vec_id2")
+      .withColumn("cos", expr("round(cosine_sim(v, v2), 6)"))
+      .filter(col("cos") >= CosineThreshold)
+      .select(col("vec_id").as("id_a"), col("vec_id2").as("id_b"),
+        col("cos"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -66,29 +111,38 @@ object Similarity {
         .orderBy("id_a", "id_b")
     },
 
-    // scale path A: SimHash banding prunes the pair space, exact cosine
-    // verifies candidates. 256 hyperplanes in 64 bands of 4 bits keeps
-    // per-pair recall at tau=0.4 above 99.99% (miss = (1-0.631^4)^64);
-    // banding prunes hard in the high-similarity regime LSH is built for —
-    // at this fixture's low tau it mostly demonstrates the machinery. No
-    // oracle (hash bucketing isn't SQL-mirrorable); OperatorSpec asserts
-    // lsh-pairs == exact pairs on the fixtures.
+    // scale path A: LSH-pruned cosine pair search in its WINNING regime.
+    // The embeddings fixture is near-orthogonal with tau=0.4 — no banding
+    // scheme can prune there (every pair is a candidate at any recall), so
+    // this op runs where LSH actually earns its keep: the near-dup-rich
+    // document space. Pipeline: shingles -> `hash_tf_vec` 512-dim signed
+    // hashing-trick vectors (planted near-dups land at cos >= 0.89,
+    // background tops out near 0.4 — a wide empty margin around tau=0.8)
+    // -> MinHash 16x4 band join on the same shingle sets for candidates
+    // (amplified recall ~1 above the operating point, background Jaccard
+    // ~0.01 => candidate pairs are ~1e-4 of N^2) -> exact `cosine_sim`
+    // verify of candidates only. No oracle (hash bucketing isn't
+    // SQL-mirrorable); OperatorSpec asserts lsh == brute force over the
+    // same vectors AND pins the pruning ratio.
     "sim_pairs_lsh" -> { (s, d) =>
-      val e = vectors(s, d)
-      val banded = simhashed(e)
-        .select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bh")))
-      val right = banded.select(col("vec_id").as("vec_id2"),
+      graft.functions.MinHashBands.register(s)
+      val vecs = docVectors(s, d)
+      val sh = Dedup.shingled(s, d).filter(size(col("shingles")) > 0)
+      val banded = sh.select(col("doc_id"),
+        posexplode(expr("minhash_bands(shingles)")).as(Seq("band", "bh")))
+      val right = banded.select(col("doc_id").as("doc_b"),
         col("band").as("band2"), col("bh").as("bh2"))
       val cands = banded.join(right,
           col("band") === col("band2") && col("bh") === col("bh2")
-            && col("vec_id") < col("vec_id2"))
-        .select("vec_id", "vec_id2").distinct()
-      val b = e.select(col("vec_id").as("vec_id2"), col("v").as("v2"))
-      cands.join(e, "vec_id").join(b, "vec_id2")
+            && col("doc_id") < col("doc_b"))
+        .select(col("doc_id").as("id_a"), col("doc_b").as("id_b"))
+        .distinct()
+      val a = vecs.select(col("doc_id").as("id_a"), col("v"))
+      val b = vecs.select(col("doc_id").as("id_b"), col("v").as("v2"))
+      cands.join(a, "id_a").join(b, "id_b")
         .withColumn("cos", expr("round(cosine_sim(v, v2), 6)"))
-        .filter(col("cos") >= CosineThreshold)
-        .select(col("vec_id").as("id_a"), col("vec_id2").as("id_b"),
-          col("cos"))
+        .filter(col("cos") >= DocCosineThreshold)
+        .select("id_a", "id_b", "cos")
         .orderBy("id_a", "id_b")
     },
 

@@ -44,10 +44,17 @@ object SortSet {
       c.intersect(su).orderBy("nk")
     },
 
+    // EXCEPT over overlapping-but-unequal key sets: custkeys that placed
+    // orders minus custkeys with a positive balance = negative-balance
+    // customers who ordered. Both sides share most keys but neither
+    // contains the other, so the result is non-empty and discriminating
+    // (nationkey EXCEPT nationkey was vacuously empty — every nation has
+    // both customers and suppliers at every sf).
     "set_except" -> { (s, d) =>
-      val c = t(s, d, "customer").select(col("c_nationkey").as("nk"))
-      val su = t(s, d, "supplier").select(col("s_nationkey").as("nk"))
-      c.except(su).orderBy("nk")
+      val ordered = t(s, d, "orders").select(col("o_custkey").as("ck"))
+      val positive = t(s, d, "customer").filter(col("c_acctbal") > 0)
+        .select(col("c_custkey").as("ck"))
+      ordered.except(positive).orderBy("ck")
     }
   )
 
@@ -77,9 +84,9 @@ object SortSet {
         |SELECT s_nationkey AS nk FROM supplier
         |ORDER BY nk""".stripMargin,
     "set_except" ->
-      """SELECT c_nationkey AS nk FROM customer
+      """SELECT o_custkey AS ck FROM orders
         |EXCEPT
-        |SELECT s_nationkey AS nk FROM supplier
-        |ORDER BY nk""".stripMargin
+        |SELECT c_custkey AS ck FROM customer WHERE c_acctbal > 0
+        |ORDER BY ck""".stripMargin
   )
 }

@@ -25,11 +25,15 @@ class GoldenSpec extends SparkSpec {
     assert(SparkEntry.queries("dedup_minhash")(spark, sf).count() == 28L)
   }
 
-  test("sim_pairs_threshold and its LSH twin agree on pair count") {
+  test("sim_pairs_threshold and its pruned twin agree on pair count") {
     val exact = SparkEntry.queries("sim_pairs_threshold")(spark, sf).count()
-    val lsh = SparkEntry.queries("sim_pairs_lsh")(spark, sf).count()
-    assert(exact == lsh)
+    val pruned = graft.ops.Similarity.prunedThresholdPairs(spark, sf).count()
+    assert(exact == pruned)
     assert(exact > 0)
+  }
+
+  test("sim_pairs_lsh pins 28 doc near-dup pairs at sf0.001") {
+    assert(SparkEntry.queries("sim_pairs_lsh")(spark, sf).count() == 28L)
   }
 
   test("join_cross pins the 125-row cartesian") {

@@ -44,6 +44,34 @@ class HarnessSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { JobSettings.fromEnv(Map.empty) }
   }
 
+  test("non-scalar settings values fail validation (pydantic runtime parity)") {
+    // required paths must be strings, not numbers/objects
+    intercept[IllegalArgumentException] {
+      JobSettings.fromJson(
+        """{"input_source": 7, "output_directory": "/out"}""")
+    }
+    intercept[IllegalArgumentException] {
+      JobSettings.fromJson(
+        """{"input_source": "/in", "output_directory": {"path": "/out"}}""")
+    }
+    // extra keys are accepted only as scalars — containers are config errors
+    intercept[IllegalArgumentException] {
+      JobSettings.fromJson(
+        """{"input_source": "/in", "output_directory": "/out",
+          | "param": {"nested": 1}}""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      JobSettings.fromJson(
+        """{"input_source": "/in", "output_directory": "/out",
+          | "param": [1, 2]}""".stripMargin)
+    }
+    // scalar extras of any JSON type still normalize to strings
+    val ok = JobSettings.fromJson(
+      """{"input_source": "/in", "output_directory": "/out",
+        | "n": 3, "flag": true}""".stripMargin)
+    assert(ok.extra == Map("n" -> "3", "flag" -> "true"))
+  }
+
   test("concrete job runs and returns the closed response (test_core.py:95-102)") {
     class ExampleJob(s: JobSettings) extends GenericEtl[JobSettings](s) {
       def runJob(spark: SparkSession): JobResponse =

@@ -43,22 +43,58 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
-  test("schema_inference recovers the nation column types") {
+  test("schema_inference recovers the full CSV inference lattice") {
     val m = SparkEntry.queries("schema_inference")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(m("n_nationkey") == "int")
-    assert(m("n_name") == "string")
+    assert(m == Map(
+      "id_int" -> "int", "id_big" -> "bigint", "ratio" -> "double",
+      "name" -> "string", "d" -> "date", "ts" -> "timestamp",
+      "flag" -> "boolean"))
   }
 
-  test("sim_pairs_lsh finds exactly the exact-threshold pairs") {
-    val exact = SparkEntry.queries("sim_pairs_threshold")(spark, sf)
-      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
-      .toSet
+  test("sim_pairs_lsh equals brute force over the same doc vectors") {
+    val vecs = graft.ops.Similarity.docVectors(spark, sf)
+    val b = vecs.select(col("doc_id").as("doc_b"), col("v").as("v2"))
+    val exact = vecs.join(b, col("doc_id") < col("doc_b"))
+      .withColumn("cos", expr("round(cosine_sim(v, v2), 6)"))
+      .filter(col("cos") >= graft.ops.Similarity.DocCosineThreshold)
+      .select("doc_id", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = SparkEntry.queries("sim_pairs_lsh")(spark, sf)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
       .toSet
+    assert(exact.nonEmpty, "fixture must contain planted near-dup docs")
     assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
     assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
+  }
+
+  test("sim_pairs_lsh candidate set prunes the pair space hard") {
+    import graft.ops.{Dedup, Similarity}
+    graft.functions.MinHashBands.register(spark)
+    val sh = Dedup.shingled(spark, sf).filter(size(col("shingles")) > 0)
+    val n = sh.count()
+    val banded = sh.select(col("doc_id"),
+      posexplode(expr("minhash_bands(shingles)")).as(Seq("band", "bh")))
+    val right = banded.select(col("doc_id").as("doc_b"),
+      col("band").as("band2"), col("bh").as("bh2"))
+    val cands = banded.join(right,
+        col("band") === col("band2") && col("bh") === col("bh2")
+          && col("doc_id") < col("doc_b"))
+      .select("doc_id", "doc_b").distinct().count()
+    val allPairs = n * (n - 1) / 2
+    assert(cands.toDouble / allPairs < 0.01,
+      s"candidates $cands of $allPairs pairs — banding isn't pruning")
+  }
+
+  test("dedup_embedding's pruned pair path equals the exact threshold pairs") {
+    val exact = SparkEntry.queries("sim_pairs_threshold")(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val pruned = graft.ops.Similarity.prunedThresholdPairs(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pruned.subsetOf(exact), s"false positives: ${pruned -- exact}")
+    assert(pruned == exact, s"missed pairs: ${exact -- pruned}")
   }
 
   test("sim_topk_ivf reaches >= 50% recall of exact top-k on its queries") {
