@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ablation harness: times `sim_pairs_lsh` against the brute-force exact
+  * pair scan over the SAME document vectors, on the same session. This is
+  * the apples-to-apples number behind SCALE.md's LSH claim (the bench's
+  * `sim_pairs_threshold` runs on a different corpus — the embeddings — so
+  * its ratio to lsh under-represents the pruning win).
+  *
+  * Usage: `runMain graft.Ablate [sfDir]` — prints one JSON line.
+  */
+object Ablate {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(f: => Long): (Double, Long) = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    // warm: materialize the shared shingle cache + JIT outside both timings
+    graft.ops.Similarity.docVectors(spark, sfDir).count()
+
+    val (lshSec, lshPairs) = time {
+      SparkEntry.queries("sim_pairs_lsh")(spark, sfDir).count()
+    }
+    val (bruteSec, brutePairs) = time {
+      val vecs = graft.ops.Similarity.docVectors(spark, sfDir)
+      val b = vecs.select(col("doc_id").as("doc_b"), col("v").as("v2"))
+      vecs.join(b, col("doc_id") < col("doc_b")
+          && expr("round(cosine_sim(v, v2), 6)") >=
+             graft.ops.Similarity.DocCosineThreshold)
+        .count()
+    }
+    spark.stop()
+    println(f"""{"metric":"lsh_vs_brute","lsh_sec":$lshSec%.3f,"brute_sec":$bruteSec%.3f,"speedup":${bruteSec / lshSec}%.2f,"lsh_pairs":$lshPairs,"brute_pairs":$brutePairs,"sf":"$sfDir"}""")
+  }
+}

@@ -37,7 +37,16 @@ object Bench {
     // `saveAsTable` to the join measurement misstates the join's cost
     SparkEntry.entry(spark).count()
     graft.ops.Joins.ensureBucketed(spark, sfDir)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional name-prefix filters as program args, for profiling a subset
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => args.exists(k.startsWith) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // drain garbage from the PREVIOUS query before starting the clock:
+      // without this, a heavy neighbor's GC debt lands in whichever timed
+      // window the collector happens to fire in (measured: a 2.3s query
+      // reading as 15s after a 2M-row distinct)
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9

@@ -49,15 +49,20 @@ object Dedup {
       .cache()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // fingerprint BEFORE the shuffle: the groupBy key is the 32-byte
+    // sha256, not the normalized text itself, so the exchange moves
+    // (doc_id, hash) pairs instead of full documents — at 100 TB that is
+    // the difference between shuffling 64 bytes/row and shuffling the
+    // corpus
     "dedup_exact" -> ((s, d) =>
       t(s, d, "documents")
-        .withColumn("norm",
-          regexp_replace(lower(trim(col("text"))), "\\s+", " "))
-        .groupBy("norm")
+        .select(col("doc_id"),
+          sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256)
+            .as("fingerprint"))
+        .groupBy("fingerprint")
         .agg(min(col("doc_id")).as("keeper"),
           count(lit(1)).as("n_copies"))
-        .select(col("keeper"), col("n_copies"),
-          sha2(col("norm"), 256).as("fingerprint"))
+        .select(col("keeper"), col("n_copies"), col("fingerprint"))
         .orderBy("keeper")),
 
     "dedup_minhash" -> { (s, d) =>

@@ -90,6 +90,24 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(p).isDefined, p)
   }
 
+  test("dedup_embedding's pair source is banded, not an all-pairs BNLJ") {
+    val p = plan(SparkEntry.queries("dedup_embedding")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sim_pairs_lsh joins only on band keys — no pair-space scan") {
+    val p = plan(SparkEntry.queries("sim_pairs_lsh")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_exact shuffles fingerprints, not document text") {
+    val p = plan(SparkEntry.queries("dedup_exact")(spark, sf))
+    assert(p.contains("hashpartitioning(fingerprint"), p)
+    assert(!p.contains("hashpartitioning(norm"), p)
+  }
+
   test("salted aggregation folds into two hash aggregates, one scan") {
     val o = optimized(SparkEntry.queries("agg_skew_salted")(spark, sf))
     assert("Relation".r.findAllIn(o).size == 1, o)
