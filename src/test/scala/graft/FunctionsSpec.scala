@@ -65,6 +65,45 @@ class FunctionsSpec extends SparkSpec {
     assert(allMin.nonEmpty)
   }
 
+  test("hash_tf_vec: 512-dim, deterministic, additive over disjoint tokens") {
+    graft.functions.HashTfVec.register(spark)
+    val a = Seq("the", "quick", "brown", "fox")
+    val b = Seq("jumps", "over", "lazy", "dogs")
+    val df = Seq(Tuple1(a), Tuple1(b), Tuple1(a ++ b), Tuple1(Seq.empty[String]))
+      .toDF("toks")
+    val rows = df.select(expr("hash_tf_vec(toks)")).collect()
+      .map(_.getSeq[Double](0))
+    assert(rows.forall(_.length == 512))
+    // each token contributes exactly +-1 to one bucket
+    assert(rows(0).map(math.abs).sum == 4.0)
+    // the union's vector is the sum of the parts' vectors (pure additivity —
+    // what makes the featurization a single streaming pass at any scale)
+    assert(rows(2) == rows(0).zip(rows(1)).map { case (x, y) => x + y })
+    // empty input -> zero vector, not null, not an error
+    assert(rows(3).forall(_ == 0.0))
+    val again = df.select(expr("hash_tf_vec(toks)")).collect()
+      .map(_.getSeq[Double](0))
+    assert(rows.toSeq.map(_.toSeq) == again.toSeq.map(_.toSeq))
+  }
+
+  test("hash_tf_vec: nulls propagate; codegen and interpreted agree") {
+    graft.functions.HashTfVec.register(spark)
+    val n = Seq(Tuple1(Option.empty[Seq[String]])).toDF("toks")
+      .select(expr("hash_tf_vec(toks)")).collect()(0)
+    assert(n.isNullAt(0))
+    val df = Seq(Tuple1(Seq("alpha", "beta", "alpha"))).toDF("toks")
+    val code = df.select(expr("hash_tf_vec(toks)")).collect()(0)
+      .getSeq[Double](0)
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interp = df.select(expr("hash_tf_vec(toks)")).collect()(0)
+        .getSeq[Double](0)
+      assert(code == interp)
+    }
+    // repeated token doubles its bucket (TF weighting, not set semantics)
+    assert(code.map(math.abs).max == 2.0)
+  }
+
   test("expressions survive both codegen and interpreted paths") {
     CosineSim.register(spark)
     val df = Seq((Seq(1.0, 2.0), Seq(2.0, 1.0))).toDF("a", "b")

@@ -97,7 +97,7 @@ class OperatorSpec extends SparkSpec {
     assert(pruned == exact, s"missed pairs: ${exact -- pruned}")
   }
 
-  test("sim_topk_ivf reaches >= 50% recall of exact top-k on its queries") {
+  test("sim_topk_ivf reaches >= 70% recall of exact top-k on its queries") {
     val ivf = SparkEntry.queries("sim_topk_ivf")(spark, sf)
       .select("q_id", "n_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -119,7 +119,7 @@ class OperatorSpec extends SparkSpec {
       .select("q_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (ivf & exact).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF recall $recall")
+    assert(recall >= 0.7, s"IVF recall $recall") // measured 0.78 at sf0.01/0.1
     assert(ivf.nonEmpty)
   }
 
