@@ -32,6 +32,17 @@ object Aggregates {
     // flagship TPC-H-Q1-style pricing summary (also SparkEntry.entry)
     "agg_group" -> ((s, d) => q1(s, d)),
 
+    // pivot/crosstab: one column per pivot value, explicit value list so
+    // the output schema is static (no extra distinct-values job — the form
+    // that scales: a value-discovery pass over 100 TB would be its own
+    // full scan)
+    "agg_pivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(moneySum(col("l_quantity")))
+        .orderBy("l_linestatus")),
+
     "agg_distinct" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
@@ -189,6 +200,15 @@ object Aggregates {
 
   def oracle: Map[String, String] = Map(
     "agg_group" -> q1Sql,
+    "agg_pivot" ->
+      s"""SELECT l_linestatus,
+         |CAST(sum(${sql.money("l_quantity")})
+         |  FILTER (WHERE l_returnflag = 'A') AS DOUBLE) AS "A",
+         |CAST(sum(${sql.money("l_quantity")})
+         |  FILTER (WHERE l_returnflag = 'N') AS DOUBLE) AS "N",
+         |CAST(sum(${sql.money("l_quantity")})
+         |  FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS "R"
+         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "agg_distinct" ->
       s"""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
          |CAST(sum(DISTINCT ${sql.money("l_quantity")}) AS DOUBLE) AS sum_dq

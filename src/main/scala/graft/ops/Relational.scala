@@ -22,6 +22,21 @@ object Relational {
         // (okey, linenumber) is not unique — order by all output columns
         .orderBy("l_orderkey", "l_linenumber", "revenue", "revenue_tax")),
 
+    // deterministic content-hash sampling — the reproducible holdout/split
+    // pattern for training-data pipelines: membership depends only on the
+    // row's key bytes (md5 prefix), never on partitioning, seed state, or
+    // row order, so every engine and every rerun draws the same sample.
+    // '28' keeps the first-2-hex-chars buckets 00..28 = 41/256 ~ 16%.
+    "sample_hash" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(substring(md5(concat_ws("-",
+          col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string"))), 1, 2) <= "28")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        // (okey, linenumber) is not unique — order by all output columns
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice")),
+
     "filter_pred" -> ((s, d) =>
       t(s, d, "lineitem")
         .filter(col("l_quantity").between(10, 20)
@@ -52,6 +67,13 @@ object Relational {
         |l_extendedprice * (1 - l_discount) * (1 + l_tax) AS revenue_tax
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, revenue, revenue_tax""".stripMargin,
+    "sample_hash" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '-'
+        |  || CAST(l_linenumber AS VARCHAR)), 1, 2) <= '28'
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"""
+        .stripMargin,
     "filter_pred" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
         |FROM lineitem

@@ -44,6 +44,19 @@ object SortSet {
       c.intersect(su).orderBy("nk")
     },
 
+    // schema-evolution union: two sources sharing some columns, each with
+    // its own extras — matched BY NAME with nulls for the missing side
+    // (positional union would silently misalign; this is the shape for
+    // unioning parquet generations with drifted schemas)
+    "set_union_byname" -> { (s, d) =>
+      val c = t(s, d, "customer").select(col("c_custkey").as("id"),
+        col("c_name").as("name"), col("c_acctbal").as("cust_bal"))
+      val su = t(s, d, "supplier").select(col("s_suppkey").as("id"),
+        col("s_name").as("name"), col("s_acctbal").as("supp_bal"))
+      c.unionByName(su, allowMissingColumns = true)
+        .orderBy(col("name"), col("id"))
+    },
+
     // EXCEPT over overlapping-but-unequal key sets: custkeys that placed
     // orders minus custkeys with a positive balance = negative-balance
     // customers who ordered. Both sides share most keys but neither
@@ -83,6 +96,13 @@ object SortSet {
         |INTERSECT
         |SELECT s_nationkey AS nk FROM supplier
         |ORDER BY nk""".stripMargin,
+    "set_union_byname" ->
+      """SELECT c_custkey AS id, c_name AS name, c_acctbal AS cust_bal
+        |FROM customer
+        |UNION ALL BY NAME
+        |SELECT s_suppkey AS id, s_name AS name, s_acctbal AS supp_bal
+        |FROM supplier
+        |ORDER BY name, id""".stripMargin,
     "set_except" ->
       """SELECT o_custkey AS ck FROM orders
         |EXCEPT

@@ -46,6 +46,21 @@ object Windows {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // time-RANGE frame: the trailing-1-hour window per user — frames are
+    // defined by timestamp distance, not row offsets (equal timestamps are
+    // peers, so the result is order-independent within ties). Epoch
+    // microseconds on both engines keep the frame arithmetic integral.
+    "win_range_time" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).cast("long").as("cnt_1h"),
+          sum(money(col("value"))).over(w).cast("double").as("sum_1h"))
+        .orderBy("event_id")
+    },
+
     "win_moving" -> { (s, d) =>
       val w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
         .rangeBetween(-100, Window.currentRow)
@@ -114,6 +129,14 @@ object Windows {
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
          |  AS running_total
          |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_range_time" ->
+      s"""SELECT event_id, user_id,
+         |count(*) OVER w AS cnt_1h,
+         |CAST(sum(${sql.money("value")}) OVER w AS DOUBLE) AS sum_1h
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
     "win_moving" ->
       s"""SELECT o_orderkey, o_orderpriority,
          |CAST(sum(${sql.money("o_totalprice")}) OVER w AS DOUBLE)
