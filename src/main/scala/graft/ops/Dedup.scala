@@ -161,6 +161,44 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
+    // transitive dedup: near-dup is not transitive pair-wise (A~B, B~C but
+    // A!~C), so production keeper assignment runs on CONNECTED COMPONENTS
+    // of the pair graph, not on individual pairs. Min-label propagation to
+    // fixpoint: each iteration is one join + one groupBy (all equi-joins,
+    // nothing quadratic); iteration count = component diameter (tiny for
+    // near-dup clusters — a chain A~B~C converges in 2). The driver-side
+    // loop holds only a changed-row COUNT, never data. At web scale the
+    // same loop runs with Large-Star/Small-Star rounds (Kiveris et al.,
+    // "Connected Components in MapReduce and Beyond"), which bound
+    // iterations at log(n) — the per-round plan shape is identical.
+    "dedup_connected" -> { (s, d) =>
+      val pairs = queries("dedup_minhash")(s, d)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs
+        .union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst")
+        .cache()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")).cache()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val nbrMin = edges.join(labels, col("dst") === col("id"))
+          .groupBy("src").agg(min("label").as("nbr_label"))
+        val next = labels.join(nbrMin, col("id") === col("src"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr_label"), col("label")))
+              .as("next_label"), col("label").as("prev_label"))
+          .cache()
+        changed = next.filter(col("next_label") < col("prev_label")).count()
+        labels = next.select(col("id"), col("next_label").as("label")).cache()
+        iter += 1
+      }
+      labels
+        .select(col("id").as("doc_id"), col("label").as("keeper"))
+        .orderBy("doc_id")
+    },
+
     // embedding-cosine near-dup: pairs above tau collapse to (keeper, dup)
     // with the smallest-id keeper — the decision step of an embedding dedup
     // pipeline (vec_id keys the embeddings fixture). The pair source is the
@@ -180,12 +218,12 @@ object Dedup {
     }
   )
 
-  /** Exact shingle-set Jaccard in DuckDB — oracle for both the LSH and the
-    * inverted-index Spark implementations (they must agree with it and so
-    * with each other).
+  /** Shared CTE chain computing exact shingle-set Jaccard pairs at the 0.8
+    * threshold (`jpairs`) — spliced into both the pair oracles and the
+    * recursive connected-components oracle.
     */
-  private val exactJaccardSql =
-    """WITH sh AS (
+  private val jaccardCtes =
+    """sh AS (
       |  SELECT doc_id, list_distinct(list_transform(
       |    generate_series(1, len(w) - 2),
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
@@ -196,14 +234,23 @@ object Dedup {
       |common AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b,
-      |  CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jac
-      |FROM common
-      |JOIN sizes s1 ON s1.doc_id = doc_a
-      |JOIN sizes s2 ON s2.doc_id = doc_b
-      |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |  GROUP BY 1, 2),
+      |jpairs AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jac
+      |  FROM common
+      |  JOIN sizes s1 ON s1.doc_id = doc_a
+      |  JOIN sizes s2 ON s2.doc_id = doc_b
+      |  WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8)""".stripMargin
+
+  /** Exact shingle-set Jaccard in DuckDB — oracle for both the LSH and the
+    * inverted-index Spark implementations (they must agree with it and so
+    * with each other).
+    */
+  private val exactJaccardSql =
+    s"""WITH $jaccardCtes
+       |SELECT doc_a, doc_b, jac FROM jpairs
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -217,6 +264,21 @@ object Dedup {
     // no LSH on the oracle side, which is what makes it an oracle)
     "dedup_minhash" -> exactJaccardSql,
     "dedup_ngram_jaccard" -> exactJaccardSql,
+    // transitive closure by recursive CTE: every node's keeper is the min
+    // doc_id reachable in the pair graph (including itself)
+    "dedup_connected" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |  UNION ALL
+         |  SELECT doc_b AS u, doc_a AS v FROM jpairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |  WHERE e.v <> r.u)
+         |SELECT u AS doc_id, least(u, min(v)) AS keeper
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
