@@ -42,6 +42,28 @@ object Multimodal {
           md5(col("payload")).as("digest"))
         .orderBy("doc_id")),
 
+    // frame sampling over binary payloads: treat the payload as fixed-size
+    // 64-byte frames, keep every 4th, emit per-frame offsets + content
+    // digests — the video-pipeline access pattern (seek + slice + hash) as
+    // a pure projection + generator, no shuffle, no driver involvement.
+    // Oracle-checkable because frames are byte slices and the fixture text
+    // is ASCII (byte offsets == char offsets on the DuckDB side).
+    "multimodal_framesample" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+        .filter(col("n_bytes") > 0)
+        .withColumn("n_frames", ceil(col("n_bytes") / 64.0).cast("long"))
+        .select(col("doc_id"), col("payload"),
+          posexplode(expr("sequence(0L, n_frames - 1)"))
+            .as(Seq("pos", "frame_idx")))
+        .filter(col("frame_idx") % 4 === 0)
+        .withColumn("offset", col("frame_idx") * 64)
+        .select(col("doc_id"), col("frame_idx"), col("offset"),
+          md5(expr("substring(payload, CAST(offset + 1 AS INT), 64)"))
+            .as("digest"))
+        .orderBy("doc_id", "frame_idx")),
+
     // typed mapPartitions decode pipeline over binary payloads (no oracle:
     // the stub isn't SQL — a unit spec pins its outputs)
     "multimodal_decode" -> { (s, d) =>
@@ -57,6 +79,21 @@ object Multimodal {
   )
 
   def oracle: Map[String, String] = Map(
+    "multimodal_framesample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT)
+        |      AS n_frames
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |fr AS (
+        |  SELECT doc_id, unnest(generate_series(0, n_frames - 1))
+        |    AS frame_idx FROM f)
+        |SELECT fr.doc_id, frame_idx, frame_idx * 64 AS offset,
+        |  md5(substring(f.text, CAST(frame_idx * 64 + 1 AS INT), 64))
+        |    AS digest
+        |FROM fr JOIN f ON fr.doc_id = f.doc_id
+        |WHERE frame_idx % 4 = 0
+        |ORDER BY fr.doc_id, frame_idx""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, 'text' AS modality,
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

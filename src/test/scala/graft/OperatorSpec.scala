@@ -86,6 +86,40 @@ class OperatorSpec extends SparkSpec {
       s"candidates $cands of $allPairs pairs — banding isn't pruning")
   }
 
+  test("sample_hash membership is independent of scan partitioning") {
+    val base = SparkEntry.queries("sample_hash")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    // force a radically different file-split layout: membership and order
+    // must not move, because the hash depends only on row content
+    val conf = "spark.sql.files.maxPartitionBytes"
+    val old = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "65536")
+      val split = SparkEntry.queries("sample_hash")(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(split == base)
+    } finally spark.conf.set(conf, old)
+    assert(base.nonEmpty)
+  }
+
+  test("dedup_connected keepers are stable under different shuffle widths") {
+    val base = SparkEntry.queries("dedup_connected")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val conf = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "13")
+      val wide = SparkEntry.queries("dedup_connected")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(wide == base)
+    } finally spark.conf.set(conf, old)
+    // every keeper must itself be a node whose keeper is itself (a root):
+    // labels converged, no dangling intermediate labels
+    val m = base.toMap
+    assert(base.nonEmpty)
+    base.foreach { case (_, k) => assert(m(k) == k, s"non-root keeper $k") }
+  }
+
   test("dedup_embedding's pruned pair path equals the exact threshold pairs") {
     val exact = SparkEntry.queries("sim_pairs_threshold")(spark, sf)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
