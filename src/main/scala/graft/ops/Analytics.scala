@@ -47,6 +47,24 @@ object Analytics {
           .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))),
 
+    // Q18-shaped: large-quantity orders and their customers. The classic
+    // "IN (GROUP BY ... HAVING)" subquery is expressed as an aggregate +
+    // equi-join — the form that scales (one shuffle on l_orderkey, the
+    // HAVING filter applied map-side after partial aggregation)
+    "q18_big_orders" -> { (s, d) =>
+      val big = t(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(moneySum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      t(s, d, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey"))
+        .limit(100)
+    },
+
     // Q10-shaped: top 20 customers by returned-item revenue
     "q10_returns" -> ((s, d) =>
       t(s, d, "lineitem").filter(col("l_returnflag") === "R")
@@ -84,6 +102,17 @@ object Analytics {
          |JOIN region   ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA'
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q18_big_orders" ->
+      s"""SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+         |FROM orders
+         |JOIN (SELECT l_orderkey,
+         |        ${sql.moneySum("l_quantity")} AS sum_qty
+         |      FROM lineitem GROUP BY l_orderkey
+         |      HAVING ${sql.moneySum("l_quantity")} > 250) b
+         |  ON o_orderkey = b.l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey
+         |LIMIT 100""".stripMargin,
     "q10_returns" ->
       s"""SELECT c_custkey, c_name, n_name, $revenue AS revenue,
          |count(*) AS n_items
