@@ -46,6 +46,9 @@ object Ablate {
         .count()
     }
     spark.stop()
-    println(f"""{"metric":"lsh_vs_brute","lsh_sec":$lshSec%.3f,"brute_sec":$bruteSec%.3f,"speedup":${bruteSec / lshSec}%.2f,"lsh_pairs":$lshPairs,"brute_pairs":$brutePairs,"sf":"$sfDir"}""")
+    // Locale.ROOT: locale-dependent formatting could emit ',' decimals
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    println(s"""{"metric":"lsh_vs_brute","lsh_sec":${num(lshSec)},"brute_sec":${num(bruteSec)},"speedup":${num(bruteSec / lshSec)},"lsh_pairs":$lshPairs,"brute_pairs":$brutePairs,"sf":"$sfDir"}""")
   }
 }

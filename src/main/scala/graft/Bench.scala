@@ -53,19 +53,24 @@ object Bench {
       System.err.println(f"[bench] $name%-24s $sec%8.2fs")
       name -> sec
     }
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+    // can emit ',' decimal separators (invalid JSON) — the exact
+    // parsed-as-null failure this summary line exists to prevent
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jsonMap(entries: Seq[(String, Double)]): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      entries.map { case (k, v) => "\"" + k + "\":" + num(v) }
         .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val full = jsonMap(results)
     Files.createDirectories(Paths.get("/root/repo/target"))
     Files.write(Paths.get("/root/repo/target/bench_queries.json"),
-      (s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,""" +
+      (s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$full,""" +
         s""""sf":"$sfDir"}""").getBytes(StandardCharsets.UTF_8))
     val head = jsonMap(results.filter(r => Headline.contains(r._1)))
     spark.stop()
     // the machine-readable summary is the FINAL stdout line, after
     // spark.stop() so no shutdown chatter can interleave behind it
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$head,"sf":"$sfDir","n_queries":${results.size},"detail":"target/bench_queries.json"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$head,"sf":"$sfDir","n_queries":${results.size},"detail":"target/bench_queries.json"}""")
   }
 }

@@ -182,7 +182,8 @@ object Dedup {
         .withColumn("label", col("id")).cache()
       var changed = 1L
       var iter = 0
-      while (changed > 0 && iter < 20) {
+      val maxIter = 32
+      while (changed > 0 && iter < maxIter) {
         val nbrMin = edges.join(labels, col("dst") === col("id"))
           .groupBy("src").agg(min("label").as("nbr_label"))
         val next = labels.join(nbrMin, col("id") === col("src"), "left")
@@ -191,8 +192,21 @@ object Dedup {
               .as("next_label"), col("label").as("prev_label"))
           .cache()
         changed = next.filter(col("next_label") < col("prev_label")).count()
+        val prev = labels
         labels = next.select(col("id"), col("next_label").as("label")).cache()
+        labels.count() // materialize before releasing the parents
+        prev.unpersist()
+        next.unpersist()
         iter += 1
+      }
+      edges.unpersist()
+      // converge or FAIL — a silent cap would return intermediate labels
+      // as keepers (wrong answers). Diameter-shaped inputs that exceed the
+      // cap need logarithmic rounds (Large-Star/Small-Star), not a bigger
+      // cap.
+      if (changed > 0) {
+        throw new IllegalStateException(
+          s"dedup_connected: not converged after $maxIter iterations")
       }
       labels
         .select(col("id").as("doc_id"), col("label").as("keeper"))

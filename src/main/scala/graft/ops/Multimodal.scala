@@ -54,10 +54,10 @@ object Multimodal {
         .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
         .filter(col("n_bytes") > 0)
         .withColumn("n_frames", ceil(col("n_bytes") / 64.0).cast("long"))
+        // stepped generator: emit only the kept frame indices — generating
+        // all frames and filtering 3/4 away would 4x the exploded rows
         .select(col("doc_id"), col("payload"),
-          posexplode(expr("sequence(0L, n_frames - 1)"))
-            .as(Seq("pos", "frame_idx")))
-        .filter(col("frame_idx") % 4 === 0)
+          explode(expr("sequence(0L, n_frames - 1, 4L)")).as("frame_idx"))
         .withColumn("offset", col("frame_idx") * 64)
         .select(col("doc_id"), col("frame_idx"), col("offset"),
           md5(expr("substring(payload, CAST(offset + 1 AS INT), 64)"))
@@ -86,13 +86,12 @@ object Multimodal {
         |      AS n_frames
         |  FROM documents WHERE octet_length(encode(text)) > 0),
         |fr AS (
-        |  SELECT doc_id, unnest(generate_series(0, n_frames - 1))
+        |  SELECT doc_id, unnest(generate_series(0, n_frames - 1, 4))
         |    AS frame_idx FROM f)
         |SELECT fr.doc_id, frame_idx, frame_idx * 64 AS offset,
         |  md5(substring(f.text, CAST(frame_idx * 64 + 1 AS INT), 64))
         |    AS digest
         |FROM fr JOIN f ON fr.doc_id = f.doc_id
-        |WHERE frame_idx % 4 = 0
         |ORDER BY fr.doc_id, frame_idx""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, 'text' AS modality,

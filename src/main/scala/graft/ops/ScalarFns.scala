@@ -111,7 +111,7 @@ object ScalarFns {
     // (like raw map — SURVEY §7.4) never reaches the output: the driver's
     // pandas checker can't sort/hash nested python dicts.
     "fn_struct" -> { (s, d) =>
-      val out = s"/root/repo/target/tmp/fn_struct/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val out = scratch("fn_struct", d)
       t(s, d, "documents")
         .select(col("doc_id"),
           struct(col("lang").as("lang"), col("n_chars").as("n"),

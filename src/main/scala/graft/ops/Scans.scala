@@ -11,14 +11,6 @@ import org.apache.spark.sql.functions._
 object Scans {
   import Tables._
 
-  /** Scratch dir for in-job conversion round-trips; keyed by (query, sf) so
-    * concurrent scale factors never collide. Lives under target/ (ours).
-    */
-  private def scratch(key: String, sfDir: String): String = {
-    val sf = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    s"/root/repo/target/tmp/$key/$sf"
-  }
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // NOTE: (l_orderkey, l_linenumber) is NOT unique in the fixtures
     // (~20% duplicate pairs) — row-level lineitem queries must ORDER BY

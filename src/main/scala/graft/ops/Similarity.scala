@@ -53,6 +53,25 @@ object Similarity {
       .select(col("doc_id"), expr("hash_tf_vec(shingles)").as("v"))
   }
 
+  /** MinHash 16x4 band-join candidate pairs over the doc shingle sets —
+    * `sim_pairs_lsh`'s candidate stage, exposed so OperatorSpec's
+    * pruning-ratio pin measures the REAL pipeline rather than a copy that
+    * could drift from it.
+    */
+  private[graft] def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    graft.functions.MinHashBands.register(s)
+    val sh = Dedup.shingled(s, d).filter(size(col("shingles")) > 0)
+    val banded = sh.select(col("doc_id"),
+      posexplode(expr("minhash_bands(shingles)")).as(Seq("band", "bh")))
+    val right = banded.select(col("doc_id").as("doc_b"),
+      col("band").as("band2"), col("bh").as("bh2"))
+    banded.join(right,
+        col("band") === col("band2") && col("bh") === col("bh2")
+          && col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("id_a"), col("doc_b").as("id_b"))
+      .distinct()
+  }
+
   /** Threshold pairs over the embeddings via SimHash-banded candidates +
     * exact verify — the pruned path `dedup_embedding` rides instead of the
     * all-pairs BNLJ. 256 hyperplanes in 64 bands of 4 bits holds per-pair
@@ -125,21 +144,10 @@ object Similarity {
     // SQL-mirrorable); OperatorSpec asserts lsh == brute force over the
     // same vectors AND pins the pruning ratio.
     "sim_pairs_lsh" -> { (s, d) =>
-      graft.functions.MinHashBands.register(s)
       val vecs = docVectors(s, d)
-      val sh = Dedup.shingled(s, d).filter(size(col("shingles")) > 0)
-      val banded = sh.select(col("doc_id"),
-        posexplode(expr("minhash_bands(shingles)")).as(Seq("band", "bh")))
-      val right = banded.select(col("doc_id").as("doc_b"),
-        col("band").as("band2"), col("bh").as("bh2"))
-      val cands = banded.join(right,
-          col("band") === col("band2") && col("bh") === col("bh2")
-            && col("doc_id") < col("doc_b"))
-        .select(col("doc_id").as("id_a"), col("doc_b").as("id_b"))
-        .distinct()
       val a = vecs.select(col("doc_id").as("id_a"), col("v"))
       val b = vecs.select(col("doc_id").as("id_b"), col("v").as("v2"))
-      cands.join(a, "id_a").join(b, "id_b")
+      lshCandidates(s, d).join(a, "id_a").join(b, "id_b")
         .withColumn("cos", expr("round(cosine_sim(v, v2), 6)"))
         .filter(col("cos") >= DocCosineThreshold)
         .select("id_a", "id_b", "cos")

@@ -18,6 +18,15 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Scratch dir for in-job write/read round-trips; keyed by (query, sf) so
+    * concurrent scale factors never collide. Lives under target/ (ours).
+    * Single definition — the scratch-path convention must not fork.
+    */
+  def scratch(key: String, sfDir: String): String = {
+    val sf = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"/root/repo/target/tmp/$key/$sf"
+  }
+
   /** `events.ts` is Parquet TIMESTAMP(NANOS) which Spark 4.x cannot read
     * natively; read it as Long nanos and truncate to microseconds — exactly
     * what DuckDB does on its side (BASELINE.md "known parity hazard").

@@ -70,17 +70,11 @@ class OperatorSpec extends SparkSpec {
 
   test("sim_pairs_lsh candidate set prunes the pair space hard") {
     import graft.ops.{Dedup, Similarity}
-    graft.functions.MinHashBands.register(spark)
-    val sh = Dedup.shingled(spark, sf).filter(size(col("shingles")) > 0)
-    val n = sh.count()
-    val banded = sh.select(col("doc_id"),
-      posexplode(expr("minhash_bands(shingles)")).as(Seq("band", "bh")))
-    val right = banded.select(col("doc_id").as("doc_b"),
-      col("band").as("band2"), col("bh").as("bh2"))
-    val cands = banded.join(right,
-        col("band") === col("band2") && col("bh") === col("bh2")
-          && col("doc_id") < col("doc_b"))
-      .select("doc_id", "doc_b").distinct().count()
+    val n = Dedup.shingled(spark, sf).filter(size(col("shingles")) > 0)
+      .count()
+    // the query's OWN candidate stage, not a re-implementation that could
+    // drift from it
+    val cands = Similarity.lshCandidates(spark, sf).count()
     val allPairs = n * (n - 1) / 2
     assert(cands.toDouble / allPairs < 0.01,
       s"candidates $cands of $allPairs pairs — banding isn't pruning")
