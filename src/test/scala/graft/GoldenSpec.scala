@@ -36,6 +36,20 @@ class GoldenSpec extends SparkSpec {
     assert(SparkEntry.queries("sim_pairs_lsh")(spark, sf).count() == 28L)
   }
 
+  test("round-2 operators pin their sf0.001 row counts") {
+    val expected = Map(
+      "q18_big_orders" -> 25L,
+      "multimodal_framesample" -> 839L,
+      "dedup_connected" -> 45L,
+      "sample_hash" -> 943L,
+      "agg_pivot" -> 2L,
+      "win_range_time" -> 1000L,
+      "set_union_byname" -> 160L)
+    expected.foreach { case (k, n) =>
+      assert(SparkEntry.queries(k)(spark, sf).count() == n, k)
+    }
+  }
+
   test("join_cross pins the 125-row cartesian") {
     assert(SparkEntry.queries("join_cross")(spark, sf).count() == 125L)
   }
