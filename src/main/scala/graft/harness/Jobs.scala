@@ -47,6 +47,43 @@ class FormatConversionJob(s: JobSettings) extends GenericEtl[JobSettings](s) {
     }
 }
 
+/** Runs the engine's exact-dedup pipeline under the reference's job
+  * contract: read `input_source` (a documents-shaped parquet with
+  * `doc_id` + a text column), collapse exact duplicates by normalized
+  * content fingerprint, write the keeper table to `output_directory`.
+  * This is the switch-over path for a reference user: same settings /
+  * response / `run_job` shape, engine operator inside.
+  *
+  * Settings keys (via `JobSettings.extra`):
+  *  - `text_column`: the content column (default `text`)
+  *  - `id_column`: the stable id used as keeper (default `doc_id`)
+  */
+class DedupJob(s: JobSettings) extends GenericEtl[JobSettings](s) {
+  import org.apache.spark.sql.functions._
+
+  override def runJob(spark: SparkSession): JobResponse =
+    try {
+      val textCol = settings.extra.getOrElse("text_column", "text")
+      val idCol = settings.extra.getOrElse("id_column", "doc_id")
+      val df = spark.read.parquet(settings.inputSource)
+      val keepers = df
+        .select(col(idCol),
+          sha2(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), 256)
+            .as("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+      keepers.write.mode("overwrite").parquet(settings.outputDirectory)
+      val out = spark.read.parquet(settings.outputDirectory)
+      val groups = out.count()
+      val dups = out.agg(sum(col("n_copies"))).head().getLong(0) - groups
+      JobResponse(200,
+        Some(s"kept $groups unique docs, removed $dups duplicates"),
+        Some(s"""{"unique": $groups, "duplicates": $dups}"""))
+    } catch {
+      case e: Exception => JobResponse(500, Some(e.toString), None)
+    }
+}
+
 /** Re-encodes a dataset with a different parquet codec and reports the
   * before/after byte sizes (the "compression job" shape of the reference
   * ecosystem).

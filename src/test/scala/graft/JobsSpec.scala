@@ -37,6 +37,31 @@ class JobsSpec extends SparkSpec {
     assert(r.message.nonEmpty)
   }
 
+  test("DedupJob removes exact duplicates under the job contract") {
+    import org.apache.spark.sql.functions._
+    // the fixture corpus has no EXACT duplicates (its planted pairs are
+    // near-dups), so build an input that does: every doc once, the first
+    // 100 again under shifted ids
+    val docs = graft.ops.Tables.t(spark, sf, "documents")
+    val dupes = docs.filter(col("doc_id") < 100)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    docs.unionByName(dupes).write.mode("overwrite")
+      .parquet(s"$out/dedup_in")
+    val total = docs.count() + 100
+
+    val job = new DedupJob(JobSettings(
+      s"$out/dedup_in", s"$out/dedup_keepers"))
+    val r = job.runJob(spark)
+    assert(r.statusCode == 200, r)
+    val kept = spark.read.parquet(s"$out/dedup_keepers")
+    assert(kept.count() == total - 100) // the 100 copies collapsed
+    // groups partition the corpus: copies sum back to the input count
+    assert(kept.agg(sum(col("n_copies"))).head().getLong(0) == total)
+    // keeper is always the smallest id, so no shifted id can win
+    assert(kept.filter(col("keeper") >= 100000).count() == 0)
+    assert(r.message.exists(_.contains("removed 100 duplicates")))
+  }
+
   test("CompressionJob re-encodes parquet and reports byte sizes") {
     val job = new CompressionJob(JobSettings(
       s"$sf/lineitem.parquet", s"$out/lineitem_zstd",
