@@ -13,6 +13,17 @@ import org.apache.spark.sql.functions._
 object StreamTwin {
   import Tables._
 
+  /** Static event-type dimension for the stream-static join (deterministic
+    * in-code values; shared by the twin query and the streaming spec).
+    */
+  private[graft] def typeDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("click", "engagement", 1.0), ("view", "engagement", 0.5),
+      ("purchase", "conversion", 10.0), ("signup", "conversion", 5.0),
+      ("error", "ops", 0.0)).toDF("event_type", "category", "weight")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> ((s, d) =>
       events(s, d)
@@ -54,6 +65,13 @@ object StreamTwin {
           moneySum(col("value")).as("total_value"),
           max(col("ts")).as("last_ts"))
         .orderBy("user_id")),
+
+    // twin of the stream-static enrichment join: LITERALLY the same
+    // function (Streams.enrichWithDim) applied to the batch frame — the
+    // strongest possible twin guarantee
+    "stream_static_join" -> ((s, d) =>
+      graft.streaming.Streams.enrichWithDim(events(s, d), typeDim(s))
+        .orderBy("category")),
 
     // twin of the stream-stream interval join (purchase attribution):
     // same join condition as Streams.purchaseAttribution
@@ -123,6 +141,18 @@ object StreamTwin {
       s"""SELECT user_id, count(*) AS n_events,
          |${sql.moneySum("value")} AS total_value, max(ts) AS last_ts
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_static_join" ->
+      """SELECT category, count(*) AS cnt,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))
+        |         * CAST(weight AS DECIMAL(8,2))) AS DOUBLE) AS weighted
+        |FROM events
+        |JOIN (VALUES ('click', 'engagement', 1.0),
+        |             ('view', 'engagement', 0.5),
+        |             ('purchase', 'conversion', 10.0),
+        |             ('signup', 'conversion', 5.0),
+        |             ('error', 'ops', 0.0)) d(event_type, category, weight)
+        |  ON events.event_type = d.event_type
+        |GROUP BY category ORDER BY category""".stripMargin,
     "stream_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
         |p.user_id AS user_id

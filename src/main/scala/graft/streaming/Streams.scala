@@ -25,6 +25,20 @@ object Streams {
   final case class UserSnapshot(user_id: Long, n_events: Long,
     total_value: Double)
 
+  /** Stream-static enrichment: join the (micro-batched) stream against a
+    * broadcast dimension and aggregate by the dim's category. No state and
+    * no watermark needed — the static side is re-broadcast per micro-batch,
+    * the canonical streaming-enrichment shape. Weighted sum goes through
+    * exact decimals so batch/stream/oracle all agree bit-for-bit.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), "event_type")
+      .groupBy("category")
+      .agg(count(lit(1)).as("cnt"),
+        sum(graft.ops.Tables.money(col("value"))
+          * graft.ops.Tables.frac(col("weight")))
+          .cast("double").as("weighted"))
+
   /** Tumbling 1-hour counts with a 10-minute watermark. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events

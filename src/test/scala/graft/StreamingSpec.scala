@@ -104,6 +104,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream-static dim join over readStream equals the batch twin") {
+    val src = "/root/repo/target/tmp/stream_src/events_dim"
+    val batch = graft.ops.Tables.events(spark, sf)
+    batch.write.mode("overwrite").parquet(src)
+    val streamed = spark.readStream.schema(batch.schema).parquet(src)
+    val dim = graft.ops.StreamTwin.typeDim(spark)
+    val q = Streams.toMemorySink(
+      Streams.enrichWithDim(streamed, dim), "stream_static_dim",
+      OutputMode.Complete())
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stream_static_dim")
+      .select("category", "cnt", "weighted")
+      .as[(String, Long, Double)].collect().toSet
+    val want = Streams.enrichWithDim(batch, dim)
+      .select("category", "cnt", "weighted")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("stream-stream interval join attributes purchases to recent clicks") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
