@@ -64,6 +64,23 @@ object ScalarFns {
         // "rt"/"dev" the quantity-derived ones)
         .orderBy("l_orderkey", "l_linenumber", "third", "rt", "sq")),
 
+    // null-safe comparison semantics over REAL nulls (the left join leaves
+    // customers without big-ticket orders with a null o_orderkey): <=> vs
+    // =, null-propagating arithmetic, and null-aware counts
+    "fn_nullsafe" -> { (s, d) =>
+      val big = t(s, d, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      t(s, d, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          col("c_custkey"), col("o_orderkey"),
+          (col("o_orderkey") <=> col("o_custkey")).as("eq_nullsafe"),
+          (col("o_orderkey") === col("o_custkey")).as("eq_plain"),
+          col("o_orderkey").isNull.as("no_big_order"),
+          (col("o_totalprice") * 2).as("doubled"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    },
+
     "fn_cond" -> ((s, d) =>
       t(s, d, "customer").select(
         col("c_custkey"),
@@ -193,6 +210,17 @@ object ScalarFns {
         |l_orderkey % 7 AS m7
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, third, rt, sq"""
         .stripMargin,
+    "fn_nullsafe" ->
+      """SELECT c_custkey, o_orderkey,
+        |o_orderkey IS NOT DISTINCT FROM o_custkey AS eq_nullsafe,
+        |o_orderkey = o_custkey AS eq_plain,
+        |o_orderkey IS NULL AS no_big_order,
+        |o_totalprice * 2 AS doubled
+        |FROM customer
+        |LEFT JOIN (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |           WHERE o_totalprice > 300000) b
+        |  ON c_custkey = b.o_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
     "fn_cond" ->
       """SELECT c_custkey,
         |coalesce(nullif(c_mktsegment, 'BUILDING'), '<none>') AS seg,
