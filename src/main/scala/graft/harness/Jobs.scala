@@ -66,16 +66,18 @@ class DedupJob(s: JobSettings) extends GenericEtl[JobSettings](s) {
       val textCol = settings.extra.getOrElse("text_column", "text")
       val idCol = settings.extra.getOrElse("id_column", "doc_id")
       val df = spark.read.parquet(settings.inputSource)
-      val keepers = df
-        .select(col(idCol),
-          sha2(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), 256)
-            .as("fingerprint"))
-        .groupBy("fingerprint")
-        .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
-      keepers.write.mode("overwrite").parquet(settings.outputDirectory)
-      val out = spark.read.parquet(settings.outputDirectory)
-      val groups = out.count()
-      val dups = out.agg(sum(col("n_copies"))).head().getLong(0) - groups
+      // the operator's own pipeline — not a copy that could drift from it
+      graft.ops.Dedup.exactKeepers(df, idCol, textCol)
+        .write.mode("overwrite").parquet(settings.outputDirectory)
+      // one action over the durably-written output: re-reading what was
+      // written both validates the sink and yields the stats; coalesce
+      // keeps a 0-row input a 200, not an NPE from a null sum
+      val row = spark.read.parquet(settings.outputDirectory)
+        .agg(count(lit(1)).as("groups"),
+          coalesce(sum(col("n_copies")), lit(0L)).as("docs"))
+        .head()
+      val groups = row.getLong(0)
+      val dups = row.getLong(1) - groups
       JobResponse(200,
         Some(s"kept $groups unique docs, removed $dups duplicates"),
         Some(s"""{"unique": $groups, "duplicates": $dups}"""))

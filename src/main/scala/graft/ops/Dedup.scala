@@ -48,6 +48,20 @@ object Dedup {
       .select("doc_id", "shingles")
       .cache()
 
+  /** The exact-dedup pipeline (normalize -> sha256 fingerprint -> groupBy
+    * fingerprint -> min-id keeper + copy count), shared between the
+    * `dedup_exact` operator and the harness-level
+    * [[graft.harness.DedupJob]] so the two can never drift apart.
+    */
+  def exactKeepers(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        sha2(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), 256)
+          .as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // fingerprint BEFORE the shuffle: the groupBy key is the 32-byte
     // sha256, not the normalized text itself, so the exchange moves
@@ -55,13 +69,7 @@ object Dedup {
     // the difference between shuffling 64 bytes/row and shuffling the
     // corpus
     "dedup_exact" -> ((s, d) =>
-      t(s, d, "documents")
-        .select(col("doc_id"),
-          sha2(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 256)
-            .as("fingerprint"))
-        .groupBy("fingerprint")
-        .agg(min(col("doc_id")).as("keeper"),
-          count(lit(1)).as("n_copies"))
+      exactKeepers(t(s, d, "documents"), "doc_id", "text")
         .select(col("keeper"), col("n_copies"), col("fingerprint"))
         .orderBy("keeper")),
 
@@ -183,7 +191,13 @@ object Dedup {
       // TWICE (the propagation join and the keep-side), so without lineage
       // truncation the logical plan doubles per iteration and Catalyst
       // re-analysis goes exponential — caching alone truncates execution,
-      // not analysis (measured: 31s -> ~5s at sf0.1)
+      // not analysis (measured: 31s -> ~5s at sf0.1). Two deliberate
+      // trade-offs: (a) localCheckpoint is not fault-tolerant — an
+      // executor loss mid-loop fails the query instead of recomputing; on
+      // a cluster with preemption use setCheckpointDir + reliable
+      // checkpoint for the same lineage cut. (b) each generation's blocks
+      // linger until driver GC — bounded by maxIter x the label table
+      // (2 longs per graph node), negligible next to the edge cache.
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")).localCheckpoint(true)
       var changed = 1L

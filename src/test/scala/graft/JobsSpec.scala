@@ -62,6 +62,16 @@ class JobsSpec extends SparkSpec {
     assert(r.message.exists(_.contains("removed 100 duplicates")))
   }
 
+  test("DedupJob returns 200 with zero stats on an empty input") {
+    import org.apache.spark.sql.functions._
+    graft.ops.Tables.t(spark, sf, "documents").filter(col("doc_id") < 0)
+      .write.mode("overwrite").parquet(s"$out/dedup_empty_in")
+    val r = new DedupJob(JobSettings(
+      s"$out/dedup_empty_in", s"$out/dedup_empty_out")).runJob(spark)
+    assert(r.statusCode == 200, r)
+    assert(r.data.exists(_.contains("\"unique\": 0")), r)
+  }
+
   test("CompressionJob re-encodes parquet and reports byte sizes") {
     val job = new CompressionJob(JobSettings(
       s"$sf/lineitem.parquet", s"$out/lineitem_zstd",
