@@ -43,6 +43,17 @@ object Aggregates {
         .agg(moneySum(col("l_quantity")))
         .orderBy("l_linestatus")),
 
+    // boolean aggregates: every/any per group (flag semantics over data,
+    // not metadata — "did every order ship before its receipt" style)
+    "agg_bool" -> ((s, d) =>
+      t(s, d, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+          expr("every(c_acctbal > 0)").as("all_positive"),
+          expr("any(c_acctbal > 9000)").as("has_whale"),
+          count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")),
+
     "agg_distinct" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
@@ -209,6 +220,13 @@ object Aggregates {
          |CAST(sum(${sql.money("l_quantity")})
          |  FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS "R"
          |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "agg_bool" ->
+      """SELECT c_mktsegment,
+        |bool_and(c_acctbal > 0) AS all_positive,
+        |bool_or(c_acctbal > 9000) AS has_whale,
+        |count(*) AS cnt
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+        .stripMargin,
     "agg_distinct" ->
       s"""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
          |CAST(sum(DISTINCT ${sql.money("l_quantity")}) AS DOUBLE) AS sum_dq

@@ -103,6 +103,19 @@ object Scans {
         .orderBy("o_orderkey")
     },
 
+    // raw text-lines source: one doc per line out, `spark.read.text` back,
+    // then aggregate over the lines — the log-file / corpus-dump format
+    // (fixture docs are single-line so the round-trip is lossless)
+    "scan_text" -> { (s, d) =>
+      val out = scratch("scan_text", d)
+      t(s, d, "documents").select(col("text"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(length(col("value"))).cast("long").as("n_chars"),
+          sum(size(split(col("value"), " "))).cast("long").as("n_words"))
+    },
+
     // custom DataSource V2 connector (graft.sources.SynthEventsSource):
     // partition-aware deterministic generator, aggregated and checked
     // against the same arithmetic reproduced in the DuckDB oracle
@@ -171,6 +184,11 @@ object Scans {
         |CAST(year(o_orderdate) AS INT) AS o_year
         |FROM orders WHERE year(o_orderdate) = 1997
         |ORDER BY o_orderkey""".stripMargin,
+    "scan_text" ->
+      """SELECT count(*) AS n_lines,
+        |CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words
+        |FROM documents""".stripMargin,
     // pins the expected inference result per column (the Spark side is the
     // system under test; the oracle is the declared type expectation)
     "schema_inference" ->
