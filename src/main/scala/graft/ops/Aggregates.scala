@@ -43,6 +43,32 @@ object Aggregates {
         .agg(moneySum(col("l_quantity")))
         .orderBy("l_linestatus")),
 
+    // correlation from EXACT sufficient statistics: the five sums are
+    // exact decimals (associative -> partition-order-proof), and the corr
+    // formula is evaluated in double from those exact inputs with the
+    // identical expression shape on the oracle side — deterministic where
+    // a streaming corr() implementation would be merge-order-dependent
+    "agg_corr" -> { (s, d) =>
+      val x = money(col("l_quantity"))
+      val y = money(col("l_extendedprice"))
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum(x * y).cast("double").as("sxy"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(y * y).cast("double").as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n").cast("double") * col("sxx")
+                 - col("sx") * col("sx"))
+               * sqrt(col("n").cast("double") * col("syy")
+                   - col("sy") * col("sy"))), 6)
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
+
     // boolean aggregates: every/any per group (flag semantics over data,
     // not metadata — "did every order ship before its receipt" style)
     "agg_bool" -> ((s, d) =>
@@ -220,6 +246,24 @@ object Aggregates {
          |CAST(sum(${sql.money("l_quantity")})
          |  FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS "R"
          |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "agg_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |           * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |       * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+        |    AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "agg_bool" ->
       """SELECT c_mktsegment,
         |bool_and(c_acctbal > 0) AS all_positive,

@@ -71,6 +71,23 @@ object Windows {
         .orderBy("o_orderkey")
     },
 
+    // positional value functions over an explicit full-partition frame:
+    // nth_value needs the whole partition visible, so the frame is
+    // unbounded on both sides (the default running frame would make
+    // nth/last depend on the current row)
+    "win_nth" -> { (s, d) =>
+      val wAll = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"),
+          first(col("o_orderkey")).over(wAll).as("top_order"),
+          nth_value(col("o_orderkey"), 2).over(wAll).as("second_order"),
+          last(col("o_orderkey")).over(wAll).as("bottom_order"))
+        .orderBy("o_orderkey")
+    },
+
     "win_ntile_first" -> { (s, d) =>
       val w = Window.partitionBy("c_mktsegment")
         .orderBy("c_acctbal", "c_custkey")
@@ -145,6 +162,16 @@ object Windows {
          |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
          |  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
          |ORDER BY o_orderkey""".stripMargin,
+    "win_nth" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |first_value(o_orderkey) OVER w AS top_order,
+        |nth_value(o_orderkey, 2) OVER w AS second_order,
+        |last_value(o_orderkey) OVER w AS bottom_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
     "win_ntile_first" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         |ntile(4) OVER w AS quartile,
