@@ -122,6 +122,20 @@ object TextOps {
         .select("doc_id", "n_tokens", "ttr", "avg_word_len")
         .orderBy("doc_id")),
 
+    // edit distance (integer-deterministic on both engines): distance of
+    // each doc's prefix to a fixed probe, and between two of its own
+    // windows — the fuzzy-matching primitive for near-dup triage and
+    // OCR/typo-noise scoring
+    "text_editdist" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          levenshtein(substring(col("text"), 1, 30),
+            lit("the quick brown fox jumps over")).cast("long")
+            .as("dist_probe"),
+          levenshtein(substring(col("text"), 1, 20),
+            substring(col("text"), 11, 20)).cast("long").as("dist_self"))
+        .orderBy("doc_id")),
+
     "text_langid" -> { (s, d) =>
       val scored = LangMarkers.foldLeft(toks(s, d)) { case (df, (lang, ws)) =>
         df.withColumn(s"s_$lang", expr(
@@ -157,6 +171,13 @@ object TextOps {
   }.toMap
 
   def oracle: Map[String, String] = Map(
+    "text_editdist" ->
+      """SELECT doc_id,
+        |CAST(levenshtein(substring(text, 1, 30),
+        |  'the quick brown fox jumps over') AS BIGINT) AS dist_probe,
+        |CAST(levenshtein(substring(text, 1, 20),
+        |  substring(text, 11, 20)) AS BIGINT) AS dist_self
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word
