@@ -108,6 +108,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning(norm"), p)
   }
 
+  test("q18's HAVING filter runs on aggregated rows, not a subquery scan") {
+    val p = plan(SparkEntry.queries("q18_big_orders")(spark, sf))
+    assert(p.contains("partial_sum"), p) // map-side combine before shuffle
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("stream_static_join broadcasts the dim side") {
+    val p = plan(SparkEntry.queries("stream_static_join")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("salted aggregation folds into two hash aggregates, one scan") {
     val o = optimized(SparkEntry.queries("agg_skew_salted")(spark, sf))
     assert("Relation".r.findAllIn(o).size == 1, o)

@@ -65,6 +65,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hash_tf_vec is additive and permutation-invariant on random tokens") {
+    graft.functions.HashTfVec.register(spark)
+    for (_ <- trials) {
+      val toks = List.fill(rnd.nextInt(60) + 1)(
+        rnd.alphanumeric.take(rnd.nextInt(10) + 1).mkString)
+      val (a, b) = toks.splitAt(rnd.nextInt(toks.length))
+      def vec(ts: Seq[String]): Seq[Double] =
+        Seq(ts).toDF("toks").select(expr("hash_tf_vec(toks)"))
+          .collect()(0).getSeq[Double](0)
+      val whole = vec(toks)
+      // additivity: vec(a ++ b) == vec(a) + vec(b) elementwise
+      val parts = vec(a).zip(vec(b)).map { case (x, y) => x + y }
+      assert(whole == parts)
+      // permutation invariance: shuffled token order, same vector
+      assert(vec(rnd.shuffle(toks)) == whole)
+      // mass conservation: |v|_1 <= n tokens (equality iff no cancellation)
+      assert(whole.map(math.abs).sum <= toks.length.toDouble)
+    }
+  }
+
   test("jaccard via minhash estimate is monotone-consistent at the extremes") {
     // identical sets => identical signatures; disjoint random sets almost
     // surely differ in at least one of 16 permutations
