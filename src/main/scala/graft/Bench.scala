@@ -17,7 +17,8 @@ object Bench {
   /** Headline queries surfaced in the stdout summary line. */
   private val Headline = Seq(
     "q3_shipping", "q5_region_volume", "q10_returns", "join_shuffle",
-    "join_bucketed", "agg_group", "dedup_minhash", "sim_cosine_topk")
+    "join_bucketed", "agg_group", "dedup_minhash", "dedup_connected",
+    "sim_cosine_topk", "sim_pairs_lsh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
