@@ -69,6 +69,19 @@ object Aggregates {
         .orderBy("l_returnflag")
     },
 
+    // arg-max/arg-min: the value of one column at another column's
+    // extremum. The ordering column (c_custkey) is UNIQUE per group —
+    // max_by with ties would be engine-arbitrary and unoracleable
+    "agg_minmax_by" -> ((s, d) =>
+      t(s, d, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+          expr("max_by(c_name, c_custkey)").as("last_customer"),
+          expr("min_by(c_name, c_custkey)").as("first_customer"),
+          expr("max_by(c_custkey, c_acctbal + c_custkey * 1e-7)")
+            .as("richest_key"))
+        .orderBy("c_mktsegment")),
+
     // boolean aggregates: every/any per group (flag semantics over data,
     // not metadata — "did every order ship before its receipt" style)
     "agg_bool" -> ((s, d) =>
@@ -264,6 +277,13 @@ object Aggregates {
         |       * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
         |    AS corr_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "agg_minmax_by" ->
+      """SELECT c_mktsegment,
+        |arg_max(c_name, c_custkey) AS last_customer,
+        |arg_min(c_name, c_custkey) AS first_customer,
+        |arg_max(c_custkey, c_acctbal + c_custkey * 1e-7) AS richest_key
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+        .stripMargin,
     "agg_bool" ->
       """SELECT c_mktsegment,
         |bool_and(c_acctbal > 0) AS all_positive,

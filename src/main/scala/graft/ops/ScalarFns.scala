@@ -81,6 +81,21 @@ object ScalarFns {
         .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
     },
 
+    // transcendentals rounded to 6 decimals: JVM Math and C libm agree far
+    // beyond 1e-6, so rounding makes cross-engine FP parity a non-issue
+    "fn_trig" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sin(col("l_quantity")), 6).as("sn"),
+        round(cos(col("l_quantity")), 6).as("cs"),
+        round(tan(col("l_discount")), 6).as("tn"),
+        round(atan2(col("l_quantity"), col("l_extendedprice")), 6).as("at2"),
+        round(exp(col("l_discount")), 6).as("ex"),
+        round(degrees(atan(col("l_tax"))), 6).as("deg"))
+        // (okey, linenumber) is not unique — order by all output columns
+        .orderBy("l_orderkey", "l_linenumber", "sn", "cs", "tn", "at2",
+          "ex", "deg")),
+
     "fn_cond" -> ((s, d) =>
       t(s, d, "customer").select(
         col("c_custkey"),
@@ -221,6 +236,17 @@ object ScalarFns {
         |           WHERE o_totalprice > 300000) b
         |  ON c_custkey = b.o_custkey
         |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+    "fn_trig" ->
+      """SELECT l_orderkey, l_linenumber,
+        |round(sin(l_quantity), 6) AS sn,
+        |round(cos(l_quantity), 6) AS cs,
+        |round(tan(l_discount), 6) AS tn,
+        |round(atan2(l_quantity, l_extendedprice), 6) AS at2,
+        |round(exp(l_discount), 6) AS ex,
+        |round(degrees(atan(l_tax)), 6) AS deg
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, sn, cs, tn, at2, ex, deg"""
+        .stripMargin,
     "fn_cond" ->
       """SELECT c_custkey,
         |coalesce(nullif(c_mktsegment, 'BUILDING'), '<none>') AS seg,
