@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNPREFIXED: sbt's default logger
+// wraps every forked-process line in "[info] ", which breaks any consumer
+// that expects Bench/Verify's machine-readable JSON line verbatim (the
+// bench summary parsed as null two rounds running because of the prefix).
+// stderr still goes through the logger — human chatter stays separated.
+run / outputStrategy := Some(StdoutOutput)
+// ...and keep sbt's own "[success] Total time: ..." epilogue off stdout so
+// the program's final line IS the final line a last-line parser sees.
+// (Exit status still reports success/failure.)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
