@@ -2,16 +2,20 @@ package graft
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE SHORT machine-readable JSON line as the LAST stdout line.
   *
-  * The full 92-entry per-query map is written to
-  * `target/bench_queries.json` instead of stdout: round 1's ~3KB single
-  * line was tail-truncated by the driver's capture and parsed as null, so
-  * the summary line stays small (total + a fixed handful of headline
-  * queries) and is printed last.
+  * The full per-query map is written to `target/bench_queries_<sf>.json`
+  * (keyed by scale factor so concurrent benches never overwrite each
+  * other): round 1's ~3KB single line was tail-truncated by the driver's
+  * capture and parsed as null, so the summary line stays small (total + a
+  * fixed handful of headline queries) and is printed last.
+  *
+  * A query that throws is NOT reduced to a fast timing row: its name goes
+  * into `"failed":[...]` in both the summary line and the detail file, its
+  * stack reason goes to stderr, and the process exits non-zero — a
+  * regression cannot hide inside a good-looking total.
   */
 object Bench {
   /** Headline queries surfaced in the stdout summary line. */
@@ -22,16 +26,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(Sessions.envCores, appName = "graft-bench")
     // warm the JVM / codegen / session machinery so the first measured
     // query doesn't absorb startup costs, and create the bucketed tables
     // OUTSIDE the timed path: bucketing is pay-once-at-write — charging
@@ -42,6 +37,7 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.exists(k.startsWith) }
+    var failed = List.empty[String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // drain garbage from the PREVIOUS query before starting the clock:
       // without this, a heavy neighbor's GC debt lands in whichever timed
@@ -49,7 +45,13 @@ object Bench {
       // reading as 15s after a 2M-row distinct)
       System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch {
+        case e: Throwable =>
+          failed ::= name
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: " +
+            s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $sec%8.2fs")
       name -> sec
@@ -62,16 +64,20 @@ object Bench {
     def jsonMap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + num(v) }
         .mkString("{", ",", "}")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val full = jsonMap(results)
+    val sfKey = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val detail = s"target/bench_queries_$sfKey.json"
     Files.createDirectories(Paths.get("/root/repo/target"))
-    Files.write(Paths.get("/root/repo/target/bench_queries.json"),
+    Files.write(Paths.get(s"/root/repo/$detail"),
       (s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$full,""" +
-        s""""sf":"$sfDir"}""").getBytes(StandardCharsets.UTF_8))
+        s""""failed":$failedJson,"sf":"$sfDir"}""").getBytes(StandardCharsets.UTF_8))
     val head = jsonMap(results.filter(r => Headline.contains(r._1)))
     spark.stop()
     // the machine-readable summary is the FINAL stdout line, after
     // spark.stop() so no shutdown chatter can interleave behind it
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$head,"sf":"$sfDir","n_queries":${results.size},"detail":"target/bench_queries.json"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$head,"failed":$failedJson,"sf":"$sfDir","n_queries":${results.size},"detail":"$detail"}""")
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

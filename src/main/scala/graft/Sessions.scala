@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** THE session builder — every entry point (Bench, Verify, Plans, Ablate,
+  * the ScalaTest suites) goes through here so session-level semantics are
+  * defined once:
+  *
+  *  - `spark.sql.legacy.parquet.nanosAsLong`: `events.ts` is Parquet
+  *    TIMESTAMP(NANOS), which Spark 4.x cannot read natively; it must be set
+  *    BEFORE the first events scan or the read fails with
+  *    `PARQUET_TYPE_ILLEGAL` (BASELINE.md parity hazard). One definition
+  *    site here ends the round-2 finding that each main re-declared it and
+  *    a future entry point could forget.
+  *  - UTC session timezone: date/timestamp functions must agree with the
+  *    DuckDB oracle independent of host timezone.
+  *  - `shuffle.partitions` = core count: right-sized for local mode (the
+  *    200 default just multiplies task overhead at fixture scale).
+  *  - non-blocking ContextCleaner: with ~100 queries in one JVM the cleaner
+  *    has constant work, and in blocking mode (the default) its
+  *    broadcast/accumulator removals stall job submission mid-query —
+  *    measured as multi-second bimodal swings on loop-heavy queries.
+  */
+object Sessions {
+  def local(cores: Int, appName: String = "graft"): SparkSession = {
+    val s = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.referenceTracking.blocking", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Core count from SPARK_GRAFT_CPUS (driver contract), default 4. */
+  def envCores: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+}

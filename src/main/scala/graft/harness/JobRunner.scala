@@ -49,13 +49,8 @@ object JobRunner {
 
   def main(args: Array[String]): Unit = {
     val (jobName, settings) = parseArgs(args)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.Sessions.local(graft.Sessions.envCores,
+      appName = "graft-job")
     val resp = makeJob(jobName, settings).runJob(spark)
     println(s"""{"status_code": ${resp.statusCode}""" +
       s""", "message": ${resp.message.map(q).getOrElse("null")}""" +

@@ -32,11 +32,18 @@ object Similarity {
   val DocCosineThreshold = 0.8
   val TopK = 5
 
-  /** vec_id + embedding cast to double[] (cast once, before any kernel). */
+  /** vec_id + embedding cast to double[] (cast once, before any kernel).
+    *
+    * Repartitioned to cluster parallelism for the same reason as
+    * [[Tables.corpus]]: the fixture is one parquet row group, and a
+    * 1-partition left side serializes every kernel evaluation downstream
+    * (the BNLJ's parallelism = left-side partitions).
+    */
   private def vectors(s: SparkSession, d: String): DataFrame = {
     CosineSim.register(s)
     SimHashBands.register(s)
     t(s, d, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
   }

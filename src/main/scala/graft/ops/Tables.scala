@@ -18,6 +18,22 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** The document corpus spread across the cluster's cores.
+    *
+    * The fixture file is ONE parquet row group, so a plain scan yields ONE
+    * input partition and every CPU-heavy derivation downstream (shingling,
+    * MinHash banding, SimHash, TF vectors) runs single-threaded while the
+    * other 31 cores idle — measured 5-20s swings on the dedup pipeline at
+    * sf0.1. At 100 TB the corpus arrives in thousands of natural splits and
+    * this repartition would be a no-op-sized decision; locally it is the
+    * difference between using the cluster and using one core. The shuffle
+    * moves the raw text once (~1.5 MB at sf0.1) — far cheaper than
+    * serializing all downstream compute.
+    */
+  def corpus(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+
   /** Scratch dir for in-job write/read round-trips; keyed by (query, sf) so
     * concurrent scale factors never collide. Lives under target/ (ours).
     * Single definition — the scratch-path convention must not fork.
@@ -30,12 +46,12 @@ object Tables {
   /** `events.ts` is Parquet TIMESTAMP(NANOS) which Spark 4.x cannot read
     * natively; read it as Long nanos and truncate to microseconds — exactly
     * what DuckDB does on its side (BASELINE.md "known parity hazard").
+    * The required `nanosAsLong` conf is set by [[graft.Sessions]] — the one
+    * definition site every entry point goes through.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
 
   /** Exact money value: lossless on the 2-decimal fixture doubles. */
   def money(c: Column): Column = c.cast(DecimalType(18, 2))
