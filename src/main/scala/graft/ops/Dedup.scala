@@ -62,15 +62,15 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
-  /** MinHash-LSH near-dup pairs (unordered): shingles -> fused native
-    * `minhash_bands` projection -> 16x4 band equi-join candidates -> exact
-    * Jaccard verify on candidates only. Shared by `dedup_minhash` (which
-    * adds the presentation ORDER BY) and `dedup_connected` (which feeds the
-    * pairs into components and must NOT pay a range-partition/sort — the
-    * RangePartitioner's sampling job alone is one extra pass per
-    * materialization).
+  /** LSH candidate pairs with their exact set-overlap statistics:
+    * shingles -> fused native `minhash_bands` projection -> 16x4 band
+    * equi-join candidates -> per-pair |A|, |B|, |A ∩ B| computed only on
+    * the candidate set. The one candidate generator behind every
+    * set-similarity dedup (`dedup_minhash`, `dedup_connected`,
+    * `dedup_embedding`): each finisher just applies its own similarity
+    * formula to (na, nb, c).
     */
-  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def candidateOverlaps(s: SparkSession, d: String): DataFrame = {
     graft.functions.MinHashBands.register(s)
     val sh = shingled(s, d)
 
@@ -92,8 +92,8 @@ object Dedup {
       .select(banded("doc_id").as("doc_a"), col("doc_b_id").as("doc_b"))
       .distinct()
 
-    // exact Jaccard verify, computed only on the candidate set: attach the
-    // two shingle ARRAYS and intersect per pair. |A ∩ B| via
+    // exact verify statistics, computed only on the candidate set: attach
+    // the two shingle ARRAYS and intersect per pair. |A ∩ B| via
     // `array_intersect` on already-distinct arrays beats the exploded
     // shingle equi-join + groupBy + two size-joins it replaced — same
     // exact semantics, but 3 narrow joins and zero aggregations fewer, so
@@ -104,13 +104,23 @@ object Dedup {
     val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
     cands.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("c"))
+  }
+
+  /** MinHash-LSH near-dup pairs (unordered) at Jaccard >= 0.8. Shared by
+    * `dedup_minhash` (which adds the presentation ORDER BY) and
+    * `dedup_connected` (which feeds the pairs into components and must NOT
+    * pay a range-partition/sort — the RangePartitioner's sampling job alone
+    * is one extra pass per materialization).
+    */
+  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame =
+    candidateOverlaps(s, d)
       .withColumn("jac",
-        col("c").cast("double")
-          / (size(col("sh_a")) + size(col("sh_b")) - col("c")))
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= JaccardThreshold)
       .select("doc_a", "doc_b", "jac")
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // fingerprint BEFORE the shuffle: the groupBy key is the 32-byte
@@ -259,20 +269,34 @@ object Dedup {
         .orderBy("doc_id")
     },
 
-    // embedding-cosine near-dup: pairs above tau collapse to (keeper, dup)
-    // with the smallest-id keeper — the decision step of an embedding dedup
-    // pipeline (vec_id keys the embeddings fixture). The pair source is the
-    // SimHash-banded candidate path (equi-join on band keys + exact verify,
-    // recall ~1 by amplification — Similarity.prunedThresholdPairs), NOT
-    // the all-pairs BNLJ: the decision step must not inherit a quadratic
-    // plan from its candidate generator.
+    // embedding-cosine near-dup dedup, run where embedding dedup actually
+    // operates: near-duplicate documents with a wide similarity margin. The
+    // embedding is the doc's binary shingle-indicator vector (the exact
+    // vector space that hashed-TF featurizations approximate), so
+    // cos(A, B) = |A ∩ B| / sqrt(|A| * |B|) — computable exactly from the
+    // candidate overlap stats AND SQL-mirrorable, which keeps this op
+    // hash-checked against DuckDB (a hashed/learned embedding would demote
+    // it to rows-only). Pairs at cos >= 0.8 collapse to (keeper, dup) with
+    // the smallest-id keeper. The pair source is the shared MinHash band
+    // join, which genuinely PRUNES at this operating point (fixture
+    // near-dups sit at Jaccard >= 0.8 where 16x4-band recall is ~1;
+    // background cosine tops out at 0.25, far below tau): candidates are
+    // <1% of N^2 — spec-pinned — unlike the previous embedding-table
+    // variant whose tau=0.4 operating point sat inside the near-orthogonal
+    // background noise and forced every banding scheme to admit ~all N^2/2
+    // pairs. A threshold *inside* the background noise is not a dedup
+    // operating point; exact search (`sim_pairs_threshold`) is the only
+    // correct plan there, at any scale.
     "dedup_embedding" -> { (s, d) =>
-      val pairs = Similarity.prunedThresholdPairs(s, d)
-      val w = Window.partitionBy("id_b").orderBy("id_a")
+      val pairs = candidateOverlaps(s, d)
+        .withColumn("cos",
+          expr("round(c / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)"))
+        .filter(col("cos") >= Similarity.DocCosineThreshold)
+      val w = Window.partitionBy("doc_b").orderBy("doc_a")
       pairs
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("id_b").as("dup_id"), col("id_a").as("keeper"),
+        .select(col("doc_b").as("dup_id"), col("doc_a").as("keeper"),
           col("cos"))
         .orderBy("dup_id")
     }
@@ -339,21 +363,21 @@ object Dedup {
          |  WHERE e.v <> r.u)
          |SELECT u AS doc_id, least(u, min(v)) AS keeper
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    // exact binary shingle-indicator cosine over ALL pairs sharing a
+    // shingle (inverted index, no LSH on the oracle side), then the same
+    // smallest-id-keeper decision step
     "dedup_embedding" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
-        |    AS v FROM embeddings),
-        |pairs AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    round(list_dot_product(a.v, b.v) /
-        |      (sqrt(list_dot_product(a.v, a.v))
-        |       * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
-        |thr AS (SELECT * FROM pairs WHERE cos >= 0.4),
-        |r AS (SELECT id_b AS dup_id, id_a AS keeper, cos,
-        |  row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
-        |  FROM thr)
-        |SELECT dup_id, keeper, cos FROM r WHERE rn = 1
-        |ORDER BY dup_id""".stripMargin
+      s"""WITH $jaccardCtes,
+         |cpairs AS (
+         |  SELECT doc_a, doc_b,
+         |    round(c / sqrt(CAST(s1.n AS DOUBLE) * s2.n), 6) AS cos
+         |  FROM common
+         |  JOIN sizes s1 ON s1.doc_id = doc_a
+         |  JOIN sizes s2 ON s2.doc_id = doc_b),
+         |r AS (SELECT doc_b AS dup_id, doc_a AS keeper, cos,
+         |  row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rn
+         |  FROM cpairs WHERE cos >= 0.8)
+         |SELECT dup_id, keeper, cos FROM r WHERE rn = 1
+         |ORDER BY dup_id""".stripMargin
   )
 }

@@ -21,9 +21,14 @@ import org.apache.spark.sql.functions._
   *    oracle-checkable baseline at fixture scale);
   *  - `sim_pairs_lsh` LSH-pruned pair search in its winning regime: doc
   *    shingle-hash vectors, MinHash-banded candidates, exact verify;
-  *  - `sim_topk_ivf` IVF with nprobe — the ANN search path;
-  *  - `prunedThresholdPairs` SimHash-banded candidates over the embeddings
-  *    — the recall-first pruner behind `dedup_embedding`.
+  *  - `sim_topk_ivf` IVF with nprobe — the ANN search path.
+  *
+  * `dedup_embedding`'s pair source lives in [[Dedup.candidateOverlaps]]
+  * (shared MinHash band join over the document shingle sets) — banding over
+  * the `embeddings` fixture cannot prune at tau=0.4 because that threshold
+  * sits inside the near-orthogonal background noise (measured: every band
+  * geometry admits ~N^2/2 candidates); exact search is the only correct
+  * plan in that regime, and `sim_pairs_threshold` is it.
   */
 object Similarity {
   import Tables._
@@ -77,41 +82,6 @@ object Similarity {
           && col("doc_id") < col("doc_b"))
       .select(col("doc_id").as("id_a"), col("doc_b").as("id_b"))
       .distinct()
-  }
-
-  /** Threshold pairs over the embeddings via SimHash-banded candidates +
-    * exact verify — the pruned path `dedup_embedding` rides instead of the
-    * all-pairs BNLJ. 256 hyperplanes in 64 bands of 4 bits holds per-pair
-    * recall at tau=0.4 above 99.99% (miss = (1-0.631^4)^64 ~ 2e-5);
-    * OperatorSpec asserts equality with `sim_pairs_threshold` on the
-    * fixtures, and the fixed-seed planes make that equality deterministic.
-    * On near-orthogonal fixture data the band join admits most pairs (no
-    * banding can prune at tau=0.4 with this margin) — but on real corpora,
-    * where near-dup embeddings cluster far above the threshold, the same
-    * plan prunes hard while the BNLJ stays quadratic regardless.
-    */
-  private[graft] def prunedThresholdPairs(s: SparkSession, d: String): DataFrame = {
-    val e = vectors(s, d)
-    val banded = simhashed(e)
-      .select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bh")))
-    val right = banded.select(col("vec_id").as("vec_id2"),
-      col("band").as("band2"), col("bh").as("bh2"))
-    // distinct BEFORE attaching vectors: a pair colliding in k bands
-    // appears k times in the band join, and letting duplicates through
-    // multiplies both the vector-join width and the kernel evals by k.
-    // Measured both orders at sf0.1: dedup narrow (id,id) rows first
-    // (6.6s) beats verify-then-distinct (8.9s) — the wide duplicated rows
-    // cost more than the candidate-dedup shuffle they avoid.
-    val cands = banded.join(right,
-        col("band") === col("band2") && col("bh") === col("bh2")
-          && col("vec_id") < col("vec_id2"))
-      .select("vec_id", "vec_id2").distinct()
-    val b = e.select(col("vec_id").as("vec_id2"), col("v").as("v2"))
-    cands.join(e, "vec_id").join(b, "vec_id2")
-      .withColumn("cos", expr("round(cosine_sim(v, v2), 6)"))
-      .filter(col("cos") >= CosineThreshold)
-      .select(col("vec_id").as("id_a"), col("vec_id2").as("id_b"),
-        col("cos"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -204,12 +174,6 @@ object Similarity {
         .orderBy("q_id", "rnk")
     }
   )
-
-  /** 256-bit SimHash from fixed-seed hyperplanes, banded 64x4 bits — the
-    * native [[graft.functions.SimHashBands]] expression (one fused loop).
-    */
-  private def simhashed(e: DataFrame): DataFrame =
-    e.withColumn("bands", expr("simhash_bands(v)"))
 
   private val duckVectors =
     """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -25,11 +25,8 @@ class GoldenSpec extends SparkSpec {
     assert(SparkEntry.queries("dedup_minhash")(spark, sf).count() == 28L)
   }
 
-  test("sim_pairs_threshold and its pruned twin agree on pair count") {
-    val exact = SparkEntry.queries("sim_pairs_threshold")(spark, sf).count()
-    val pruned = graft.ops.Similarity.prunedThresholdPairs(spark, sf).count()
-    assert(exact == pruned)
-    assert(exact > 0)
+  test("dedup_embedding pins 24 dup docs at sf0.001") {
+    assert(SparkEntry.queries("dedup_embedding")(spark, sf).count() == 24L)
   }
 
   test("sim_pairs_lsh pins 28 doc near-dup pairs at sf0.001") {

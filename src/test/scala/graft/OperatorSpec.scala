@@ -114,15 +114,36 @@ class OperatorSpec extends SparkSpec {
     base.foreach { case (_, k) => assert(m(k) == k, s"non-root keeper $k") }
   }
 
-  test("dedup_embedding's pruned pair path equals the exact threshold pairs") {
-    val exact = SparkEntry.queries("sim_pairs_threshold")(spark, sf)
-      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
-      .toSet
-    val pruned = graft.ops.Similarity.prunedThresholdPairs(spark, sf)
-      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
-      .toSet
-    assert(pruned.subsetOf(exact), s"false positives: ${pruned -- exact}")
-    assert(pruned == exact, s"missed pairs: ${exact -- pruned}")
+  test("dedup_embedding's LSH pair source equals brute-force set cosine " +
+      "and actually prunes") {
+    // brute force, no LSH: every ordered doc pair, exact shingle-set cosine
+    val sh = graft.ops.Dedup.shingled(spark, sf)
+      .filter(size(col("shingles")) > 0)
+    val n = sh.count()
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    val exact = sh.join(b, col("doc_id") < col("doc_b"))
+      .withColumn("c", size(array_intersect(col("shingles"), col("sh_b"))))
+      .withColumn("cos", expr(
+        "round(c / sqrt(CAST(size(shingles) AS DOUBLE) * size(sh_b)), 6)"))
+      .filter(col("cos") >= graft.ops.Similarity.DocCosineThreshold)
+      .select(col("doc_id"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = graft.ops.Dedup.candidateOverlaps(spark, sf).cache()
+    try {
+      val pruned = cands
+        .withColumn("cos", expr(
+          "round(c / sqrt(CAST(na AS DOUBLE) * nb), 6)"))
+        .filter(col("cos") >= graft.ops.Similarity.DocCosineThreshold)
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pruned == exact, s"missed: ${exact -- pruned} " +
+        s"false: ${pruned -- exact}")
+      assert(exact.nonEmpty)
+      // the operating point must PRUNE: candidates well under 1% of N^2/2
+      // (the thing the old embedding-table tau=0.4 variant could not do)
+      val ratio = cands.count().toDouble / (n.toDouble * (n - 1) / 2)
+      assert(ratio < 0.01, s"candidate ratio $ratio")
+    } finally cands.unpersist()
   }
 
   test("sim_topk_ivf reaches >= 70% recall of exact top-k on its queries") {
