@@ -122,6 +122,90 @@ object Dedup {
       .filter(col("jac") >= JaccardThreshold)
       .select("doc_a", "doc_b", "jac")
 
+  /** Connected components by min-label propagation WITH pointer doubling,
+    * over a symmetric, cached (src, dst) edge table. Returns one
+    * materialized (id, label) row per node, label = smallest node id in
+    * the component.
+    *
+    * Each round does two equi-joins + one groupBy, all on node ids —
+    * nothing quadratic, and the driver holds only a changed-row COUNT:
+    *   - neighbor step: nbr_label = min label over neighbors (join edges
+    *     to labels + groupBy) — how labels enter a node;
+    *   - doubling step: hop_label = label(label(id)) (labels self-join) —
+    *     the Wyllie shortcut that halves every node's pointer distance to
+    *     its component minimum each round, so convergence takes
+    *     O(log diameter) rounds instead of O(diameter). A 1000-node chain
+    *     converges in ~11 rounds where plain propagation needs 999 (pinned
+    *     by PropertySpec); near-dup clusters (diameter ~2) converge in 2-3
+    *     rounds either way, the doubling join just rides along at
+    *     labels-table size.
+    *
+    * At fixpoint label(u) <= label(v) across every (symmetric) edge, hence
+    * labels are constant per component; the minimum id keeps itself (labels
+    * only ever take existing node-id values), so the constant is the min.
+    *
+    * localCheckpoint (eager) each iteration: labels feeds the next plan
+    * THREE times (neighbor join, doubling self-join, keep-side), so
+    * without lineage truncation the logical plan grows geometrically and
+    * Catalyst re-analysis goes exponential — caching alone truncates
+    * execution, not analysis (measured: 31s -> ~5s at sf0.1). Trade-off:
+    * localCheckpoint is not fault-tolerant — an executor loss mid-loop
+    * fails the query instead of recomputing; on a cluster with preemption
+    * use setCheckpointDir + a reliable checkpoint for the same lineage
+    * cut.
+    *
+    * ONE materialization per round: the checkpointed frame carries BOTH
+    * next_label and prev_label, so the convergence count and the next
+    * round's labels are projections of already-materialized blocks.
+    * `Dataset.unpersist()` on a localCheckpoint'd frame is a silent no-op
+    * (checkpoint blocks never enter the CacheManager), so stale
+    * generations are freed through their persisted RDD ids: snapshot
+    * getPersistentRDDs around each checkpoint call and unpersist the
+    * previous generation once the new one is materialized.
+    */
+  private[graft] def connectedComponents(s: SparkSession,
+      edges: DataFrame, maxIter: Int = 32): DataFrame = {
+    val sc = s.sparkContext
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val pre = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(true)
+      (out, sc.getPersistentRDDs.keySet.toSet -- pre)
+    }
+    var (labels, gen) = checkpointTracked(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy("src").agg(min("label").as("nbr_label"))
+      val hop = labels
+        .select(col("id").as("hid"), col("label").as("hop_label"))
+      val (next, nextGen) = checkpointTracked(
+        labels
+          .join(nbrMin, col("id") === col("src"), "left")
+          .join(hop, col("label") === col("hid"))
+          .select(col("id"),
+            least(
+              least(col("label"), coalesce(col("nbr_label"), col("label"))),
+              col("hop_label")).as("next_label"),
+            col("label").as("prev_label")))
+      changed = next.filter(col("next_label") < col("prev_label")).count()
+      gen.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      gen = nextGen
+      labels = next.select(col("id"), col("next_label").as("label"))
+      iter += 1
+    }
+    // converge or FAIL — a silent cap would return intermediate labels as
+    // keepers (wrong answers)
+    if (changed > 0) {
+      throw new IllegalStateException(
+        s"dedup_connected: not converged after $maxIter iterations")
+    }
+    labels
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // fingerprint BEFORE the shuffle: the groupBy key is the 32-byte
     // sha256, not the normalized text itself, so the exchange moves
@@ -192,78 +276,22 @@ object Dedup {
 
     // transitive dedup: near-dup is not transitive pair-wise (A~B, B~C but
     // A!~C), so production keeper assignment runs on CONNECTED COMPONENTS
-    // of the pair graph, not on individual pairs. Min-label propagation to
-    // fixpoint: each iteration is one join + one groupBy (all equi-joins,
-    // nothing quadratic); iteration count = component diameter (tiny for
-    // near-dup clusters — a chain A~B~C converges in 2). The driver-side
-    // loop holds only a changed-row COUNT, never data. At web scale the
-    // same loop runs with Large-Star/Small-Star rounds (Kiveris et al.,
-    // "Connected Components in MapReduce and Beyond"), which bound
-    // iterations at log(n) — the per-round plan shape is identical.
+    // of the pair graph, not on individual pairs.
     "dedup_connected" -> { (s, d) =>
+      // cache the PAIRS, not just the symmetric edge view: the union below
+      // references the pair plan twice, so without this the whole LSH pair
+      // pipeline executes once per branch (measured ~2x the dominant cost
+      // of this query at sf0.1)
       val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+        .cache()
+      pairs.count()
       val edges = pairs
         .union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst")
         .cache()
-      edges.count() // pay the LSH pair pipeline once, before the loop
-      // localCheckpoint (eager) each iteration: labels feeds the next plan
-      // TWICE (the propagation join and the keep-side), so without lineage
-      // truncation the logical plan doubles per iteration and Catalyst
-      // re-analysis goes exponential — caching alone truncates execution,
-      // not analysis (measured: 31s -> ~5s at sf0.1). Two deliberate
-      // trade-offs: (a) localCheckpoint is not fault-tolerant — an
-      // executor loss mid-loop fails the query instead of recomputing; on
-      // a cluster with preemption use setCheckpointDir + reliable
-      // checkpoint for the same lineage cut. (b) each generation's blocks
-      // linger until the previous frame's unpersist below.
-      //
-      // ONE materialization per round: the checkpointed frame carries BOTH
-      // next_label and prev_label, so the convergence count and the next
-      // round's labels are projections of already-materialized blocks —
-      // the heavy work (join + groupBy) runs once per round, not once per
-      // action (halved the round cost when measured at sf0.1).
-      // `Dataset.unpersist()` on a localCheckpoint'd frame is a silent
-      // no-op (checkpoint blocks never enter the CacheManager), so stale
-      // generations are freed through their persisted RDD ids: snapshot
-      // getPersistentRDDs around each checkpoint call and unpersist the
-      // previous generation's ids once the new one is materialized.
-      val sc = s.sparkContext
-      def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-        val pre = sc.getPersistentRDDs.keySet.toSet
-        val out = df.localCheckpoint(true)
-        (out, sc.getPersistentRDDs.keySet.toSet -- pre)
-      }
-      var (labels, gen) = checkpointTracked(
-        edges.select(col("src").as("id")).distinct()
-          .withColumn("label", col("id")))
-      var changed = 1L
-      var iter = 0
-      val maxIter = 32
-      while (changed > 0 && iter < maxIter) {
-        val nbrMin = edges.join(labels, col("dst") === col("id"))
-          .groupBy("src").agg(min("label").as("nbr_label"))
-        val (next, nextGen) = checkpointTracked(
-          labels.join(nbrMin, col("id") === col("src"), "left")
-            .select(col("id"),
-              least(col("label"), coalesce(col("nbr_label"), col("label")))
-                .as("next_label"), col("label").as("prev_label")))
-        changed = next.filter(col("next_label") < col("prev_label")).count()
-        gen.foreach(id =>
-          sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-        gen = nextGen
-        labels = next.select(col("id"), col("next_label").as("label"))
-        iter += 1
-      }
-      edges.unpersist()
-      // converge or FAIL — a silent cap would return intermediate labels
-      // as keepers (wrong answers). Diameter-shaped inputs that exceed the
-      // cap need logarithmic rounds (Large-Star/Small-Star), not a bigger
-      // cap.
-      if (changed > 0) {
-        throw new IllegalStateException(
-          s"dedup_connected: not converged after $maxIter iterations")
-      }
+      val labels =
+        try connectedComponents(s, edges)
+        finally { edges.unpersist(); pairs.unpersist() }
       labels
         .select(col("id").as("doc_id"), col("label").as("keeper"))
         .orderBy("doc_id")

@@ -85,6 +85,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components converge on a 1000-node chain (diameter 999) " +
+      "within the iteration cap") {
+    // worst case for plain min-label propagation: one long path, so the
+    // min label must travel the full diameter. Pointer doubling must bring
+    // this under the 32-iteration converge-or-throw cap (plain propagation
+    // would need 999 rounds and throw).
+    val n = 1000L
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val edges = chain
+      .union(chain.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .cache()
+    try {
+      val labels = graft.ops.Dedup.connectedComponents(spark, edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(labels.length == n)
+      assert(labels.forall(_._2 == 0L),
+        s"non-min labels: ${labels.filter(_._2 != 0L).take(5).toSeq}")
+    } finally edges.unpersist()
+  }
+
+  test("connected components match driver-side union-find on random graphs") {
+    for (_ <- 1 to 5) {
+      val n = rnd.nextInt(80) + 20
+      val m = rnd.nextInt(2 * n) + 1
+      val pairs = List.fill(m) {
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter(p => p._1 != p._2).distinct
+      if (pairs.nonEmpty) {
+        // driver-side union-find ground truth
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int =
+          if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        val expected = nodes.map(v =>
+          v -> nodes.filter(u => find(u.toInt) == find(v.toInt)).min).toMap
+        val df = pairs.toDF("doc_a", "doc_b")
+        val edges = df.union(df.select(col("doc_b"), col("doc_a")))
+          .toDF("src", "dst").cache()
+        try {
+          val got = graft.ops.Dedup.connectedComponents(spark, edges)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+          assert(got == expected)
+        } finally edges.unpersist()
+      }
+    }
+  }
+
   test("jaccard via minhash estimate is monotone-consistent at the extremes") {
     // identical sets => identical signatures; disjoint random sets almost
     // surely differ in at least one of 16 permutations
