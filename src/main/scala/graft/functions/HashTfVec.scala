@@ -51,16 +51,21 @@ object HashTfVec {
     val n = toks.numElements()
     var t = 0
     while (t < n) {
-      val bytes = toks.getUTF8String(t).getBytes
-      var h = FnvOffset
-      var i = 0
-      while (i < bytes.length) {
-        h ^= (bytes(i) & 0xffL)
-        h *= FnvPrime
-        i += 1
+      // the declared input type allows null elements (array<string> with
+      // containsNull); a null token contributes nothing rather than NPE-ing
+      // inside codegen
+      if (!toks.isNullAt(t)) {
+        val bytes = toks.getUTF8String(t).getBytes
+        var h = FnvOffset
+        var i = 0
+        while (i < bytes.length) {
+          h ^= (bytes(i) & 0xffL)
+          h *= FnvPrime
+          i += 1
+        }
+        val idx = ((h >>> 55) & 511L).toInt
+        v(idx) += (if (((h >>> 54) & 1L) == 1L) 1.0 else -1.0)
       }
-      val idx = ((h >>> 55) & 511L).toInt
-      v(idx) += (if (((h >>> 54) & 1L) == 1L) 1.0 else -1.0)
       t += 1
     }
     new GenericArrayData(v)

@@ -70,15 +70,19 @@ object Aggregates {
     },
 
     // arg-max/arg-min: the value of one column at another column's
-    // extremum. The ordering column (c_custkey) is UNIQUE per group —
-    // max_by with ties would be engine-arbitrary and unoracleable
+    // extremum. The ordering key is tie-free by construction: c_custkey is
+    // unique per group, and richest_key orders LEXICOGRAPHICALLY on
+    // (c_acctbal, c_custkey) via a struct key — max_by over a struct
+    // compares field-wise, so acctbal ties break on the unique custkey at
+    // any scale factor (the previous epsilon trick, acctbal + custkey *
+    // 1e-7, collided once custkey deltas reached ~1e5)
     "agg_minmax_by" -> ((s, d) =>
       t(s, d, "customer")
         .groupBy("c_mktsegment")
         .agg(
           expr("max_by(c_name, c_custkey)").as("last_customer"),
           expr("min_by(c_name, c_custkey)").as("first_customer"),
-          expr("max_by(c_custkey, c_acctbal + c_custkey * 1e-7)")
+          expr("max_by(c_custkey, struct(c_acctbal, c_custkey))")
             .as("richest_key"))
         .orderBy("c_mktsegment")),
 
@@ -163,10 +167,20 @@ object Aggregates {
 
     // HLL sketch; no oracle (approximate) — OperatorSpec checks the bound
     // against an exact count it computes itself
+    // HLL++ sketch next to the exact count, reduced to the claim the sketch
+    // actually makes: |approx - exact| within 3x the default 5% rsd. The
+    // boolean (not the estimate) is what DuckDB mirrors, which moves this
+    // key from rows-only into the hash-checked oracle set without changing
+    // the operator under test.
     "agg_approx_distinct" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+        .select(col("l_returnflag"), col("n_parts"),
+          (abs(col("approx_parts") - col("n_parts"))
+            <= col("n_parts") * 0.15).as("within_bound"))
         .orderBy("l_returnflag")),
 
     "agg_stats" -> ((s, d) =>
@@ -277,12 +291,17 @@ object Aggregates {
         |       * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
         |    AS corr_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    // DuckDB 1.0 arg_max takes no composite key, so the lexicographic
+    // (c_acctbal, c_custkey) arg-max is mirrored as "max custkey among the
+    // rows at the group-max acctbal" via a window
     "agg_minmax_by" ->
       """SELECT c_mktsegment,
         |arg_max(c_name, c_custkey) AS last_customer,
         |arg_min(c_name, c_custkey) AS first_customer,
-        |arg_max(c_custkey, c_acctbal + c_custkey * 1e-7) AS richest_key
-        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+        |max(c_custkey) FILTER (c_acctbal = mb) AS richest_key
+        |FROM (SELECT *, max(c_acctbal)
+        |        OVER (PARTITION BY c_mktsegment) AS mb FROM customer)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment"""
         .stripMargin,
     "agg_bool" ->
       """SELECT c_mktsegment,
@@ -290,6 +309,13 @@ object Aggregates {
         |bool_or(c_acctbal > 9000) AS has_whale,
         |count(*) AS cnt
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+        .stripMargin,
+    // the sketch estimate itself is engine-specific; the oracle checks the
+    // exact count and asserts the accuracy claim held
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin,
     "agg_distinct" ->
       s"""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,

@@ -102,6 +102,14 @@ class FunctionsSpec extends SparkSpec {
     }
     // repeated token doubles its bucket (TF weighting, not set semantics)
     assert(code.map(math.abs).max == 2.0)
+    // a null ELEMENT contributes nothing (no NPE inside codegen): vector
+    // equals the same array without the null
+    val withNull = Seq(Tuple1(Seq(Some("alpha"), None, Some("beta"))))
+      .toDF("toks").select(expr("hash_tf_vec(toks)")).collect()(0)
+      .getSeq[Double](0)
+    val without = Seq(Tuple1(Seq("alpha", "beta"))).toDF("toks")
+      .select(expr("hash_tf_vec(toks)")).collect()(0).getSeq[Double](0)
+    assert(withNull == without)
   }
 
   test("expressions survive both codegen and interpreted paths") {
