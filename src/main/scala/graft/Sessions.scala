@@ -26,6 +26,9 @@ object Sessions {
     val s = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cores]")
+      // native functions + the FuseIntersectSize optimizer rewrite — the
+      // same wiring a cluster deployment would put in spark-defaults
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

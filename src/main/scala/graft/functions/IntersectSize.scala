@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `intersect_size(a, b)` — the cardinality of `array_intersect(a, b)`
+  * without materializing the intersection array.
+  *
+  * `size(array_intersect(a, b))` is the exact-verify kernel of every
+  * set-similarity dedup here (Jaccard and set-cosine both reduce to
+  * |A ∩ B|): for each LSH candidate pair, Spark's `ArrayIntersect` builds
+  * an `ArrayData` of the common elements — per-row allocation of an array
+  * that is immediately reduced to its length. This expression computes the
+  * count directly: one hash set over the smaller array, one probe pass
+  * over the other, zero intermediate arrays. Semantics match
+  * `size(array_intersect)` exactly, including its set semantics
+  * (duplicates count once) and null-element handling (a null present in
+  * BOTH arrays counts once).
+  *
+  * Callers never need to write it: the injected
+  * [[graft.plans.FuseIntersectSize]] optimizer rule rewrites
+  * `size(array_intersect(a, b))` over string arrays into this expression,
+  * so the DataFrame code stays declarative and engine-portable while every
+  * session built with [[graft.plans.GraftExtensions]] (or
+  * [[graft.Sessions.local]]) gets the fused kernel.
+  */
+case class IntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"intersect_size expects two array<string>, got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntersectSize.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.IntersectSize.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IntersectSize = copy(newLeft, newRight)
+}
+
+object IntersectSize {
+
+  /** |distinct(a) ∩ distinct(b)| for string arrays; a null element present
+    * in both sides counts once (mirrors `array_intersect`).
+    */
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    // probe with the larger side so the built set is the smaller one
+    val (small, large) =
+      if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val set = new java.util.HashSet[UTF8String](small.numElements() * 2)
+    var smallHasNull = false
+    var i = 0
+    val n = small.numElements()
+    while (i < n) {
+      if (small.isNullAt(i)) smallHasNull = true
+      else set.add(small.getUTF8String(i))
+      i += 1
+    }
+    var count = 0
+    var nullCounted = false
+    var j = 0
+    val m = large.numElements()
+    while (j < m && (!set.isEmpty || (smallHasNull && !nullCounted))) {
+      if (large.isNullAt(j)) {
+        if (smallHasNull && !nullCounted) { count += 1; nullCounted = true }
+      } else if (set.remove(large.getUTF8String(j))) {
+        count += 1
+      }
+      j += 1
+    }
+    count
+  }
+
+  val info = new ExpressionInfo(classOf[IntersectSize].getName,
+    "intersect_size")
+
+  def register(spark: SparkSession): Unit = {
+    val id = FunctionIdentifier("intersect_size")
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(id)) {
+      registry.registerFunction(id, info,
+        (args: Seq[Expression]) => IntersectSize(args(0), args(1)))
+    }
+  }
+}

@@ -1,15 +1,18 @@
 package graft.plans
 
-import graft.functions.{CharikarSimHash, CosineSim, MinHashBands, SimHashBands, WinnowFingerprints}
+import graft.functions.{CharikarSimHash, CosineSim, HashTfVec, IntersectSize, MinHashBands, SimHashBands, WinnowFingerprints}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** SparkSessionExtensions entry point: activate with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
-  * Injects the engine's native functions into every session built with the
+  * Injects the engine's native functions AND the
+  * [[FuseIntersectSize]] optimizer rule into every session built with the
   * extension — the supported extension wiring for cluster deployments
-  * (query builders also self-register defensively for ad-hoc sessions).
+  * (query builders also self-register functions defensively for ad-hoc
+  * sessions; the optimizer rewrite is extension-only, so declarative
+  * queries still run correctly — just unfused — without it).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -26,5 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("minhash_bands"),
       MinHashBands.info,
       (args: Seq[Expression]) => MinHashBands(args.head)))
+    ext.injectFunction((FunctionIdentifier("hash_tf_vec"), HashTfVec.info,
+      (args: Seq[Expression]) => HashTfVec(args.head)))
+    ext.injectFunction((FunctionIdentifier("intersect_size"),
+      IntersectSize.info,
+      (args: Seq[Expression]) => IntersectSize(args(0), args(1))))
+    ext.injectOptimizerRule(_ => FuseIntersectSize)
   }
 }

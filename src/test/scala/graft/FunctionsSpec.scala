@@ -86,6 +86,48 @@ class FunctionsSpec extends SparkSpec {
     assert(rows.toSeq.map(_.toSeq) == again.toSeq.map(_.toSeq))
   }
 
+  test("intersect_size equals size(array_intersect) incl. dups and nulls") {
+    graft.functions.IntersectSize.register(spark)
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a", "a", "b"), Seq("a", "x")), // dups count once
+      (Seq.empty[String], Seq("a")),
+      (Seq("a"), Seq.empty[String]),
+      (Seq("x", "y"), Seq("p", "q"))).toDF("a", "b")
+    val rows = df.select(
+      expr("intersect_size(a, b)").as("fused"),
+      expr("size(array_intersect(a, b))").as("ref")).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r))
+    // null ELEMENTS: present in both counts once (array_intersect parity)
+    val withNulls = Seq(
+      (Seq(Some("a"), None, Some("b")), Seq(None, Some("b"), Some("z"))))
+      .toDF("a", "b")
+      .select(expr("intersect_size(a, b)").as("fused"),
+        expr("size(array_intersect(a, b))").as("ref")).collect()(0)
+    assert(withNulls.getInt(0) == 2 && withNulls.getInt(1) == 2)
+    // null INPUT array -> null (modern size semantics)
+    val nullIn = Seq((Option.empty[Seq[String]], Some(Seq("a"))))
+      .toDF("a", "b").select(expr("intersect_size(a, b)")).collect()(0)
+    assert(nullIn.isNullAt(0))
+    // interpreted path agrees with codegen
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interp = df.select(expr("intersect_size(a, b)")).collect()
+        .map(_.getInt(0)).toSeq
+      assert(interp == rows.map(_.getInt(0)).toSeq)
+    }
+  }
+
+  test("FuseIntersectSize rewrites the dedup verify kernel in this session") {
+    // a literal input would be constant-folded to a LocalRelation before
+    // anything is observable; pin the rewrite on the real pair pipeline,
+    // whose declarative code says size(array_intersect(...))
+    val optimized = graft.ops.Dedup.minhashPairs(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(optimized.contains("intersect_size"), optimized)
+    assert(!optimized.contains("array_intersect"), optimized)
+  }
+
   test("hash_tf_vec: nulls propagate; codegen and interpreted agree") {
     graft.functions.HashTfVec.register(spark)
     val n = Seq(Tuple1(Option.empty[Seq[String]])).toDF("toks")
