@@ -77,10 +77,52 @@ object Analytics {
           .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("c_custkey"))
-        .limit(20))
+        .limit(20)),
+
+    // event-funnel attribution over the stream table: per user, the first
+    // view, the first click strictly after it, and the first purchase
+    // strictly after that click. Three filtered per-user min-aggregates
+    // chained by equi-joins on user_id — every stage shuffles the (user,
+    // ts) pairs it needs and nothing else, and the stage outputs shrink
+    // monotonically (the funnel property), so the plan scales linearly in
+    // events and users. The sequenced-event shape (engagement funnels,
+    // retention cohorts) that windowed aggregates alone cannot express.
+    "events_funnel" -> { (s, d) =>
+      val ev = events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select("user_id", "t_view", "t_click", "t_purchase")
+        .orderBy("user_id")
+    }
   )
 
   def oracle: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id, t_view, t_click, t_purchase
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
     "q3_shipping" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $revenue AS revenue
          |FROM customer

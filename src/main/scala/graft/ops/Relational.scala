@@ -37,6 +37,24 @@ object Relational {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity",
           "l_extendedprice")),
 
+    // stratified sampling: EXACTLY k rows per stratum, drawn by content
+    // hash so the draw is reproducible across engines, reruns, and
+    // partitionings (the per-class balancing step of a training-data
+    // pipeline, where proportional samplers under/over-shoot small
+    // strata). One shuffle on the stratum key; the window's rank is the
+    // only state, so the plan scales with stratum cardinality, not N.
+    "sample_stratified" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(md5(col("c_custkey").cast("string")), col("c_custkey"))
+      t(s, d, "customer")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 50)
+        .select(col("c_mktsegment"), col("rn"), col("c_custkey"),
+          col("c_acctbal"))
+        .orderBy("c_mktsegment", "rn")
+    },
+
     "filter_pred" -> ((s, d) =>
       t(s, d, "lineitem")
         .filter(col("l_quantity").between(10, 20)
@@ -61,6 +79,15 @@ object Relational {
   )
 
   def oracle: Map[String, String] = Map(
+    "sample_stratified" ->
+      """SELECT c_mktsegment,
+        |  CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey)
+        |    AS BIGINT) AS rn,
+        |  c_custkey, c_acctbal
+        |FROM customer
+        |QUALIFY rn <= 50
+        |ORDER BY c_mktsegment, rn""".stripMargin,
     "project_select" ->
       """SELECT l_orderkey, l_linenumber,
         |l_extendedprice * (1 - l_discount) AS revenue,

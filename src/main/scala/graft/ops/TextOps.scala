@@ -153,6 +153,40 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // training-chunk preparation: overlapping token windows (32 tokens,
+    // stride 24) — the standard fixed-context packing step before
+    // tokenizer/batch assembly. Pure projection + generator (no shuffle):
+    // chunk starts come from `sequence`, the window from `slice`, so the
+    // plan is embarrassingly parallel at any corpus size.
+    "text_chunk" -> ((s, d) =>
+      toks(s, d)
+        .select(col("doc_id"),
+          explode(expr("sequence(1, greatest(size(toks), 1), 24)"))
+            .as("start"),
+          col("toks"))
+        .withColumn("chunk", expr("slice(toks, start, 32)"))
+        .select(col("doc_id"),
+          ((col("start") - 1) / 24).cast("long").as("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_in_chunk"),
+          concat_ws(" ", col("chunk")).as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Gopher-style intra-document repetition signal: the fraction of
+    // duplicate 3-gram shingles per doc (0 = no internal repetition). The
+    // same trigram definition as the dedup pipeline, WITHOUT array_distinct
+    // — the duplicates are the signal here.
+    "text_repetition" -> ((s, d) =>
+      toks(s, d)
+        .filter(size(col("toks")) >= 3)
+        .withColumn("grams", expr(
+          """transform(sequence(0, size(toks) - 3),
+            |  i -> concat_ws(' ', slice(toks, i + 1, 3)))""".stripMargin))
+        .select(col("doc_id"),
+          size(col("grams")).cast("long").as("n_grams"),
+          round(lit(1.0) - size(array_distinct(col("grams")))
+            .cast("double") / size(col("grams")), 6).as("rep_ratio"))
+        .orderBy("doc_id")),
+
     // winnowing fingerprints via the native WinnowFingerprints expression
     // (3-gram shingle hashes, min per window of 4, distinct). The hash has
     // no DuckDB twin, so rows-only check + unit spec.
@@ -171,6 +205,34 @@ object TextOps {
   }.toMap
 
   def oracle: Map[String, String] = Map(
+    "text_chunk" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, w,
+        |    unnest(generate_series(1, greatest(len(w), 1), 24)) AS start
+        |  FROM tk)
+        |SELECT doc_id,
+        |  CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,
+        |  CAST(len(list_slice(w, start, start + 31)) AS BIGINT)
+        |    AS n_in_chunk,
+        |  array_to_string(list_slice(w, start, start + 31), ' ')
+        |    AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    "text_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_transform(
+        |    generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS grams
+        |  FROM tk WHERE len(w) >= 3)
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |  round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+        |    / len(grams), 6) AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
     "text_editdist" ->
       """SELECT doc_id,
         |CAST(levenshtein(substring(text, 1, 30),

@@ -47,6 +47,17 @@ class GoldenSpec extends SparkSpec {
     }
   }
 
+  test("round-4 operators pin their sf0.001 row counts") {
+    val expected = Map(
+      "text_chunk" -> 1388L,
+      "text_repetition" -> 500L,
+      "sample_stratified" -> 150L,
+      "events_funnel" -> 15L)
+    expected.foreach { case (k, n) =>
+      assert(SparkEntry.queries(k)(spark, sf).count() == n, k)
+    }
+  }
+
   test("join_cross pins the 125-row cartesian") {
     assert(SparkEntry.queries("join_cross")(spark, sf).count() == 125L)
   }
