@@ -38,10 +38,32 @@ object Ablate {
              graft.ops.Similarity.DocCosineThreshold)
         .count()
     }
+    // second ablation: the FuseIntersectSize rewrite, measured where the
+    // kernel actually runs hot — an exact all-pairs set-overlap scan
+    // (N^2/2 evaluations over ~52-element shingle arrays). The unfused run
+    // disables only our injected rule via excludedRules, so both plans are
+    // otherwise identical.
+    def overlapScan(): Long = {
+      val sh = graft.ops.Dedup.shingled(spark, sfDir)
+        .filter(size(col("shingles")) > 0)
+      val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+      sh.join(b, col("doc_id") < col("doc_b"))
+        .select((size(array_intersect(col("shingles"), col("sh_b")))
+          >= lit(20)).as("hit"))
+        .filter(col("hit")).count()
+    }
+    val (fusedSec, fusedN) = time(overlapScan())
+    val excludeKey = "spark.sql.optimizer.excludedRules"
+    spark.conf.set(excludeKey, "graft.plans.FuseIntersectSize")
+    val (unfusedSec, unfusedN) = time(overlapScan())
+    spark.conf.unset(excludeKey)
+    require(fusedN == unfusedN, s"ablation mismatch: $fusedN vs $unfusedN")
+
     spark.stop()
     // Locale.ROOT: locale-dependent formatting could emit ',' decimals
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println(s"""{"metric":"lsh_vs_brute","lsh_sec":${num(lshSec)},"brute_sec":${num(bruteSec)},"speedup":${num(bruteSec / lshSec)},"lsh_pairs":$lshPairs,"brute_pairs":$brutePairs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"intersect_size_fusion","fused_sec":${num(fusedSec)},"unfused_sec":${num(unfusedSec)},"speedup":${num(unfusedSec / fusedSec)},"rows":$fusedN,"sf":"$sfDir"}""")
   }
 }
