@@ -262,15 +262,20 @@ object Dedup {
           col("bk.bh").as("bh"))
       val right = banded.select(col("doc_id").as("doc_b"),
         col("sig").as("sig_b"), col("band").as("band2"), col("bh").as("bh2"))
+      // Hamming verify BEFORE the candidate distinct: the popcount is a
+      // per-row projection on rows the band join already materialized,
+      // while distinct is a shuffle — filtering first shrinks that
+      // exchange from every band collision (~N * bucket size rows; a
+      // random pair colliding in one 8-bit band still has expected
+      // Hamming ~28 over the other 56 bits) down to the true near-dup
+      // survivors. Same result set: hamming is a function of the pair.
       banded.join(right,
           col("band") === col("band2") && col("bh") === col("bh2")
             && col("doc_id") < col("doc_b"))
-        .select(col("doc_id").as("doc_a"), col("doc_b"), col("sig"),
-          col("sig_b"))
-        .distinct()
         .withColumn("hamming", expr("bit_count(sig ^ sig_b)").cast("long"))
         .filter(col("hamming") <= HammingMax)
-        .select("doc_a", "doc_b", "hamming")
+        .select(col("doc_id").as("doc_a"), col("doc_b"), col("hamming"))
+        .distinct()
         .orderBy("doc_a", "doc_b")
     },
 
