@@ -171,9 +171,13 @@ object Dedup {
       val out = df.localCheckpoint(true)
       (out, sc.getPersistentRDDs.keySet.toSet -- pre)
     }
-    var (labels, gen) = checkpointTracked(
-      edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")))
+    // the initial labels frame is NOT checkpointed: its lineage is depth-1
+    // (distinct over the cached edges), so letting round 1 read it twice
+    // costs nothing, while an eager localCheckpoint here is one whole
+    // extra job before the loop starts
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var gen = Set.empty[Int]
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
