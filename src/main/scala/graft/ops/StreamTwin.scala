@@ -92,6 +92,16 @@ object StreamTwin {
         .orderBy("purchase_id", "click_id")
     },
 
+    // twin of the stateful funnel (Streams.funnelProgress): stage
+    // reach-counts over the per-user funnel — the batch-checkable summary
+    // of the sequenced state; per-user timestamps are oracle-checked by
+    // `events_funnel` and stream-vs-batch equality by StreamingSpec
+    "stream_funnel" -> ((s, d) =>
+      Analytics.queries("events_funnel")(s, d)
+        .agg(count(col("t_view")).as("n_view"),
+          count(col("t_click")).as("n_click"),
+          count(col("t_purchase")).as("n_purchase"))),
+
     // twin of the watermarked hourly count (late-row drop is pinned by the
     // streaming spec; batch sees all rows) — distinct users per hour
     "stream_watermark_late" -> ((s, d) =>
@@ -164,6 +174,24 @@ object StreamTwin {
     "stream_watermark_late" ->
       """SELECT date_trunc('hour', ts) AS wstart, count(*) AS cnt,
         |count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY 1 ORDER BY wstart""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY wstart""".stripMargin,
+    "stream_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT count(t_view) AS n_view, count(t_click) AS n_click,
+        |  count(t_purchase) AS n_purchase
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
   )
 }

@@ -89,6 +89,55 @@ object Streams {
       }
   }
 
+  /** Per-user funnel progress: first view, first click strictly after it,
+    * first purchase strictly after that click.
+    */
+  final case class FunnelState(tView: Option[java.sql.Timestamp],
+    tClick: Option[java.sql.Timestamp],
+    tPurchase: Option[java.sql.Timestamp])
+
+  final case class FunnelSnapshot(user_id: Long,
+    t_view: Option[java.sql.Timestamp],
+    t_click: Option[java.sql.Timestamp],
+    t_purchase: Option[java.sql.Timestamp])
+
+  private def funnelStep(st: FunnelState, e: Event): FunnelState =
+    e.event_type match {
+      case "view" if st.tView.isEmpty =>
+        st.copy(tView = Some(e.ts))
+      case "click" if st.tClick.isEmpty
+          && st.tView.exists(v => e.ts.after(v)) =>
+        st.copy(tClick = Some(e.ts))
+      case "purchase" if st.tPurchase.isEmpty
+          && st.tClick.exists(c => e.ts.after(c)) =>
+        st.copy(tPurchase = Some(e.ts))
+      case _ => st
+    }
+
+  /** Stateful funnel sequencing via mapGroupsWithState — the "ordered
+    * stages per key" shape windowed aggregates cannot express. Events are
+    * event-time-sorted WITHIN each micro-batch; across batches the fold is
+    * first-match-wins, which equals the batch funnel (min-ts per stage)
+    * whenever a user's events arrive in event-time order batch-to-batch —
+    * the file/Kafka-source norm. A production job tolerant of cross-batch
+    * disorder would buffer per-user events until the watermark instead;
+    * same state API, bigger state.
+    */
+  def funnelProgress(events: Dataset[Event]): Dataset[FunnelSnapshot] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelSnapshot](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .foreach(e => st = funnelStep(st, e))
+          state.update(st)
+          FunnelSnapshot(userId, st.tView, st.tClick, st.tPurchase)
+      }
+  }
+
   /** Stream-stream interval join: purchases attributed to same-user clicks
     * within the 10 minutes before the purchase. Watermarks on BOTH sides
     * bound the join state — the condition every production stream-stream

@@ -146,6 +146,79 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((2L, 1L)))
   }
 
+  test("stateful funnel sequences stages across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.funnelProgress(in.toDS())
+      .writeStream.format("memory").queryName("funnel_t")
+      .outputMode(OutputMode.Update()).start()
+    // batch 1: user 1 views then clicks (out of arrival order — the
+    // in-batch event-time sort must fix it); user 2 clicks WITHOUT a view
+    // (stage gate: click must not count); user 3 purchases with no click
+    in.addData(
+      ev(2, 10, user = 1, typ = "click"),
+      ev(1, 5, user = 1, typ = "view"),
+      ev(3, 0, user = 2, typ = "click"),
+      ev(4, 0, user = 3, typ = "purchase"))
+    q.processAllAvailable()
+    // batch 2: user 1 purchases (after the click -> completes the funnel);
+    // user 2 finally views, then a click in the SAME batch but at an
+    // earlier ts than the view — must not count
+    in.addData(
+      ev(5, 20, user = 1, typ = "purchase"),
+      ev(6, 30, user = 2, typ = "view"),
+      ev(7, 25, user = 2, typ = "click"))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("funnel_t")
+      .as[Streams.FunnelSnapshot].collect()
+      .groupBy(_.user_id).map { case (u, snaps) =>
+        u -> snaps.maxBy(s =>
+          (s.t_view.size + s.t_click.size + s.t_purchase.size))
+      }
+    assert(last(1L) == Streams.FunnelSnapshot(1L,
+      Some(ts(5)), Some(ts(10)), Some(ts(20))))
+    assert(last(2L) == Streams.FunnelSnapshot(2L, Some(ts(30)), None, None))
+    assert(last(3L) == Streams.FunnelSnapshot(3L, None, None, None))
+  }
+
+  test("streaming funnel over the fixture equals the batch events_funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Tables
+    // fixture events in two event-time-ordered batches (the documented
+    // in-order-arrival regime where streaming == batch min-ts funnel)
+    val all = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val in = MemoryStream[Event]
+    val q = Streams.funnelProgress(in.toDS())
+      .writeStream.format("memory").queryName("funnel_fx_t")
+      .outputMode(OutputMode.Update()).start()
+    in.addData(b1.toIndexedSeq)
+    q.processAllAvailable()
+    in.addData(b2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("funnel_fx_t")
+      .as[Streams.FunnelSnapshot].collect()
+      .groupBy(_.user_id).map { case (u, snaps) =>
+        u -> snaps.maxBy(s =>
+          (s.t_view.size + s.t_click.size + s.t_purchase.size))
+      }
+    val batch = SparkEntry.queries("events_funnel")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (Option(r.getTimestamp(1)),
+        Option(r.getTimestamp(2)), Option(r.getTimestamp(3)))).toMap
+    batch.foreach { case (u, (v, c, p)) =>
+      val s = streamed(u)
+      assert((s.t_view, s.t_click, s.t_purchase) == ((v, c, p)), s"user $u")
+    }
+    // users with no view at all never enter the batch funnel; their
+    // streamed snapshots must agree (all-empty)
+    streamed.filterNot { case (u, _) => batch.contains(u) }
+      .foreach { case (u, s) => assert(s.t_view.isEmpty, s"user $u") }
+  }
+
   test("transformWithState (arbitrary state v2) matches mapGroupsWithState") {
     val old = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
