@@ -85,6 +85,36 @@ object Joins {
         .agg(count(lit(1)).as("n_ev"))
         .orderBy("o_orderkey")),
 
+    // range join WITHOUT an equi-key, binned: pairs of events within ±1
+    // minute of each other. The naive plan is a BNLJ over N² timestamp
+    // pairs — dead at any scale. Binning rewrites it as an EQUI-join:
+    // bucket each event's ts into 1-minute bins, explode the LEFT side to
+    // its bin and both neighbors (the bin size equals the range predicate,
+    // so every qualifying pair shares an exploded bin), equi-join on bin,
+    // then apply the exact |Δts| <= 1 min predicate and dedup. Shuffle
+    // cost is 3×N rows on bin keys instead of N²/2 comparisons — the same
+    // rewrite production range-join optimizers apply. Bin skew = events
+    // per minute, bounded by arrival rate.
+    "join_range_binned" -> { (s, d) =>
+      val ev = events(s, d)
+        .select(col("event_id"), col("ts"),
+          // `div`, not `/`: Column./ on longs is DOUBLE division, and a
+          // fractional bin key only ever equals itself
+          expr("unix_micros(ts) div 60000000").as("bin"))
+      val left = ev.select(col("event_id").as("id_a"), col("ts").as("ts_a"),
+          explode(array(col("bin") - 1, col("bin"), col("bin") + 1))
+            .as("bin"))
+      val right = ev.select(col("event_id").as("id_b"), col("ts").as("ts_b"),
+        col("bin"))
+      left.join(right, Seq("bin"))
+        .filter(col("id_a") < col("id_b")
+          && abs(unix_micros(col("ts_a")) - unix_micros(col("ts_b")))
+             <= 60L * 1000000L)
+        .select(col("id_a"), col("id_b"), col("ts_a"), col("ts_b"))
+        .distinct()
+        .orderBy("id_a", "id_b")
+    },
+
     // as-of: for each purchase, the latest click at-or-before it (per user).
     // Single window pass over the union of both event roles — no range-join
     // blowup; equal timestamps order clicks first so ties count as "before".
@@ -212,6 +242,15 @@ object Joins {
         |FROM orders, events
         |WHERE o_orderkey <= 20 AND value < o_totalprice / 1000
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    // the oracle is the plain quadratic range join — correct by
+    // construction, feasible only at fixture scale
+    "join_range_binned" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b,
+        |a.ts AS ts_a, b.ts AS ts_b
+        |FROM events a JOIN events b
+        |  ON a.event_id < b.event_id
+        | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60 * 1000000
+        |ORDER BY id_a, id_b""".stripMargin,
     "join_asof" ->
       """SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -96,6 +96,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("join_range_binned is an equi-join on bins — no pair-space scan") {
+    val p = plan(SparkEntry.queries("join_range_binned")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the physical strategy is Catalyst's call (broadcast at fixture
+    // scale, shuffled at corpus scale) — what must hold is that the join
+    // is KEYED on the bin
+    assert("HashJoin \\[bin".r.findFirstIn(p).isDefined
+      || "SortMergeJoin \\[bin".r.findFirstIn(p).isDefined, p)
+  }
+
   test("sim_pairs_lsh joins only on band keys — no pair-space scan") {
     val p = plan(SparkEntry.queries("sim_pairs_lsh")(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
