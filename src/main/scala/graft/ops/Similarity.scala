@@ -203,6 +203,40 @@ object Similarity {
          |WHERE round(list_dot_product(a.v, b.v) /
          |    (sqrt(list_dot_product(a.v, a.v))
          |     * sqrt(list_dot_product(b.v, b.v))), 6) >= $CosineThreshold
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+    // the ENTIRE IVF pipeline is deterministic SQL (fixed centroids,
+    // rounded-cosine argmax assignment, nprobe probes, cluster-bounded
+    // top-k), so the ANN path is hash-checked end-to-end, not just
+    // recall-spec'd — every CTE mirrors one stage of the Spark plan
+    "sim_topk_ivf" -> {
+      def cos(a: String, b: String) =
+        s"""round(list_dot_product($a, $b) /
+           |    (sqrt(list_dot_product($a, $a))
+           |     * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+      s"""WITH e AS ($duckVectors),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, v, c_id AS cluster FROM (
+         |    SELECT e.vec_id, e.v, cent.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.v", "cent.cv")} DESC, cent.c_id) AS arn
+         |    FROM e CROSS JOIN cent) WHERE arn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |      WHERE vec_id >= 10 AND vec_id < 20),
+         |probes AS (
+         |  SELECT q_id, qv, c_id FROM (
+         |    SELECT q.q_id, q.qv, cent.c_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${cos("q.qv", "cent.cv")} DESC, cent.c_id) AS prn
+         |    FROM q CROSS JOIN cent) WHERE prn <= 4),
+         |r AS (
+         |  SELECT q_id, a.vec_id AS n_id, ${cos("p.qv", "a.v")} AS cos,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ${cos("p.qv", "a.v")} DESC, a.vec_id) AS rnk
+         |  FROM probes p JOIN assign a ON p.c_id = a.cluster
+         |  WHERE a.vec_id <> p.q_id)
+         |SELECT q_id, n_id, cos, rnk FROM r WHERE rnk <= $TopK
+         |ORDER BY q_id, rnk""".stripMargin
+    }
   )
 }
