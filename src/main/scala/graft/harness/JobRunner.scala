@@ -34,6 +34,7 @@ object JobRunner {
       case "FormatConversionJob" => new FormatConversionJob(s)
       case "CompressionJob" => new CompressionJob(s)
       case "DedupJob" => new DedupJob(s)
+      case "QualityFilterJob" => new QualityFilterJob(s)
       case other =>
         throw new IllegalArgumentException(s"unknown job: $other")
     }

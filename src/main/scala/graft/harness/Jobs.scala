@@ -86,6 +86,37 @@ class DedupJob(s: JobSettings) extends GenericEtl[JobSettings](s) {
     }
 }
 
+/** Runs the engine's quality-filter pipeline under the reference's job
+  * contract: read `input_source` (a documents-shaped parquet), score every
+  * doc (token count, type-token ratio, avg word length), write the rows
+  * passing all thresholds to `output_directory`, and report kept/rejected
+  * counts — the corpus-curation decision step as a batch job.
+  *
+  * Settings keys (via `JobSettings.extra`):
+  *  - `text_column`: the content column (default `text`)
+  *  - `id_column`: the stable id column (default `doc_id`)
+  */
+class QualityFilterJob(s: JobSettings) extends GenericEtl[JobSettings](s) {
+  import org.apache.spark.sql.functions._
+
+  override def runJob(spark: SparkSession): JobResponse =
+    try {
+      val textCol = settings.extra.getOrElse("text_column", "text")
+      val idCol = settings.extra.getOrElse("id_column", "doc_id")
+      val df = spark.read.parquet(settings.inputSource)
+      val total = df.count()
+      // the operator's own pipeline — not a copy that could drift from it
+      graft.ops.TextOps.qualityFiltered(df, idCol, textCol)
+        .write.mode("overwrite").parquet(settings.outputDirectory)
+      val kept = spark.read.parquet(settings.outputDirectory).count()
+      JobResponse(200,
+        Some(s"kept $kept of $total docs, rejected ${total - kept}"),
+        Some(s"""{"kept": $kept, "rejected": ${total - kept}}"""))
+    } catch {
+      case e: Exception => JobResponse(500, Some(e.toString), None)
+    }
+}
+
 /** Re-encodes a dataset with a different parquet codec and reports the
   * before/after byte sizes (the "compression job" shape of the reference
   * ecosystem).

@@ -43,6 +43,24 @@ object TextOps {
     "fr" -> Seq("le", "la", "de", "et", "est"),
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
 
+  /** The quality-filter pipeline (score every doc, keep those passing all
+    * thresholds), shared between the `pipeline_quality_filter` operator and
+    * the harness-level [[graft.harness.QualityFilterJob]] so the two can
+    * never drift apart (the exactKeepers pattern).
+    */
+  def qualityFiltered(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .withColumn("text", col(textCol))
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .withColumn("n_tokens", metrics.nTokens)
+      .withColumn("ttr", metrics.ttr)
+      .withColumn("avg_word_len", metrics.avgWordLen)
+      .filter(col("n_tokens").between(15, 80)
+        && col("ttr") >= 0.3
+        && col("avg_word_len").between(2.0, 12.0))
+      .select(col(idCol), col("n_tokens"), col("ttr"), col("avg_word_len"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> ((s, d) =>
       toks(s, d)
@@ -112,14 +130,7 @@ object TextOps {
     // thresholds reject ~25% of fixture docs at every scale, so the
     // keep/reject decision is genuinely exercised by the oracle gate
     "pipeline_quality_filter" -> ((s, d) =>
-      toks(s, d)
-        .withColumn("n_tokens", metrics.nTokens)
-        .withColumn("ttr", metrics.ttr)
-        .withColumn("avg_word_len", metrics.avgWordLen)
-        .filter(col("n_tokens").between(15, 80)
-          && col("ttr") >= 0.3
-          && col("avg_word_len").between(2.0, 12.0))
-        .select("doc_id", "n_tokens", "ttr", "avg_word_len")
+      qualityFiltered(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
     // edit distance (integer-deterministic on both engines): distance of

@@ -72,6 +72,21 @@ class JobsSpec extends SparkSpec {
     assert(r.data.exists(_.contains("\"unique\": 0")), r)
   }
 
+  test("QualityFilterJob keeps exactly the operator's keeper set") {
+    val r = new QualityFilterJob(JobSettings(
+      s"$sf/documents.parquet", s"$out/quality_out")).runJob(spark)
+    assert(r.statusCode == 200, r)
+    val kept = spark.read.parquet(s"$out/quality_out")
+    val operator = SparkEntry.queries("pipeline_quality_filter")(spark, sf)
+    assert(kept.count() == operator.count())
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      operator.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // the thresholds genuinely reject at fixture scale
+    val total = graft.ops.Tables.t(spark, sf, "documents").count()
+    assert(kept.count() < total)
+    assert(r.data.exists(_.contains("\"rejected\"")), r)
+  }
+
   test("CompressionJob re-encodes parquet and reports byte sizes") {
     val job = new CompressionJob(JobSettings(
       s"$sf/lineitem.parquet", s"$out/lineitem_zstd",
