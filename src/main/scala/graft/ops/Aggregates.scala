@@ -183,6 +183,27 @@ object Aggregates {
             <= col("n_parts") * 0.15).as("within_bound"))
         .orderBy("l_returnflag")),
 
+    // MERGEABLE sketches — the property that matters at 100 TB: per-group
+    // DataSketches HLL sketches built in one pass (level 1), then unioned
+    // across groups (level 2) and estimated, WITHOUT revisiting the data.
+    // That is how distributed cardinality rolls up over
+    // partitions/days/tenants; a non-mergeable distinct count would force
+    // a full re-scan per rollup level. Checked like agg_approx_distinct:
+    // the oracle pins the exact count and asserts the estimate's bound.
+    "agg_sketch_union" -> { (s, d) =>
+      val perGroup = t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      val exact = t(s, d, "lineitem")
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      perGroup
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+        .crossJoin(exact)
+        .select(col("n_exact"),
+          (abs(col("approx") - col("n_exact"))
+            <= col("n_exact") * 0.15).as("within_bound"))
+    },
+
     "agg_stats" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
@@ -317,6 +338,9 @@ object Aggregates {
         |TRUE AS within_bound
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin,
+    "agg_sketch_union" ->
+      """SELECT count(DISTINCT l_partkey) AS n_exact,
+        |TRUE AS within_bound FROM lineitem""".stripMargin,
     "agg_distinct" ->
       s"""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
          |CAST(sum(DISTINCT ${sql.money("l_quantity")}) AS DOUBLE) AS sum_dq
