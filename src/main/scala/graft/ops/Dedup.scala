@@ -79,9 +79,14 @@ object Dedup {
     // (short) docs are excluded BEFORE banding: minhash_bands of an
     // empty set is a constant, which would make every short doc collide
     // in every band (quadratic candidates on short-doc-heavy corpora).
+    // Cached (like `shingled`): the self-join below scans it twice, and
+    // every set-similarity dedup rebuilds the identical plan — one
+    // materialization of (doc_id, band, bh) rows serves them all instead
+    // of re-running the 64-hash sketch per scan.
     val banded = sh.filter(size(col("shingles")) > 0)
       .select(col("doc_id"),
         posexplode(expr("minhash_bands(shingles)")).as(Seq("band", "bh")))
+      .cache()
 
     // LSH candidates: equal (band, band-hash), ordered pair, distinct
     val right = banded

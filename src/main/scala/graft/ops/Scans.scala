@@ -65,6 +65,22 @@ object Scans {
         .orderBy("o_orderpriority")
     },
 
+    // XML round-trip via Spark 4's NATIVE xml source (spark-xml was folded
+    // into core in 4.0): row-tagged records out, schema-pinned read back,
+    // aggregate — the config/feed-interchange format the reference
+    // ecosystem's conversion jobs meet in the wild
+    "convert_parquet_xml" -> { (s, d) =>
+      val out = scratch("convert_parquet_xml", d)
+      val cust = t(s, d, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      cust.write.mode("overwrite").option("rowTag", "customer").xml(out)
+      s.read.schema(cust.schema).option("rowTag", "customer").xml(out)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          moneySum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    },
+
     // compression codec round-trip: zstd parquet must be value-identical
     "write_compressed" -> { (s, d) =>
       val out = scratch("write_compressed", d)
@@ -173,6 +189,11 @@ object Scans {
       s"""SELECT o_orderpriority, count(*) AS cnt,
          |${sql.moneySum("o_totalprice")} AS sum_price
          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "convert_parquet_xml" ->
+      s"""SELECT c_mktsegment, count(*) AS cnt,
+         |${sql.moneySum("c_acctbal")} AS sum_bal
+         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+        .stripMargin,
     "write_compressed" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
         |FROM part ORDER BY p_partkey""".stripMargin,
