@@ -138,6 +138,21 @@ object ScalarFns {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")),
 
+    // Spark 4 VARIANT: parse once into the binary semi-structured type,
+    // extract typed paths downstream — the open-schema ingestion pattern
+    // (vs per-path get_json_object re-parses of the same string). The
+    // variant column itself never reaches the output (not hashable by the
+    // checker); its typed extractions do.
+    "fn_variant" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(col("k")), 6).as("avg_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
     // nested struct round-trip: build the struct, prove it survives parquet
     // storage, then project its fields BACK to scalar columns. Raw struct
     // (like raw map — SURVEY §7.4) never reaches the output: the driver's
@@ -275,6 +290,13 @@ object ScalarFns {
       """SELECT event_id,
         |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "fn_variant" ->
+      """SELECT event_type, count(*) AS cnt,
+        |round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+        |  AS avg_k,
+        |CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |  AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "fn_struct" ->
       """SELECT doc_id, m.lang AS lang, CAST(m.n AS BIGINT) AS n,
         |m.src AS src

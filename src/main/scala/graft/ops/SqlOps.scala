@@ -41,6 +41,20 @@ object SqlOps {
         |WHERE o_orderkey <= 1000
         |ORDER BY o_orderkey""".stripMargin,
     // chained CTEs feeding a join
+    // recursive CTE (Spark 4 WITH RECURSIVE): a monthly date spine with a
+    // gap-filling LEFT JOIN — count(col) gives 0 for empty months, the
+    // time-series densification pattern window functions can't produce
+    // (they can't emit rows that don't exist)
+    "sql_recursive" ->
+      """WITH RECURSIVE spine(m) AS (
+        |  SELECT TIMESTAMP '1992-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM spine
+        |  WHERE m < TIMESTAMP '1998-11-01 00:00:00'
+        |)
+        |SELECT m, count(o_orderkey) AS n_orders
+        |FROM spine LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+        |GROUP BY m ORDER BY m""".stripMargin,
     "sql_cte" ->
       """WITH big AS (
         |  SELECT l_orderkey,
