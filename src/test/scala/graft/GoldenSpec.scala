@@ -52,7 +52,13 @@ class GoldenSpec extends SparkSpec {
       "text_chunk" -> 1388L,
       "text_repetition" -> 500L,
       "sample_stratified" -> 150L,
-      "events_funnel" -> 15L)
+      "events_funnel" -> 15L,
+      "sql_recursive" -> 83L,
+      "fn_variant" -> 5L,
+      "convert_parquet_xml" -> 5L,
+      "agg_sketch_union" -> 1L,
+      "join_range_binned" -> 21L,
+      "stream_funnel" -> 1L)
     expected.foreach { case (k, n) =>
       assert(SparkEntry.queries(k)(spark, sf).count() == n, k)
     }
