@@ -24,19 +24,15 @@ object Bench {
     "join_bucketed", "agg_group", "dedup_minhash", "dedup_connected",
     "sim_cosine_topk", "sim_pairs_lsh")
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = Sessions.local(Sessions.envCores, appName = "graft-bench")
-    // warm the JVM / codegen / session machinery so the first measured
-    // query doesn't absorb startup costs, and create the bucketed tables
-    // OUTSIDE the timed path: bucketing is pay-once-at-write — charging
-    // `saveAsTable` to the join measurement misstates the join's cost
-    SparkEntry.entry(spark).count()
-    graft.ops.Joins.ensureBucketed(spark, sfDir)
-    // optional name-prefix filters as program args, for profiling a subset
-    val selected =
-      if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (k, _) => args.exists(k.startsWith) }
+  /** Times every query in `selected`; a throwing query is recorded in the
+    * returned failure list (never reduced to a silent fast timing row).
+    * Factored out of `main` so BenchSpec can pin the failure surface with
+    * a deliberately-broken query.
+    */
+  def runQueries(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      selected: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame])
+      : (Seq[(String, Double)], List[String]) = {
     var failed = List.empty[String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // drain garbage from the PREVIOUS query before starting the clock:
@@ -56,6 +52,23 @@ object Bench {
       System.err.println(f"[bench] $name%-24s $sec%8.2fs")
       name -> sec
     }
+    (results, failed)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.local(Sessions.envCores, appName = "graft-bench")
+    // warm the JVM / codegen / session machinery so the first measured
+    // query doesn't absorb startup costs, and create the bucketed tables
+    // OUTSIDE the timed path: bucketing is pay-once-at-write — charging
+    // `saveAsTable` to the join measurement misstates the join's cost
+    SparkEntry.entry(spark).count()
+    graft.ops.Joins.ensureBucketed(spark, sfDir)
+    // optional name-prefix filters as program args, for profiling a subset
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => args.exists(k.startsWith) }
+    val (results, failed) = runQueries(spark, sfDir, selected)
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // can emit ',' decimal separators (invalid JSON) — the exact
     // parsed-as-null failure this summary line exists to prevent
