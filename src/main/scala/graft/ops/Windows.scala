@@ -119,6 +119,30 @@ object Windows {
           row_number().over(w).cast("long").as("rn"))
         .filter(col("rn") <= 3)
         .orderBy("o_custkey", "rn")
+    },
+
+    // gaps-and-islands: runs of consecutive same-type events per user
+    // (lag-compare marks run breaks, a running sum numbers the islands,
+    // two aggregations summarize) — the behavioral-run analysis
+    // (streaks, retention runs, alarm flapping) that plain groupBy can't
+    // see because it ignores adjacency. One shuffle on user_id: both
+    // windows and the final aggregate share the partition key.
+    "win_islands" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prev = lag(col("event_type"), 1).over(w)
+      events(s, d)
+        .withColumn("brk",
+          when(prev.isNull || col("event_type") =!= prev, 1).otherwise(0))
+        .withColumn("island", sum(col("brk")).over(run))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          max(col("run_len")).as("max_run"),
+          sum(col("run_len")).as("n_events"))
+        .orderBy("user_id")
     }
   )
 
@@ -195,6 +219,25 @@ object Windows {
         |  row_number() OVER (PARTITION BY o_custkey
         |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) ranked
-        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "win_islands" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR event_type <> lag(event_type) OVER w
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |islands AS (
+        |  SELECT user_id,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM marked),
+        |runs AS (
+        |  SELECT user_id, island, count(*) AS run_len
+        |  FROM islands GROUP BY user_id, island)
+        |SELECT user_id, count(*) AS n_islands, max(run_len) AS max_run,
+        |  sum(run_len) AS n_events
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
