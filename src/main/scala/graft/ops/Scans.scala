@@ -144,6 +144,21 @@ object Scans {
           max(col("event_id")).as("max_id"))
         .orderBy("event_type")),
 
+    // DSv2 WRITE connector: push customer keys through the StatsSink's
+    // per-partition writers + two-phase commit, then read back the
+    // driver-committed stats file. The oracle recomputes the same
+    // count/sum directly from the table, so a sink that dropped or
+    // double-counted a partition (the failure the commit protocol
+    // exists to prevent) hash-mismatches.
+    "sink_custom_v2" -> { (s, d) =>
+      val out = scratch("sink_custom_v2", d) + "/stats.json"
+      t(s, d, "customer").select(col("c_custkey"))
+        .write.format("graft.sources.StatsSink")
+        .option("path", out).mode("append").save()
+      s.read.schema("n_rows LONG, sum_key LONG").json(out)
+        .select("n_rows", "sum_key")
+    },
+
     // schema inference on an untyped csv covering Spark's full inference
     // lattice (int / bigint / double / string / date / timestamp /
     // boolean); emits (column_name, inferred_type) rows, oracle-checked
@@ -219,6 +234,10 @@ object Scans {
         |  ('ts', 'timestamp')) AS t(col_name, inferred_type)
         |ORDER BY col_name""".stripMargin,
     // mirrors SynthEventsSource's row formulas over generate_series
+    "sink_custom_v2" ->
+      """SELECT count(*) AS n_rows,
+        |CAST(sum(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer""".stripMargin,
     "source_custom_v2" ->
       """WITH ids AS (SELECT unnest(generate_series(0, 3999)) AS id),
         |rows_ AS (SELECT id AS event_id,

@@ -41,6 +41,21 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("StatsSink commits exact per-partition stats across many writers") {
+    import spark.implicits._
+    val out = "/root/repo/target/tmp/stats_sink_spec/stats.json"
+    val n = 1000L
+    (0L until n).toDF("k").repartition(8)
+      .write.format("graft.sources.StatsSink")
+      .option("path", out).mode("append").save()
+    val row = spark.read
+      .schema("n_rows LONG, sum_key LONG, partitions LONG").json(out)
+      .collect()(0)
+    assert(row.getLong(0) == n)
+    assert(row.getLong(1) == n * (n - 1) / 2) // exact, no double-counting
+    assert(row.getLong(2) == 8L) // one commit message per partition
+  }
+
   test("schema_inference recovers the full CSV inference lattice") {
     val m = SparkEntry.queries("schema_inference")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
