@@ -245,7 +245,35 @@ object Aggregates {
         .groupBy("l_returnflag")
         .agg(round(geo(col("l_quantity")), 4).as("geo_qty"))
         .orderBy("l_returnflag")
-    }
+    },
+
+    // fixed-width histogram: bucket id is a pure projection (floor of a
+    // division), so the whole histogram is ONE hash aggregate with map-side
+    // partials — the O(buckets) answer to "what does this 100 TB column look
+    // like", vs the O(rows) sort a percentile-by-rank would need.
+    "agg_hist" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .withColumn("bucket",
+          floor(col("l_extendedprice") / 10000).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"),
+          moneySum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("bucket")),
+
+    // deterministic mode: value counts, then a lexicographic arg-max
+    // (highest count, ties to the smallest value) via max_by over a struct —
+    // two hash aggregates, no window sort, no engine-arbitrary tie. This is
+    // the ADVICE-round lesson (epsilon tie-breaks drift at scale) applied:
+    // struct comparison is exact at any sf.
+    "agg_mode" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("l_returnflag")
+        .agg(expr("max_by(l_quantity, struct(cnt, -l_quantity))")
+          .as("mode_qty"),
+          max(col("cnt")).as("mode_cnt"))
+        .orderBy("l_returnflag"))
   )
 
   /** TPC-H Q1 analog; cites reference `core.py:108-110` (run_job is the only
@@ -398,6 +426,22 @@ object Aggregates {
         |round(quantile_cont(l_quantity, 0.5), 4) AS p50,
         |round(quantile_cont(l_quantity, 0.9), 4) AS p90,
         |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_hist" ->
+      s"""SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+         |count(*) AS cnt, ${sql.moneySum("l_extendedprice")} AS sum_price
+         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // DuckDB 1.0 arg_max takes no composite key, so the oracle mirrors the
+    // lexicographic arg-max with a window (graft-bench-notes pattern)
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY cnt DESC, l_quantity ASC) AS rn
+        |  FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_cnt
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -101,6 +101,25 @@ object Analytics {
         .join(p, Seq("user_id"), "left")
         .select("user_id", "t_view", "t_click", "t_purchase")
         .orderBy("user_id")
+    },
+
+    // cohort retention matrix: users bucketed by first-seen week, counted
+    // in each later week they return. Two shuffles (first-seen agg, cohort
+    // cell agg) plus one equi-join on user_id — the week columns are pure
+    // projections, so the plan is the linear-in-events one; a 100 TB event
+    // log with billions of users shuffles (user, week) pairs, not rows.
+    // date_trunc('week') is ISO-Monday in BOTH engines, which is the whole
+    // parity story for calendar cohorts.
+    "events_retention" -> { (s, d) =>
+      val e = events(s, d).select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+      val first = e.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+      e.join(first, "user_id")
+        .groupBy(col("cohort_week"),
+          (datediff(col("wk"), col("cohort_week")) / 7).cast("long")
+            .as("week_n"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_n")
     }
   )
 
@@ -123,6 +142,16 @@ object Analytics {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    "events_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1)
+        |SELECT cohort_week,
+        |  CAST(datediff('day', cohort_week, wk) / 7 AS BIGINT) AS week_n,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_n""".stripMargin,
     "q3_shipping" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $revenue AS revenue
          |FROM customer

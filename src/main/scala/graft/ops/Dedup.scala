@@ -341,6 +341,38 @@ object Dedup {
         .select(col("doc_b").as("dup_id"), col("doc_a").as("keeper"),
           col("cos"))
         .orderBy("dup_id")
+    },
+
+    // substring-level duplication (the "Deduplicating Training Data Makes
+    // Language Models Better" signal, at 8-token granularity): for every
+    // doc, the fraction of its positional 8-gram spans that also occur in
+    // at least one OTHER doc. Two shuffles total — one groupBy to count
+    // distinct docs per gram, one groupBy back to docs — both keyed by the
+    // gram / doc id, never a pair join, so the plan is linear in corpus
+    // size. At 100 TB you'd xxhash64 the gram BEFORE the exchange so 8
+    // bytes move instead of ~50 (collision odds ~n²/2⁶⁴); kept as the raw
+    // string here because the oracle comparison is exact and the fixture
+    // is small.
+    "dedup_substring" -> { (s, d) =>
+      val grams = corpus(s, d)
+        .withColumn("toks", split(lower(trim(col("text"))), " "))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(toks) - 8),
+            |  i -> concat_ws(' ', slice(toks, i + 1, 8)))""".stripMargin))
+          .as("gram"))
+      val byGram = grams.groupBy("gram")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      grams.join(byGram, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_grams"), col("n_dup"),
+          round(col("n_dup").cast("double") / col("n_grams"), 6)
+            .as("dup_frac"),
+          (col("n_dup").cast("double") / col("n_grams") >= 0.5)
+            .as("flag_dup"))
+        .orderBy("doc_id")
     }
   )
 
@@ -420,6 +452,24 @@ object Dedup {
          |  row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rn
          |  FROM cpairs WHERE cos >= 0.8)
          |SELECT dup_id, keeper, cos FROM r WHERE rn = 1
-         |ORDER BY dup_id""".stripMargin
+         |ORDER BY dup_id""".stripMargin,
+    "dedup_substring" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(w) - 7),
+        |    i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS gram
+        |  FROM tk WHERE len(w) >= 8),
+        |nd AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  round(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS dup_frac,
+        |  (CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*)) >= 0.5 AS flag_dup
+        |FROM g JOIN nd USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -198,6 +198,32 @@ object TextOps {
             .cast("double") / size(col("grams")), 6).as("rep_ratio"))
         .orderBy("doc_id")),
 
+    // PII redaction — the mandatory scrub pass before a corpus ships to
+    // training. The fixture text is PII-free by construction, so the raw
+    // side is synthesized deterministically from event fields (a log line
+    // with an email, an IPv4, and numeric ids); the operator under test is
+    // the redaction cascade itself: email -> <EMAIL>, then IPv4 -> <IP>,
+    // then any remaining digit run -> <NUM> (order matters — the broader
+    // pattern must not eat the structured ones). Pure projection, zero
+    // shuffle: at 100 TB this is a map-only pass whose cost is the regex
+    // engine, which is why the patterns are linear character-class scans
+    // (no backtracking constructs — they also have to mean the same thing
+    // to DuckDB's RE2).
+    "text_pii_scrub" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("raw", concat(
+          lit("uid="), col("user_id"),
+          lit(" mail=u"), col("user_id"), lit("@example.com"),
+          lit(" ip=10.0."), pmod(col("user_id"), lit(256)),
+          lit("."), pmod(col("event_id"), lit(256)),
+          lit(" "), col("props")))
+        .select(col("event_id"),
+          regexp_replace(regexp_replace(regexp_replace(col("raw"),
+            "[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>"),
+            "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+            "\\d+", "<NUM>").as("clean"))
+        .orderBy("event_id")),
+
     // winnowing fingerprints via the native WinnowFingerprints expression
     // (3-gram shingle hashes, min per window of 4, distinct). The hash has
     // no DuckDB twin, so rows-only check + unit spec.
@@ -216,6 +242,16 @@ object TextOps {
   }.toMap
 
   def oracle: Map[String, String] = Map(
+    "text_pii_scrub" ->
+      """SELECT event_id,
+        |regexp_replace(regexp_replace(regexp_replace(
+        |  'uid=' || user_id || ' mail=u' || user_id ||
+        |  '@example.com ip=10.0.' || (user_id % 256) || '.' ||
+        |  (event_id % 256) || ' ' || props,
+        |  '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+        |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |  '\d+', '<NUM>', 'g') AS clean
+        |FROM events ORDER BY event_id""".stripMargin,
     "text_chunk" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w

@@ -240,4 +240,29 @@ class OperatorSpec extends SparkSpec {
       assert(!r.getTimestamp(3).after(r.getTimestamp(2)))
     }
   }
+
+  test("text_pii_scrub leaves no digits or emails in the clean column") {
+    val rows = SparkEntry.queries("text_pii_scrub")(spark, sf)
+      .select("clean").collect().map(_.getString(0))
+    assert(rows.nonEmpty)
+    rows.foreach { s =>
+      assert(!s.exists(_.isDigit), s"digits survived the scrub: $s")
+      assert(!s.contains("@"), s"email survived the scrub: $s")
+      assert(s.contains("<EMAIL>") && s.contains("<IP>"), s)
+    }
+  }
+
+  test("dedup_substring flags the near-dup region, not the background") {
+    val flagged = SparkEntry.queries("dedup_substring")(spark, sf)
+      .filter(col("flag_dup")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val pairDocs = SparkEntry.queries("dedup_minhash")(spark, sf)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+      .collect().map(_.getLong(0)).toSet
+    val n = Tables.t(spark, sf, "documents").count()
+    assert(flagged.nonEmpty && flagged.size < n,
+      s"flag_dup must split the corpus: ${flagged.size} of $n")
+    assert(pairDocs.subsetOf(flagged),
+      s"near-dup docs not flagged: ${(pairDocs -- flagged).take(5)}")
+  }
 }
