@@ -25,7 +25,8 @@ object SparkEntry {
     (Dedup.queries, Dedup.oracle),
     (Similarity.queries, Similarity.oracle),
     (TextOps.queries, TextOps.oracle),
-    (Multimodal.queries, Multimodal.oracle))
+    (Multimodal.queries, Multimodal.oracle),
+    (Lakehouse.queries, Lakehouse.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lakehouse-maintenance operators: CDC upsert (MERGE), SCD2 history build,
+  * and Z-order clustering. The reference harness's job surface is
+  * settings -> transform -> write (`core.py:84-110`); these are the
+  * transforms a table-maintenance job at 100 TB actually runs.
+  *
+  * Scale design: every operator here is one key-shuffle (or pure
+  * projection + range exchange for Z-order) — no driver loops, no pair
+  * joins. MERGE is the tagged-union + per-key arg-min plan: at 100 TB a
+  * lakehouse would first prune to the touched files; the per-key decision
+  * step is exactly this window.
+  */
+object Lakehouse {
+  import Tables._
+
+  /** Morton (Z-order) interleave of two 16-bit values, generated as SQL
+    * arithmetic so the Spark expression and the DuckDB oracle share one
+    * definition. Inputs are min-max-normalized onto the 16-bit grid by
+    * [[zInputs]] (see its scaladoc for why that is load-bearing).
+    */
+  private def morton(shiftR: (String, Int) => String,
+      shiftL: (String, Int) => String): String =
+    (0 until 16).map { i =>
+      val ck = shiftL(s"(${shiftR("ck", i)} & 1)", 2 * i)
+      val dy = shiftL(s"(${shiftR("dy", i)} & 1)", 2 * i + 1)
+      s"$ck + $dy"
+    }.mkString("(", " + ", ")")
+
+  private[graft] val mortonSpark: String =
+    morton((c, i) => s"shiftright($c, $i)", (c, i) => s"shiftleft($c, $i)")
+  private val mortonDuck: String =
+    morton((c, i) => s"($c >> $i)", (c, i) => s"($c << $i)")
+
+  /** orders with min-max-normalized Z-order inputs: ck/dy are custkey and
+    * epoch day rescaled onto the full 16-bit grid. Normalization is NOT
+    * optional: raw custkey (0..15k) and epoch day (~9k..11.5k) have
+    * mismatched effective bit widths, so interleaving the raw values lets
+    * the day's high bits dominate every comparison and the "Z-order"
+    * degenerates into a plain date sort (the first cut of this operator
+    * did exactly that — caught by the clustering-quality spec). Production
+    * Z-order (e.g. Delta OPTIMIZE ZORDER BY) range-normalizes each column
+    * first for the same reason. The stats pass is one O(1)-output
+    * aggregate, broadcast back — free at any table size.
+    */
+  private[graft] def zInputs(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("ckr"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+          .cast("long").as("dyr"))
+    val stats = base.agg(min("ckr").as("ck0"), max("ckr").as("ck1"),
+      min("dyr").as("dy0"), max("dyr").as("dy1"))
+    base.crossJoin(broadcast(stats))
+      .withColumn("ck", floor((col("ckr") - col("ck0")).cast("double")
+        * 65535.0 / (col("ck1") - col("ck0"))).cast("long"))
+      .withColumn("dy", floor((col("dyr") - col("dy0")).cast("double")
+        * 65535.0 / (col("dy1") - col("dy0"))).cast("long"))
+      .select("o_orderkey", "ck", "dy")
+  }
+
+  /** The synthetic CDC batch derived deterministically from the snapshot:
+    * every 7th key is an update (price + 100, status 'U'), every 97th key
+    * re-enters as a brand-new row (key + 10M, status 'N'). Shared by the
+    * operator and its oracle-construction comment — the operator under
+    * test is the MERGE plan, not the change feed.
+    */
+  private def changes(base: DataFrame): DataFrame = {
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+      .withColumn("o_orderstatus", lit("U"))
+    val inserts = base.filter(col("o_orderkey") % 97 === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        col("o_custkey"), lit("N").as("o_orderstatus"),
+        col("o_totalprice"))
+    updates.unionByName(inserts)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MERGE INTO (SCD1 upsert): source rows win per key, base rows survive
+    // otherwise. Plan: tag both sides, ONE shuffle on the key, per-key
+    // arg-min by priority — instead of the anti-join + union plan's two
+    // shuffles of the big side. Matched/not-matched never materializes as
+    // an intermediate.
+    "merge_upsert" -> { (s, d) =>
+      val base = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val tagged = changes(base).withColumn("prio", lit(0))
+        .unionByName(base.withColumn("prio", lit(1)))
+      val w = Window.partitionBy("o_orderkey").orderBy("prio")
+      tagged.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // SCD type-2 dimension build: collapse the per-user event stream into
+    // validity intervals wherever event_type changes. One window shuffle
+    // (user_id), ordered by (ts, event_id) so timestamp ties cannot make
+    // the history engine-arbitrary. valid_to IS NULL marks the open row.
+    "scd2_history" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_to", lead("ts", 1).over(w))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"))
+        .orderBy("user_id", "version")
+    },
+
+    // Z-order clustering key: bit-interleave (custkey, orderdate) so a
+    // range exchange on zval gives every output file a tight bounding box
+    // in BOTH dimensions — min/max skipping then prunes either predicate.
+    // The zval itself is a pure projection (32 codegen'd bit terms); the
+    // clustering quality is pinned by PlanSpec-style assertions in
+    // OperatorSpec (z-partition custkey span << date-sort custkey span).
+    "zorder_cluster" -> ((s, d) =>
+      zInputs(s, d)
+        .withColumn("zval", expr(mortonSpark))
+        .select("o_orderkey", "ck", "dy", "zval")
+        .orderBy("zval", "o_orderkey")
+        .limit(2000))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 100.0 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 7 = 0),
+        |ins AS (
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+        |    'N' AS o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 97 = 0),
+        |src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM src
+        |UNION ALL
+        |SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice
+        |FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM src s
+        |                  WHERE s.o_orderkey = b.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "scd2_history" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS version, event_type,
+        |  ts AS valid_from, lead(ts) OVER w AS valid_to
+        |FROM ch
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+    "zorder_cluster" ->
+      s"""WITH b AS (
+         |  SELECT o_orderkey, o_custkey AS ckr,
+         |    CAST(datediff('day', DATE '1970-01-01',
+         |      CAST(o_orderdate AS DATE)) AS BIGINT) AS dyr
+         |  FROM orders),
+         |st AS (SELECT min(ckr) AS ck0, max(ckr) AS ck1,
+         |       min(dyr) AS dy0, max(dyr) AS dy1 FROM b),
+         |z AS (
+         |  SELECT o_orderkey,
+         |    CAST(floor((ckr - ck0) * 65535.0 / (ck1 - ck0)) AS BIGINT)
+         |      AS ck,
+         |    CAST(floor((dyr - dy0) * 65535.0 / (dy1 - dy0)) AS BIGINT)
+         |      AS dy
+         |  FROM b CROSS JOIN st)
+         |SELECT o_orderkey, ck, dy, $mortonDuck AS zval
+         |FROM z ORDER BY zval, o_orderkey LIMIT 2000""".stripMargin
+  )
+}

@@ -172,7 +172,34 @@ object Similarity {
           row_number().over(wTop).cast("long").as("rnk"))
         .filter(col("rnk") <= TopK)
         .orderBy("q_id", "rnk")
-    }
+    },
+
+    // int8 scalar quantization — the storage-side companion to ANN: each
+    // vector compresses 4x (float32 -> uint8 codes + 2 doubles), with the
+    // per-vector max reconstruction error reported. Pure projection (the
+    // lambdas run inside codegen, no shuffle) — at 100 TB this is a
+    // map-only re-encode pass. The quantization grid ((x-lo)/(hi-lo)*255)
+    // is plain IEEE double arithmetic, identical in DuckDB, so even the
+    // error column is hash-checkable.
+    "embedding_quantize" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("lo", expr("array_min(v)"))
+        .withColumn("hi", expr("array_max(v)"))
+        .withColumn("codes", expr(
+          "transform(v, x -> CAST(round((x - lo) / (hi - lo) * 255) AS INT))"))
+        .select(col("vec_id"),
+          round(col("lo"), 6).as("lo"),
+          round(col("hi"), 6).as("hi"),
+          expr("aggregate(codes, CAST(0 AS BIGINT), (a, c) -> a + c)")
+            .as("code_sum"),
+          expr("""round(aggregate(
+            |  transform(sequence(1, size(v)),
+            |    i -> abs(v[i - 1] - (lo + codes[i - 1] * (hi - lo) / 255))),
+            |  CAST(0 AS DOUBLE), (a, e) -> greatest(a, e)), 6)""".stripMargin)
+            .as("max_err"))
+        .orderBy("vec_id"))
   )
 
   private val duckVectors =
@@ -237,6 +264,20 @@ object Similarity {
          |  WHERE a.vec_id <> p.q_id)
          |SELECT q_id, n_id, cos, rnk FROM r WHERE rnk <= $TopK
          |ORDER BY q_id, rnk""".stripMargin
-    }
+    },
+    "embedding_quantize" ->
+      s"""WITH e AS ($duckVectors),
+         |b AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi
+         |      FROM e),
+         |c AS (SELECT vec_id, v, lo, hi,
+         |  list_transform(v,
+         |    x -> CAST(round((x - lo) / (hi - lo) * 255) AS INT)) AS codes
+         |  FROM b)
+         |SELECT vec_id, round(lo, 6) AS lo, round(hi, 6) AS hi,
+         |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+         |  round(list_max(list_transform(generate_series(1, len(v)),
+         |    i -> abs(v[i] - (lo + codes[i] * (hi - lo) / 255)))), 6)
+         |    AS max_err
+         |FROM c ORDER BY vec_id""".stripMargin
   )
 }

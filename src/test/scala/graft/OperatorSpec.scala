@@ -252,6 +252,27 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("zorder_cluster: z-ranged files bound custkey far tighter than " +
+      "date-sort") {
+    // the point of Z-ordering: range-partition by zval and EVERY partition
+    // gets a tight bounding box in BOTH dimensions, so min/max skipping
+    // prunes custkey predicates too — a date-sorted layout leaves the
+    // custkey span of every file at ~the full domain
+    val z = Lakehouse.zInputs(spark, sf)
+      .withColumn("zval", expr(Lakehouse.mortonSpark))
+    def avgCkSpan(sortCol: String): Double = {
+      val spans = z.repartitionByRange(32, col(sortCol))
+        .select(col("ck"), spark_partition_id().as("pid"))
+        .groupBy("pid").agg((max("ck") - min("ck")).as("span"))
+        .collect().map(_.getAs[Long]("span").toDouble)
+      spans.sum / spans.length
+    }
+    val zSpan = avgCkSpan("zval")
+    val dSpan = avgCkSpan("dy")
+    assert(zSpan < 0.5 * dSpan,
+      s"z-layout custkey span $zSpan not tighter than date-sort $dSpan")
+  }
+
   test("dedup_substring flags the near-dup region, not the background") {
     val flagged = SparkEntry.queries("dedup_substring")(spark, sf)
       .filter(col("flag_dup")).select("doc_id").collect()
