@@ -79,6 +79,177 @@ object Analytics {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)),
 
+    // Q4-shaped: order-priority census over a quarter, counting only orders
+    // with at least one returned line. EXISTS becomes a left-semi join —
+    // the probe side never duplicates order rows however many lines match,
+    // and the returned-flag filter prunes the build side before the shuffle.
+    "q4_priority" -> { (s, d) =>
+      val lo = to_timestamp(lit("1997-01-01 00:00:00"))
+      val hi = to_timestamp(lit("1997-04-01 00:00:00"))
+      val returned = t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R").select("l_orderkey")
+      t(s, d, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Q6-shaped: the forecasting-revenue-change scan. Pure
+    // filter-and-aggregate — every predicate reaches the parquet scan as a
+    // pushed filter, no shuffle at all until the single-row final agg.
+    // The canonical "is pushdown working" probe at 100 TB.
+    "q6_forecast" -> { (s, d) =>
+      val lo = to_timestamp(lit("1997-01-01 00:00:00"))
+      val hi = to_timestamp(lit("1998-01-01 00:00:00"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi
+          && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(money(col("l_extendedprice")) * frac(col("l_discount")))
+          .cast("double").as("revenue"))
+    },
+
+    // Q7-shaped: bilateral shipping volume between two nations by year.
+    // The nation dimension joins twice (supplier side, customer side) —
+    // both broadcast — so the big tables shuffle only on their join keys.
+    "q7_nation_volume" -> { (s, d) =>
+      val n1 = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1"
+            && col("cust_nation") === "NATION_2")
+          || (col("supp_nation") === "NATION_2"
+            && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // Q8-shaped: one nation's market share inside a region for one part
+    // type, by year. The share is a ratio of two conditional exact-decimal
+    // sums — computed in one aggregate pass, not two query branches.
+    "q8_market_share" -> { (s, d) =>
+      val vol = discPrice(col("l_extendedprice"), col("l_discount"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "part").filter(col("p_type") === "PROMO"),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation"))
+          .select(col("n_nationkey").as("c_nk"), col("n_regionkey")),
+          col("c_nationkey") === col("c_nk"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .join(broadcast(t(s, d, "nation"))
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(money(lit(0)))).cast("double")
+          / sum(vol).cast("double")).as("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    // Q12-shaped (adapted: the fixture has no l_shipmode): late-shipment
+    // priority census — lines shipped in 1998 bucketed by linestatus,
+    // counting high- vs low-priority orders. One join, one agg shuffle.
+    "q12_priority_lines" -> { (s, d) =>
+      val lo = to_timestamp(lit("1998-01-01 00:00:00"))
+      val hi = to_timestamp(lit("1999-01-01 00:00:00"))
+      val high = col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH"
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+
+    // Q14-shaped: promotion revenue share for one month. The percentage is
+    // a conditional-sum ratio over the part join; part is the broadcast
+    // side, lineitem never shuffles (partial agg on the scan side of the
+    // single final 1-row reduction).
+    "q14_promo" -> { (s, d) =>
+      val lo = to_timestamp(lit("1997-09-01 00:00:00"))
+      val hi = to_timestamp(lit("1997-10-01 00:00:00"))
+      val vol = discPrice(col("l_extendedprice"), col("l_discount"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .join(broadcast(t(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg((sum(when(col("p_type") === "PROMO", vol)
+            .otherwise(money(lit(0)))).cast("double") * 100.0
+          / sum(vol).cast("double")).as("promo_revenue"))
+    },
+
+    // Q17-shaped: revenue impact of small-quantity orders for one brand.
+    // The correlated "l_quantity < 0.5 * avg per part" subquery becomes a
+    // per-part aggregate joined back — one extra shuffle of (partkey, avg)
+    // pairs instead of a rescan per row.
+    "q17_small_qty" -> { (s, d) =>
+      val brandLines = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").filter(col("p_brand") === "Brand#3")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      val avgQty = brandLines.groupBy(col("p_partkey").as("a_partkey"))
+        .agg((moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      brandLines
+        .join(avgQty, col("p_partkey") === col("a_partkey"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.5)
+        .agg((moneySum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+    },
+
+    // Q19-shaped: disjunctive brand × quantity-range revenue. The OR-of-
+    // ANDs predicate stays a single scan filter (no union of three
+    // branches) — Catalyst pushes the common p_partkey join key and the
+    // whole disjunction evaluates in one codegen stage.
+    "q19_disjunctive" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11))
+          || (col("p_brand") === "Brand#2"
+            && col("l_quantity").between(10, 20))
+          || (col("p_brand") === "Brand#3"
+            && col("l_quantity").between(20, 30)))
+        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+    },
+
+    // Q22-shaped: wealthy customers with no recent orders, by nation. The
+    // scalar avg subquery broadcasts one number; the "no orders" test is a
+    // left-anti join on the date-pruned orders scan.
+    "q22_idle_customers" -> { (s, d) =>
+      val cust = t(s, d, "customer")
+      val cutAvg = cust.filter(col("c_acctbal") > 0)
+        .agg((moneySum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+      val recent = t(s, d, "orders")
+        .filter(col("o_orderdate") >=
+          to_timestamp(lit("1999-01-01 00:00:00")))
+        .select("o_custkey")
+      cust.crossJoin(broadcast(cutAvg))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          moneySum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("c_nationkey")
+    },
+
     // event-funnel attribution over the stream table: per user, the first
     // view, the first click strictly after it, and the first purchase
     // strictly after that click. Three filtered per-user min-aggregates
@@ -124,6 +295,101 @@ object Analytics {
   )
 
   def oracle: Map[String, String] = Map(
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q6_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q7_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  year(l_shipdate) AS l_year,
+         |  ${sql.moneyVol} AS volume
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      s"""SELECT year(o_orderdate) AS o_year,
+         |  CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+         |      THEN ${sql.discPrice("l_extendedprice", "l_discount")}
+         |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         |  / ${sql.moneyVol} AS mkt_share
+         |FROM lineitem
+         |JOIN part     ON l_partkey = p_partkey
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN region   ON n1.n_regionkey = r_regionkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_priority_lines" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q14_promo" ->
+      s"""SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+         |      THEN ${sql.discPrice("l_extendedprice", "l_discount")}
+         |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+         |  / ${sql.moneyVol} AS promo_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+         |  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+    "q17_small_qty" ->
+      s"""WITH bl AS (
+         |  SELECT l_partkey, l_quantity, l_extendedprice
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand = 'Brand#3'),
+         |aq AS (
+         |  SELECT l_partkey AS a_partkey,
+         |    ${sql.moneySum("l_quantity")} / count(*) AS avg_qty
+         |  FROM bl GROUP BY 1)
+         |SELECT ${sql.moneySum("l_extendedprice")} / 7.0 AS avg_yearly
+         |FROM bl JOIN aq ON l_partkey = a_partkey
+         |WHERE l_quantity < avg_qty * 0.5""".stripMargin,
+    "q19_disjunctive" ->
+      s"""SELECT ${sql.moneyVol} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_idle_customers" ->
+      s"""WITH ab AS (
+         |  SELECT ${sql.moneySum("c_acctbal")} / count(*) AS avg_bal
+         |  FROM customer WHERE c_acctbal > 0)
+         |SELECT c_nationkey, count(*) AS numcust,
+         |  ${sql.moneySum("c_acctbal")} AS totacctbal
+         |FROM customer CROSS JOIN ab
+         |WHERE c_acctbal > avg_bal
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM orders
+         |    WHERE o_custkey = c_custkey
+         |      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "events_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS t_view FROM events

@@ -85,5 +85,8 @@ object Tables {
     def moneyAvg(c: String): String = s"${moneySum(c)} / count(*)"
     def discPrice(p: String, d: String): String =
       s"${money(p)} * CAST(1 - ${money(d)} AS DECIMAL(8,2))"
+    /** The TPC-H revenue term `sum(l_extendedprice * (1-l_discount))`. */
+    val moneyVol: String =
+      s"CAST(sum(${discPrice("l_extendedprice", "l_discount")}) AS DOUBLE)"
   }
 }
