@@ -26,7 +26,8 @@ object SparkEntry {
     (Similarity.queries, Similarity.oracle),
     (TextOps.queries, TextOps.oracle),
     (Multimodal.queries, Multimodal.oracle),
-    (Lakehouse.queries, Lakehouse.oracle))
+    (Lakehouse.queries, Lakehouse.oracle),
+    (TrainPrep.queries, TrainPrep.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -110,7 +110,10 @@ object Analytics {
           .cast("double").as("revenue"))
     },
 
-    // Q7-shaped: bilateral shipping volume between two nations by year.
+    // Q7-shaped: bilateral shipping volume among three nations by year
+    // (a two-nation pair is empty at sf0.001 — the fixture's trade graph
+    // is sparse at 6k lineitems, so the filter admits all ordered pairs
+    // over a 3-nation set to stay non-vacuous at every scale factor).
     // The nation dimension joins twice (supplier side, customer side) —
     // both broadcast — so the big tables shuffle only on their join keys.
     "q7_nation_volume" -> { (s, d) =>
@@ -124,10 +127,9 @@ object Analytics {
         .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(n1, col("s_nationkey") === col("s_nk"))
         .join(n2, col("c_nationkey") === col("c_nk"))
-        .filter((col("supp_nation") === "NATION_1"
-            && col("cust_nation") === "NATION_2")
-          || (col("supp_nation") === "NATION_2"
-            && col("cust_nation") === "NATION_1"))
+        .filter(col("supp_nation").isin("NATION_1", "NATION_2", "NATION_3")
+          && col("cust_nation").isin("NATION_1", "NATION_2", "NATION_3")
+          && col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
         .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
@@ -322,8 +324,9 @@ object Analytics {
          |JOIN supplier ON l_suppkey = s_suppkey
          |JOIN nation n1 ON s_nationkey = n1.n_nationkey
          |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         |WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+         |  AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+         |  AND n1.n_name <> n2.n_name
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q8_market_share" ->
       s"""SELECT year(o_orderdate) AS o_year,

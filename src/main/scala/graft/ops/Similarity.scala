@@ -174,6 +174,60 @@ object Similarity {
         .orderBy("q_id", "rnk")
     },
 
+    // two Lloyd iterations of k-means (k=8, deterministic seed centroids =
+    // the first 8 vectors) — the clustering pass that builds IVF coarse
+    // quantizers and corpus topic buckets. Per iteration: one broadcast
+    // argmax assignment (linear scan, no shuffle of vectors) and one
+    // per-dimension mean whose sums run in exact decimal so partial-agg
+    // merge order can never move a centroid by an ulp. The recompute
+    // shuffles (cluster, dim, sum) triples — k×dims rows, independent of
+    // corpus size — which is why Lloyd scales on Spark: the data never
+    // moves, only the sufficient statistics do.
+    "kmeans_lloyd" -> { (s, d) =>
+      val e = vectors(s, d)
+      val cent0 = broadcast(e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("v").as("cv")))
+      def assign(points: DataFrame, cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("c_id"))
+        points.crossJoin(cents)
+          .withColumn("ccos", expr("round(cosine_sim(v, cv), 6)"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
+      }
+      val a1 = assign(e, cent0)
+      // per-dim means in exact decimal: round(x,6) is lossless-decimal,
+      // the sum is associative, the final /count is one IEEE division
+      val means = a1.select(col("cluster"), posexplode(expr(
+          "transform(v, x -> CAST(round(x, 6) AS DECIMAL(12,6)))"))
+          .as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg((sum(col("x")).cast("double") / count(lit(1))).as("m"))
+      val cent1 = means.groupBy("cluster")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+          "p -> p.m)").as("cv"))
+        .select(col("cluster").as("c_id"), col("cv"))
+      val a2 = assign(e.select(col("vec_id"), col("v")), broadcast(cent1))
+      val n1 = a1.groupBy("cluster").agg(count(lit(1)).as("n_iter1"))
+      val n2 = a2.groupBy("cluster").agg(count(lit(1)).as("n_iter2"))
+      // checksum/norm from the means table (decimal sums), not a list
+      // fold — no dependence on either engine's list-reduction order
+      val stats = means.groupBy("cluster").agg(
+        sum(expr("CAST(round(m, 6) AS DECIMAL(12,6))")).cast("double")
+          .as("centroid_sum"),
+        round(sqrt(sum(expr("CAST(round(m, 6) AS DECIMAL(12,6)) * " +
+          "CAST(round(m, 6) AS DECIMAL(12,6))")).cast("double")), 6)
+          .as("centroid_norm"))
+      n1.join(n2, Seq("cluster"), "left")
+        .join(stats, Seq("cluster"))
+        .select(col("cluster"), col("n_iter1"),
+          coalesce(col("n_iter2"), lit(0L)).as("n_iter2"),
+          round(col("centroid_sum"), 6).as("centroid_sum"),
+          col("centroid_norm"))
+        .orderBy("cluster")
+    },
+
     // int8 scalar quantization — the storage-side companion to ANN: each
     // vector compresses 4x (float32 -> uint8 codes + 2 doubles), with the
     // per-vector max reconstruction error reported. Pure projection (the
@@ -264,6 +318,54 @@ object Similarity {
          |  WHERE a.vec_id <> p.q_id)
          |SELECT q_id, n_id, cos, rnk FROM r WHERE rnk <= $TopK
          |ORDER BY q_id, rnk""".stripMargin
+    },
+    // every Lloyd stage is deterministic SQL (fixed seeds, rounded-cosine
+    // argmax, exact-decimal dimension means), so both iterations hash-check
+    "kmeans_lloyd" -> {
+      def cos(a: String, b: String) =
+        s"""round(list_dot_product($a, $b) /
+           |    (sqrt(list_dot_product($a, $a))
+           |     * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+      s"""WITH e AS ($duckVectors),
+         |cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+         |a1 AS (
+         |  SELECT vec_id, v, c_id AS cluster FROM (
+         |    SELECT e.vec_id, e.v, cent0.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.v", "cent0.cv")} DESC, cent0.c_id) AS rn
+         |    FROM e CROSS JOIN cent0) WHERE rn = 1),
+         |dims AS (
+         |  SELECT cluster, unnest(generate_series(1, len(v))) AS pos, v
+         |  FROM a1),
+         |m AS (
+         |  SELECT cluster, pos,
+         |    CAST(sum(CAST(round(v[pos], 6) AS DECIMAL(12,6))) AS DOUBLE)
+         |      / count(*) AS m
+         |  FROM dims GROUP BY 1, 2),
+         |c1 AS (SELECT cluster AS c_id, list(m ORDER BY pos) AS cv
+         |       FROM m GROUP BY 1),
+         |a2 AS (
+         |  SELECT vec_id, c_id AS cluster FROM (
+         |    SELECT e.vec_id, c1.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.v", "c1.cv")} DESC, c1.c_id) AS rn
+         |    FROM e CROSS JOIN c1) WHERE rn = 1),
+         |n1 AS (SELECT cluster, count(*) AS n_iter1 FROM a1 GROUP BY 1),
+         |n2 AS (SELECT cluster, count(*) AS n_iter2 FROM a2 GROUP BY 1),
+         |st AS (
+         |  SELECT cluster,
+         |    CAST(sum(CAST(round(m, 6) AS DECIMAL(12,6))) AS DOUBLE)
+         |      AS centroid_sum,
+         |    round(sqrt(CAST(sum(CAST(round(m, 6) AS DECIMAL(12,6))
+         |      * CAST(round(m, 6) AS DECIMAL(12,6))) AS DOUBLE)), 6)
+         |      AS centroid_norm
+         |  FROM m GROUP BY 1)
+         |SELECT n1.cluster AS cluster, n_iter1,
+         |  COALESCE(n_iter2, 0) AS n_iter2,
+         |  round(centroid_sum, 6) AS centroid_sum, centroid_norm
+         |FROM n1 LEFT JOIN n2 ON n1.cluster = n2.cluster
+         |JOIN st ON n1.cluster = st.cluster
+         |ORDER BY cluster""".stripMargin
     },
     "embedding_quantize" ->
       s"""WITH e AS ($duckVectors),

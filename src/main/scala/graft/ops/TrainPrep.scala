@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-batch preparation operators: sequence packing (concat-and-chunk
+  * into fixed context windows) and benchmark-contamination detection — the
+  * two corpus-level passes that run after dedup/quality filtering and before
+  * a corpus ships to the trainer.
+  *
+  * Scale design: packing is one window shuffle over (shard, doc_id) — the
+  * global-cumsum formulation would serialize the whole corpus through a
+  * single partition, so packing is sharded by hash exactly like a real
+  * multi-worker packer (each worker packs its shard independently).
+  * Contamination is an inverted-index equi-join on the n-gram string with
+  * the (small) eval side broadcast — never a doc × doc comparison.
+  */
+object TrainPrep {
+  import Tables._
+
+  /** Context-window length in tokens for `pack_sequences`. */
+  val ContextLen = 256
+
+  /** Shard count for the packer: at 100 TB this is the number of
+    * independent packing streams (one per writer task), here sized so the
+    * fixture exercises multi-row shards at every scale factor.
+    */
+  val PackShards = 32
+
+  /** N-gram width for the contamination check: 5-grams are the common
+    * "verbatim leak" width — short enough to catch partial quotes, long
+    * enough that chance collisions are rare.
+    */
+  val ContamN = 5
+
+  private def toks(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+
+  /** Distinct word n-grams per doc, as strings (the join key). */
+  private def grams(df: DataFrame): DataFrame =
+    df.filter(size(col("toks")) >= ContamN)
+      .withColumn("gram", explode(array_distinct(expr(
+        s"""transform(sequence(0, size(toks) - $ContamN),
+           |  i -> concat_ws(' ', slice(toks, i + 1, $ContamN)))"""
+          .stripMargin))))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // concat-and-chunk sequence packing: docs are laid end-to-end in
+    // doc_id order within a hash shard; each doc records the context
+    // window (bin) and offset where it starts. One window shuffle on
+    // (shard), prefix-sum per shard — the plan a 1000-writer packer runs,
+    // with each writer owning one shard.
+    "pack_sequences" -> { (s, d) =>
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+      toks(s, d)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(PackShards))
+          .cast("long").as("shard"), size(col("toks")).cast("long")
+          .as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("shard"), col("n_tok"),
+          floor((col("cum") - col("n_tok")) / ContextLen).as("bin_id"),
+          ((col("cum") - col("n_tok")) % ContextLen).as("bin_offset"))
+        .orderBy("doc_id")
+    },
+
+    // benchmark-contamination scan: eval set = every 7th doc; a train doc
+    // is contaminated if it shares any 5-gram with any eval doc. The eval
+    // modulus is 7 (not something sparser) so the fixture's planted
+    // near-dup groups straddle the split and the check exercises real
+    // hits. The join key is the n-gram itself (inverted index), eval side
+    // broadcast — candidate work is proportional to shared n-grams, never
+    // |train| × |eval|.
+    "contamination_check" -> { (s, d) =>
+      val tk = toks(s, d)
+      val evalGrams = broadcast(
+        grams(tk.filter(col("doc_id") % 7 === 0))
+          .select(col("doc_id").as("eval_id"), col("gram")))
+      grams(tk.filter(col("doc_id") % 7 =!= 0))
+        .select(col("doc_id"), col("gram"))
+        .join(evalGrams, "gram")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gram")).as("n_shared_grams"),
+          countDistinct(col("eval_id")).as("n_eval_docs"))
+        .orderBy("doc_id")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "pack_sequences" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, doc_id % $PackShards AS shard,
+         |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+         |      AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+         |  FROM tk)
+         |SELECT doc_id, shard, n_tok,
+         |  CAST(floor((cum - n_tok) / $ContextLen) AS BIGINT) AS bin_id,
+         |  (cum - n_tok) % $ContextLen AS bin_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "contamination_check" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(w) - ${ContamN - 1}),
+         |    i -> array_to_string(list_slice(w, i, i + ${ContamN - 1}),
+         |           ' ')))) AS gram
+         |  FROM tk WHERE len(w) >= $ContamN)
+         |SELECT t.doc_id, count(DISTINCT t.gram) AS n_shared_grams,
+         |  count(DISTINCT e.doc_id) AS n_eval_docs
+         |FROM g t JOIN g e ON t.gram = e.gram
+         |WHERE t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+  )
+}

@@ -64,6 +64,25 @@ class GoldenSpec extends SparkSpec {
     }
   }
 
+  test("round-4 analytics and train-prep operators pin sf0.001 row counts") {
+    val expected = Map(
+      "q4_priority" -> 5L,
+      "q6_forecast" -> 1L,
+      "q7_nation_volume" -> 14L,
+      "q8_market_share" -> 7L,
+      "q12_priority_lines" -> 2L,
+      "q14_promo" -> 1L,
+      "q17_small_qty" -> 1L,
+      "q19_disjunctive" -> 1L,
+      "q22_idle_customers" -> 2L,
+      "pack_sequences" -> 500L,
+      "contamination_check" -> 11L,
+      "kmeans_lloyd" -> 8L)
+    expected.foreach { case (k, n) =>
+      assert(SparkEntry.queries(k)(spark, sf).count() == n, k)
+    }
+  }
+
   test("join_cross pins the 125-row cartesian") {
     assert(SparkEntry.queries("join_cross")(spark, sf).count() == 125L)
   }

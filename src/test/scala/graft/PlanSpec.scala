@@ -125,6 +125,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q6's predicates all reach the parquet scan") {
+    val df = SparkEntry.queries("q6_forecast")(spark, sf)
+    val p = plan(df)
+    // read the scan's pushed filters directly — the plan's toString
+    // truncates the PushedFilters list at ~100 chars (sparkPlan, not
+    // executedPlan: the AQE wrapper hides its subtree from collectLeaves)
+    val pushed = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata("PushedFilters")
+    }.mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    assert(pushed.contains("LessThan(l_quantity,24.0)"), pushed)
+    // only the four referenced columns are read from a 11-column table
+    assert(p.contains("ReadSchema: struct<l_quantity:double," +
+      "l_extendedprice:double,l_discount:double,l_shipdate:timestamp"), p)
+  }
+
+  test("contamination_check broadcasts the eval-side gram index") {
+    val p = plan(SparkEntry.queries("contamination_check")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("kmeans_lloyd never shuffles vectors — only (cluster,dim) stats") {
+    val p = plan(SparkEntry.queries("kmeans_lloyd")(spark, sf))
+    // assignments are broadcast nested-loop free: both argmax passes are
+    // broadcast joins against the (tiny) centroid set
+    assert(!p.contains("CartesianProduct"), p)
+    // the mean recompute shuffles exploded (cluster, pos, x) triples with
+    // map-side partial sums
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("stream_static_join broadcasts the dim side") {
     val p = plan(SparkEntry.queries("stream_static_join")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
