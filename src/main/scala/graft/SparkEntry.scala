@@ -27,7 +27,8 @@ object SparkEntry {
     (TextOps.queries, TextOps.oracle),
     (Multimodal.queries, Multimodal.oracle),
     (Lakehouse.queries, Lakehouse.oracle),
-    (TrainPrep.queries, TrainPrep.oracle))
+    (TrainPrep.queries, TrainPrep.oracle),
+    (Graph.queries, Graph.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the customer–supplier trade graph (an edge per
+  * distinct customer/supplier trading pair, undirected by doubling).
+  *
+  * PageRank here is the FIXED-ITERATION formulation: three unrolled
+  * power-iteration rounds built as one declarative plan — no driver-side
+  * loop state, no collect. Per round the data movement is exactly one
+  * shuffle of (dst, contribution) pairs followed by a keyed aggregate; the
+  * edge list itself is scan-static and Catalyst reuses its exchange across
+  * rounds. That is the scale shape: at 100 TB the edges stream through
+  * unchanged and only (node, rank) pairs — O(V), not O(E) — materialize
+  * between rounds. (dedup_connected covers the converge-or-throw iterative
+  * pattern; this one pins the fixed-budget variant that search/feed
+  * pipelines actually run, where the iteration count is an SLA knob.)
+  *
+  * Determinism: rank/out-degree divisions happen in IEEE double (same
+  * inputs ⇒ same bits on both engines), but every cross-row SUM of those
+  * contributions runs in exact decimal after a lossless round — partial-agg
+  * merge order can never move a rank by an ulp (Tables.scala discipline).
+  */
+object Graph {
+  import Tables._
+
+  /** Power-iteration rounds (unrolled — each is one join + one agg). */
+  val Iters = 3
+
+  /** Damping factor, the standard 0.85. */
+  val Damping = 0.85
+
+  /** Supplier node-id offset so customer and supplier key spaces cannot
+    * collide in one node column.
+    */
+  val SuppOffset = 10000000L
+
+  /** Distinct undirected trade edges: customer c bought from supplier s
+    * (via any lineitem) ⇒ edges c→s' and s'→c with s' = s + offset.
+    */
+  private[graft] def edges(s: SparkSession, d: String): DataFrame = {
+    val pairs = t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"),
+        (col("l_suppkey") + SuppOffset).as("sp"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("sp").as("dst"))
+      .unionAll(pairs.select(col("sp").as("src"), col("c").as("dst")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // three PageRank rounds over the trade graph; top 50 nodes by rank.
+    // Every node appears in the edge list (undirected doubling ⇒ no
+    // dangling mass), so rank mass is conserved up to the damping leak.
+    "graph_pagerank" -> { (s, d) =>
+      val e = edges(s, d)
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nodes = deg.select(col("src").as("node"), col("deg"))
+      val n = nodes.agg(count(lit(1)).as("n_nodes"))
+      // r0 = 1/N for every node; each round r' = (1-d)/N + d * Σ r/deg
+      // over in-edges, the Σ in exact decimal over round(·,14) terms
+      val init = nodes.crossJoin(broadcast(n))
+        .select(col("node"), col("deg"), col("n_nodes"),
+          (lit(1.0) / col("n_nodes")).as("rank"))
+      val ranked = (1 to Iters).foldLeft(init) { (r, _) =>
+        val contrib = r.join(e, col("node") === col("src"))
+          .select(col("dst"),
+            expr("CAST(round(rank / deg, 14) AS DECIMAL(28,14))").as("w"))
+        contrib.groupBy("dst").agg(sum(col("w")).cast("double").as("in_sum"))
+          .join(nodes, col("dst") === col("node"))
+          .crossJoin(broadcast(n))
+          .select(col("node"), col("deg"), col("n_nodes"),
+            ((lit(1.0) - lit(Damping)) / col("n_nodes")
+              + lit(Damping) * col("in_sum")).as("rank"))
+      }
+      ranked
+        .select(col("node"),
+          when(col("node") >= SuppOffset, "supplier").otherwise("customer")
+            .as("kind"),
+          col("deg"), round(col("rank") * 1e6, 6).as("rank_ppm"))
+        .orderBy(col("rank_ppm").desc, col("node"))
+        .limit(50)
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "graph_pagerank" -> {
+      // one CTE per unrolled round, mirroring the Spark plan stage-for-stage
+      val rounds = (1 to Iters).map { i =>
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""r$i AS (
+           |  SELECT n.node, n.deg, n.n_nodes,
+           |    (CAST(1.0 AS DOUBLE) - CAST($Damping AS DOUBLE)) / n.n_nodes
+           |      + CAST($Damping AS DOUBLE) * CAST(s.in_sum AS DOUBLE)
+           |      AS rank
+           |  FROM (SELECT e.dst,
+           |          sum(CAST(round(p.rank / p.deg, 14) AS DECIMAL(28,14)))
+           |            AS in_sum
+           |        FROM $prev p JOIN e ON p.node = e.src
+           |        GROUP BY e.dst) s
+           |  JOIN nodes n ON s.dst = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS sp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (
+         |  SELECT c AS src, sp AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT sp AS src, c AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |nodes AS (
+         |  SELECT src AS node, deg,
+         |    (SELECT count(*) FROM deg) AS n_nodes
+         |  FROM deg),
+         |r0 AS (
+         |  SELECT node, deg, n_nodes, CAST(1.0 AS DOUBLE) / n_nodes AS rank
+         |  FROM nodes),
+         |$rounds
+         |SELECT node,
+         |  CASE WHEN node >= $SuppOffset THEN 'supplier' ELSE 'customer' END
+         |    AS kind,
+         |  deg, round(rank * 1e6, 6) AS rank_ppm
+         |FROM r$Iters
+         |ORDER BY rank_ppm DESC, node LIMIT 50""".stripMargin
+    }
+  )
+}

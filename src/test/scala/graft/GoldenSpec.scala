@@ -77,7 +77,8 @@ class GoldenSpec extends SparkSpec {
       "q22_idle_customers" -> 2L,
       "pack_sequences" -> 500L,
       "contamination_check" -> 11L,
-      "kmeans_lloyd" -> 8L)
+      "kmeans_lloyd" -> 8L,
+      "graph_pagerank" -> 50L)
     expected.foreach { case (k, n) =>
       assert(SparkEntry.queries(k)(spark, sf).count() == n, k)
     }

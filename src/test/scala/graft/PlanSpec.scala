@@ -159,6 +159,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("graph_pagerank rounds are keyed aggregates with map-side combine") {
+    val p = plan(SparkEntry.queries("graph_pagerank")(spark, sf))
+    assert(p.contains("partial_sum"), p)
+    // the only nested-loop joins are the 1-row n_nodes broadcasts
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("stream_static_join broadcasts the dim side") {
     val p = plan(SparkEntry.queries("stream_static_join")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
