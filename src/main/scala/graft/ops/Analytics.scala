@@ -276,6 +276,31 @@ object Analytics {
         .orderBy("user_id")
     },
 
+    // gap-based sessionization: a new session starts wherever a user's
+    // inter-event gap exceeds 30 minutes; sessions then aggregate to
+    // (events, duration). One window shuffle on user_id + one session-key
+    // agg — the batch twin of stream_session's session_window, and the
+    // standard event-log preprocessing step. Ordered by (ts, event_id) so
+    // timestamp ties cannot reorder the gap flags between engines.
+    "events_sessionize" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .select("user_id", "ts", "event_id")
+        .withColumn("gap_break",
+          when(col("ts").cast("long")
+            - lag(col("ts"), 1).over(w).cast("long") > 1800L, 1L)
+            .otherwise(lit(0L)))
+        .withColumn("session_n",
+          sum(col("gap_break")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_n")
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ts")).cast("long") - min(col("ts")).cast("long"))
+            .as("duration_s"))
+        .orderBy("user_id", "session_n")
+    },
+
     // cohort retention matrix: users bucketed by first-seen week, counted
     // in each later week they return. Two shuffles (first-seen agg, cohort
     // cell agg) plus one equi-join on user_id — the week columns are pure
@@ -411,6 +436,24 @@ object Analytics {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    "events_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN datediff('second',
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |        ts) > 1800
+        |      THEN 1 ELSE 0 END AS gap_break
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(gap_break) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_n
+        |  FROM o)
+        |SELECT user_id, session_n, count(*) AS n_events,
+        |  datediff('second', min(ts), max(ts)) AS duration_s
+        |FROM s GROUP BY user_id, session_n
+        |ORDER BY user_id, session_n""".stripMargin,
     "events_retention" ->
       """WITH e AS (
         |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk

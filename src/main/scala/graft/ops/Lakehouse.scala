@@ -114,6 +114,66 @@ object Lakehouse {
         .orderBy("user_id", "version")
     },
 
+    // compaction planning: bin-pack each partition's small files into
+    // target-size rewrite groups. "Files" are synthesized as (month,
+    // o_orderkey%20) slices of orders with a deterministic byte size; the
+    // operator under test is the planner — per-partition running sum +
+    // floor-divide group assignment, one window shuffle on the partition
+    // key. This is the metadata pass of OPTIMIZE/compaction: it touches
+    // file STATS (O(#files)), never data, which is why it stays cheap at
+    // 100 TB where #files ~ 10⁶ and data ~ 10¹⁴ bytes.
+    "compact_plan" -> { (s, d) =>
+      val files = t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("part"),
+          pmod(col("o_orderkey"), lit(20)).cast("long").as("file_id"))
+        .agg((count(lit(1)) * 120L).as("bytes"))
+      val w = Window.partitionBy("part").orderBy("file_id")
+      files
+        .withColumn("cum", sum(col("bytes")).over(w))
+        .select(to_date(col("part")).as("part"), col("file_id"),
+          col("bytes"),
+          floor((col("cum") - col("bytes")) / 65536L).as("rewrite_group"))
+        .orderBy("part", "file_id")
+    },
+
+    // snapshot diff (CDC between two table versions): version B applies
+    // the same deterministic change feed MERGE uses; the diff classifies
+    // every key as added / removed / changed / unchanged with one
+    // full-outer equi-join — the scale shape for "what changed between
+    // snapshots" (a lakehouse would first prune unchanged files by
+    // min/max stats; the per-key classify step is exactly this join).
+    "snapshot_diff" -> { (s, d) =>
+      val a = t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val b = {
+        val base = t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        val tagged = changes(base).withColumn("prio", lit(0))
+          .unionByName(base.withColumn("prio", lit(1)))
+        val w = Window.partitionBy("o_orderkey").orderBy("prio")
+        tagged.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          // every 101st key is deleted in version B so the 'removed'
+          // class is genuinely exercised (MERGE alone never removes)
+          .filter(col("o_orderkey") % 101 =!= 0)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      }
+      val av = a.select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st_a"), col("o_totalprice").as("pr_a"))
+      val bv = b.select(col("o_orderkey").as("k2"),
+        col("o_orderstatus").as("st_b"), col("o_totalprice").as("pr_b"))
+      av.join(bv, col("k") === col("k2"), "full_outer")
+        .select(coalesce(col("k"), col("k2")).as("o_orderkey"),
+          when(col("k").isNull, "added")
+            .when(col("k2").isNull, "removed")
+            .when(col("st_a") =!= col("st_b")
+              || col("pr_a") =!= col("pr_b"), "changed")
+            .otherwise("unchanged").as("change"))
+        .groupBy("change")
+        .agg(count(lit(1)).as("n_keys"))
+        .orderBy("change")
+    },
+
     // Z-order clustering key: bit-interleave (custkey, orderdate) so a
     // range exchange on zval gives every output file a tight bounding box
     // in BOTH dimensions — min/max skipping then prunes either predicate.
@@ -129,6 +189,49 @@ object Lakehouse {
   )
 
   def oracle: Map[String, String] = Map(
+    "compact_plan" ->
+      """WITH f AS (
+        |  SELECT date_trunc('month', o_orderdate) AS part,
+        |    o_orderkey % 20 AS file_id, count(*) * 120 AS bytes
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (
+        |  SELECT part, file_id, bytes,
+        |    sum(bytes) OVER (PARTITION BY part ORDER BY file_id) AS cum
+        |  FROM f)
+        |SELECT CAST(part AS DATE) AS part, file_id, bytes,
+        |  CAST(floor((cum - bytes) / 65536) AS BIGINT) AS rewrite_group
+        |FROM c ORDER BY part, file_id""".stripMargin,
+    "snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 100.0 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 7 = 0),
+        |ins AS (
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+        |    'N' AS o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 97 = 0),
+        |src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |b AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM base
+        |  WHERE NOT EXISTS (SELECT 1 FROM src s
+        |                    WHERE s.o_orderkey = base.o_orderkey)),
+        |bd AS (SELECT * FROM b WHERE o_orderkey % 101 <> 0),
+        |a AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |d AS (
+        |  SELECT CASE
+        |    WHEN a.o_orderkey IS NULL THEN 'added'
+        |    WHEN b.o_orderkey IS NULL THEN 'removed'
+        |    WHEN a.o_orderstatus <> b.o_orderstatus
+        |      OR a.o_totalprice <> b.o_totalprice THEN 'changed'
+        |    ELSE 'unchanged' END AS change
+        |  FROM a FULL OUTER JOIN bd b ON a.o_orderkey = b.o_orderkey)
+        |SELECT change, count(*) AS n_keys
+        |FROM d GROUP BY change ORDER BY change""".stripMargin,
     "merge_upsert" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

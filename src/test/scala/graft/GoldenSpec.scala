@@ -78,7 +78,10 @@ class GoldenSpec extends SparkSpec {
       "pack_sequences" -> 500L,
       "contamination_check" -> 11L,
       "kmeans_lloyd" -> 8L,
-      "graph_pagerank" -> 50L)
+      "graph_pagerank" -> 50L,
+      "compact_plan" -> 997L,
+      "snapshot_diff" -> 4L,
+      "events_sessionize" -> 946L)
     expected.foreach { case (k, n) =>
       assert(SparkEntry.queries(k)(spark, sf).count() == n, k)
     }
