@@ -276,6 +276,30 @@ object Analytics {
         .orderBy("user_id")
     },
 
+    // z-score anomaly scan: flag events whose value sits > 3σ from their
+    // event_type's mean. Mean/variance come from ONE pass of exact-decimal
+    // sufficient statistics (Σx, Σx², n — the agg_corr discipline) and
+    // broadcast back onto the stream — the two-pass-looking query is one
+    // tiny agg + one map-side join, linear at any log size.
+    "events_anomaly" -> { (s, d) =>
+      val ev = events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val stats = ev.groupBy(col("event_type").as("et"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("value"))).cast("double").as("sx"),
+          sum(money(col("value")) * money(col("value"))).cast("double")
+            .as("sxx"))
+        .select(col("et"), (col("sx") / col("n")).as("mean"),
+          sqrt(col("sxx") / col("n")
+            - (col("sx") / col("n")) * (col("sx") / col("n"))).as("sd"))
+      ev.join(broadcast(stats), col("event_type") === col("et"))
+        .withColumn("z", round((col("value") - col("mean")) / col("sd"), 6))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("z"))
+        .orderBy("event_id")
+    },
+
     // gap-based sessionization: a new session starts wherever a user's
     // inter-event gap exceeds 30 minutes; sessions then aggregate to
     // (events, duration). One window shuffle on user_id + one session-key
@@ -436,6 +460,20 @@ object Analytics {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    "events_anomaly" ->
+      s"""WITH st AS (
+         |  SELECT event_type AS et, count(*) AS n,
+         |    ${sql.moneySum("value")} AS sx,
+         |    CAST(sum(${sql.money("value")} * ${sql.money("value")})
+         |      AS DOUBLE) AS sxx
+         |  FROM events GROUP BY 1),
+         |m AS (SELECT et, sx / n AS mean,
+         |        sqrt(sxx / n - (sx / n) * (sx / n)) AS sd FROM st)
+         |SELECT event_id, event_type, value,
+         |  round((value - mean) / sd, 6) AS z
+         |FROM events JOIN m ON event_type = et
+         |WHERE abs(round((value - mean) / sd, 6)) > 3.0
+         |ORDER BY event_id""".stripMargin,
     "events_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id,

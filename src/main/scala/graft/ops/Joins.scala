@@ -19,6 +19,28 @@ object Joins {
   import Tables._
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // skew-salted join: the shuffle-join twin of agg_skew_salted. A hot
+    // key floods one reducer in a plain shuffle join; salting splits each
+    // key's rows across 16 reducers (salt = deterministic hash of a
+    // NON-KEY column) and replicates the small side once per salt, so the
+    // hot key's work spreads 16-ways at the cost of a 16x broadcast-side
+    // blowup — the manual form of what AQE skew-join does adaptively,
+    // spelled out because at 100 TB you often pre-salt in the write path.
+    // The result is the plain join (the oracle checks exactly that).
+    "join_skew_salted" -> { (s, d) =>
+      val big = t(s, d, "lineitem")
+        .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      val small = t(s, d, "supplier")
+        .withColumn("salt", explode(expr("sequence(0, 15)")))
+      big.join(small,
+          big("l_suppkey") === small("s_suppkey")
+            && big("salt") === small("salt"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_lines"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .orderBy("s_nationkey")
+    },
+
     "join_broadcast" -> ((s, d) =>
       t(s, d, "nation")
         .join(broadcast(t(s, d, "region")),
@@ -201,6 +223,12 @@ object Joins {
     s"CAST(sum(${sql.discPrice("l_extendedprice", "l_discount")}) AS DOUBLE)"
 
   def oracle: Map[String, String] = Map(
+    // the salted plan must produce exactly the PLAIN join's answer
+    "join_skew_salted" ->
+      s"""SELECT s_nationkey, count(*) AS n_lines,
+         |${sql.moneySum("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "join_broadcast" ->
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey

@@ -81,7 +81,9 @@ class GoldenSpec extends SparkSpec {
       "graph_pagerank" -> 50L,
       "compact_plan" -> 997L,
       "snapshot_diff" -> 4L,
-      "events_sessionize" -> 946L)
+      "events_sessionize" -> 946L,
+      "join_skew_salted" -> 10L,
+      "events_anomaly" -> 18L)
     expected.foreach { case (k, n) =>
       assert(SparkEntry.queries(k)(spark, sf).count() == n, k)
     }

@@ -159,6 +159,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("join_skew_salted keys the join on (suppkey, salt)") {
+    val o = optimized(SparkEntry.queries("join_skew_salted")(spark, sf))
+    assert(o.contains("salt"), o)
+    val p = plan(SparkEntry.queries("join_skew_salted")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("events_anomaly broadcasts the per-type stats back onto the scan") {
+    val p = plan(SparkEntry.queries("events_anomaly")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("graph_pagerank rounds are keyed aggregates with map-side combine") {
     val p = plan(SparkEntry.queries("graph_pagerank")(spark, sf))
     assert(p.contains("partial_sum"), p)
