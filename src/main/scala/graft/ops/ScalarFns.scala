@@ -35,6 +35,23 @@ object ScalarFns {
         concat(col("p_brand"), lit("#"), col("p_type")).as("cat"))
         .orderBy("p_partkey")),
 
+    // the regex function family beyond plain replace: group extraction,
+    // match counting, boolean match, group-referencing replacement. All
+    // patterns stay RE2-compatible (no backreferences, no lookaround) so
+    // DuckDB's regex engine agrees with the JVM's on every row — the same
+    // constraint text_pii_scrub documents.
+    "fn_regexp" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        regexp_extract(col("text"), "^(\\w+) (\\w+)", 2).as("second_word"),
+        size(expr("regexp_extract_all(text, '\\\\btable\\\\b', 0)"))
+          .cast("long").as("n_table"),
+        col("text").rlike("spark").as("mentions_spark"),
+        regexp_extract(col("text"), "(\\w+) merge", 1).as("before_merge"),
+        regexp_replace(substring(col("text"), 1, 60), "(key|row)", "[$1]")
+          .as("tagged"))
+        .orderBy("doc_id")),
+
     "fn_date" -> ((s, d) =>
       t(s, d, "orders").select(
         col("o_orderkey"),
@@ -208,6 +225,16 @@ object ScalarFns {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_regexp" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '^(\w+) (\w+)', 2) AS second_word,
+        |  CAST(len(regexp_extract_all(text, '\btable\b')) AS BIGINT)
+        |    AS n_table,
+        |  regexp_matches(text, 'spark') AS mentions_spark,
+        |  regexp_extract(text, '(\w+) merge', 1) AS before_merge,
+        |  regexp_replace(substring(text, 1, 60), '(key|row)', '[\1]', 'g')
+        |    AS tagged
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_string" ->
       """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
         |substring(p_name, 1, 5) AS sub, length(p_name) AS len,

@@ -122,6 +122,29 @@ object Scans {
     // raw text-lines source: one doc per line out, `spark.read.text` back,
     // then aggregate over the lines — the log-file / corpus-dump format
     // (fixture docs are single-line so the round-trip is lossless)
+    // schema evolution read: two parquet batches with different schemas
+    // (v2 adds a column) merged by mergeSchema — the lakehouse
+    // add-a-column path. Spark resolves the union schema from footers
+    // only (no data pass); v1 rows surface NULL for the added column.
+    // The aggregate proves rows from both schema generations coexist.
+    "schema_evolution" -> { (s, d) =>
+      val out = scratch("schema_evolution", d)
+      val ord = t(s, d, "orders")
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$out/batch=1")
+      ord.filter(col("o_orderkey") % 2 =!= 0)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$out/batch=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy(col("batch").cast("long").as("batch"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L))
+            .as("n_missing_priority"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("batch")
+    },
+
     "scan_text" -> { (s, d) =>
       val out = scratch("scan_text", d)
       t(s, d, "documents").select(col("text"))
@@ -186,6 +209,21 @@ object Scans {
   )
 
   def oracle: Map[String, String] = Map(
+    // mirrors the two-batch construction logically (the file round-trip
+    // is the Spark-side subject under test, like the convert_* ops)
+    "schema_evolution" ->
+      s"""WITH m AS (
+         |  SELECT o_orderkey, o_totalprice, CAST(1 AS BIGINT) AS batch,
+         |    CAST(NULL AS VARCHAR) AS pri
+         |  FROM orders WHERE o_orderkey % 2 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_totalprice, 2, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 2 <> 0)
+         |SELECT batch, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN pri IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_missing_priority,
+         |  ${sql.moneySum("o_totalprice")} AS sum_price
+         |FROM m GROUP BY batch ORDER BY batch""".stripMargin,
     "scan_parquet" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_orderkey < 1000

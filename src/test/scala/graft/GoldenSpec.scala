@@ -83,7 +83,9 @@ class GoldenSpec extends SparkSpec {
       "snapshot_diff" -> 4L,
       "events_sessionize" -> 946L,
       "join_skew_salted" -> 10L,
-      "events_anomaly" -> 18L)
+      "events_anomaly" -> 18L,
+      "schema_evolution" -> 2L,
+      "fn_regexp" -> 500L)
     expected.foreach { case (k, n) =>
       assert(SparkEntry.queries(k)(spark, sf).count() == n, k)
     }
