@@ -117,6 +117,50 @@ class QualityFilterJob(s: JobSettings) extends GenericEtl[JobSettings](s) {
     }
 }
 
+/** Compacts a small-file dataset: plans target file counts from the
+  * input's actual byte size (the `compact_plan` operator's metadata-first
+  * discipline), rewrites with that many files, and reports files/bytes
+  * before → after. The settings key `target_file_bytes` (default 128 MiB)
+  * is the only knob — the job derives everything else from the data.
+  */
+class CompactionJob(s: JobSettings) extends GenericEtl[JobSettings](s) {
+
+  private def stats(spark: SparkSession, dir: String): (Long, Long) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) (0L, 0L)
+    else {
+      // count DATA files only — a _SUCCESS marker is not a compaction
+      // input and would make files_out=1 read as 2
+      val files = fs.listStatus(p).filter(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+      (files.length.toLong, files.map(_.getLen).sum)
+    }
+  }
+
+  override def runJob(spark: SparkSession): JobResponse =
+    try {
+      val target = settings.extra.get("target_file_bytes")
+        .map(_.toLong).getOrElse(128L * 1024 * 1024)
+      val (filesIn, bytesIn) = stats(spark, settings.inputSource)
+      val nFiles = math.max(1L, (bytesIn + target - 1) / target).toInt
+      val df = spark.read.parquet(settings.inputSource)
+      // coalesce, not repartition: planning fewer files must not buy a
+      // full shuffle of the data — compaction is a rewrite, not a re-key
+      df.coalesce(nFiles).write.mode("overwrite")
+        .parquet(settings.outputDirectory)
+      val (filesOut, bytesOut) = stats(spark, settings.outputDirectory)
+      val n = spark.read.parquet(settings.outputDirectory).count()
+      JobResponse(200,
+        Some(s"compacted $filesIn files ($bytesIn B) into $filesOut " +
+          s"($bytesOut B), $n rows"),
+        Some(s"""{"rows": $n, "files_in": $filesIn, """ +
+          s""""files_out": $filesOut}"""))
+    } catch {
+      case e: Exception => JobResponse(500, Some(e.toString), None)
+    }
+}
+
 /** Re-encodes a dataset with a different parquet codec and reports the
   * before/after byte sizes (the "compression job" shape of the reference
   * ecosystem).

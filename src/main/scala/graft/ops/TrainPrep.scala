@@ -34,8 +34,11 @@ object TrainPrep {
     */
   val ContamN = 5
 
+  // corpus(), not a raw scan: the fixture file is one parquet row group,
+  // and contamination's gram explode would otherwise run on a single core
+  // (the Tables.corpus pitfall)
   private def toks(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
+    corpus(s, d)
       .withColumn("toks", split(lower(trim(col("text"))), " "))
 
   /** Distinct word n-grams per doc, as strings (the join key). */

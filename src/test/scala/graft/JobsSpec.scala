@@ -87,6 +87,23 @@ class JobsSpec extends SparkSpec {
     assert(r.data.exists(_.contains("\"rejected\"")), r)
   }
 
+  test("CompactionJob coalesces a many-file table and keeps every row") {
+    // build a deliberately fragmented input: 16 files for a tiny table
+    val frag = s"$out/frag_in"
+    spark.read.parquet(s"$sf/orders.parquet").repartition(16)
+      .write.mode("overwrite").parquet(frag)
+    val expected = spark.read.parquet(frag).count()
+    val job = new CompactionJob(JobSettings(frag, s"$out/frag_out",
+      Map("target_file_bytes" -> (64L * 1024 * 1024).toString)))
+    val r = job.runJob(spark)
+    assert(r.statusCode == 200, r)
+    val outFiles = new java.io.File(s"$out/frag_out").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(outFiles == 1, s"expected 1 compacted file, got $outFiles")
+    assert(spark.read.parquet(s"$out/frag_out").count() == expected)
+    assert(r.data.exists(_.contains("\"files_out\": 1")), r)
+  }
+
   test("CompressionJob re-encodes parquet and reports byte sizes") {
     val job = new CompressionJob(JobSettings(
       s"$sf/lineitem.parquet", s"$out/lineitem_zstd",
