@@ -121,6 +121,23 @@ object Windows {
         .orderBy("o_custkey", "rn")
     },
 
+    // the same top-3-per-customer answer computed by the custom
+    // whole-operator stack (graft.plans.TopKPerKey: logical node →
+    // strategy → bounded-heap physical operator, injected via
+    // GraftExtensions) instead of Exchange → Sort → Window → Filter.
+    // O(n log K) heaps, shuffle carries ≤ K rows per (key, partition);
+    // PlanSpec pins "no Sort, no Window" and OperatorSpec pins result ==
+    // the window formulation.
+    "win_topk_native" -> { (s, d) =>
+      graft.plans.TopKPerKey.topK(
+          t(s, d, "orders")
+            .select("o_custkey", "o_orderkey", "o_totalprice"),
+          Seq(col("o_custkey")),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .orderBy(col("o_custkey"),
+          col("o_totalprice").desc, col("o_orderkey"))
+    },
+
     // gaps-and-islands: runs of consecutive same-type events per user
     // (lag-compare marks run breaks, a running sum numbers the islands,
     // two aggregations summarize) — the behavioral-run analysis
@@ -220,6 +237,14 @@ object Windows {
         |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) ranked
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "win_topk_native" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) ranked
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "win_islands" ->
       """WITH marked AS (
         |  SELECT user_id, event_type, ts, event_id,

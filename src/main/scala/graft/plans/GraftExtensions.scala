@@ -35,5 +35,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       IntersectSize.info,
       (args: Seq[Expression]) => IntersectSize(args(0), args(1))))
     ext.injectOptimizerRule(_ => FuseIntersectSize)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

@@ -85,7 +85,8 @@ class GoldenSpec extends SparkSpec {
       "join_skew_salted" -> 10L,
       "events_anomaly" -> 18L,
       "schema_evolution" -> 2L,
-      "fn_regexp" -> 500L)
+      "fn_regexp" -> 500L,
+      "win_topk_native" -> 449L)
     expected.foreach { case (k, n) =>
       assert(SparkEntry.queries(k)(spark, sf).count() == n, k)
     }

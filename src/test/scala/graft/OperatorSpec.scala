@@ -273,6 +273,18 @@ class OperatorSpec extends SparkSpec {
       s"z-layout custkey span $zSpan not tighter than date-sort $dSpan")
   }
 
+  test("win_topk_native equals the row_number window formulation") {
+    val native = SparkEntry.queries("win_topk_native")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val window = SparkEntry.queries("win_topk_group")(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy(col("o_custkey"), col("o_totalprice").desc,
+        col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(native.sameElements(window),
+      s"native=${native.take(3).mkString(",")} window=${window.take(3).mkString(",")}")
+  }
+
   test("dedup_substring flags the near-dup region, not the background") {
     val flagged = SparkEntry.queries("dedup_substring")(spark, sf)
       .filter(col("flag_dup")).select("doc_id").collect()

@@ -179,6 +179,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("win_topk_native plans the custom heap operator — no Sort, no Window") {
+    val df = SparkEntry.queries("win_topk_native")(spark, sf)
+    val p = plan(df)
+    // SparkPlan.nodeName strips the Exec suffix in the rendering
+    assert(p.contains("TopKPerKey"), p)
+    // both phases present: partial (pre-shuffle) and final
+    assert("TopKPerKey \\[".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("Window"), p)
+    // the only sort allowed is the presentation ORDER BY above the
+    // operator — the operator subtree itself must not sort. Strip the
+    // top-level sort lines and check the remainder.
+    val body = p.linesIterator.dropWhile(l => !l.contains("TopKPerKey"))
+      .mkString("\n")
+    assert(!body.contains("Sort "), body)
+  }
+
   test("stream_static_join broadcasts the dim side") {
     val p = plan(SparkEntry.queries("stream_static_join")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
