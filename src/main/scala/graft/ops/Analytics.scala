@@ -276,6 +276,28 @@ object Analytics {
         .orderBy("user_id")
     },
 
+    // event-sequence transition matrix (the Markov-chain prep step for
+    // session modeling): consecutive event-type pairs per user, counted
+    // and normalized into transition probabilities. One window shuffle on
+    // user_id + one (prev, cur) agg; the probability denominator is a
+    // window over the tiny aggregated matrix, not a second scan.
+    "events_markov" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val wDenom = org.apache.spark.sql.expressions.Window
+        .partitionBy("prev")
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("cur"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast("double")
+          / sum(col("n")).over(wDenom), 6))
+        .orderBy("prev", "cur")
+    },
+
     // z-score anomaly scan: flag events whose value sits > 3σ from their
     // event_type's mean. Mean/variance come from ONE pass of exact-decimal
     // sufficient statistics (Σx, Σx², n — the agg_corr discipline) and
@@ -460,6 +482,19 @@ object Analytics {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    "events_markov" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT prev, event_type AS cur, count(*) AS n
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, cur, n,
+        |  round(CAST(n AS DOUBLE)
+        |    / sum(n) OVER (PARTITION BY prev), 6) AS p
+        |FROM m ORDER BY prev, cur""".stripMargin,
     "events_anomaly" ->
       s"""WITH st AS (
          |  SELECT event_type AS et, count(*) AS n,

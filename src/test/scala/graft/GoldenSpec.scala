@@ -86,7 +86,8 @@ class GoldenSpec extends SparkSpec {
       "events_anomaly" -> 18L,
       "schema_evolution" -> 2L,
       "fn_regexp" -> 500L,
-      "win_topk_native" -> 449L)
+      "win_topk_native" -> 449L,
+      "events_markov" -> 25L)
     expected.foreach { case (k, n) =>
       assert(SparkEntry.queries(k)(spark, sf).count() == n, k)
     }
