@@ -59,11 +59,27 @@ object Ablate {
     spark.conf.unset(excludeKey)
     require(fusedN == unfusedN, s"ablation mismatch: $fusedN vs $unfusedN")
 
+    // third ablation: the TopKPerKey custom operator vs the row_number
+    // window formulation, same table, same total order, same answer.
+    // Both paths run once untimed first — otherwise whichever goes first
+    // eats the codegen/JIT warmup and the ratio reports ordering, not
+    // operator cost.
+    SparkEntry.queries("win_topk_native")(spark, sfDir).count()
+    SparkEntry.queries("win_topk_group")(spark, sfDir).count()
+    val (nativeSec, nativeN) = time {
+      SparkEntry.queries("win_topk_native")(spark, sfDir).count()
+    }
+    val (windowSec, windowN) = time {
+      SparkEntry.queries("win_topk_group")(spark, sfDir).count()
+    }
+    require(nativeN == windowN, s"topk ablation mismatch: $nativeN vs $windowN")
+
     spark.stop()
     // Locale.ROOT: locale-dependent formatting could emit ',' decimals
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println(s"""{"metric":"lsh_vs_brute","lsh_sec":${num(lshSec)},"brute_sec":${num(bruteSec)},"speedup":${num(bruteSec / lshSec)},"lsh_pairs":$lshPairs,"brute_pairs":$brutePairs,"sf":"$sfDir"}""")
     println(s"""{"metric":"intersect_size_fusion","fused_sec":${num(fusedSec)},"unfused_sec":${num(unfusedSec)},"speedup":${num(unfusedSec / fusedSec)},"rows":$fusedN,"sf":"$sfDir"}""")
+    println(s"""{"metric":"topk_native_vs_window","native_sec":${num(nativeSec)},"window_sec":${num(windowSec)},"speedup":${num(windowSec / nativeSec)},"rows":$nativeN,"sf":"$sfDir"}""")
   }
 }
