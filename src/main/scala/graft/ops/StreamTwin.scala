@@ -73,6 +73,24 @@ object StreamTwin {
       graft.streaming.Streams.enrichWithDim(events(s, d), typeDim(s))
         .orderBy("category")),
 
+    // twin of the foreachBatch upsert sink: drive the SAME merge function
+    // (Streams.upsertCountsTo) through two deterministic "micro-batches"
+    // (even / odd event ids) and read the final state table — the
+    // accumulated counts must equal one plain GROUP BY over everything,
+    // which is what the oracle checks. StreamingSpec additionally drives
+    // the same function through a real writeStream.foreachBatch.
+    "stream_upsert_sink" -> { (s, d) =>
+      val dir = scratch("stream_upsert_sink", d)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      val ev = events(s, d)
+      val sink = graft.streaming.Streams.upsertCountsTo(dir) _
+      sink(ev.filter(col("event_id") % 2 === 0), 0L)
+      sink(ev.filter(col("event_id") % 2 =!= 0), 1L)
+      s.read.parquet(dir).orderBy("event_type")
+    },
+
     // twin of the stream-stream interval join (purchase attribution):
     // same join condition as Streams.purchaseAttribution
     "stream_join" -> { (s, d) =>
@@ -151,6 +169,9 @@ object StreamTwin {
       s"""SELECT user_id, count(*) AS n_events,
          |${sql.moneySum("value")} AS total_value, max(ts) AS last_ts
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_upsert_sink" ->
+      """SELECT event_type, count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_static_join" ->
       """SELECT category, count(*) AS cnt,
         |CAST(sum(CAST(value AS DECIMAL(18,2))

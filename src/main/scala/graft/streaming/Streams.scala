@@ -191,6 +191,34 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** foreachBatch upsert sink: merge each micro-batch's per-type counts
+    * into a parquet state table by read-union-reaggregate-swap — the
+    * foreachBatch escape hatch for targets without native streaming
+    * support (JDBC upserts, lakehouse MERGE). The swap goes through a
+    * temp directory so a crash mid-write never leaves a half-merged
+    * state table; counts sum exactly (longs), so replaying a batch with
+    * the same data is the only idempotency hazard — exactly the contract
+    * foreachBatch documents (batchId is provided for dedup; this demo
+    * state is count-additive).
+    */
+  def upsertCountsTo(dir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delta = batch.groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val merged =
+      if (fs.exists(p))
+        spark.read.parquet(dir).unionByName(delta)
+          .groupBy("event_type")
+          .agg(sum(col("cnt")).cast("long").as("cnt"))
+      else delta
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
+
   /** Convenience writer used by specs: stream to an in-memory table. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode)
     : org.apache.spark.sql.streaming.StreamingQuery =

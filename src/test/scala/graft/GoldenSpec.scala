@@ -87,7 +87,8 @@ class GoldenSpec extends SparkSpec {
       "schema_evolution" -> 2L,
       "fn_regexp" -> 500L,
       "win_topk_native" -> 449L,
-      "events_markov" -> 25L)
+      "events_markov" -> 25L,
+      "stream_upsert_sink" -> 5L)
     expected.foreach { case (k, n) =>
       assert(SparkEntry.queries(k)(spark, sf).count() == n, k)
     }

@@ -104,6 +104,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("foreachBatch upsert sink accumulates counts across micro-batches") {
+    val stateDir = "/root/repo/target/tmp/stream_upsert_spec"
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("event_id", "event_type")
+      .writeStream
+      .foreachBatch(Streams.upsertCountsTo(stateDir) _)
+      .outputMode(OutputMode.Append())
+      .start()
+    input.addData((1L, "view"), (2L, "view"), (3L, "click"))
+    q.processAllAvailable()
+    // state after batch 1: view=2, click=1
+    val after1 = spark.read.parquet(stateDir)
+      .as[(String, Long)].collect().toMap
+    assert(after1 == Map("view" -> 2L, "click" -> 1L), after1)
+    input.addData((4L, "view"), (5L, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    // state after batch 2 merges into batch 1's counts
+    val after2 = spark.read.parquet(stateDir)
+      .as[(String, Long)].collect().toMap
+    assert(after2 ==
+      Map("view" -> 3L, "click" -> 1L, "purchase" -> 1L), after2)
+  }
+
   test("stream-static dim join over readStream equals the batch twin") {
     val src = "/root/repo/target/tmp/stream_src/events_dim"
     val batch = graft.ops.Tables.events(spark, sf)
