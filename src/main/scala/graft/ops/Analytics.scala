@@ -164,6 +164,60 @@ object Analytics {
         .orderBy("o_year")
     },
 
+    // Q9-shaped (adapted: no partsupp cost column — "profit" is revenue
+    // less a fixed margin of retail price): profit by supplier nation and
+    // order year. Exercises the 5-way fact join with two broadcast dims
+    // and a compound aggregation key.
+    "q9_profit" -> { (s, d) =>
+      // margin term bounded to DECIMAL(8,2) factors so the product stays
+      // inside precision 38 on both engines (quantity <= 50 fits (8,2))
+      val profit = discPrice(col("l_extendedprice"), col("l_discount")) -
+        money(col("p_retailprice")) * frac(lit(0.4)) *
+        frac(col("l_quantity"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "part").filter(col("p_type") =!= "PROMO"),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(sum(profit).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // Q15-shaped: the top revenue supplier(s) per year. The "= max" scalar
+    // subquery becomes a rank window over the per-(year, supplier)
+    // aggregate — one shuffle each for the agg and the (tiny) window.
+    "q15_top_supplier" -> { (s, d) =>
+      val rev = t(s, d, "lineitem")
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("l_shipdate")).as("l_year"), col("s_suppkey"),
+          col("s_name"))
+        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("total_rev"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_year")
+        .orderBy(col("total_rev").desc, col("s_suppkey"))
+      rev.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select("l_year", "s_suppkey", "s_name", "total_rev")
+        .orderBy("l_year")
+    },
+
+    // Q16-shaped (adapted: no partsupp — supplier breadth comes from the
+    // lineitem fact): distinct suppliers serving each (brand, type)
+    // combination, widest first. countDistinct after a broadcast part
+    // join; the distinct expands map-side before the final shuffle.
+    "q16_parts_breadth" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").filter(col("p_size") >= 20)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+    },
+
     // Q12-shaped (adapted: the fixture has no l_shipmode): late-shipment
     // priority census — lines shipped in 1998 bucketed by linestatus,
     // counting high- vs low-priority orders. One join, one agg shuffle.
@@ -415,6 +469,39 @@ object Analytics {
          |JOIN nation n2 ON s_nationkey = n2.n_nationkey
          |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(8,2))
+        |    - CAST(p_retailprice AS DECIMAL(18,2))
+        |      * CAST(0.4 AS DECIMAL(8,2))
+        |      * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |WHERE p_type <> 'PROMO'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT year(l_shipdate) AS l_year, s_suppkey, s_name,
+         |    $revenue AS total_rev
+         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |  GROUP BY 1, 2, 3),
+         |r AS (
+         |  SELECT l_year, s_suppkey, s_name, total_rev,
+         |    row_number() OVER (PARTITION BY l_year
+         |      ORDER BY total_rev DESC, s_suppkey) AS rnk
+         |  FROM rev)
+         |SELECT l_year, s_suppkey, s_name, total_rev
+         |FROM r WHERE rnk = 1 ORDER BY l_year""".stripMargin,
+    "q16_parts_breadth" ->
+      """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size >= 20
+        |GROUP BY p_brand, p_type
+        |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin,
     "q12_priority_lines" ->
       """SELECT l_linestatus,
         |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')

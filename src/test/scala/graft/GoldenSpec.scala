@@ -88,7 +88,10 @@ class GoldenSpec extends SparkSpec {
       "fn_regexp" -> 500L,
       "win_topk_native" -> 449L,
       "events_markov" -> 25L,
-      "stream_upsert_sink" -> 5L)
+      "stream_upsert_sink" -> 5L,
+      "q9_profit" -> 70L,
+      "q15_top_supplier" -> 7L,
+      "q16_parts_breadth" -> 78L)
     expected.foreach { case (k, n) =>
       assert(SparkEntry.queries(k)(spark, sf).count() == n, k)
     }
