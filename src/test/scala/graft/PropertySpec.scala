@@ -40,6 +40,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopKPerKey == row_number window on random keyed data, random k") {
+    for (_ <- 1 to 10) {
+      val n = rnd.nextInt(400) + 50
+      val k = rnd.nextInt(5) + 1
+      val rows = List.fill(n)(
+        (rnd.nextInt(8).toLong, rnd.nextLong(), rnd.nextInt(100).toDouble))
+      val df = rows.toDF("key", "id", "score")
+        // spread across partitions so both the partial phase and the
+        // final merge genuinely run
+        .repartition(4)
+      val native = graft.plans.TopKPerKey.topK(df, Seq(col("key")),
+          Seq(col("score").desc, col("id")), k)
+        .orderBy(col("key"), col("score").desc, col("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(col("score").desc, col("id"))
+      val window = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .orderBy(col("key"), col("score").desc, col("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(native.sameElements(window), s"k=$k n=$n")
+    }
+  }
+
   test("union-all cardinality is additive; union-distinct is set union") {
     for (_ <- trials) {
       val a = List.fill(rnd.nextInt(40))(rnd.nextInt(21))
