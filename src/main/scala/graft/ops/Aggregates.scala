@@ -69,6 +69,30 @@ object Aggregates {
         .orderBy("l_returnflag")
     },
 
+    // per-group least-squares fit (price ~ quantity) from ONE pass of
+    // exact-decimal sufficient statistics — NOT the built-in regr_slope/
+    // regr_intercept, whose internal double sums are partition-order-
+    // dependent. Same n/Σx/Σy/Σxy/Σxx discipline as agg_corr; the final
+    // slope/intercept divisions are IEEE on already-exact inputs.
+    "agg_regression" -> { (s, d) =>
+      val x = money(col("l_quantity"))
+      val y = money(col("l_extendedprice"))
+      val n = col("n").cast("double")
+      val slope = (n * col("sxy") - col("sx") * col("sy")) /
+        (n * col("sxx") - col("sx") * col("sx"))
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum(x * y).cast("double").as("sxy"),
+          sum(x * x).cast("double").as("sxx"))
+        .select(col("l_returnflag"), col("n"),
+          round(slope, 6).as("slope"),
+          round((col("sy") - slope * col("sx")) / n, 6).as("intercept"))
+        .orderBy("l_returnflag")
+    },
+
     // arg-max/arg-min: the value of one column at another column's
     // extremum. The ordering key is tie-free by construction: c_custkey is
     // unique per group, and richest_key orders LEXICOGRAPHICALLY on
@@ -322,6 +346,25 @@ object Aggregates {
          |CAST(sum(${sql.money("l_quantity")})
          |  FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS "R"
          |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "agg_regression" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sxy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |           * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+        |    / CAST(n AS DOUBLE), 6) AS intercept
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "agg_corr" ->
       """WITH m AS (
         |  SELECT l_returnflag, count(*) AS n,

@@ -330,6 +330,26 @@ object Analytics {
         .orderBy("user_id")
     },
 
+    // top 3-step behavioral paths (sequence-mining lite): consecutive
+    // event-type triples per user ranked by frequency. Two lags in ONE
+    // window pass (same shuffle), then a path count + top-k — the
+    // "what do users do next" query over any event log.
+    "events_paths" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("t1", lag("event_type", 2).over(w))
+        .withColumn("t2", lag("event_type", 1).over(w))
+        .filter(col("t1").isNotNull)
+        .groupBy(concat_ws(" > ", col("t1"), col("t2"), col("event_type"))
+          .as("path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(25)
+    },
+
     // event-sequence transition matrix (the Markov-chain prep step for
     // session modeling): consecutive event-type pairs per user, counted
     // and normalized into transition probabilities. One window shuffle on
@@ -569,6 +589,17 @@ object Analytics {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    "events_paths" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 2) OVER w AS t1,
+        |    lag(event_type, 1) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT t1 || ' > ' || t2 || ' > ' || event_type AS path,
+        |  count(*) AS n
+        |FROM seq WHERE t1 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 25""".stripMargin,
     "events_markov" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

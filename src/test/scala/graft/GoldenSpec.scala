@@ -91,7 +91,9 @@ class GoldenSpec extends SparkSpec {
       "stream_upsert_sink" -> 5L,
       "q9_profit" -> 70L,
       "q15_top_supplier" -> 7L,
-      "q16_parts_breadth" -> 78L)
+      "q16_parts_breadth" -> 78L,
+      "agg_regression" -> 3L,
+      "events_paths" -> 25L)
     expected.foreach { case (k, n) =>
       assert(SparkEntry.queries(k)(spark, sf).count() == n, k)
     }
