@@ -42,6 +42,27 @@ object Multimodal {
           md5(col("payload")).as("digest"))
         .orderBy("doc_id")),
 
+    // audio-style overlapping window framing over binary payloads: 48-byte
+    // windows, stride 32 (50% overlap is the spectrogram/feature-window
+    // norm), per-window digest + energy proxy (sum of bytes — the real
+    // pipeline swaps in an FFT; the slicing/stride dataflow is identical).
+    // Pure projection + stepped generator, no shuffle.
+    "multimodal_audio_window" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("n_bytes", octet_length(col("text")).cast("long"))
+        .filter(col("n_bytes") >= 48)
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(0L, n_bytes - 48, 32L)")).as("off"))
+        .withColumn("win", expr("substring(text, CAST(off + 1 AS INT), 48)"))
+        .select(col("doc_id"), col("off"),
+          md5(col("win").cast("binary")).as("digest"),
+          expr("""aggregate(
+            |  transform(sequence(1, 48),
+            |    i -> CAST(ascii(substring(win, i, 1)) AS BIGINT)),
+            |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin)
+            .as("energy"))
+        .orderBy("doc_id", "off")),
+
     // frame sampling over binary payloads: treat the payload as fixed-size
     // 64-byte frames, keep every 4th, emit per-frame offsets + content
     // digests — the video-pipeline access pattern (seek + slice + hash) as
@@ -79,6 +100,22 @@ object Multimodal {
   )
 
   def oracle: Map[String, String] = Map(
+    "multimodal_audio_window" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
+        |  FROM documents WHERE octet_length(encode(text)) >= 48),
+        |w AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, n_bytes - 48, 32)) AS off, text
+        |  FROM d),
+        |win AS (
+        |  SELECT doc_id, CAST(off AS BIGINT) AS off,
+        |    substring(text, CAST(off + 1 AS INT), 48) AS w
+        |  FROM w)
+        |SELECT doc_id, off, md5(w) AS digest,
+        |  CAST(list_sum(list_transform(generate_series(1, 48),
+        |    i -> ascii(substring(w, i, 1)))) AS BIGINT) AS energy
+        |FROM win ORDER BY doc_id, off""".stripMargin,
     "multimodal_framesample" ->
       """WITH f AS (
         |  SELECT doc_id, text,

@@ -93,7 +93,8 @@ class GoldenSpec extends SparkSpec {
       "q15_top_supplier" -> 7L,
       "q16_parts_breadth" -> 78L,
       "agg_regression" -> 3L,
-      "events_paths" -> 25L)
+      "events_paths" -> 25L,
+      "multimodal_audio_window" -> 4296L)
     expected.foreach { case (k, n) =>
       assert(SparkEntry.queries(k)(spark, sf).count() == n, k)
     }
