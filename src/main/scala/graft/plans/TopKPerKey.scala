@@ -74,6 +74,13 @@ object TopKStrategy extends SparkStrategy {
   * before the exchange (any distribution) and caps what the shuffle
   * carries; the final instance requires clustering on the keys so each
   * key's survivors meet in one partition.
+  *
+  * Memory honesty: the heap table holds K rows per DISTINCT KEY in the
+  * partition and does not spill — the same residency class as hash
+  * aggregation state, and strictly smaller than the sort buffer the
+  * window formulation allocates (every row). A deployment with
+  * pathological key cardinality per partition sizes partitions exactly
+  * as it would for a group-by.
   */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
