@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       IntersectSize.info,
       (args: Seq[Expression]) => IntersectSize(args(0), args(1))))
     ext.injectOptimizerRule(_ => FuseIntersectSize)
+    ext.injectOptimizerRule(_ => RewriteWindowTopK)
     ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

@@ -195,6 +195,36 @@ class PlanSpec extends SparkSpec {
     assert(!body.contains("Sort "), body)
   }
 
+  test("RewriteWindowTopK: declarative rn<=k pattern auto-plans the heap " +
+      "operator when the rank is dropped") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val declarative = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice") // rank dropped
+    val p = plan(declarative)
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), p)
+    // and the rewrite changes nothing about the answer
+    val viaWindow = SparkEntry.queries("win_topk_group")(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "o_orderkey").collect().toSeq
+    val viaRule = declarative
+      .orderBy("o_custkey", "o_orderkey").collect().toSeq
+    assert(viaRule == viaWindow)
+  }
+
+  test("RewriteWindowTopK leaves the pattern alone when the rank survives") {
+    // win_topk_group SELECTS rn — the numbering is observable, so the
+    // rewrite must not fire and the plan keeps its Window
+    val p = plan(SparkEntry.queries("win_topk_group")(spark, sf))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("TopKPerKey"), p)
+  }
+
   test("stream_static_join broadcasts the dim side") {
     val p = plan(SparkEntry.queries("stream_static_join")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
