@@ -36,10 +36,14 @@ object TrainPrep {
 
   // corpus(), not a raw scan: the fixture file is one parquet row group,
   // and contamination's gram explode would otherwise run on a single core
-  // (the Tables.corpus pitfall)
+  // (the Tables.corpus pitfall). Cached (the Dedup.shingled pattern):
+  // contamination evaluates this subtree on both the train and the eval
+  // branch, and pack_sequences shares the identical plan — one
+  // materialization serves all three.
   private def toks(s: SparkSession, d: String): DataFrame =
     corpus(s, d)
       .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .cache()
 
   /** Distinct word n-grams per doc, as strings (the join key). */
   private def grams(df: DataFrame): DataFrame =
@@ -76,12 +80,13 @@ object TrainPrep {
     // broadcast — candidate work is proportional to shared n-grams, never
     // |train| × |eval|.
     "contamination_check" -> { (s, d) =>
-      val tk = toks(s, d)
-      val evalGrams = broadcast(
-        grams(tk.filter(col("doc_id") % 7 === 0))
-          .select(col("doc_id").as("eval_id"), col("gram")))
-      grams(tk.filter(col("doc_id") % 7 =!= 0))
-        .select(col("doc_id"), col("gram"))
+      // one gram explode over the whole corpus, cached — the train and
+      // eval branches are filters over the same materialization instead
+      // of two evaluations of the explode+distinct pipeline
+      val g = grams(toks(s, d)).select(col("doc_id"), col("gram")).cache()
+      val evalGrams = broadcast(g.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("eval_id"), col("gram")))
+      g.filter(col("doc_id") % 7 =!= 0)
         .join(evalGrams, "gram")
         .groupBy("doc_id")
         .agg(countDistinct(col("gram")).as("n_shared_grams"),
