@@ -286,6 +286,30 @@ object Analytics {
           .cast("double").as("revenue"))
     },
 
+    // Q21-shaped (adapted: no commit/receipt dates): suppliers who were
+    // the ONLY returned-line supplier on a multi-supplier order — one
+    // EXISTS (another supplier on the order) and one NOT EXISTS (another
+    // supplier with a returned line) against the same fact, the classic
+    // double-correlated shape. Both subqueries become aggregates over one
+    // per-order pass (count distinct suppliers total / with returns), so
+    // the fact scans once for the probe side and once for the stats.
+    "q21_waiting_supplier" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val orderStats = li.groupBy(col("l_orderkey").as("ok"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("l_returnflag") === "R",
+            col("l_suppkey"))).as("n_ret_supp"))
+      li.filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_suppkey").distinct()
+        .join(orderStats, col("l_orderkey") === col("ok"))
+        .filter(col("n_supp") >= 2 && col("n_ret_supp") === 1)
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(100)
+    },
+
     // Q22-shaped: wealthy customers with no recent orders, by nation. The
     // scalar avg subquery broadcasts one number; the "no orders" test is a
     // left-anti join on the date-pruned orders scan.
@@ -558,6 +582,23 @@ object Analytics {
          |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
          |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
          |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH st AS (
+        |  SELECT l_orderkey AS ok,
+        |    count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN l_returnflag = 'R'
+        |                        THEN l_suppkey END) AS n_ret_supp
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM r
+        |JOIN st ON l_orderkey = ok
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE n_supp >= 2 AND n_ret_supp = 1
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey LIMIT 100""".stripMargin,
     "q22_idle_customers" ->
       s"""WITH ab AS (
          |  SELECT ${sql.moneySum("c_acctbal")} / count(*) AS avg_bal

@@ -94,7 +94,8 @@ class GoldenSpec extends SparkSpec {
       "q16_parts_breadth" -> 78L,
       "agg_regression" -> 3L,
       "events_paths" -> 25L,
-      "multimodal_audio_window" -> 4296L)
+      "multimodal_audio_window" -> 4296L,
+      "q21_waiting_supplier" -> 10L)
     expected.foreach { case (k, n) =>
       assert(SparkEntry.queries(k)(spark, sf).count() == n, k)
     }
