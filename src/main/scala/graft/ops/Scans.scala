@@ -122,6 +122,38 @@ object Scans {
     // raw text-lines source: one doc per line out, `spark.read.text` back,
     // then aggregate over the lines — the log-file / corpus-dump format
     // (fixture docs are single-line so the round-trip is lossless)
+    // malformed-record handling: a CSV with planted corrupt rows read in
+    // PERMISSIVE mode — bad rows land in _corrupt_record instead of
+    // failing the job (the only sane default for a 100 TB ingest where
+    // some files WILL be damaged). The aggregate proves good rows parse
+    // fully while corrupt ones are quarantined and countable.
+    "scan_csv_malformed" -> { (s, d) =>
+      import org.apache.spark.sql.types._
+      val out = scratch("scan_csv_malformed", d)
+      val good = t(s, d, "nation")
+        .select(concat_ws(",", col("n_nationkey"), col("n_name"),
+          col("n_regionkey")).as("value"))
+      // the corruption sits in n_regionkey — the column the aggregate
+      // actually reads. (First cut corrupted n_nationkey only, and CSV
+      // column pruning meant the parser never touched it: the "corrupt"
+      // rows read back clean. Malformedness is judged per PARSED column.)
+      val bad = s.range(3).select(
+        concat(lit("99,corrupt_"), col("id"), lit(",notanint")).as("value"))
+      good.unionAll(bad).coalesce(1).write.mode("overwrite").text(out)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType),
+        StructField("_corrupt_record", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+        .agg(count(col("n_regionkey")).as("n_parsed"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          sum(col("n_regionkey")).cast("long").as("sum_region"))
+    },
+
     // schema evolution read: two parquet batches with different schemas
     // (v2 adds a column) merged by mergeSchema — the lakehouse
     // add-a-column path. Spark resolves the union schema from footers
@@ -209,6 +241,13 @@ object Scans {
   )
 
   def oracle: Map[String, String] = Map(
+    // the 3 corrupt rows are planted by construction; the oracle mirrors
+    // the logical outcome (all real rows parse, corrupt rows quarantined)
+    "scan_csv_malformed" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_parsed,
+        |  CAST(3 AS BIGINT) AS n_corrupt,
+        |  CAST(sum(n_regionkey) AS BIGINT) AS sum_region
+        |FROM nation""".stripMargin,
     // mirrors the two-batch construction logically (the file round-trip
     // is the Spark-side subject under test, like the convert_* ops)
     "schema_evolution" ->

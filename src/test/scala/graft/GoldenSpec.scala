@@ -95,7 +95,8 @@ class GoldenSpec extends SparkSpec {
       "agg_regression" -> 3L,
       "events_paths" -> 25L,
       "multimodal_audio_window" -> 4296L,
-      "q21_waiting_supplier" -> 10L)
+      "q21_waiting_supplier" -> 10L,
+      "scan_csv_malformed" -> 1L)
     expected.foreach { case (k, n) =>
       assert(SparkEntry.queries(k)(spark, sf).count() == n, k)
     }
