@@ -330,6 +330,101 @@ object Analytics {
         .orderBy("c_nationkey")
     },
 
+    // Q2-shaped (adapted: no partsupp — "supply cost" is the extended
+    // price a supplier actually shipped the part at): for each mid-size
+    // PROMO part, the EUROPE supplier(s) whose cheapest shipped line hits
+    // the per-part minimum. The correlated MIN subquery becomes a per-part
+    // aggregate joined back on (partkey, exact-decimal price) — one
+    // shuffle for the agg, one for the join, dims all broadcast.
+    "q2_min_cost" -> { (s, d) =>
+      val eu = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val lines = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+          .filter(col("p_size").between(10, 20) && col("p_type") === "PROMO")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(eu, col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+          col("s_acctbal"), col("n_name"),
+          money(col("l_extendedprice")).as("price"))
+      val minCost = lines.groupBy(col("p_partkey").as("mk"))
+        .agg(min(col("price")).as("min_price"))
+      lines.join(minCost,
+          col("p_partkey") === col("mk") && col("price") === col("min_price"))
+        .select(col("s_acctbal").cast("double").as("acctbal"), col("s_name"),
+          col("n_name"), col("p_partkey"),
+          col("min_price").cast("double").as("min_price"), col("s_suppkey"))
+        .distinct()
+        .orderBy(col("acctbal").desc, col("s_suppkey"), col("p_partkey"))
+        .limit(100)
+    },
+
+    // Q11-shaped (adapted: no partsupp — a part's "stock value" is the
+    // discounted revenue one nation's suppliers shipped of it). The scalar
+    // threshold is scale-free (2x the average per-part value, not a fixed
+    // fraction of the total) so the query stays non-vacuous from sf0.001
+    // to 100 TB. Two aggregates over the same tiny per-part table + one
+    // broadcast scalar — the fact scans once.
+    "q11_important_parts" -> { (s, d) =>
+      val natLines = t(s, d, "lineitem")
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name") === "NATION_3")
+      val perPart = natLines.groupBy("l_partkey")
+        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("part_value"))
+      val thr = perPart.agg((avg(col("part_value")) * 2).as("t"))
+      perPart.crossJoin(broadcast(thr))
+        .filter(col("part_value") > col("t"))
+        .select("l_partkey", "part_value")
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    },
+
+    // Q13-shaped: customer order-count distribution. The left join keeps
+    // zero-order customers (the filter lives in the join condition, not a
+    // WHERE — the classic outer-join-filter trap), then a double aggregate:
+    // count per customer, histogram over counts. Second agg is tiny.
+    "q13_order_counts" -> { (s, d) =>
+      val co = t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      co.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // Q20-shaped (adapted: no partsupp availqty — "excess stock" is a
+    // supplier shipping > 45 units of one PROMO part in 1997): the nested
+    // IN chain becomes an aggregate + distinct + left-semi join, so the
+    // supplier table never duplicates and the fact shuffles only
+    // (suppkey, partkey, qty) triples.
+    "q20_excess_stock" -> { (s, d) =>
+      val bigShip = t(s, d, "lineitem")
+        .filter(year(col("l_shipdate")) === 1997)
+        .join(broadcast(t(s, d, "part").filter(col("p_type") === "PROMO")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(moneySum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 45)
+        .select("l_suppkey").distinct()
+      t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .join(bigShip, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    },
+
     // event-funnel attribution over the stream table: per user, the first
     // view, the first click strictly after it, and the first purchase
     // strictly after that click. Three filtered per-user min-aggregates
@@ -466,6 +561,60 @@ object Analytics {
   )
 
   def oracle: Map[String, String] = Map(
+    "q2_min_cost" ->
+      """WITH eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |l AS (
+        |  SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  JOIN eu ON l_suppkey = s_suppkey
+        |  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'PROMO'),
+        |m AS (SELECT p_partkey AS mk, min(price) AS min_price
+        |      FROM l GROUP BY 1)
+        |SELECT DISTINCT CAST(s_acctbal AS DOUBLE) AS acctbal, s_name,
+        |  n_name, p_partkey, CAST(min_price AS DOUBLE) AS min_price,
+        |  s_suppkey
+        |FROM l JOIN m ON p_partkey = mk AND price = min_price
+        |ORDER BY acctbal DESC, s_suppkey, p_partkey LIMIT 100""".stripMargin,
+    "q11_important_parts" ->
+      s"""WITH nl AS (
+         |  SELECT l_partkey,
+         |    ${sql.discPrice("l_extendedprice", "l_discount")} AS v
+         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_3'),
+         |pp AS (SELECT l_partkey, CAST(sum(v) AS DOUBLE) AS part_value
+         |       FROM nl GROUP BY 1),
+         |thr AS (SELECT avg(part_value) * 2 AS t FROM pp)
+         |SELECT l_partkey, part_value FROM pp CROSS JOIN thr
+         |WHERE part_value > t
+         |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q13_order_counts" ->
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q20_excess_stock" ->
+      s"""WITH b AS (
+         |  SELECT l_suppkey FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  WHERE p_type = 'PROMO' AND year(l_shipdate) = 1997
+         |  GROUP BY l_suppkey, l_partkey
+         |  HAVING ${sql.moneySum("l_quantity")} > 45)
+         |SELECT s_suppkey, s_name FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND s_suppkey IN (SELECT l_suppkey FROM b)
+         |ORDER BY s_suppkey""".stripMargin,
     "q4_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
