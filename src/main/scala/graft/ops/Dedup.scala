@@ -229,6 +229,24 @@ object Dedup {
     "dedup_minhash" -> ((s, d) =>
       minhashPairs(s, d).orderBy("doc_a", "doc_b")),
 
+    // cross-source near-dup audit (the "is crawl data contaminating the
+    // curated set" scan): the same banded-LSH pair source, kept only when
+    // the two docs come from DIFFERENT sources. The source dimension
+    // joins onto the already-thresholded pair table — corpus-sized data
+    // never re-scans, the extra work is two id-equi-joins on a table
+    // that is tiny by the LSH pruning invariant.
+    "dedup_cross_source" -> { (s, d) =>
+      val src = corpus(s, d).select(col("doc_id"), col("source"))
+      minhashPairs(s, d)
+        .join(src.select(col("doc_id").as("doc_a"),
+          col("source").as("source_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"),
+          col("source").as("source_b")), "doc_b")
+        .filter(col("source_a") =!= col("source_b"))
+        .select("doc_a", "doc_b", "jac", "source_a", "source_b")
+        .orderBy("doc_a", "doc_b")
+    },
+
     // exact n-gram Jaccard via the shingle inverted index — the LSH-free
     // baseline (quadratic only in docs *sharing a shingle*); same oracle
     // shape as dedup_minhash, but no candidate pruning step
@@ -433,6 +451,15 @@ object Dedup {
     // exact Jaccard over ALL pairs sharing a shingle (inverted index —
     // no LSH on the oracle side, which is what makes it an oracle)
     "dedup_minhash" -> exactJaccardSql,
+    "dedup_cross_source" ->
+      s"""WITH $jaccardCtes
+         |SELECT doc_a, doc_b, jac,
+         |  da.source AS source_a, db.source AS source_b
+         |FROM jpairs
+         |JOIN documents da ON da.doc_id = doc_a
+         |JOIN documents db ON db.doc_id = doc_b
+         |WHERE da.source <> db.source
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" -> exactJaccardSql,
     // transitive closure by recursive CTE: every node's keeper is the min
     // doc_id reachable in the pair graph (including itself)

@@ -72,6 +72,36 @@ object TrainPrep {
         .orderBy("doc_id")
     },
 
+    // data-mixture report: the (source, lang) composition table every
+    // training run is configured from — doc counts, token sums, and each
+    // cell's share of the total token budget. One shuffle to the tiny
+    // (source × lang) aggregate; the share is a window over that
+    // aggregate, NOT a second corpus scan for the denominator.
+    "corpus_mix" -> { (s, d) =>
+      toks(s, d)
+        .select(col("source"), col("lang"),
+          size(col("toks")).cast("long").as("n_tok"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .withColumn("token_share",
+          round(col("n_tokens").cast("double")
+            / sum(col("n_tokens")).over(Window.partitionBy()), 6))
+        .orderBy("source", "lang")
+    },
+
+    // per-source corpus capping: keep the 10 longest docs per source —
+    // the "cap any one source's contribution" sampling step, routed
+    // through the native TopKPerKey operator so the shuffle moves at most
+    // K rows per (source, partition) instead of every row + a full
+    // per-source sort (the window formulation's cost).
+    "sample_per_source_topk" -> { (s, d) =>
+      graft.plans.TopKPerKey.topK(
+          corpus(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+          Seq(col("source")),
+          Seq(col("n_chars").desc, col("doc_id")), 10)
+        .orderBy(col("source"), col("n_chars").desc, col("doc_id"))
+    },
+
     // benchmark-contamination scan: eval set = every 7th doc; a train doc
     // is contaminated if it shares any 5-gram with any eval doc. The eval
     // modulus is 7 (not something sparser) so the fixture's planted
@@ -110,6 +140,28 @@ object TrainPrep {
          |  CAST(floor((cum - n_tok) / $ContextLen) AS BIGINT) AS bin_id,
          |  (cum - n_tok) % $ContextLen AS bin_offset
          |FROM c ORDER BY doc_id""".stripMargin,
+    "corpus_mix" ->
+      """WITH t AS (
+        |  SELECT source, lang,
+        |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+        |      AS n_tok
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY 1, 2)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
+        |    AS token_share
+        |FROM a ORDER BY source, lang""".stripMargin,
+    "sample_per_source_topk" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) r
+        |WHERE rn <= 10
+        |ORDER BY source, n_chars DESC, doc_id""".stripMargin,
     "contamination_check" ->
       s"""WITH tk AS (
          |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
