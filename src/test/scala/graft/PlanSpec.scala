@@ -238,6 +238,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q13's outer join survives the filter-in-join-condition") {
+    // the o_orderpriority filter lives in the join CONDITION; had it
+    // leaked into a WHERE, Catalyst would legally convert the LeftOuter
+    // to Inner and zero-order customers would vanish
+    val o = optimized(SparkEntry.queries("q13_order_counts")(spark, sf))
+    assert(o.contains("LeftOuter"), o)
+  }
+
+  test("q20's nested IN chain plans as a left-semi join") {
+    val o = optimized(SparkEntry.queries("q20_excess_stock")(spark, sf))
+    assert(o.contains("LeftSemi"), o)
+    val p = plan(SparkEntry.queries("q20_excess_stock")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q2's per-part MIN combines map-side before the shuffle") {
+    val p = plan(SparkEntry.queries("q2_min_cost")(spark, sf))
+    assert(p.contains("partial_min"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("sample_per_source_topk plans the native TopKPerKey heap") {
+    val p = plan(SparkEntry.queries("sample_per_source_topk")(spark, sf))
+    assert(p.contains("TopKPerKey"), p)
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
