@@ -199,6 +199,20 @@ object Scans {
           max(col("event_id")).as("max_id"))
         .orderBy("event_type")),
 
+    // DSv2 pushdown: the event_id range predicate prunes generator
+    // partitions at planning time (SupportsPushDownFilters) and the
+    // 2-of-4-column projection reaches the reader
+    // (SupportsPushDownRequiredColumns) — PlanSpec pins both via the
+    // scan's description. The V2 contract every 100 TB connector needs.
+    "source_pushdown_v2" -> ((s, _) =>
+      s.read.format("graft.sources.SynthEventsSource")
+        .option("rows", 4000).option("partitions", 8).load()
+        .filter(col("event_id") >= 1000 && col("event_id") < 2000)
+        .select("event_id", "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), max(col("event_id")).as("max_id"))
+        .orderBy("event_type")),
+
     // DSv2 WRITE connector: push customer keys through the StatsSink's
     // per-partition writers + two-phase commit, then read back the
     // driver-committed stats file. The oracle recomputes the same
@@ -315,6 +329,14 @@ object Scans {
       """SELECT count(*) AS n_rows,
         |CAST(sum(c_custkey) AS BIGINT) AS sum_key
         |FROM customer""".stripMargin,
+    "source_pushdown_v2" ->
+      """WITH ids AS (SELECT unnest(generate_series(1000, 1999)) AS id),
+        |rows_ AS (SELECT id AS event_id,
+        |  ['click','view','purchase','signup','error'][CAST(id % 5 AS INT) + 1]
+        |    AS event_type
+        |FROM ids)
+        |SELECT event_type, count(*) AS cnt, max(event_id) AS max_id
+        |FROM rows_ GROUP BY event_type ORDER BY event_type""".stripMargin,
     "source_custom_v2" ->
       """WITH ids AS (SELECT unnest(generate_series(0, 3999)) AS id),
         |rows_ AS (SELECT id AS event_id,

@@ -264,6 +264,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKPerKey"), p)
   }
 
+  test("DSv2 source scan: range filter and column pruning reach the " +
+    "connector") {
+    val p = plan(SparkEntry.queries("source_pushdown_v2")(spark, sf))
+    // the connector's Scan.description surfaces what it actually received
+    assert(p.contains("range=[1000,2000)"), p)
+    assert(p.contains("cols=[event_id,event_type]"), p)
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
