@@ -122,6 +122,22 @@ object ScalarFns {
         least(col("c_acctbal"), lit(1000.0)).as("bal_cap"))
         .orderBy("c_custkey")),
 
+    // error-safe function family: try_cast returns NULL on a failed parse
+    // (priority strings don't parse; their leading digit does) and
+    // try_divide returns NULL on division by zero — the ANSI-mode-safe
+    // forms an ingest pipeline uses so one malformed row can't fail a
+    // 100 TB job. Pure projection; oracle uses TRY_CAST + a nullif guard.
+    "fn_try" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        expr("TRY_CAST(o_orderpriority AS INT)").as("bad_cast"),
+        expr("TRY_CAST(substring(o_orderpriority, 1, 1) AS INT)")
+          .as("prio_num"),
+        expr("""try_divide(CAST(o_totalprice AS DOUBLE),
+                |CAST(o_orderkey % 3 AS DOUBLE))""".stripMargin)
+          .as("div3"))
+        .orderBy("o_orderkey")),
+
     // higher-order array functions over the embedding vectors; the fold in
     // `aggregate` is a sequential left fold => bit-identical to DuckDB's
     // list_aggregate sum
@@ -289,6 +305,13 @@ object ScalarFns {
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, sn, cs, tn, at2, ex, deg"""
         .stripMargin,
+    "fn_try" ->
+      """SELECT o_orderkey,
+        |TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+        |TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num,
+        |CAST(o_totalprice AS DOUBLE)
+        |  / nullif(CAST(o_orderkey % 3 AS DOUBLE), 0.0) AS div3
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_cond" ->
       """SELECT c_custkey,
         |coalesce(nullif(c_mktsegment, 'BUILDING'), '<none>') AS seg,

@@ -55,6 +55,18 @@ object SqlOps {
         |SELECT m, count(o_orderkey) AS n_orders
         |FROM spine LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
         |GROUP BY m ORDER BY m""".stripMargin,
+    // LATERAL correlated subquery (Spark 4 lateral join): top-2 orders
+    // per customer — the per-row dependent subquery both engines parse
+    // identically; Catalyst decorrelates it to a ranked join rather than
+    // re-executing the inner query per customer row
+    "sql_lateral" ->
+      """SELECT c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c_custkey <= 200
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "sql_cte" ->
       """WITH big AS (
         |  SELECT l_orderkey,
