@@ -410,7 +410,7 @@ object Dedup {
     * threshold (`jpairs`) — spliced into both the pair oracles and the
     * recursive connected-components oracle.
     */
-  private val jaccardCtes =
+  private[graft] val jaccardCtes =
     """sh AS (
       |  SELECT doc_id, list_distinct(list_transform(
       |    generate_series(1, len(w) - 2),

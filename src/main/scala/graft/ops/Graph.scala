@@ -105,6 +105,26 @@ object Graph {
           col("deg"), round(col("rank") * 1e6, 6).as("rank_ppm"))
         .orderBy(col("rank_ppm").desc, col("node"))
         .limit(50)
+    },
+
+    // triangle enumeration over the near-dup pair graph (pairs are
+    // already emitted id-ordered a<b, so each triangle lists exactly once
+    // as a<b<c — no post-dedup). Two equi-joins on node ids over the
+    // LSH-thresholded pair table: candidate wedges (a-b, b-c) close into
+    // triangles only when (a, c) is also a pair. The pair table is tiny
+    // by the LSH pruning invariant, and the join never touches the
+    // corpus — the standard "count tight clusters" diagnostic on a
+    // near-dup graph (a triangle-rich graph means big dup clusters and a
+    // cheaper transitive-closure pass).
+    "graph_triangles" -> { (s, d) =>
+      val p = Dedup.minhashPairs(s, d).select("doc_a", "doc_b").cache()
+      val wedge = p.select(col("doc_a").as("b2"), col("doc_b").as("c2"))
+      val closer = p.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
+      p.join(wedge, col("doc_b") === col("b2"))
+        .join(closer,
+          col("doc_a") === col("a3") && col("c2") === col("c3"))
+        .select(col("doc_a"), col("doc_b"), col("c2").as("doc_c"))
+        .orderBy("doc_a", "doc_b", "doc_c")
     }
   )
 
@@ -147,6 +167,16 @@ object Graph {
          |  deg, round(rank * 1e6, 6) AS rank_ppm
          |FROM r$Iters
          |ORDER BY rank_ppm DESC, node LIMIT 50""".stripMargin
-    }
+    },
+
+    // exact-Jaccard pair graph (no LSH on the oracle side) + the same
+    // ordered two-join triangle closure
+    "graph_triangles" ->
+      s"""WITH ${Dedup.jaccardCtes}
+         |SELECT p1.doc_a, p1.doc_b, p2.doc_b AS doc_c
+         |FROM jpairs p1
+         |JOIN jpairs p2 ON p1.doc_b = p2.doc_a
+         |JOIN jpairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
+         |ORDER BY p1.doc_a, p1.doc_b, doc_c""".stripMargin
   )
 }

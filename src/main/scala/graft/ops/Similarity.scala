@@ -228,6 +228,42 @@ object Similarity {
         .orderBy("cluster")
     },
 
+    // dominant principal direction by two unrolled power-iteration rounds
+    // (infinity-norm normalized): v' ∝ Σᵢ xᵢ (xᵢ · v). The d×d Gram
+    // matrix is never materialized — each round is one broadcast of the
+    // 64-row direction and one (vec, dim) contraction each way, so at
+    // 100 TB only O(d) (dim, sum) rows shuffle per round while the
+    // vectors stay put. Determinism discipline: every cross-row sum runs
+    // in exact decimal over lossless round(·,6)/(·,8) casts (partial-agg
+    // merge order can't move a loading by an ulp), and the normalizer is
+    // max|w| — order-independent — instead of an L2 fold whose summation
+    // order differs between engines.
+    "embedding_pca_power" -> { (s, d) =>
+      val ex = vectors(s, d).select(col("vec_id"),
+          posexplode(expr(
+            "transform(v, x -> CAST(round(x, 6) AS DECIMAL(12,6)))"))
+            .as(Seq("j", "x")))
+        .cache()
+      def iterate(v: DataFrame): DataFrame = {
+        val dots = ex.join(broadcast(v), "j")
+          .groupBy("vec_id")
+          .agg(expr("CAST(sum(x * vj) AS DECIMAL(20,8))").as("dot"))
+        val w = ex.join(dots, "vec_id")
+          .groupBy("j").agg(sum(col("x") * col("dot")).as("w"))
+        val m = w.agg(max(abs(col("w"))).as("m"))
+        w.crossJoin(broadcast(m))
+          .select(col("j"), expr(
+            "CAST(round(CAST(w AS DOUBLE) / CAST(m AS DOUBLE), 6) " +
+              "AS DECIMAL(12,6))").as("vj"))
+      }
+      val v0 = ex.select(col("j")).distinct()
+        .select(col("j"), expr("CAST(1.0 AS DECIMAL(12,6))").as("vj"))
+      iterate(iterate(v0))
+        .select(col("j").cast("long").as("dim"),
+          col("vj").cast("double").as("loading"))
+        .orderBy("dim")
+    },
+
     // int8 scalar quantization — the storage-side companion to ANN: each
     // vector compresses 4x (float32 -> uint8 codes + 2 doubles), with the
     // per-vector max reconstruction error reported. Pure projection (the
@@ -367,6 +403,35 @@ object Similarity {
          |JOIN st ON n1.cluster = st.cluster
          |ORDER BY cluster""".stripMargin
     },
+    "embedding_pca_power" ->
+      """WITH ex AS (
+        |  SELECT vec_id,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS j,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
+        |      AS DECIMAL(12,6)) AS x
+        |  FROM embeddings),
+        |v0 AS (SELECT DISTINCT j, CAST(1.0 AS DECIMAL(12,6)) AS vj
+        |       FROM ex),
+        |d1 AS (SELECT e.vec_id, CAST(sum(e.x * v.vj) AS DECIMAL(20,8))
+        |         AS dot
+        |       FROM ex e JOIN v0 v USING (j) GROUP BY e.vec_id),
+        |w1 AS (SELECT e.j, sum(e.x * d.dot) AS w
+        |       FROM ex e JOIN d1 d USING (vec_id) GROUP BY e.j),
+        |m1 AS (SELECT max(abs(w)) AS m FROM w1),
+        |v1 AS (SELECT j, CAST(round(CAST(w AS DOUBLE) / CAST(m AS DOUBLE),
+        |         6) AS DECIMAL(12,6)) AS vj
+        |       FROM w1 CROSS JOIN m1),
+        |d2 AS (SELECT e.vec_id, CAST(sum(e.x * v.vj) AS DECIMAL(20,8))
+        |         AS dot
+        |       FROM ex e JOIN v1 v USING (j) GROUP BY e.vec_id),
+        |w2 AS (SELECT e.j, sum(e.x * d.dot) AS w
+        |       FROM ex e JOIN d2 d USING (vec_id) GROUP BY e.j),
+        |m2 AS (SELECT max(abs(w)) AS m FROM w2),
+        |v2 AS (SELECT j, CAST(round(CAST(w AS DOUBLE) / CAST(m AS DOUBLE),
+        |         6) AS DECIMAL(12,6)) AS vj
+        |       FROM w2 CROSS JOIN m2)
+        |SELECT CAST(j AS BIGINT) AS dim, CAST(vj AS DOUBLE) AS loading
+        |FROM v2 ORDER BY dim""".stripMargin,
     "embedding_quantize" ->
       s"""WITH e AS ($duckVectors),
          |b AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi

@@ -272,6 +272,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("cols=[event_id,event_type]"), p)
   }
 
+  test("sql_lateral decorrelates to a join — no per-row re-execution") {
+    val o = optimized(SparkEntry.queries("sql_lateral")(spark, sf))
+    assert(o.contains("Join Inner"), o)
+    assert(!o.contains("LateralJoin"), o)
+    val p = plan(SparkEntry.queries("sql_lateral")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
