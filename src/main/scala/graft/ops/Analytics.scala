@@ -290,18 +290,20 @@ object Analytics {
     // the ONLY returned-line supplier on a multi-supplier order — one
     // EXISTS (another supplier on the order) and one NOT EXISTS (another
     // supplier with a returned line) against the same fact, the classic
-    // double-correlated shape. Both subqueries become aggregates over one
-    // per-order pass (count distinct suppliers total / with returns), so
-    // the fact scans once for the probe side and once for the stats.
+    // double-correlated shape. ONE (orderkey, suppkey)-level reduction
+    // feeds both sides: the per-order stats (a second, tiny shuffle over
+    // already-reduced rows — no countDistinct expand) and the
+    // returned-pair probe (a filter over the same aggregate, so the
+    // (ok, sk) exchange is planned once and reused).
     "q21_waiting_supplier" -> { (s, d) =>
-      val li = t(s, d, "lineitem")
-      val orderStats = li.groupBy(col("l_orderkey").as("ok"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("l_returnflag") === "R",
-            col("l_suppkey"))).as("n_ret_supp"))
-      li.filter(col("l_returnflag") === "R")
-        .select("l_orderkey", "l_suppkey").distinct()
-        .join(orderStats, col("l_orderkey") === col("ok"))
+      val level1 = t(s, d, "lineitem")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("has_ret"))
+      val stats = level1.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"), sum("has_ret").as("n_ret_supp"))
+      level1.filter(col("has_ret") === 1L)
+        .join(stats, "l_orderkey")
         .filter(col("n_supp") >= 2 && col("n_ret_supp") === 1)
         .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_suppkey", "s_name")
