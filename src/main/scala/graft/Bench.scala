@@ -64,6 +64,7 @@ object Bench {
     // `saveAsTable` to the join measurement misstates the join's cost
     SparkEntry.entry(spark).count()
     graft.ops.Joins.ensureBucketed(spark, sfDir)
+    graft.ops.Lakehouse.ensureZoned(spark, sfDir)
     // optional name-prefix filters as program args, for profiling a subset
     val selected =
       if (args.isEmpty) SparkEntry.queries

@@ -263,6 +263,27 @@ object Aggregates {
           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"))
         .orderBy("l_returnflag")),
 
+    // sketched quantiles, checked like agg_approx_distinct: the oracle pins
+    // the EXACT quantile (integer-valued l_quantity ⇒ interpolation agrees
+    // across engines at round(4)) and the estimate must land within the
+    // published bound. approx_percentile is the mergeable KLL/GK-style
+    // sketch that makes quantiles a one-pass partial aggregate at 100 TB —
+    // exact percentile needs the full sorted column per group; the sketch
+    // shuffles O(sketch) per partition. accuracy 1000 ⇒ rank error ≤
+    // 1/1000, amply inside the ±1-quantity-unit bound asserted here.
+    "agg_approx_quantile" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.95)"), 4).as("p95"),
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("a50"),
+          expr("approx_percentile(l_quantity, 0.95, 1000)").as("a95"))
+        .select(col("l_returnflag"), col("p50"), col("p95"),
+          (abs(col("a50") - col("p50")) <= 1.0
+            && abs(col("a95") - col("p95")) <= 1.0).as("within_bound"))
+        .orderBy("l_returnflag")),
+
     "udaf_typed" -> { (s, d) =>
       val geo = udaf(GeoMean)
       t(s, d, "lineitem")
@@ -412,6 +433,13 @@ object Aggregates {
     "agg_sketch_union" ->
       """SELECT count(DISTINCT l_partkey) AS n_exact,
         |TRUE AS within_bound FROM lineitem""".stripMargin,
+    "agg_approx_quantile" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |round(quantile_cont(l_quantity, 0.95), 4) AS p95,
+        |TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin,
     "agg_distinct" ->
       s"""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
          |CAST(sum(DISTINCT ${sql.money("l_quantity")}) AS DOUBLE) AS sum_dq

@@ -41,6 +41,37 @@ object Joins {
         .orderBy("s_nationkey")
     },
 
+    // runtime bloom-filter semi-join pruning: the manual form of Spark's
+    // InjectRuntimeFilter. The selective dim side (suppliers of nations
+    // 0-4 — a region slice, 10-20% at every fixture sf, never vacuous)
+    // folds into an O(KB) bloom sketch ONCE (two tiny driver actions on
+    // the dim — exactly how Spark's runtime filtering materializes its
+    // subquery result), and the native `bloom_contains` probe drops
+    // non-qualifying fact rows INSIDE the scan stage — before the join
+    // shuffle ever sees them. At 100 TB this is the difference between
+    // shuffling the full fact table and shuffling the ~15% that can
+    // match; false positives only cost the exact join behind the probe,
+    // false negatives cannot occur (the oracle checks the pruned plan
+    // equals the plain join bit-for-bit). An empty dim degrades to an
+    // empty sketch (probe rejects everything), matching the empty join.
+    "join_bloom" -> { (s, d) =>
+      graft.functions.BloomContains.register(s)
+      val dim = t(s, d, "supplier")
+        .filter(col("s_nationkey") < 5)
+        .select("s_suppkey", "s_nationkey")
+      val nDim = dim.count()
+      val b64 = graft.functions.BloomContains.toB64(
+        if (nDim == 0) org.apache.spark.util.sketch.BloomFilter.create(1)
+        else dim.stat.bloomFilter("s_suppkey", nDim, 0.001))
+      t(s, d, "lineitem")
+        .filter(expr(s"bloom_contains(l_suppkey, '$b64')"))
+        .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_lines"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .orderBy("s_nationkey")
+    },
+
     "join_broadcast" -> ((s, d) =>
       t(s, d, "nation")
         .join(broadcast(t(s, d, "region")),
@@ -228,6 +259,13 @@ object Joins {
       s"""SELECT s_nationkey, count(*) AS n_lines,
          |${sql.moneySum("l_extendedprice")} AS revenue
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    // the bloom-pruned plan must produce exactly the PLAIN join's answer
+    "join_bloom" ->
+      s"""SELECT s_nationkey, count(*) AS n_lines,
+         |${sql.moneySum("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE s_nationkey < 5
          |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "join_broadcast" ->
       """SELECT n_nationkey, n_name, r_name

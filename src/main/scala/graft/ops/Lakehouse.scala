@@ -79,7 +79,105 @@ object Lakehouse {
     updates.unionByName(inserts)
   }
 
+  /** Pay-once-at-write warm-up for `zonemap_skip` (the
+    * [[Joins.ensureBucketed]] pattern — Bench calls it before timing):
+    * write lineitem range-clustered on l_shipdate into [[ZoneFiles]] files
+    * plus a file-level (min, max) zone-map table. Range clustering is what
+    * makes the zone map selective: each file covers a tight, nearly
+    * disjoint shipdate interval, so a date predicate intersects few files.
+    * Idempotent per (query, sf) scratch path.
+    */
+  def ensureZoned(s: SparkSession, d: String): (String, String) = {
+    val data = scratch("zonemap_data", d)
+    val zmap = scratch("zonemap_index", d)
+    val done = new org.apache.hadoop.fs.Path(zmap, "_SUCCESS")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      val zoned = t(s, d, "lineitem")
+        .select("l_orderkey", "l_shipdate", "l_quantity", "l_returnflag")
+      zoned
+        .repartitionByRange(ZoneFiles, col("l_shipdate"))
+        .write.mode("overwrite").parquet(data)
+      // explicit schema: a zero-row source writes no part files, and a
+      // schemaless read of that directory would fail instead of yielding
+      // the empty stats table
+      s.read.schema(zoned.schema).parquet(data)
+        .groupBy(input_file_name().as("file"))
+        .agg(min("l_shipdate").as("lo"), max("l_shipdate").as("hi"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(zmap)
+    }
+    (data, zmap)
+  }
+
+  /** Zone-mapped file count for `zonemap_skip`. */
+  val ZoneFiles = 16
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // data skipping via file-level zone maps (min/max stats): the read
+    // path of every lakehouse format. The prune step touches ONLY the
+    // O(#files) stats table — collected to the driver exactly like a
+    // format's manifest read; at 100 TB that is ~10⁶ rows of metadata
+    // against ~10¹⁴ bytes of data — and plans a scan over just the files
+    // whose [lo, hi] interval intersects the predicate (a ~3-month slice
+    // of ~7 years ⇒ ~1-2 of 16 files; OperatorSpec pins the skip ratio).
+    // The exact predicate stays on the scan, so zone-map false positives
+    // (files that straddle the cut) cost I/O, never correctness — the
+    // oracle checks the pruned plan equals the full-scan filter.
+    "zonemap_skip" -> { (s, d) =>
+      val (_, zmap) = ensureZoned(s, d)
+      val lo = to_timestamp(lit("1995-06-01 00:00:00"))
+      val hi = to_timestamp(lit("1995-09-01 00:00:00"))
+      val files = s.read.parquet(zmap)
+        .filter(!(col("hi") < lo || col("lo") >= hi))
+        .select("file").collect().map(_.getString(0))
+      // an empty survivor list (possible only on an empty table) degrades
+      // to the full scan, which is equally empty — never a crash
+      val src = if (files.isEmpty) t(s, d, "lineitem")
+        else s.read.parquet(files.toIndexedSeq: _*)
+      src
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_lines"),
+          moneySum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // ANALYZE-style table profile: per-column ndv/min/max in ONE pass over
+    // the table with O(1) output — the stats-collection job behind CBO
+    // and data-skipping indexes. min/max go through the lossless decimal
+    // cast before VARCHAR so both engines print "830.19", never
+    // scientific notation. Exact ndv keeps the oracle exact; a 100 TB
+    // profile job would swap in the mergeable HLL sketch
+    // (agg_sketch_union) per column, same plan shape. The multi-distinct
+    // expand is the known cost of exactness.
+    "table_profile" -> { (s, d) =>
+      t(s, d, "orders")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("ndv_ck"),
+          min(col("o_custkey")).cast("string").as("min_ck"),
+          max(col("o_custkey")).cast("string").as("max_ck"),
+          countDistinct(col("o_orderdate")).as("ndv_od"),
+          min(col("o_orderdate")).cast("string").as("min_od"),
+          max(col("o_orderdate")).cast("string").as("max_od"),
+          countDistinct(col("o_orderstatus")).as("ndv_st"),
+          min(col("o_orderstatus")).cast("string").as("min_st"),
+          max(col("o_orderstatus")).cast("string").as("max_st"),
+          countDistinct(col("o_totalprice")).as("ndv_tp"),
+          min(money(col("o_totalprice"))).cast("string").as("min_tp"),
+          max(money(col("o_totalprice"))).cast("string").as("max_tp"))
+        .select(col("n_rows"), expr(
+          """stack(4,
+            |'o_custkey',    ndv_ck, min_ck, max_ck,
+            |'o_orderdate',  ndv_od, min_od, max_od,
+            |'o_orderstatus',ndv_st, min_st, max_st,
+            |'o_totalprice', ndv_tp, min_tp, max_tp)
+            |AS (col_name, ndv, min_v, max_v)""".stripMargin))
+        .select("col_name", "n_rows", "ndv", "min_v", "max_v")
+        .orderBy("col_name")
+    },
+
     // MERGE INTO (SCD1 upsert): source rows win per key, base rows survive
     // otherwise. Plan: tag both sides, ONE shuffle on the key, per-key
     // arg-min by priority — instead of the anti-join + union plan's two
@@ -189,6 +287,38 @@ object Lakehouse {
   )
 
   def oracle: Map[String, String] = Map(
+    // the zone-map-pruned scan must produce exactly the full-scan answer
+    "zonemap_skip" ->
+      s"""SELECT l_returnflag, count(*) AS n_lines,
+         |${sql.moneySum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+         |  AND l_shipdate <  TIMESTAMP '1995-09-01 00:00:00'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "table_profile" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'o_custkey' AS col_name, n.n_rows,
+        |    count(DISTINCT o_custkey) AS ndv,
+        |    CAST(min(o_custkey) AS VARCHAR) AS min_v,
+        |    CAST(max(o_custkey) AS VARCHAR) AS max_v
+        |  FROM orders, n GROUP BY n.n_rows
+        |  UNION ALL
+        |  SELECT 'o_orderdate', n.n_rows, count(DISTINCT o_orderdate),
+        |    CAST(min(o_orderdate) AS VARCHAR),
+        |    CAST(max(o_orderdate) AS VARCHAR)
+        |  FROM orders, n GROUP BY n.n_rows
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', n.n_rows, count(DISTINCT o_orderstatus),
+        |    CAST(min(o_orderstatus) AS VARCHAR),
+        |    CAST(max(o_orderstatus) AS VARCHAR)
+        |  FROM orders, n GROUP BY n.n_rows
+        |  UNION ALL
+        |  SELECT 'o_totalprice', n.n_rows, count(DISTINCT o_totalprice),
+        |    CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+        |    CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+        |  FROM orders, n GROUP BY n.n_rows
+        |) ORDER BY col_name""".stripMargin,
     "compact_plan" ->
       """WITH f AS (
         |  SELECT date_trunc('month', o_orderdate) AS part,

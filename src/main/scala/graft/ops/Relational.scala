@@ -55,6 +55,21 @@ object Relational {
         .orderBy("c_mktsegment", "rn")
     },
 
+    // fixed-size k-sample as a BOTTOM-K-BY-PRIORITY pass — the distributed
+    // form of reservoir sampling: priority = content hash of the key, take
+    // the k smallest. Unlike a sequential reservoir this is one plan with
+    // no scan-order state: each partition keeps its local k candidates
+    // (TakeOrderedAndProject — O(k) memory per task, no full sort) and the
+    // driver merges k·P candidates, so the same k rows come out at any
+    // partitioning, any scale, any engine. Weighted variants just divide
+    // the priority by the weight (A-ES); same plan.
+    "sample_reservoir" -> ((s, d) =>
+      corpus(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(100)),
+
     "filter_pred" -> ((s, d) =>
       t(s, d, "lineitem")
         .filter(col("l_quantity").between(10, 20)
@@ -101,6 +116,10 @@ object Relational {
         |  || CAST(l_linenumber AS VARCHAR)), 1, 2) <= '28'
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"""
         .stripMargin,
+    "sample_reservoir" ->
+      """SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS priority
+        |FROM documents
+        |ORDER BY priority, doc_id LIMIT 100""".stripMargin,
     "filter_pred" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
         |FROM lineitem

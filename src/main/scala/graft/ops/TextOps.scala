@@ -99,6 +99,31 @@ object TextOps {
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram"))),
 
+    // unigram language-model scoring: fit the corpus unigram LM (one
+    // vocab aggregate + one O(1) total), then score every document by its
+    // mean token log-probability — the cheap perplexity proxy quality
+    // filters use to drop gibberish/boilerplate before training. Plan:
+    // the vocab is a broadcast dim (Zipf keeps it ≪ corpus), so scoring
+    // is a map-side join over the exploded tokens — one shuffle for the
+    // vocab count, one for the per-doc aggregate, nothing quadratic.
+    // Per-token log-probs are rounded then decimal-summed so partial-agg
+    // merge order can never move a score (Tables discipline).
+    "text_unigram_lm" -> { (s, d) =>
+      val words = toks(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("word"))
+      val vocab = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum("cnt").as("n_total"))
+      words.join(broadcast(vocab), "word")
+        .crossJoin(broadcast(total))
+        .withColumn("lp", expr(
+          "CAST(round(ln(CAST(cnt AS DOUBLE) / n_total), 9) AS DECIMAL(20,9))"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+            .as("avg_logp"))
+        .orderBy("doc_id")
+    },
+
     "text_lang_stats" -> ((s, d) =>
       toks(s, d)
         .groupBy("lang")
@@ -313,6 +338,21 @@ object TextOps {
         |      FROM (SELECT string_split(lower(trim(text)), ' ') AS w
         |            FROM documents) t) g
         |GROUP BY bigram ORDER BY cnt DESC, bigram""".stripMargin,
+    "text_unigram_lm" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(lower(trim(text)), ' ')) AS word
+        |  FROM documents),
+        |v AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+        |tot AS (SELECT sum(cnt) AS n_total FROM v),
+        |lp AS (
+        |  SELECT w.doc_id,
+        |    CAST(round(ln(CAST(v.cnt AS DOUBLE) / n_total), 9)
+        |         AS DECIMAL(20,9)) AS lp
+        |  FROM w JOIN v USING (word) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logp
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_lang_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -61,6 +61,25 @@ object Windows {
         .orderBy("event_id")
     },
 
+    // forward-fill (LOCF) over a sparse time series: the gap-filling pass
+    // sensor/price pipelines run before feature extraction. Only purchase
+    // rows carry an observation; every later row per user inherits the
+    // most recent one via last(ignoreNulls) over a running frame — one
+    // window shuffle on user_id, state is a single value per partition
+    // scan, so the pass stays linear at any history length. Ties on ts
+    // are broken by event_id so the fill is engine-independent.
+    "win_ffill" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("obs",
+          when(col("event_type") === "purchase", col("value")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"),
+          last(col("obs"), ignoreNulls = true).over(w).as("last_purchase"))
+        .orderBy("event_id")
+    },
+
     "win_moving" -> { (s, d) =>
       val w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
         .rangeBetween(-100, Window.currentRow)
@@ -195,6 +214,14 @@ object Windows {
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
          |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
          |ORDER BY event_id""".stripMargin,
+    "win_ffill" ->
+      """SELECT event_id, user_id, ts, event_type,
+        |last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |           IGNORE NULLS) OVER w AS last_purchase
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "win_moving" ->
       s"""SELECT o_orderkey, o_orderpriority,
          |CAST(sum(${sql.money("o_totalprice")}) OVER w AS DOUBLE)

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CharikarSimHash, CosineSim, HashTfVec, IntersectSize, MinHashBands, SimHashBands, WinnowFingerprints}
+import graft.functions.{BloomContains, CharikarSimHash, CosineSim, HashTfVec, IntersectSize, MinHashBands, SimHashBands, WinnowFingerprints}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
@@ -31,6 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => MinHashBands(args.head)))
     ext.injectFunction((FunctionIdentifier("hash_tf_vec"), HashTfVec.info,
       (args: Seq[Expression]) => HashTfVec(args.head)))
+    ext.injectFunction((FunctionIdentifier("bloom_contains"), BloomContains.info,
+      (args: Seq[Expression]) => BloomContains(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("intersect_size"),
       IntersectSize.info,
       (args: Seq[Expression]) => IntersectSize(args(0), args(1))))

@@ -109,6 +109,65 @@ class OperatorSpec extends SparkSpec {
     assert(base.nonEmpty)
   }
 
+  test("sample_reservoir draws exactly k, independent of partitioning") {
+    val base = SparkEntry.queries("sample_reservoir")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(base.length == 100, s"expected exactly k=100, got ${base.length}")
+    // same priority pipeline over a radically different partitioning: the
+    // draw depends only on key content, so the k rows cannot move
+    val split = Tables.t(spark, sf, "documents").repartition(17)
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("priority"))
+      .orderBy("priority", "doc_id").limit(100)
+      .collect().map(_.toSeq).toSeq
+    assert(split == base)
+  }
+
+  test("join_bloom probe prunes the fact side and matches the plain join") {
+    graft.functions.BloomContains.register(spark)
+    val dim = Tables.t(spark, sf, "supplier")
+      .filter(col("s_nationkey") < 5).select("s_suppkey", "s_nationkey")
+    val b64 = graft.functions.BloomContains.toB64(
+      dim.stat.bloomFilter("s_suppkey", math.max(dim.count(), 1L), 0.001))
+    val li = Tables.t(spark, sf, "lineitem")
+    val total = li.count()
+    val passed = li.filter(expr(s"bloom_contains(l_suppkey, '$b64')")).count()
+    // the probe must drop most fact rows BEFORE the join (the dim keeps
+    // ~5% of suppliers; fpp adds ~0.1%)
+    assert(passed.toDouble / total < 0.25,
+      s"bloom passed $passed of $total fact rows — not pruning")
+    assert(passed > 0, "vacuous probe: nothing qualifies")
+    val pruned = SparkEntry.queries("join_bloom")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val plain = li.join(dim, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_lines"),
+        Tables.moneySum(col("l_extendedprice")).as("revenue"))
+      .orderBy("s_nationkey").collect().map(_.toSeq).toSeq
+    assert(pruned == plain)
+  }
+
+  test("zonemap_skip reads a small fraction of the files and matches the " +
+      "full scan") {
+    val (_, zmap) = Lakehouse.ensureZoned(spark, sf)
+    val lo = to_timestamp(lit("1995-06-01 00:00:00"))
+    val hi = to_timestamp(lit("1995-09-01 00:00:00"))
+    val zm = spark.read.parquet(zmap)
+    val totalFiles = zm.count()
+    val survivors = zm.filter(!(col("hi") < lo || col("lo") >= hi)).count()
+    assert(survivors >= 1 && survivors <= totalFiles / 4,
+      s"$survivors of $totalFiles files survive — zone map isn't skipping")
+    val pruned = SparkEntry.queries("zonemap_skip")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val full = Tables.t(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        Tables.moneySum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    assert(pruned == full)
+  }
+
   test("dedup_connected keepers are stable under different shuffle widths") {
     val base = SparkEntry.queries("dedup_connected")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

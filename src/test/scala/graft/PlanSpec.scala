@@ -57,6 +57,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("join_bloom probes before the join and broadcasts the dim") {
+    val df = SparkEntry.queries("join_bloom")(spark, sf)
+    val p = plan(df)
+    // the probe must sit under the join (fact rows drop inside the scan
+    // stage, before any exchange), and the dim side must broadcast
+    assert(p.contains("bloom_contains"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val probeIdx = p.indexOf("bloom_contains")
+    assert(probeIdx > joinIdx, s"probe not under the join:\n$p")
+  }
+
   test("write_partitioned read-back prunes partitions") {
     val df = SparkEntry.queries("write_partitioned")(spark, sf)
     val p = plan(df)
