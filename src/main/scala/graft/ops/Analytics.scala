@@ -542,6 +542,38 @@ object Analytics {
         .orderBy("user_id", "session_n")
     },
 
+    // session-level co-occurrence (market basket over event types): which
+    // event types appear together in the same 30-min session, counted
+    // across all sessions. Sessionization shares events_sessionize's gap
+    // logic verbatim; types reduce to DISTINCT per session BEFORE the
+    // self-join, so the pair blowup is bounded by (#types-per-session)² —
+    // a handful — never by session length or corpus size. One window
+    // shuffle + one (user, session)-keyed equi-join; type_a < type_b
+    // lists each unordered pair once.
+    "events_cooccur" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val types = events(s, d)
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("gap_break",
+          when(col("ts").cast("long")
+            - lag(col("ts"), 1).over(w).cast("long") > 1800L, 1L)
+            .otherwise(lit(0L)))
+        .withColumn("session_n",
+          sum(col("gap_break")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .select("user_id", "session_n", "event_type")
+        .distinct()
+      val b = types.select(col("user_id").as("u2"),
+        col("session_n").as("s2"), col("event_type").as("type_b"))
+      types.join(b, col("user_id") === col("u2")
+          && col("session_n") === col("s2")
+          && col("event_type") < col("type_b"))
+        .groupBy(col("event_type").as("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy("type_a", "type_b")
+    },
+
     // cohort retention matrix: users bucketed by first-seen week, counted
     // in each later week they return. Two shuffles (first-seen agg, cohort
     // cell agg) plus one equi-join on user_id — the week columns are pure
@@ -837,6 +869,27 @@ object Analytics {
         |  datediff('second', min(ts), max(ts)) AS duration_s
         |FROM s GROUP BY user_id, session_n
         |ORDER BY user_id, session_n""".stripMargin,
+    "events_cooccur" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN datediff('second',
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |        ts) > 1800
+        |      THEN 1 ELSE 0 END AS gap_break
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_type,
+        |    CAST(sum(gap_break) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_n
+        |  FROM o),
+        |t AS (SELECT DISTINCT user_id, session_n, event_type FROM s)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS n_sessions
+        |FROM t a JOIN t b
+        |  ON a.user_id = b.user_id AND a.session_n = b.session_n
+        | AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin,
     "events_retention" ->
       """WITH e AS (
         |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk

@@ -89,9 +89,13 @@ object Graph {
         // while the rank table fits an executor (entity graphs); for
         // billion-node graphs drop the hint and the src-partitioned edge
         // cache serves the same join shuffle-free on the big side.
-        val contrib = e.join(broadcast(r), col("src") === col("node"))
-          .select(col("dst"),
-            expr("CAST(round(rank / deg, 14) AS DECIMAL(28,14))").as("w"))
+        // rank/deg is per-NODE: fold it into the broadcast side so the
+        // division + decimal cast run O(V) times, not once per edge row
+        // (1.2M× per round at sf0.1) — the joined side just carries w
+        val contrib = e.join(broadcast(r.select(col("node"),
+            expr("CAST(round(rank / deg, 14) AS DECIMAL(28,14))").as("w"))),
+            col("src") === col("node"))
+          .select(col("dst"), col("w"))
         contrib.groupBy("dst").agg(sum(col("w")).cast("double").as("in_sum"))
           .join(broadcast(nodes), col("dst") === col("node"))
           .select(col("node"), col("deg"), col("n_nodes"),
@@ -105,6 +109,33 @@ object Graph {
           col("deg"), round(col("rank") * 1e6, 6).as("rank_ppm"))
         .orderBy(col("rank_ppm").desc, col("node"))
         .limit(50)
+    },
+
+    // community detection: two SYNCHRONOUS label-propagation rounds over
+    // the trade graph (labels init to node id; each round every node
+    // adopts its neighborhood's modal label, ties to the smallest — the
+    // deterministic LPA variant; async LPA is order-dependent and can
+    // never be oracle-checked). Per round the data movement is one
+    // broadcast of the O(V) label table against the cached src-partitioned
+    // edge list + one (dst, label) count aggregate — O(E) reduced pairs
+    // through one shuffle, the same shape as the pagerank rounds. Fixed
+    // round budget = the SLA form (communities stabilize in a few rounds
+    // on short-diameter graphs; dedup_connected covers converge-or-throw).
+    "graph_label_prop" -> { (s, d) =>
+      val e = edges(s, d)
+      val l0 = e.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+      val l2 = (1 to 2).foldLeft(l0) { (l, _) =>
+        e.join(broadcast(l), col("src") === col("node"))
+          .groupBy(col("dst"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("dst")
+          // modal neighbor label, ties to the smallest label — one
+          // aggregate, no per-node sort (arg-min over (-cnt, label))
+          .agg(expr("min_by(label, struct(-cnt, label))").as("label"))
+          .select(col("dst").as("node"), col("label"))
+      }
+      l2.orderBy("node")
     },
 
     // triangle enumeration over the near-dup pair graph (pairs are
@@ -167,6 +198,32 @@ object Graph {
          |  deg, round(rank * 1e6, 6) AS rank_ppm
          |FROM r$Iters
          |ORDER BY rank_ppm DESC, node LIMIT 50""".stripMargin
+    },
+
+    // same two unrolled LPA rounds; the arg-min tie-break mirrors as a
+    // row_number window (DuckDB 1.0 arg_min takes no composite key)
+    "graph_label_prop" -> {
+      val rounds = (1 to 2).map { i =>
+        val prev = if (i == 1) "l0" else s"l${i - 1}"
+        s"""l$i AS (
+           |  SELECT dst AS node, label FROM (
+           |    SELECT e.dst, p.label, count(*) AS cnt,
+           |      row_number() OVER (PARTITION BY e.dst
+           |        ORDER BY count(*) DESC, p.label) AS rn
+           |    FROM e JOIN $prev p ON e.src = p.node
+           |    GROUP BY e.dst, p.label)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS sp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (
+         |  SELECT c AS src, sp AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT sp AS src, c AS dst FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         |$rounds
+         |SELECT node, label FROM l2 ORDER BY node""".stripMargin
     },
 
     // exact-Jaccard pair graph (no LSH on the oracle side) + the same

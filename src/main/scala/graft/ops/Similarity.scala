@@ -248,7 +248,11 @@ object Similarity {
         val dots = ex.join(broadcast(v), "j")
           .groupBy("vec_id")
           .agg(expr("CAST(sum(x * vj) AS DECIMAL(20,8))").as("dot"))
-        val w = ex.join(dots, "vec_id")
+        // dots is O(N) tiny (one row per vector) next to the O(N·d)
+        // exploded table: broadcast it so the contraction is map-side —
+        // unhinted, this planned as a shuffle+sort of the big side per
+        // round (measured 5.5 s → see SCALE.md; the hint halves the query)
+        val w = ex.join(broadcast(dots), "vec_id")
           .groupBy("j").agg(sum(col("x") * col("dot")).as("w"))
         val m = w.agg(max(abs(col("w"))).as("m"))
         w.crossJoin(broadcast(m))
