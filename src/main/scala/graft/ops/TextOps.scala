@@ -68,6 +68,24 @@ object TextOps {
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word"))),
 
+    // BPE-style pre-tokenization count next to the whitespace count: the
+    // GPT-2-family pre-tokenizer splits off punctuation runs and digit
+    // runs before merges, so its token count (the billing/packing unit)
+    // runs higher than whitespace words. The pattern below is the
+    // RE2-compatible core of that splitter (letter runs / digit runs /
+    // other-symbol runs, each with optional leading space) — shared
+    // verbatim with the oracle. Pure projection, no shuffle until the
+    // final ORDER BY.
+    "text_tokens_regex" -> ((s, d) =>
+      corpus(s, d)
+        .select(col("doc_id"),
+          size(split(lower(trim(col("text"))), " ")).cast("long")
+            .as("n_tok_ws"),
+          expr("""CAST(size(regexp_extract_all(text,
+            |' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+', 0)) AS BIGINT)"""
+            .stripMargin).as("n_tok_bpe"))
+        .orderBy("doc_id")),
+
     "text_tfidf" -> { (s, d) =>
       val docs = t(s, d, "documents")
       val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -317,6 +335,14 @@ object TextOps {
         |FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word
         |      FROM documents) w
         |GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
+    "text_tokens_regex" ->
+      """SELECT doc_id,
+        |CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+        |  AS n_tok_ws,
+        |CAST(len(regexp_extract_all(text,
+        |  ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT)
+        |  AS n_tok_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word

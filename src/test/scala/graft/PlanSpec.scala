@@ -57,6 +57,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("embedding_pca_power contracts via broadcast joins, never SMJ") {
+    val p = plan(SparkEntry.queries("embedding_pca_power")(spark, sf))
+    // both per-round contractions (direction and dots) must join broadcast
+    // against the exploded table — a SortMergeJoin here means the O(N·d)
+    // side is being shuffled per round
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("join_bloom probes before the join and broadcasts the dim") {
     val df = SparkEntry.queries("join_bloom")(spark, sf)
     val p = plan(df)
