@@ -396,7 +396,7 @@ object Analytics {
       // pre-aggregate the fact side FIRST: one shuffle reduces orders to
       // O(customers) (custkey, cnt) rows before the outer join, instead
       // of dragging every order row through it (join-then-count paid a
-      // full-orders join; measured 3.0 s → 1.x s at sf0.1). Zero-order
+      // full-orders join; measured 3.05 s → 0.56 s at sf0.1). Zero-order
       // customers surface via LEFT join + coalesce(0) — the LeftOuter
       // must survive optimization (PlanSpec pin; the equivalent
       // join-then-count form hits the classic outer-join-filter trap

@@ -251,7 +251,9 @@ object Similarity {
         // dots is O(N) tiny (one row per vector) next to the O(N·d)
         // exploded table: broadcast it so the contraction is map-side —
         // unhinted, this planned as a shuffle+sort of the big side per
-        // round (measured 5.5 s → see SCALE.md; the hint halves the query)
+        // round (isolated cold run 10.7 s → 7.5 s at sf0.1; in-suite
+        // 5.5 → 4.9 s — the remaining cost is the 320k-row decimal
+        // contraction itself, the price of bit-stable loadings)
         val w = ex.join(broadcast(dots), "vec_id")
           .groupBy("j").agg(sum(col("x") * col("dot")).as("w"))
         val m = w.agg(max(abs(col("w"))).as("m"))
