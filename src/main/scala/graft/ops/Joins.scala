@@ -168,6 +168,27 @@ object Joins {
         .orderBy("id_a", "id_b")
     },
 
+    // the NAIVE declarative form of join_range_binned: a plain theta join
+    // on |Δts| <= 1 min with no equi key — the formulation users actually
+    // write, which unaided plans as an N² BroadcastNestedLoopJoin. The
+    // graft.plans.RewriteBinnedRangeJoin optimizer rule (§4.2 ladder)
+    // rewrites it plan-wide into the binned equi-join, so this query and
+    // the hand-binned twin produce the same rows from the same physical
+    // shape (PlanSpec pins no nested-loop survives; the oracle is the
+    // quadratic reference).
+    "join_range_auto" -> { (s, d) =>
+      val ev = events(s, d)
+        .select(col("event_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      val a = ev.select(col("event_id").as("id_a"), col("ts").as("ts_a"),
+        col("us").as("us_a"))
+      val b = ev.select(col("event_id").as("id_b"), col("ts").as("ts_b"),
+        col("us").as("us_b"))
+      a.join(b, col("id_a") < col("id_b")
+          && abs(col("us_a") - col("us_b")) <= lit(60L * 1000000L))
+        .select("id_a", "id_b", "ts_a", "ts_b")
+        .orderBy("id_a", "id_b")
+    },
+
     // as-of: for each purchase, the latest click at-or-before it (per user).
     // Single window pass over the union of both event roles — no range-join
     // blowup; equal timestamps order clicks first so ties count as "before".
@@ -311,6 +332,15 @@ object Joins {
     // the oracle is the plain quadratic range join — correct by
     // construction, feasible only at fixture scale
     "join_range_binned" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b,
+        |a.ts AS ts_a, b.ts AS ts_b
+        |FROM events a JOIN events b
+        |  ON a.event_id < b.event_id
+        | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60 * 1000000
+        |ORDER BY id_a, id_b""".stripMargin,
+    // same quadratic reference as join_range_binned — the rewritten plan
+    // must reproduce the naive join's answer exactly
+    "join_range_auto" ->
       """SELECT a.event_id AS id_a, b.event_id AS id_b,
         |a.ts AS ts_a, b.ts AS ts_b
         |FROM events a JOIN events b

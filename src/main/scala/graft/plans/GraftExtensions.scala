@@ -38,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => IntersectSize(args(0), args(1))))
     ext.injectOptimizerRule(_ => FuseIntersectSize)
     ext.injectOptimizerRule(_ => RewriteWindowTopK)
+    ext.injectOptimizerRule(_ => RewriteBinnedRangeJoin)
     ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

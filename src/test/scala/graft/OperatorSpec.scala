@@ -168,6 +168,18 @@ class OperatorSpec extends SparkSpec {
     assert(pruned == full)
   }
 
+  test("join_range_auto (rewritten) equals the hand-binned range join") {
+    val auto = SparkEntry.queries("join_range_auto")(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val manual = SparkEntry.queries("join_range_binned")(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.nonEmpty, "vacuous: no pairs within the range at this sf")
+    assert(auto == manual,
+      s"missing: ${manual -- auto} extra: ${auto -- manual}")
+  }
+
   test("dedup_connected keepers are stable under different shuffle widths") {
     val base = SparkEntry.queries("dedup_connected")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

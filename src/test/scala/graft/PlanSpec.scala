@@ -57,6 +57,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("naive range join auto-rewrites to a binned equi-join (no BNLJ)") {
+    val df = SparkEntry.queries("join_range_auto")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the rewrite plants the bin equi-key, so the planner hash-joins
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("_graft_bin"), p)
+  }
+
   test("embedding_pca_power contracts via broadcast joins, never SMJ") {
     val p = plan(SparkEntry.queries("embedding_pca_power")(spark, sf))
     // both per-round contractions (direction and dots) must join broadcast
