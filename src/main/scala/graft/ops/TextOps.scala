@@ -16,6 +16,44 @@ object TextOps {
     t(s, d, "documents")
       .withColumn("toks", split(lower(trim(col("text"))), " "))
 
+  /** One-pass heavy hitters (Misra-Gries): per-partition MG sketches with
+    * K counters emit candidate values; pigeonhole guarantees every value
+    * with GLOBAL freq > n/K exceeds n_p/K in some partition, so the
+    * candidate union covers all true heavy hitters. The exact recount then
+    * runs over candidate values only (broadcast semi-join prunes it), and
+    * the > n/K threshold filter makes the OUTPUT exactly the true
+    * heavy-hitter set — deterministic even though the candidate set itself
+    * is partitioning-dependent (the LSH-then-verify discipline). At 100 TB
+    * this shuffles O(K × partitions) candidates instead of the full
+    * distinct-value space; mapPartitions is the legitimate
+    * per-partition-imperative case (a decrementing counter table has no
+    * declarative form). Input: one StringType column named `word`.
+    */
+  def heavyHitters(words: DataFrame, k: Int): DataFrame = {
+    val s = words.sparkSession
+    import s.implicits._
+    val total = words.agg(count(lit(1)).as("n_total"))
+    val cands = words.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { x =>
+        if (counters.contains(x)) counters(x) += 1L
+        else if (counters.size < k) counters(x) = 1L
+        else {
+          counters.mapValuesInPlace((_, c) => c - 1L)
+          counters.filterInPlace((_, c) => c > 0L)
+        }
+      }
+      counters.keysIterator
+    }.toDF("word").distinct()
+    words.join(broadcast(cands), "word")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(total))
+      .filter(col("freq") > col("n_total").cast("double") / k)
+      .select(col("word"), col("freq"),
+        round(col("freq").cast("double") / col("n_total"), 6).as("share"))
+      .orderBy(col("freq").desc, col("word"))
+  }
+
   /** Shared quality metrics — single definition per side so the Spark code
     * and the oracle SQL cannot drift (the Tables.sql pattern).
     */
@@ -140,6 +178,19 @@ object TextOps {
           round(sum(col("lp")).cast("double") / count(lit(1)), 6)
             .as("avg_logp"))
         .orderBy("doc_id")
+    },
+
+    // one-pass heavy hitters (Misra-Gries) over the corpus tokens. On the
+    // fixture's FLAT ~31-word vocabulary every word clears the n/64 bar
+    // (there are no true heavy hitters in uniform data), so the oracle
+    // checks the exact-count pipeline end-to-end while the sketch's
+    // discriminating regime — a planted 30% hitter inside a 1000-value
+    // tail — is pinned by PropertySpec against brute force.
+    "text_heavy_hitters" -> { (s, d) =>
+      heavyHitters(
+        corpus(s, d)
+          .select(explode(split(lower(trim(col("text"))), " ")).as("word")),
+        64)
     },
 
     "text_lang_stats" -> ((s, d) =>
@@ -379,6 +430,19 @@ object TextOps {
         |SELECT doc_id, count(*) AS n_tok,
         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logp
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // plain GROUP BY + HAVING over the full word space — the MG pipeline
+    // must reproduce the exact heavy-hitter set
+    "text_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(lower(trim(text)), ' ')) AS word
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n_total FROM w)
+        |SELECT word, count(*) AS freq,
+        |  round(CAST(count(*) AS DOUBLE) / n_total, 6) AS share
+        |FROM w CROSS JOIN tot
+        |GROUP BY word, n_total
+        |HAVING count(*) > CAST(n_total AS DOUBLE) / 64
+        |ORDER BY freq DESC, word""".stripMargin,
     "text_lang_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -168,6 +168,11 @@ class OperatorSpec extends SparkSpec {
     assert(pruned == full)
   }
 
+  test("text_heavy_hitters is non-vacuous on the corpus") {
+    val hh = SparkEntry.queries("text_heavy_hitters")(spark, sf).collect()
+    assert(hh.nonEmpty, "no word above n/64 — threshold vacuous at this sf")
+  }
+
   test("join_range_auto (rewritten) equals the hand-binned range join") {
     val auto = SparkEntry.queries("join_range_auto")(spark, sf)
       .select("id_a", "id_b").collect()

@@ -64,6 +64,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("RewriteBinnedRangeJoin == brute force on random SIGNED keys") {
+    // the naive abs-range join goes through the auto-binning rewrite in
+    // this session (GraftExtensions is active); negative keys exercise
+    // the Pmod floor-division bin path the fixture's positive
+    // timestamps never reach
+    for (_ <- 1 to 10) {
+      val n = rnd.nextInt(120) + 20
+      val width = (rnd.nextInt(50) + 1).toLong
+      val rows = List.tabulate(n)(i =>
+        (i.toLong, rnd.nextLong() % 500L)) // signed values in [-499, 499]
+      val df = rows.toDF("id", "v").repartition(3)
+      val a = df.select(col("id").as("id_a"), col("v").as("v_a"))
+      val b = df.select(col("id").as("id_b"), col("v").as("v_b"))
+      val joined = a.join(b, col("id_a") < col("id_b")
+          && abs(col("v_a") - col("v_b")) <= lit(width))
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = (for {
+        (ia, va) <- rows; (ib, vb) <- rows
+        if ia < ib && math.abs(va - vb) <= width
+      } yield (ia, ib)).toSet
+      assert(joined == brute,
+        s"width=$width missing=${brute -- joined} extra=${joined -- brute}")
+    }
+  }
+
+  test("MG heavy hitters == brute force on skewed data with a planted " +
+      "hitter, and candidates prune") {
+    // the regime the sketch exists for: one value at ~30%, a second at
+    // ~10%, the rest spread thin over a 1000-value tail (the fixture
+    // corpus is flat, so this is where the MG guarantee gets exercised)
+    for (_ <- 1 to 5) {
+      val k = rnd.nextInt(12) + 4 // 4..15 counters
+      val n = 3000
+      val values = List.fill(n) {
+        val r = rnd.nextDouble()
+        if (r < 0.30) "hot"
+        else if (r < 0.40) "warm"
+        else s"tail_${rnd.nextInt(1000)}"
+      }
+      val df = values.toDF("word").repartition(5)
+      val got = graft.ops.TextOps.heavyHitters(df, k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val exact = values.groupBy(identity).view.mapValues(_.size.toLong)
+      val expected = exact.filter(_._2 > n.toDouble / k).toMap
+      assert(got == expected, s"k=$k got=$got expected=$expected")
+      // the planted 30% hitter must clear any k >= 4 threshold
+      assert(got.contains("hot"))
+    }
+  }
+
   test("union-all cardinality is additive; union-distinct is set union") {
     for (_ <- trials) {
       val a = List.fill(rnd.nextInt(40))(rnd.nextInt(21))
