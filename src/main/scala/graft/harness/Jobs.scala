@@ -117,6 +117,47 @@ class QualityFilterJob(s: JobSettings) extends GenericEtl[JobSettings](s) {
     }
 }
 
+/** ANALYZE-style stats collection under the reference's job contract:
+  * profile a parquet table's columns (row count, ndv, min, max per
+  * column) in one aggregate pass and write the stats table — the job a
+  * lakehouse runs after ingest to feed CBO and data-skipping indexes.
+  * Shares [[graft.ops.Lakehouse.profile]] with the `table_profile`
+  * operator so the two cannot drift.
+  *
+  * Settings keys (via `JobSettings.extra`):
+  *  - `columns`: comma-separated columns to profile (default: every
+  *    atomic-typed column)
+  */
+class ProfileJob(s: JobSettings) extends GenericEtl[JobSettings](s) {
+  import org.apache.spark.sql.functions.col
+
+  override def runJob(spark: SparkSession): JobResponse =
+    try {
+      val df = spark.read.parquet(settings.inputSource)
+      import org.apache.spark.sql.types._
+      val atomic: DataType => Boolean = {
+        case _: NumericType | StringType | BooleanType | DateType |
+             TimestampType | BinaryType => true
+        case _ => false
+      }
+      val names = settings.extra.get("columns")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(df.schema.fields.toSeq
+          .filter(f => atomic(f.dataType)).map(_.name))
+      require(names.nonEmpty, "no atomic columns to profile")
+      graft.ops.Lakehouse.profile(df, names.map(n => n -> col(n)))
+        .write.mode("overwrite").parquet(settings.outputDirectory)
+      val out = spark.read.parquet(settings.outputDirectory)
+      val n = out.count()
+      val rows = out.select("n_rows").head().getLong(0)
+      JobResponse(200,
+        Some(s"profiled $n columns over $rows rows"),
+        Some(s"""{"columns": $n, "rows": $rows}"""))
+    } catch {
+      case e: Exception => JobResponse(500, Some(e.toString), None)
+    }
+}
+
 /** Compacts a small-file dataset: plans target file counts from the
   * input's actual byte size (the `compact_plan` operator's metadata-first
   * discipline), rewrites with that many files, and reports files/bytes

@@ -113,6 +113,31 @@ object Lakehouse {
   /** Zone-mapped file count for `zonemap_skip`. */
   val ZoneFiles = 16
 
+  /** ANALYZE-style per-column profile: ONE aggregate pass, O(1) output —
+    * `cols` maps each reported column name to the expression used for
+    * ndv/min/max (callers pass a lossless decimal cast for money doubles
+    * so the VARCHAR rendering never goes scientific). Shared by the
+    * `table_profile` operator and [[graft.harness.ProfileJob]] so the two
+    * cannot drift (the exactKeepers pattern).
+    */
+  def profile(df: DataFrame,
+      cols: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++
+      cols.zipWithIndex.flatMap { case ((_, e), i) => Seq(
+        countDistinct(e).as(s"ndv_$i"),
+        min(e).cast("string").as(s"min_$i"),
+        max(e).cast("string").as(s"max_$i"))
+      }
+    val stackArgs = cols.zipWithIndex
+      .map { case ((n, _), i) => s"'$n', ndv_$i, min_$i, max_$i" }
+      .mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), expr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, ndv, min_v, max_v)"))
+      .select("col_name", "n_rows", "ndv", "min_v", "max_v")
+      .orderBy("col_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // data skipping via file-level zone maps (min/max stats): the read
     // path of every lakehouse format. The prune step touches ONLY the
@@ -151,32 +176,14 @@ object Lakehouse {
     // profile job would swap in the mergeable HLL sketch
     // (agg_sketch_union) per column, same plan shape. The multi-distinct
     // expand is the known cost of exactness.
-    "table_profile" -> { (s, d) =>
-      t(s, d, "orders")
-        .agg(
-          count(lit(1)).as("n_rows"),
-          countDistinct(col("o_custkey")).as("ndv_ck"),
-          min(col("o_custkey")).cast("string").as("min_ck"),
-          max(col("o_custkey")).cast("string").as("max_ck"),
-          countDistinct(col("o_orderdate")).as("ndv_od"),
-          min(col("o_orderdate")).cast("string").as("min_od"),
-          max(col("o_orderdate")).cast("string").as("max_od"),
-          countDistinct(col("o_orderstatus")).as("ndv_st"),
-          min(col("o_orderstatus")).cast("string").as("min_st"),
-          max(col("o_orderstatus")).cast("string").as("max_st"),
-          countDistinct(col("o_totalprice")).as("ndv_tp"),
-          min(money(col("o_totalprice"))).cast("string").as("min_tp"),
-          max(money(col("o_totalprice"))).cast("string").as("max_tp"))
-        .select(col("n_rows"), expr(
-          """stack(4,
-            |'o_custkey',    ndv_ck, min_ck, max_ck,
-            |'o_orderdate',  ndv_od, min_od, max_od,
-            |'o_orderstatus',ndv_st, min_st, max_st,
-            |'o_totalprice', ndv_tp, min_tp, max_tp)
-            |AS (col_name, ndv, min_v, max_v)""".stripMargin))
-        .select("col_name", "n_rows", "ndv", "min_v", "max_v")
-        .orderBy("col_name")
-    },
+    // ProfileJob routes any parquet table through the same [[profile]]
+    // pipeline — the job and the operator cannot drift.
+    "table_profile" -> ((s, d) =>
+      profile(t(s, d, "orders"), Seq(
+        "o_custkey" -> col("o_custkey"),
+        "o_orderdate" -> col("o_orderdate"),
+        "o_orderstatus" -> col("o_orderstatus"),
+        "o_totalprice" -> money(col("o_totalprice"))))),
 
     // MERGE INTO (SCD1 upsert): source rows win per key, base rows survive
     // otherwise. Plan: tag both sides, ONE shuffle on the key, per-key

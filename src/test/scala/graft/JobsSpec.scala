@@ -37,6 +37,37 @@ class JobsSpec extends SparkSpec {
     assert(r.message.nonEmpty)
   }
 
+  test("ProfileJob writes a per-column stats table matching the operator") {
+    val job = new ProfileJob(JobSettings(
+      s"$sf/orders.parquet", s"$out/orders_profile",
+      Map("columns" -> "o_custkey,o_orderstatus")))
+    val r = job.runJob(spark)
+    assert(r.statusCode == 200, r)
+    val prof = spark.read.parquet(s"$out/orders_profile").collect()
+      .map(row => row.getString(0) ->
+        (row.getLong(1), row.getLong(2), row.getString(3), row.getString(4)))
+      .toMap
+    assert(prof.keySet == Set("o_custkey", "o_orderstatus"))
+    val orders = graft.ops.Tables.t(spark, sf, "orders")
+    val n = orders.count()
+    import org.apache.spark.sql.functions._
+    val ndvCk = orders.select(countDistinct(col("o_custkey"))).head().getLong(0)
+    assert(prof("o_custkey")._1 == n)
+    assert(prof("o_custkey")._2 == ndvCk)
+    assert(r.data.exists(_.contains(""""columns": 2""")))
+  }
+
+  test("ProfileJob defaults to every atomic column") {
+    val r = new ProfileJob(JobSettings(
+      s"$sf/nation.parquet", s"$out/nation_profile")).runJob(spark)
+    assert(r.statusCode == 200, r)
+    val cols = spark.read.parquet(s"$out/nation_profile")
+      .select("col_name").collect().map(_.getString(0)).toSet
+    // every nation column is atomic, so the default profiles all of them
+    val expected = spark.read.parquet(s"$sf/nation.parquet").columns.toSet
+    assert(cols == expected)
+  }
+
   test("DedupJob removes exact duplicates under the job contract") {
     import org.apache.spark.sql.functions._
     // the fixture corpus has no EXACT duplicates (its planted pairs are
