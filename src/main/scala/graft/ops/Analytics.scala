@@ -131,7 +131,7 @@ object Analytics {
           && col("cust_nation").isin("NATION_1", "NATION_2", "NATION_3")
           && col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"),
-          year(col("l_shipdate")).as("l_year"))
+          year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
           .cast("double").as("volume"))
         .orderBy("supp_nation", "cust_nation", "l_year")
@@ -157,7 +157,7 @@ object Analytics {
         .join(broadcast(t(s, d, "nation"))
           .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")),
           col("s_nationkey") === col("s_nk"))
-        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
         .agg((sum(when(col("supp_nation") === "NATION_3", vol)
             .otherwise(money(lit(0)))).cast("double")
           / sum(vol).cast("double")).as("mkt_share"))
@@ -182,7 +182,7 @@ object Analytics {
         .join(broadcast(t(s, d, "nation")),
           col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"),
-          year(col("o_orderdate")).as("o_year"))
+          year(col("o_orderdate")).cast("long").as("o_year"))
         .agg(sum(profit).cast("double").as("sum_profit"))
         .orderBy(col("nation"), col("o_year").desc)
     },
@@ -193,7 +193,7 @@ object Analytics {
     "q15_top_supplier" -> { (s, d) =>
       val rev = t(s, d, "lineitem")
         .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(year(col("l_shipdate")).as("l_year"), col("s_suppkey"),
+        .groupBy(year(col("l_shipdate")).cast("long").as("l_year"), col("s_suppkey"),
           col("s_name"))
         .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
           .cast("double").as("total_rev"))
@@ -740,10 +740,10 @@ object Analytics {
         |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin,
     "q12_priority_lines" ->
       """SELECT l_linestatus,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |      THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |      THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'

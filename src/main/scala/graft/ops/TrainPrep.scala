@@ -138,7 +138,7 @@ object TrainPrep {
          |  FROM tk)
          |SELECT doc_id, shard, n_tok,
          |  CAST(floor((cum - n_tok) / $ContextLen) AS BIGINT) AS bin_id,
-         |  (cum - n_tok) % $ContextLen AS bin_offset
+         |  CAST((cum - n_tok) % $ContextLen AS BIGINT) AS bin_offset
          |FROM c ORDER BY doc_id""".stripMargin,
     "corpus_mix" ->
       """WITH t AS (

@@ -289,7 +289,7 @@ object Windows {
         |  SELECT user_id, island, count(*) AS run_len
         |  FROM islands GROUP BY user_id, island)
         |SELECT user_id, count(*) AS n_islands, max(run_len) AS max_run,
-        |  sum(run_len) AS n_events
+        |  CAST(sum(run_len) AS BIGINT) AS n_events
         |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -3,23 +3,57 @@
 
 Runs each oracle SQL from oracle_sql.json in DuckDB (with views named after
 the fixture tables) and compares against the parquet files Verify wrote.
-Comparison: sort columns by name, compare row-by-row values (row order as
-emitted — every query ends in a total ORDER BY).
+
+Comparison is TYPED, via Arrow on both sides — this mirrors the driver's
+hash, which distinguishes e.g. a DuckDB HUGEINT (arrow decimal128(38,0),
+fetched as Decimal) from a Spark BIGINT (arrow int64, fetched as int) even
+when the numeric values are equal.  Round 4 shipped three hash failures
+precisely because the old fetchall()-based compare erased that distinction.
+
+Rules:
+  - columns sorted by name on both sides (the driver does the same);
+  - arrow types must match exactly, EXCEPT decimal-vs-decimal with equal
+    scale (DuckDB widens sum(DECIMAL) precision differently from Spark and
+    the driver's hash demonstrably tolerates it — r04 evidence);
+  - cell values compared by repr() of the arrow->python objects, so
+    Decimal('3') != 3 and the HUGEINT class can never ship green again.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
-import json, math, sys
+import json, math, re, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+_DEC = re.compile(r"^decimal(?:128|256)?\((\d+),\s*(-?\d+)\)$")
+
+def types_compatible(a, b):
+    """Exact match, or decimal/decimal with the same scale."""
+    if a == b:
+        return True
+    ma, mb = _DEC.match(a), _DEC.match(b)
+    return bool(ma and mb and ma.group(2) == mb.group(2))
 
 def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return repr(v)
+    if isinstance(v, list):
+        return "[" + ", ".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ", ".join(f"{k}: {canon(x)}" for k, x in sorted(v.items())) + "}"
     return repr(v)
+
+def fetch(rel):
+    """-> (sorted col names, {col: arrow type str}, rows as python tuples)."""
+    tbl = rel.arrow()
+    cols = sorted(tbl.column_names)
+    types = {c: str(tbl.schema.field(c).type) for c in cols}
+    pylists = [tbl.column(c).to_pylist() for c in cols]
+    rows = list(zip(*pylists)) if cols and tbl.num_rows else []
+    return cols, types, rows
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -30,29 +64,29 @@ def main(sf_dir, out_dir):
     for name in sorted(oracle):
         sql = oracle[name]
         try:
-            rel = con.sql(sql)
-            raw_cols = list(rel.columns)
-            exp_cols = sorted(raw_cols)
-            perm = [raw_cols.index(c) for c in exp_cols]
-            exp_rows = [tuple(r[i] for i in perm) for r in rel.fetchall()]
+            exp_cols, exp_types, exp_rows = fetch(con.sql(sql))
         except Exception as e:
             failures.append((name, f"oracle SQL error: {e}"))
             print(f"FAIL {name}: oracle SQL error: {str(e).splitlines()[0]}")
             continue
         try:
-            grel = con.sql(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            g_cols = list(grel.columns)
-            got_all_cols = sorted(g_cols)
-            gperm = [g_cols.index(c) for c in got_all_cols]
-            got_rows = [tuple(r[i] for i in gperm) for r in grel.fetchall()]
+            got_cols, got_types, got_rows = fetch(con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"))
         except Exception as e:
             failures.append((name, f"spark output error: {e}"))
             print(f"FAIL {name}: spark output error: {str(e).splitlines()[0]}")
             continue
-        if got_all_cols != exp_cols:
-            failures.append((name, f"columns differ: spark={got_all_cols} oracle={exp_cols}"))
-            print(f"FAIL {name}: columns spark={got_all_cols} vs oracle={exp_cols}")
+        if got_cols != exp_cols:
+            failures.append((name, f"columns differ: spark={got_cols} oracle={exp_cols}"))
+            print(f"FAIL {name}: columns spark={got_cols} vs oracle={exp_cols}")
+            continue
+        bad_types = [(c, got_types[c], exp_types[c]) for c in exp_cols
+                     if not types_compatible(got_types[c], exp_types[c])]
+        if bad_types:
+            failures.append((name, f"type drift: {bad_types}"))
+            for c, g, e in bad_types:
+                print(f"FAIL {name}: type drift on `{c}`: spark={g} oracle={e}"
+                      f" (cast the oracle column to match)")
             continue
         if len(got_rows) != len(exp_rows):
             failures.append((name, f"row count {len(got_rows)} vs {len(exp_rows)}"))
