@@ -88,8 +88,10 @@ object Lakehouse {
     * Idempotent per (query, sf) scratch path.
     */
   def ensureZoned(s: SparkSession, d: String): (String, String) = {
-    val data = scratch("zonemap_data", d)
-    val zmap = scratch("zonemap_index", d)
+    // v2: the index stores part-file basenames (v1 stored absolute URIs,
+    // which broke if the scratch tree moved); a new key ignores stale maps
+    val data = scratch("zonemap_data_v2", d)
+    val zmap = scratch("zonemap_index_v2", d)
     val done = new org.apache.hadoop.fs.Path(zmap, "_SUCCESS")
     val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(done)) {
@@ -101,8 +103,12 @@ object Lakehouse {
       // explicit schema: a zero-row source writes no part files, and a
       // schemaless read of that directory would fail instead of yielding
       // the empty stats table
+      // store only the part-file BASENAME: absolute input_file_name()
+      // URIs go stale if the scratch directory is moved/remounted between
+      // warm-up and query; readers re-resolve against the data dir they
+      // already know, so a relocation can never break the read path
       s.read.schema(zoned.schema).parquet(data)
-        .groupBy(input_file_name().as("file"))
+        .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
         .agg(min("l_shipdate").as("lo"), max("l_shipdate").as("hi"))
         .coalesce(1)
         .write.mode("overwrite").parquet(zmap)
@@ -128,13 +134,19 @@ object Lakehouse {
         min(e).cast("string").as(s"min_$i"),
         max(e).cast("string").as(s"max_$i"))
       }
-    val stackArgs = cols.zipWithIndex
-      .map { case ((n, _), i) => s"'$n', ndv_$i, min_$i, max_$i" }
-      .mkString(", ")
+    // unpivot via explode-of-structs built with the Column API — column
+    // names travel as lit() data, never spliced into an expr() string, so
+    // a name containing a quote or comma (reachable through ProfileJob's
+    // `columns` setting) cannot break parsing
+    val entries = cols.zipWithIndex.map { case ((n, _), i) =>
+      struct(lit(n).as("col_name"), col(s"ndv_$i").as("ndv"),
+        col(s"min_$i").as("min_v"), col(s"max_$i").as("max_v"))
+    }
     df.agg(aggs.head, aggs.tail: _*)
-      .select(col("n_rows"), expr(
-        s"stack(${cols.size}, $stackArgs) AS (col_name, ndv, min_v, max_v)"))
-      .select("col_name", "n_rows", "ndv", "min_v", "max_v")
+      .select(col("n_rows"), explode(array(entries: _*)).as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("n_rows"),
+        col("kv.ndv").as("ndv"), col("kv.min_v").as("min_v"),
+        col("kv.max_v").as("max_v"))
       .orderBy("col_name")
   }
 
@@ -150,12 +162,12 @@ object Lakehouse {
     // (files that straddle the cut) cost I/O, never correctness — the
     // oracle checks the pruned plan equals the full-scan filter.
     "zonemap_skip" -> { (s, d) =>
-      val (_, zmap) = ensureZoned(s, d)
+      val (data, zmap) = ensureZoned(s, d)
       val lo = to_timestamp(lit("1995-06-01 00:00:00"))
       val hi = to_timestamp(lit("1995-09-01 00:00:00"))
       val files = s.read.parquet(zmap)
         .filter(!(col("hi") < lo || col("lo") >= hi))
-        .select("file").collect().map(_.getString(0))
+        .select("file").collect().map(r => s"$data/${r.getString(0)}")
       // an empty survivor list (possible only on an empty table) degrades
       // to the full scan, which is equally empty — never a crash
       val src = if (files.isEmpty) t(s, d, "lineitem")
@@ -302,29 +314,35 @@ object Lakehouse {
          |WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
          |  AND l_shipdate <  TIMESTAMP '1995-09-01 00:00:00'
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // n_rows via scalar subquery (NOT a cross join + GROUP BY, which
+    // yields zero rows on an empty table while Spark's df.agg yields one
+    // row per column — the op/oracle pair stays equivalent on any input)
     "table_profile" ->
-      """WITH n AS (SELECT count(*) AS n_rows FROM orders)
-        |SELECT * FROM (
-        |  SELECT 'o_custkey' AS col_name, n.n_rows,
+      """SELECT * FROM (
+        |  SELECT 'o_custkey' AS col_name,
+        |    (SELECT count(*) FROM orders) AS n_rows,
         |    count(DISTINCT o_custkey) AS ndv,
         |    CAST(min(o_custkey) AS VARCHAR) AS min_v,
         |    CAST(max(o_custkey) AS VARCHAR) AS max_v
-        |  FROM orders, n GROUP BY n.n_rows
+        |  FROM orders
         |  UNION ALL
-        |  SELECT 'o_orderdate', n.n_rows, count(DISTINCT o_orderdate),
+        |  SELECT 'o_orderdate', (SELECT count(*) FROM orders),
+        |    count(DISTINCT o_orderdate),
         |    CAST(min(o_orderdate) AS VARCHAR),
         |    CAST(max(o_orderdate) AS VARCHAR)
-        |  FROM orders, n GROUP BY n.n_rows
+        |  FROM orders
         |  UNION ALL
-        |  SELECT 'o_orderstatus', n.n_rows, count(DISTINCT o_orderstatus),
+        |  SELECT 'o_orderstatus', (SELECT count(*) FROM orders),
+        |    count(DISTINCT o_orderstatus),
         |    CAST(min(o_orderstatus) AS VARCHAR),
         |    CAST(max(o_orderstatus) AS VARCHAR)
-        |  FROM orders, n GROUP BY n.n_rows
+        |  FROM orders
         |  UNION ALL
-        |  SELECT 'o_totalprice', n.n_rows, count(DISTINCT o_totalprice),
+        |  SELECT 'o_totalprice', (SELECT count(*) FROM orders),
+        |    count(DISTINCT o_totalprice),
         |    CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
         |    CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
-        |  FROM orders, n GROUP BY n.n_rows
+        |  FROM orders
         |) ORDER BY col_name""".stripMargin,
     "compact_plan" ->
       """WITH f AS (

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Alias, AttributeReference, CreateArray, EqualTo, Explode, Expression, GreaterThanOrEqual, IntegralDivide, LessThanOrEqual, Literal, Pmod, PredicateHelper, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Alias, ArrayDistinct, AttributeReference, CaseWhen, CreateArray, EqualTo, Explode, Expression, GreaterThan, GreaterThanOrEqual, IntegralDivide, LessThan, LessThanOrEqual, Literal, PredicateHelper, Remainder, Subtract}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -23,14 +23,22 @@ import org.apache.spark.sql.types.LongType
   * form (`join_range_auto` is exactly that; PlanSpec pins that no
   * nested-loop survives).
   *
-  * Correctness: each left row explodes to three DISTINCT bins and each
-  * right row has exactly one, so a pair joins at most once — no dedup
-  * needed; the exact predicate re-applied on top makes bin false
-  * positives (neighbors farther than C) disappear. Null keys produce
-  * null bins, which never satisfy the equi-join — matching the BNLJ,
-  * where a null comparison filters the row. Bins use floor division
-  * built from `Pmod` (nonnegative remainder) so negative keys land in
-  * the right bin.
+  * Correctness: each left row explodes to its bin and both neighbors
+  * (deduplicated, so a pair joins at most once) and each right row has
+  * exactly one bin; the exact predicate re-applied on top makes bin
+  * false positives (neighbors farther than C) disappear. Null keys
+  * produce null bins, which never satisfy the equi-join — matching the
+  * BNLJ, where a null comparison filters the row. Bins use a wrap-safe
+  * floor division (truncating `div` corrected by the remainder's sign —
+  * never the `e - pmod(e, w)` form, whose subtract overflows for keys
+  * within `w` of Long.MinValue) so every representable key lands in its
+  * mathematical bin; the ±1 neighbor bins clamp at Long.{Min,Max}Value
+  * (reachable only when width == 1) instead of wrapping. In the corner
+  * where `l - r` itself overflows (keys straddling more than Long.MaxValue
+  * apart), the rewrite returns the mathematically-correct empty match for
+  * the pair, where the unrewritten BNLJ would raise under ANSI mode or
+  * admit the wrapped-difference pair silently with ANSI off — the rewrite
+  * never evaluates the subtraction on non-candidate pairs.
   *
   * Conservative by construction: Inner joins only, batch only, exactly
   * the `abs(l - r) <= C` conjunct shape on LongType expressions with a
@@ -39,11 +47,17 @@ import org.apache.spark.sql.types.LongType
   */
 object RewriteBinnedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** Floor division e / width for any-sign e: subtract the nonnegative
-    * Pmod remainder first so the IntegralDivide is exact.
+  /** Floor division e / width (width > 0) for any-sign e, wrap-safe over
+    * the full Long domain: truncating `div`, minus one when the remainder
+    * is negative. No intermediate can overflow — `e div w` and `e % w`
+    * are total for w > 0, and the -1 correction only fires when |q| is
+    * at most Long.MaxValue / 2 (w >= 2; w == 1 has remainder 0).
     */
-  private def bin(e: Expression, width: Long): Expression =
-    IntegralDivide(Subtract(e, Pmod(e, Literal(width))), Literal(width))
+  private def bin(e: Expression, width: Long): Expression = {
+    val q = IntegralDivide(e, Literal(width))
+    val r = Remainder(e, Literal(width))
+    CaseWhen(Seq((LessThan(r, Literal(0L)), Subtract(q, Literal(1L)))), q)
+  }
 
   /** The (leftKey, rightKey, width) of the first `abs(l - r) <= C`
     * conjunct whose operands split cleanly across the join sides.
@@ -85,13 +99,23 @@ object RewriteBinnedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
       else rangeConjunct(conjuncts, left, right) match {
         case None => j
         case Some((lk, rk, width)) =>
-          val binL = bin(lk, width)
+          // bin the left side once in a Project so the explode reads an
+          // attribute, then emit {bin-1, bin, bin+1} with the ±1 clamped
+          // at the Long domain edges (reachable only when width == 1);
+          // array_distinct keeps the at-most-once join guarantee when a
+          // clamp collapses a neighbor onto the bin itself.
+          val binLAlias = Alias(bin(lk, width), "_graft_bin_l")()
+          val projL = Project(left.output :+ binLAlias, left)
+          val b = binLAlias.toAttribute
+          val lo = CaseWhen(Seq((GreaterThan(b, Literal(Long.MinValue)),
+            Subtract(b, Literal(1L)))), b)
+          val hi = CaseWhen(Seq((LessThan(b, Literal(Long.MaxValue)),
+            Add(b, Literal(1L)))), b)
           val genOut = AttributeReference("_graft_bin", LongType)()
           val gen = Generate(
-            Explode(CreateArray(Seq(
-              Subtract(binL, Literal(1L)), binL, Add(binL, Literal(1L))))),
+            Explode(ArrayDistinct(CreateArray(Seq(lo, b, hi)))),
             unrequiredChildIndex = Nil, outer = false, qualifier = None,
-            generatorOutput = Seq(genOut), child = left)
+            generatorOutput = Seq(genOut), child = projL)
           val binRAlias = Alias(bin(rk, width), "_graft_bin_r")()
           val proj = Project(right.output :+ binRAlias, right)
           Project(left.output ++ right.output,

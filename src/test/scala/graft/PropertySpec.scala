@@ -90,6 +90,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("RewriteBinnedRangeJoin == brute force on wrap-zone keys at the " +
+      "Long domain edges") {
+    // keys within `width` of Long.MinValue/MaxValue: the former
+    // `e - pmod(e, w)` bin form overflowed its subtract here (ANSI:
+    // runtime error; legacy: a far-wrong bin, silently dropping
+    // qualifying pairs); the CASE-on-remainder-sign bin must not.
+    // Brute force compares through BigInt — the Long difference itself
+    // is unrepresentable for cross-edge pairs.
+    for (_ <- 1 to 5) {
+      val width = (rnd.nextInt(9) + 1).toLong
+      val vals = List(Long.MinValue, Long.MinValue + 1,
+        Long.MinValue + width, Long.MaxValue, Long.MaxValue - 1,
+        Long.MaxValue - width, -width, -1L, 0L, 1L, width,
+        rnd.nextLong() % 1000L)
+      val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = rows.toDF("id", "v").repartition(3)
+      val a = df.select(col("id").as("id_a"), col("v").as("v_a"))
+      val b = df.select(col("id").as("id_b"), col("v").as("v_b"))
+      val joined = a.join(b, col("id_a") < col("id_b")
+          && abs(col("v_a") - col("v_b")) <= lit(width))
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = (for {
+        (ia, va) <- rows; (ib, vb) <- rows
+        if ia < ib && (BigInt(va) - BigInt(vb)).abs <= width
+      } yield (ia, ib)).toSet
+      assert(joined == brute,
+        s"width=$width missing=${brute -- joined} extra=${joined -- brute}")
+    }
+  }
+
   test("MG heavy hitters == brute force on skewed data with a planted " +
       "hitter, and candidates prune") {
     // the regime the sketch exists for: one value at ~30%, a second at
