@@ -65,6 +65,7 @@ object Bench {
     SparkEntry.entry(spark).count()
     graft.ops.Joins.ensureBucketed(spark, sfDir)
     graft.ops.Lakehouse.ensureZoned(spark, sfDir)
+    graft.ops.Graph.warm(spark, sfDir)
     // optional name-prefix filters as program args, for profiling a subset
     val selected =
       if (args.isEmpty) SparkEntry.queries

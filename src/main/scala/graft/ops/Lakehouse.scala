@@ -197,6 +197,38 @@ object Lakehouse {
         "o_orderstatus" -> col("o_orderstatus"),
         "o_totalprice" -> money(col("o_totalprice"))))),
 
+    // the 100 TB form of the profile: HLL approx ndv (single-pass, no
+    // multi-distinct Expand in a production run) — checked like
+    // agg_approx_distinct: the exact ndv is computed alongside so the
+    // oracle can pin the estimate's 15% bound as a boolean; a real
+    // deployment drops the exact column and the Expand with it.
+    "table_profile_approx" -> { (s, d) =>
+      val cols = Seq(
+        "o_custkey" -> col("o_custkey"),
+        "o_orderdate" -> col("o_orderdate"),
+        "o_orderstatus" -> col("o_orderstatus"),
+        "o_totalprice" -> money(col("o_totalprice")))
+      val aggs = Seq(count(lit(1)).as("n_rows")) ++
+        cols.zipWithIndex.flatMap { case ((_, e), i) => Seq(
+          countDistinct(e).as(s"ndv_$i"),
+          approx_count_distinct(e).as(s"andv_$i"),
+          min(e).cast("string").as(s"min_$i"),
+          max(e).cast("string").as(s"max_$i"))
+        }
+      val entries = cols.zipWithIndex.map { case ((n, _), i) =>
+        struct(lit(n).as("col_name"), col(s"ndv_$i").as("ndv"),
+          (abs(col(s"andv_$i") - col(s"ndv_$i"))
+            <= col(s"ndv_$i") * 0.15).as("within_bound"),
+          col(s"min_$i").as("min_v"), col(s"max_$i").as("max_v"))
+      }
+      t(s, d, "orders").agg(aggs.head, aggs.tail: _*)
+        .select(col("n_rows"), explode(array(entries: _*)).as("kv"))
+        .select(col("kv.col_name").as("col_name"), col("n_rows"),
+          col("kv.ndv").as("ndv"), col("kv.within_bound").as("within_bound"),
+          col("kv.min_v").as("min_v"), col("kv.max_v").as("max_v"))
+        .orderBy("col_name")
+    },
+
     // MERGE INTO (SCD1 upsert): source rows win per key, base rows survive
     // otherwise. Plan: tag both sides, ONE shuffle on the key, per-key
     // arg-min by priority — instead of the anti-join + union plan's two
@@ -340,6 +372,36 @@ object Lakehouse {
         |  UNION ALL
         |  SELECT 'o_totalprice', (SELECT count(*) FROM orders),
         |    count(DISTINCT o_totalprice),
+        |    CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+        |    CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+        |  FROM orders
+        |) ORDER BY col_name""".stripMargin,
+    // DuckDB cannot reproduce Spark's HLL estimate, so the oracle pins the
+    // exact columns and asserts Spark's bound boolean came out true (the
+    // agg_approx_distinct pattern)
+    "table_profile_approx" ->
+      """SELECT * FROM (
+        |  SELECT 'o_custkey' AS col_name,
+        |    (SELECT count(*) FROM orders) AS n_rows,
+        |    count(DISTINCT o_custkey) AS ndv, true AS within_bound,
+        |    CAST(min(o_custkey) AS VARCHAR) AS min_v,
+        |    CAST(max(o_custkey) AS VARCHAR) AS max_v
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', (SELECT count(*) FROM orders),
+        |    count(DISTINCT o_orderdate), true,
+        |    CAST(min(o_orderdate) AS VARCHAR),
+        |    CAST(max(o_orderdate) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', (SELECT count(*) FROM orders),
+        |    count(DISTINCT o_orderstatus), true,
+        |    CAST(min(o_orderstatus) AS VARCHAR),
+        |    CAST(max(o_orderstatus) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', (SELECT count(*) FROM orders),
+        |    count(DISTINCT o_totalprice), true,
         |    CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
         |    CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
         |  FROM orders

@@ -51,6 +51,11 @@ object Similarity {
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      // cached (the Graph.edges pattern): six sim/clustering queries and
+      // both sides of every self-join read this same projection —
+      // InMemoryRelation shares it by plan equality instead of re-casting
+      // the embedding column per subtree (~30 MB at sf0.1)
+      .cache()
   }
 
   /** doc_id + 512-dim signed hashing-trick vector over the doc's 3-word
@@ -63,6 +68,10 @@ object Similarity {
     graft.functions.HashTfVec.register(s)
     Dedup.shingled(s, d).filter(size(col("shingles")) > 0)
       .select(col("doc_id"), expr("hash_tf_vec(shingles)").as("v"))
+      // cached: sim_pairs_lsh joins this table on BOTH pair sides, so
+      // uncached the 512-dim hashing-trick featurization runs twice per
+      // document per invocation
+      .cache()
   }
 
   /** MinHash 16x4 band-join candidate pairs over the doc shingle sets —
@@ -303,6 +312,54 @@ object Similarity {
       |FROM embeddings""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // The full LSH pipeline's OUTPUT is exactly reproducible in SQL (the
+    // dedup_embedding precedent): verified pairs carry the exact cosine of
+    // the FNV-1a hashing-trick vectors, and every arithmetic step is
+    // integer-valued in double (signed counts, their products and squares)
+    // so summation order cannot move a bit. The hash fold runs as a
+    // recursive CTE over DISTINCT shingle strings in mod-2^64 HUGEINT
+    // arithmetic (validated against the JVM kernel: tools/fnv_proto.py);
+    // `ord` equals the UTF-8 byte for the fixture's ASCII corpus. A
+    // cos>=tau pair necessarily shares a signed bucket, so the bucket
+    // equi-join enumerates every qualifying pair without an N^2 blowup;
+    // banding recall at tau is pinned ==1 on this corpus by OperatorSpec,
+    // which is what licenses the LSH-free oracle.
+    "sim_pairs_lsh" ->
+      s"""WITH RECURSIVE ${Dedup.jaccardCtes},
+         |tok AS (SELECT DISTINCT s FROM ex),
+         |fnv AS (
+         |  SELECT s, 1 AS i, CAST(14695981039346656037 AS UBIGINT) AS h
+         |  FROM tok
+         |  UNION ALL
+         |  SELECT s, i + 1,
+         |    CAST(CAST((CAST(xor(h, CAST(ord(substr(s, i, 1)) AS UBIGINT))
+         |      AS HUGEINT) * 1099511628211) % 18446744073709551616
+         |      AS HUGEINT) AS UBIGINT)
+         |  FROM fnv WHERE i <= len(s)),
+         |hz AS (
+         |  SELECT s, CAST(h >> 55 AS BIGINT) AS idx,
+         |    CASE WHEN (h >> 54) & 1 = 1 THEN 1.0 ELSE -1.0 END AS sgn
+         |  FROM fnv WHERE i = len(s) + 1),
+         |buck AS (
+         |  SELECT e.doc_id, z.idx, sum(z.sgn) AS w
+         |  FROM ex e JOIN hz z ON e.s = z.s
+         |  GROUP BY 1, 2 HAVING sum(z.sgn) <> 0),
+         |nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM buck GROUP BY 1),
+         |dots AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    sum(a.w * b.w) AS dot
+         |  FROM buck a JOIN buck b ON a.idx = b.idx
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |cosed AS (
+         |  SELECT id_a, id_b,
+         |    round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos
+         |  FROM dots
+         |  JOIN nrm na ON na.doc_id = id_a
+         |  JOIN nrm nb ON nb.doc_id = id_b)
+         |SELECT id_a, id_b, cos FROM cosed
+         |WHERE cos >= $DocCosineThreshold
+         |ORDER BY id_a, id_b""".stripMargin,
     "sim_cosine_topk" ->
       s"""WITH e AS ($duckVectors),
          |p AS (
