@@ -25,6 +25,11 @@ object Dedup {
   import Tables._
 
   val JaccardThreshold = 0.8
+
+  /** Max directional n-gram containment at or above which a pair counts as
+    * doc-in-doc duplication (`dedup_containment`).
+    */
+  val ContainmentThreshold = 0.8
   val HammingMax = 8 // dedup_simhash pair threshold (of 64 bits)
 
   /** doc_id -> distinct 3-word shingles (lower/trim normalized).
@@ -271,6 +276,36 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
+    // n-gram CONTAINMENT dedup: C(A→B) = |A∩B| / |A|. Jaccard misses
+    // doc-in-doc duplication when sizes differ wildly (a paragraph pasted
+    // into a long page has tiny Jaccard but containment ~1), so curation
+    // pipelines screen on max directional containment. Same inverted-index
+    // plan as dedup_ngram_jaccard — quadratic only in docs sharing a
+    // shingle; both directions come from the one common-count table.
+    "dedup_containment" -> { (s, d) =>
+      val sh = shingled(s, d)
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+      val common = ex
+        .join(ex.select(col("doc_id").as("db"), col("sh").as("sh_b")),
+          col("sh") === col("sh_b") && col("doc_id") < col("db"))
+        .groupBy(col("doc_id").as("doc_a"), col("db").as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+          "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+          "doc_b")
+        .withColumn("contain_ab",
+          round(col("c").cast("double") / col("na"), 6))
+        .withColumn("contain_ba",
+          round(col("c").cast("double") / col("nb"), 6))
+        .filter(greatest(col("contain_ab"), col("contain_ba"))
+          >= ContainmentThreshold)
+        .select("doc_a", "doc_b", "contain_ab", "contain_ba")
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Charikar SimHash near-dup: one 64-bit signature per doc (native
     // expression), banded 8x8 bits for candidates, Hamming verify via
     // bit_count(xor). No oracle (hash sketch) — DedupSpec cross-checks
@@ -461,6 +496,21 @@ object Dedup {
          |WHERE da.source <> db.source
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" -> exactJaccardSql,
+    // both containment directions from the same shingle inverted index;
+    // c/n divisions are integer-valued operands in IEEE double, identical
+    // bits on both engines before the (belt-and-braces) round
+    "dedup_containment" ->
+      s"""WITH $jaccardCtes
+         |SELECT doc_a, doc_b,
+         |  round(CAST(c AS DOUBLE) / s1.n, 6) AS contain_ab,
+         |  round(CAST(c AS DOUBLE) / s2.n, 6) AS contain_ba
+         |FROM common
+         |JOIN sizes s1 ON s1.doc_id = doc_a
+         |JOIN sizes s2 ON s2.doc_id = doc_b
+         |WHERE greatest(round(CAST(c AS DOUBLE) / s1.n, 6),
+         |               round(CAST(c AS DOUBLE) / s2.n, 6))
+         |  >= $ContainmentThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // transitive closure by recursive CTE: every node's keeper is the min
     // doc_id reachable in the pair graph (including itself)
     "dedup_connected" ->

@@ -179,6 +179,39 @@ object Joins {
         .orderBy("id_a", "id_b")
     },
 
+    // point-in-INTERVAL join, binned (the asymmetric sibling of
+    // join_range_binned): each order opens a 30-day window
+    // [o_orderdate, +30d) and every shipment inside it counts toward the
+    // order — no equi key, so the naive form is a window × shipment BNLJ.
+    // Because interval length is bounded by the bin width, a window spans
+    // at most 2 bins: explode the INTERVAL side to its bins (distinct,
+    // so a pair still joins at most once), give each point its one bin,
+    // equi-join, exact [ws, we) filter on top. Shuffle cost ≤ 2·|windows|
+    // + |points| rows — the validity-window/promo-attribution shape
+    // (sessions, SCD validity, campaign windows) at any scale.
+    "join_interval_binned" -> { (s, d) =>
+      // bins from epoch-DAY arithmetic (o_orderdate is TIMESTAMP_NTZ,
+      // where unix_micros does not apply); bin width == max interval
+      // length (30 days), so a window covers at most 2 bins
+      def dayBin(name: String) =
+        expr(s"datediff(to_date($name), DATE'1970-01-01') div 30")
+      val win = t(s, d, "orders").filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"), col("o_orderdate").as("ws"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("we"))
+        .withColumn("bin", explode(array_distinct(array(
+          dayBin("ws"), dayBin("we")))))
+      val pts = t(s, d, "lineitem")
+        .select(col("l_shipdate"), col("l_quantity"),
+          dayBin("l_shipdate").as("bin"))
+      win.join(pts, Seq("bin"))
+        .filter(col("l_shipdate") >= col("ws")
+          && col("l_shipdate") < col("we"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_ship"),
+          moneySum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderkey")
+    },
+
     // the NAIVE declarative form of join_range_binned: a plain theta join
     // on |Δts| <= 1 min with no equi key — the formulation users actually
     // write, which unaided plans as an N² BroadcastNestedLoopJoin. The
@@ -349,6 +382,18 @@ object Joins {
         |  ON a.event_id < b.event_id
         | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60 * 1000000
         |ORDER BY id_a, id_b""".stripMargin,
+    // the naive point-in-interval reference — the binned plan must
+    // reproduce it exactly
+    "join_interval_binned" ->
+      s"""WITH w AS (
+         |  SELECT o_orderkey, o_orderdate AS ws,
+         |    o_orderdate + INTERVAL 30 DAY AS we
+         |  FROM orders WHERE o_orderkey % 97 = 0)
+         |SELECT w.o_orderkey, count(*) AS n_ship,
+         |  ${sql.moneySum("l_quantity")} AS sum_qty
+         |FROM w JOIN lineitem
+         |  ON l_shipdate >= ws AND l_shipdate < we
+         |GROUP BY w.o_orderkey ORDER BY w.o_orderkey""".stripMargin,
     // same quadratic reference as join_range_binned — the rewritten plan
     // must reproduce the naive join's answer exactly
     "join_range_auto" ->

@@ -102,6 +102,67 @@ object TrainPrep {
         .orderBy(col("source"), col("n_chars").desc, col("doc_id"))
     },
 
+    // temperature-scaled source mixing (the multilingual/LLM mixture
+    // knob): sampling weight per source ∝ n_tokens^α with α = 0.5, which
+    // upweights small sources relative to raw proportion. α = 0.5 is
+    // computed as sqrt — IEEE-exact and bit-identical across engines,
+    // unlike pow — and the weight denominator sums exact decimals over
+    // lossless round(·,6) terms so partial-agg merge order cannot move a
+    // share. One tiny per-source aggregate + a window over it; the corpus
+    // is scanned once.
+    "sample_temperature" -> { (s, d) =>
+      val perSrc = toks(s, d)
+        .select(col("source"), size(col("toks")).cast("long").as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .withColumn("wgt", expr(
+          "CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6))"))
+      val w = Window.partitionBy()
+      perSrc
+        .withColumn("raw_share", round(col("n_tokens").cast("double")
+          / sum(col("n_tokens")).over(w), 6))
+        .withColumn("temp_share", round(col("wgt").cast("double")
+          / sum(col("wgt")).over(w).cast("double"), 6))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("raw_share"), col("temp_share"),
+          round(col("temp_share") / col("raw_share"), 6).as("boost"))
+        .orderBy("source")
+    },
+
+    // quality-ranked greedy selection under a token budget (keep the best
+    // docs until 20% of the corpus tokens are spent) — the curation pass
+    // that turns a scored corpus into a fixed-size training slice. The
+    // global prefix sum over the score order is computed WITHOUT a
+    // single-partition window: docs bucket by a deterministic score bin
+    // (n_chars / 64), the in-bin cumsum is a per-bin window, and the
+    // cross-bin offset is a window over the TINY per-bin total table —
+    // the pack_sequences sharding discipline applied to an ordered scan.
+    "corpus_token_budget" -> { (s, d) =>
+      val scored = toks(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("score"),
+          size(col("toks")).cast("long").as("n_tok"),
+          floor(col("n_chars") / 64).cast("long").as("bin"))
+      val inBin = Window.partitionBy("bin")
+        .orderBy(col("score").desc, col("doc_id"))
+      val binTot = scored.groupBy("bin")
+        .agg(sum(col("n_tok")).as("bin_tok"))
+      val offW = Window.orderBy(col("bin").desc)
+      val offsets = binTot
+        .withColumn("off", coalesce(sum(col("bin_tok")).over(
+          offW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bin").as("bin2"), col("off"))
+      val total = toks(s, d)
+        .agg(sum(size(col("toks")).cast("long")).as("total_tok"))
+      scored
+        .withColumn("cum_in_bin", sum(col("n_tok")).over(inBin))
+        .join(broadcast(offsets), col("bin") === col("bin2"))
+        .crossJoin(broadcast(total))
+        .withColumn("cum_tok", col("off") + col("cum_in_bin"))
+        .filter(col("cum_tok") <= (col("total_tok") / 5L))
+        .select("doc_id", "score", "n_tok", "cum_tok")
+        .orderBy(col("score").desc, col("doc_id"))
+    },
+
     // benchmark-contamination scan: eval set = every 7th doc; a train doc
     // is contaminated if it shares any 5-gram with any eval doc. The eval
     // modulus is 7 (not something sparser) so the fixture's planted
@@ -154,6 +215,52 @@ object TrainPrep {
         |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
         |    AS token_share
         |FROM a ORDER BY source, lang""".stripMargin,
+    // α = 0.5 runs as sqrt (bit-identical IEEE on both engines, unlike
+    // pow); the weight denominator is an exact-decimal sum of rounded
+    // terms, so both engines divide identical operands
+    "sample_temperature" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+        |      AS n_tok
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY 1),
+        |b AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |      AS wgt
+        |  FROM a),
+        |c AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    round(CAST(n_tokens AS DOUBLE)
+        |      / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS raw_share,
+        |    round(CAST(wgt AS DOUBLE)
+        |      / CAST(sum(wgt) OVER () AS DOUBLE), 6) AS temp_share
+        |  FROM b)
+        |SELECT source, n_docs, n_tokens, raw_share, temp_share,
+        |  round(temp_share / raw_share, 6) AS boost
+        |FROM c ORDER BY source""".stripMargin,
+    // the oracle states the SPEC (global cumsum in score order) — the
+    // Spark side computes the same prefix sum via deterministic score
+    // bins so no single-partition window exists in the engine plan
+    "corpus_token_budget" ->
+      """WITH tk AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+        |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+        |      AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, score, n_tok,
+        |    CAST(sum(n_tok) OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |      AS cum_tok
+        |  FROM tk),
+        |tot AS (SELECT sum(n_tok) AS total FROM tk)
+        |SELECT doc_id, score, n_tok, cum_tok
+        |FROM c, tot WHERE cum_tok <= total / 5
+        |ORDER BY score DESC, doc_id""".stripMargin,
     "sample_per_source_topk" ->
       """SELECT doc_id, source, n_chars FROM (
         |  SELECT doc_id, source, n_chars,
