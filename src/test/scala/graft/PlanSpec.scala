@@ -138,6 +138,27 @@ class PlanSpec extends SparkSpec {
       || "SortMergeJoin \\[bin".r.findFirstIn(p).isDefined, p)
   }
 
+  test("join_interval_binned is an equi-join on bins — no pair-space scan") {
+    val p = plan(SparkEntry.queries("join_interval_binned")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashJoin \\[bin".r.findFirstIn(p).isDefined
+      || "SortMergeJoin \\[bin".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("corpus_token_budget windows over score bins, not one global " +
+      "partition") {
+    // the doc-level prefix sum must be partitioned on the score bin; an
+    // UNpartitioned doc window would render as windowspecdefinition
+    // starting with the score sort (no partition column) and serialize
+    // the corpus through one task. The only bin-ordered global window
+    // allowed is the TINY per-bin offset table.
+    val p = plan(SparkEntry.queries("corpus_token_budget")(spark, sf))
+    assert("windowspecdefinition\\(bin#\\d+L?, score"
+      .r.findFirstIn(p).isDefined, p)
+    assert(!"windowspecdefinition\\(score".r.findFirstIn(p).isDefined, p)
+  }
+
   test("sim_pairs_lsh joins only on band keys — no pair-space scan") {
     val p = plan(SparkEntry.queries("sim_pairs_lsh")(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"), p)

@@ -121,6 +121,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("containment flags a planted doc-in-doc pair that Jaccard misses") {
+    // B = 200 distinct words; A = a 30-word contiguous slice of B. Every
+    // shingle of A is a shingle of B, so containment(A in B) == 1, while
+    // Jaccard = 28/198 << 0.8 — the size-skewed duplication regime
+    // dedup_containment exists for (the fixture's planted near-dups are
+    // all similar-length, so this regime needs planting).
+    val words = (1 to 200).map(i => s"w$i")
+    val docs = Seq(
+      (0L, words.mkString(" "), "en", "s", 0L),
+      (1L, words.slice(50, 80).mkString(" "), "en", "s", 0L),
+      (2L, (1 to 40).map(i => s"z$i").mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = "target/tmp/containment_prop"
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cont = SparkEntry.queries("dedup_containment")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val jac = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // A (doc 1) is fully contained in B (doc 0): contain_ba == 1.0
+    assert(cont.length == 1, cont.mkString(", "))
+    val (a, b, ab, ba) = cont.head
+    assert((a, b, ba) == (0L, 1L, 1.0), cont.mkString(", "))
+    assert(math.abs(ab - 28.0 / 198) < 1e-6, ab.toString)
+    assert(!jac.contains((0L, 1L)), jac.mkString(", "))
+  }
+
   test("MG heavy hitters == brute force on skewed data with a planted " +
       "hitter, and candidates prune") {
     // the regime the sketch exists for: one value at ~30%, a second at
