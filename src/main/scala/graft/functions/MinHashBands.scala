@@ -60,7 +60,11 @@ object MinHashBands {
     h
   }
 
-  def compute(shingles: ArrayData): ArrayData = {
+  /** The 64 permutation minima — shared by the banded key below and the
+    * raw-signature expression ([[MinHashSig]]) so estimator and band join
+    * can never drift onto different permutation families.
+    */
+  private[functions] def minima(shingles: ArrayData): Array[Long] = {
     val mins = Array.fill(NumPerms)(Long.MaxValue)
     val n = shingles.numElements()
     var i = 0
@@ -76,6 +80,11 @@ object MinHashBands {
       }
       i += 1
     }
+    mins
+  }
+
+  def compute(shingles: ArrayData): ArrayData = {
+    val mins = minima(shingles)
     // band key = FNV over the 4 minima of the band, offset by band index
     val bands = new Array[Long](Bands)
     var b = 0

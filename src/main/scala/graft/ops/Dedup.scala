@@ -132,6 +132,31 @@ object Dedup {
       .filter(col("jac") >= JaccardThreshold)
       .select("doc_a", "doc_b", "jac")
 
+  /** Exact-Jaccard qualifying pairs (doc_a < doc_b, jac >= threshold) via
+    * the shingle inverted index — NO LSH pruning, quadratic only in docs
+    * sharing a shingle. The LSH-free baseline behind `dedup_ngram_jaccard`
+    * and the estimator check's pair universe.
+    */
+  private def exactJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val common = ex
+      .join(ex.select(col("doc_id").as("db"), col("sh").as("sh_b")),
+        col("sh") === col("sh_b") && col("doc_id") < col("db"))
+      .groupBy(col("doc_id").as("doc_a"), col("db").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        "doc_b")
+      .withColumn("jac",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= JaccardThreshold)
+      .select("doc_a", "doc_b", "jac")
+  }
+
   /** Connected components by min-label propagation WITH pointer doubling,
     * over a symmetric, cached (src, dst) edge table. Returns one
     * materialized (id, label) row per node, label = smallest node id in
@@ -255,24 +280,32 @@ object Dedup {
     // exact n-gram Jaccard via the shingle inverted index — the LSH-free
     // baseline (quadratic only in docs *sharing a shingle*); same oracle
     // shape as dedup_minhash, but no candidate pruning step
-    "dedup_ngram_jaccard" -> { (s, d) =>
-      val sh = shingled(s, d)
-      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-      val common = ex
-        .join(ex.select(col("doc_id").as("db"), col("sh").as("sh_b")),
-          col("sh") === col("sh_b") && col("doc_id") < col("db"))
-        .groupBy(col("doc_id").as("doc_a"), col("db").as("doc_b"))
-        .agg(count(lit(1)).as("c"))
-      common
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      exactJaccardPairs(s, d).orderBy("doc_a", "doc_b")),
+
+    // MinHash ESTIMATOR quality check: for every exact-Jaccard qualifying
+    // pair, the signature-agreement estimate (shared kernel with the
+    // production band join — same permutation family) must sit within 0.2
+    // of the exact value. Deterministic (no RNG: Kirsch-Mitzenmacher over
+    // fixed FNV bases), so the bound either holds for all pairs or the
+    // oracle fails loudly — the sketch-discipline twin of
+    // agg_approx_distinct's within_bound pattern. The estimate itself
+    // stays out of the output columns (DuckDB cannot rebuild the native
+    // signatures); the boolean is what both engines agree on.
+    "dedup_minhash_estimate" -> { (s, d) =>
+      graft.functions.MinHashSig.register(s)
+      val sig = shingled(s, d)
+        .select(col("doc_id"), expr("minhash_sig(shingles)").as("sig"))
+      exactJaccardPairs(s, d)
+        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
           "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
           "doc_b")
-        .withColumn("jac",
-          col("c").cast("double") / (col("na") + col("nb") - col("c")))
-        .filter(col("jac") >= JaccardThreshold)
-        .select("doc_a", "doc_b", "jac")
+        .withColumn("est", expr(
+          """aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),
+            |  0, (a, v) -> a + v) / 64.0""".stripMargin))
+        .select(col("doc_a"), col("doc_b"), col("jac"),
+          (abs(col("est") - col("jac")) <= 0.2).as("within_bound"))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -496,6 +529,12 @@ object Dedup {
          |WHERE da.source <> db.source
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" -> exactJaccardSql,
+    // exact pairs + the bound boolean pinned true (DuckDB cannot rebuild
+    // the native signatures; the agg_approx_distinct within_bound pattern)
+    "dedup_minhash_estimate" ->
+      s"""WITH $jaccardCtes
+         |SELECT doc_a, doc_b, jac, true AS within_bound
+         |FROM jpairs ORDER BY doc_a, doc_b""".stripMargin,
     // both containment directions from the same shingle inverted index;
     // c/n divisions are integer-valued operands in IEEE double, identical
     // bits on both engines before the (belt-and-braces) round
