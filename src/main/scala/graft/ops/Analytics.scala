@@ -600,10 +600,74 @@ object Analytics {
             .as("week_n"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("cohort_week", "week_n")
+    },
+
+    // RFM segmentation (recency / frequency / monetary): one shuffle to
+    // the per-user aggregate, the corpus-max timestamp broadcast back,
+    // then PURE-PROJECTION scoring against fixed business thresholds.
+    // Deliberately NOT quantile scores: global ntile needs a global sort
+    // (or the corpus_token_budget bin machinery) and quantile cut-points
+    // drift with the data — fixed thresholds are the form that stays
+    // map-only at 10⁸ users and comparable across runs.
+    "events_rfm" -> { (s, d) =>
+      val perUser = events(s, d)
+        .groupBy("user_id")
+        .agg(max(col("ts")).as("last_ts"),
+          count(lit(1)).as("frequency"),
+          moneySum(col("value")).as("monetary"))
+      val maxTs = events(s, d).agg(max(col("ts")).as("now"))
+      perUser.crossJoin(broadcast(maxTs))
+        .withColumn("recency_days",
+          (expr("unix_micros(now) - unix_micros(last_ts)")
+            / lit(86400000000L)).cast("long"))
+        .withColumn("r_score",
+          when(col("recency_days") <= 7, 3L)
+            .when(col("recency_days") <= 30, 2L).otherwise(1L))
+        .withColumn("f_score",
+          when(col("frequency") >= 50, 3L)
+            .when(col("frequency") >= 10, 2L).otherwise(1L))
+        .withColumn("m_score",
+          when(col("monetary") >= 2000, 3L)
+            .when(col("monetary") >= 500, 2L).otherwise(1L))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+          concat(col("r_score"), col("f_score"), col("m_score"))
+            .as("segment"))
+        .orderBy("user_id")
     }
   )
 
   def oracle: Map[String, String] = Map(
+    // recency floor-divides non-negative day deltas (Spark's double->long
+    // cast truncates; DuckDB mirrors with explicit floor)
+    "events_rfm" ->
+      s"""WITH u AS (
+         |  SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+         |    ${sql.moneySum("value")} AS monetary
+         |  FROM events GROUP BY 1),
+         |n AS (SELECT max(ts) AS now FROM events),
+         |r AS (
+         |  SELECT user_id,
+         |    CAST(floor((epoch_us(now) - epoch_us(last_ts))
+         |      / 86400000000) AS BIGINT) AS recency_days,
+         |    frequency, monetary
+         |  FROM u CROSS JOIN n),
+         |sc AS (
+         |  SELECT *,
+         |    CASE WHEN recency_days <= 7 THEN 3
+         |         WHEN recency_days <= 30 THEN 2 ELSE 1 END AS r_score,
+         |    CASE WHEN frequency >= 50 THEN 3
+         |         WHEN frequency >= 10 THEN 2 ELSE 1 END AS f_score,
+         |    CASE WHEN monetary >= 2000 THEN 3
+         |         WHEN monetary >= 500 THEN 2 ELSE 1 END AS m_score
+         |  FROM r)
+         |SELECT user_id, recency_days, frequency, monetary,
+         |  CAST(r_score AS BIGINT) AS r_score,
+         |  CAST(f_score AS BIGINT) AS f_score,
+         |  CAST(m_score AS BIGINT) AS m_score,
+         |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         |    || CAST(m_score AS VARCHAR) AS segment
+         |FROM sc ORDER BY user_id""".stripMargin,
     "q2_min_cost" ->
       """WITH eu AS (
         |  SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier

@@ -98,13 +98,20 @@ object Similarity {
       val e = vectors(s, d)
       val q = broadcast(e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv")))
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("cos").desc, col("vec_id"))
-      q.join(e, col("vec_id") =!= col("q_id"))
+      // per-query top-k through the native TopKPerKey operator: the
+      // window formulation would shuffle ALL q×N scored rows and fully
+      // sort each query's group; the heap operator ships ≤ K rows per
+      // (query, partition) — at corpus scale the difference between
+      // moving the scored corpus and moving q×K rows. The rank column is
+      // recomputed by a window over the ≤ q×K survivors (tiny).
+      val scored = q.join(e, col("vec_id") =!= col("q_id"))
         .withColumn("cos", expr("round(cosine_sim(qv, v), 6)"))
-        .select(col("q_id"), col("vec_id").as("n_id"), col("cos"),
-          row_number().over(w).cast("long").as("rnk"))
-        .filter(col("rnk") <= TopK)
+        .select(col("q_id"), col("vec_id").as("n_id"), col("cos"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("n_id"))
+      graft.plans.TopKPerKey.topK(scored, Seq(col("q_id")),
+          Seq(col("cos").desc, col("n_id")), TopK)
+        .withColumn("rnk", row_number().over(w).cast("long"))
         .orderBy("q_id", "rnk")
     },
 
