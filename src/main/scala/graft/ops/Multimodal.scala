@@ -85,6 +85,19 @@ object Multimodal {
             .as("digest"))
         .orderBy("doc_id", "frame_idx")),
 
+    // exact byte-level media dedup: SHA-256 over the opaque payload, one
+    // hash-groupBy — the first pass of every media-dedup pipeline (images
+    // recompressed byte-identical, mirrored files). Only digests shuffle,
+    // never payloads; embarrassingly parallel at any corpus size. Unlike
+    // dedup_exact (normalized text), bytes compare raw.
+    "multimodal_dedup_bytes" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .groupBy(sha2(col("payload"), 256).as("digest"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"),
+          sum(octet_length(col("payload"))).cast("long").as("total_bytes"))
+        .orderBy("keeper")),
+
     // typed mapPartitions decode pipeline over binary payloads (no oracle:
     // the stub isn't SQL — a unit spec pins its outputs)
     "multimodal_decode" -> { (s, d) =>
@@ -130,6 +143,12 @@ object Multimodal {
         |    AS digest
         |FROM fr JOIN f ON fr.doc_id = f.doc_id
         |ORDER BY fr.doc_id, frame_idx""".stripMargin,
+    // DuckDB hashes the identical UTF-8 bytes (its strings are UTF-8)
+    "multimodal_dedup_bytes" ->
+      """SELECT sha256(text) AS digest, min(doc_id) AS keeper,
+        |count(*) AS n_copies,
+        |CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY sha256(text) ORDER BY keeper""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, 'text' AS modality,
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

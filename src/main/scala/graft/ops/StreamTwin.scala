@@ -120,6 +120,20 @@ object StreamTwin {
           count(col("t_click")).as("n_click"),
           count(col("t_purchase")).as("n_purchase"))),
 
+    // twin of the windowed "trending types" top-k sink: hourly (window,
+    // type) counts -> native per-window top-3 via the SAME
+    // Streams.topTypesPerWindow the streaming spec drives over a
+    // Complete-mode sink
+    "stream_topk" -> ((s, d) =>
+      graft.streaming.Streams.topTypesPerWindow(
+        events(s, d)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("window.start").as("wstart"), col("event_type"),
+            col("cnt")),
+        3)
+        .orderBy(col("wstart"), col("cnt").desc, col("event_type"))),
+
     // twin of the watermarked hourly count (late-row drop is pinned by the
     // streaming spec; batch sees all rows) — distinct users per hour
     "stream_watermark_late" -> ((s, d) =>
@@ -160,6 +174,18 @@ object StreamTwin {
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "stream_topk" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS wstart, event_type,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT wstart, event_type, cnt,
+        |    row_number() OVER (PARTITION BY wstart
+        |      ORDER BY cnt DESC, event_type) AS rn
+        |  FROM c)
+        |SELECT wstart, event_type, cnt FROM r WHERE rn <= 3
+        |ORDER BY wstart, cnt DESC, event_type""".stripMargin,
     "stream_dedup" ->
       """SELECT user_id, event_type, min(event_id) AS first_event_id,
         |count(*) AS n_dups

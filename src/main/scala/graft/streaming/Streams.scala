@@ -64,6 +64,18 @@ object Streams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
 
+  /** Per-window top-k event types by count — the "trending now" sink step.
+    * Top-k OVER an aggregate is not expressible in Append mode, so on a
+    * stream this applies to the Complete-mode windowed-agg output (or
+    * inside foreachBatch); in batch it applies directly. Routed through
+    * the native TopKPerKey operator — ≤ k rows per (window, partition)
+    * move. Shared by the `stream_topk` twin and StreamingSpec so the two
+    * cannot drift.
+    */
+  def topTypesPerWindow(counts: DataFrame, k: Int): DataFrame =
+    graft.plans.TopKPerKey.topK(counts, Seq(col("wstart")),
+      Seq(col("cnt").desc, col("event_type")), k)
+
   /** Stateful dedup on (user_id, event_type) bounded by the watermark. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events

@@ -104,6 +104,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming windowed top-k types equal the batch twin") {
+    import org.apache.spark.sql.functions.{col, count, lit, window}
+    val src = "/root/repo/target/tmp/stream_src_topk/events"
+    val batch = graft.ops.Tables.events(spark, sf)
+    batch.write.mode("overwrite").parquet(src)
+    val streamed = spark.readStream.schema(batch.schema).parquet(src)
+    val counts = streamed
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("cnt"))
+    val q = Streams.toMemorySink(counts, "topk_counts_t",
+      OutputMode.Complete())
+    q.processAllAvailable()
+    q.stop()
+    // the sink-side top-k is the SAME function the batch twin routes
+    // through — Complete-mode agg + TopKPerKey over the sink table
+    val got = Streams.topTypesPerWindow(spark.table("topk_counts_t"), 3)
+      .select("wstart", "event_type", "cnt")
+      .as[(Timestamp, String, Long)].collect().toSet
+    val want = graft.ops.StreamTwin.queries("stream_topk")(spark, sf)
+      .select("wstart", "event_type", "cnt")
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("foreachBatch upsert sink accumulates counts across micro-batches") {
     val stateDir = "/root/repo/target/tmp/stream_upsert_spec"
     val p = new org.apache.hadoop.fs.Path(stateDir)
