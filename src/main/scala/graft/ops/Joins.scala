@@ -212,6 +212,26 @@ object Joins {
         .orderBy("o_orderkey")
     },
 
+    // the NAIVE declarative form of the interval join: every 5th event
+    // opens a 60-second window [us, us+60s) and points are counted into
+    // it — written as the plain two-inequality theta join users produce,
+    // which unaided plans as a BNLJ. graft.plans.RewriteIntervalJoin
+    // rewrites it plan-wide into the ≤2-bin explode equi-join
+    // (join_interval_binned's hand-built shape); PlanSpec pins no
+    // nested-loop survives and the oracle is the naive reference.
+    "join_interval_auto" -> { (s, d) =>
+      val ev = events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      val iv = ev.filter(col("event_id") % 5 === 0)
+        .select(col("event_id").as("iv_id"), col("us").as("s_us"))
+      val pts = ev.select(col("us").as("p_us"))
+      iv.join(pts, col("p_us") >= col("s_us")
+          && col("p_us") < col("s_us") + lit(60L * 1000000L))
+        .groupBy("iv_id")
+        .agg(count(lit(1)).as("n_pts"))
+        .orderBy("iv_id")
+    },
+
     // the NAIVE declarative form of join_range_binned: a plain theta join
     // on |Δts| <= 1 min with no equi key — the formulation users actually
     // write, which unaided plans as an N² BroadcastNestedLoopJoin. The
@@ -394,6 +414,15 @@ object Joins {
          |FROM w JOIN lineitem
          |  ON l_shipdate >= ws AND l_shipdate < we
          |GROUP BY w.o_orderkey ORDER BY w.o_orderkey""".stripMargin,
+    // naive two-inequality reference — the auto-rewritten plan must
+    // reproduce it exactly
+    "join_interval_auto" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+        |iv AS (SELECT event_id AS iv_id, us AS s_us FROM ev
+        |       WHERE event_id % 5 = 0)
+        |SELECT iv_id, count(*) AS n_pts
+        |FROM iv JOIN ev p ON p.us >= s_us AND p.us < s_us + 60000000
+        |GROUP BY iv_id ORDER BY iv_id""".stripMargin,
     // same quadratic reference as join_range_binned — the rewritten plan
     // must reproduce the naive join's answer exactly
     "join_range_auto" ->

@@ -39,6 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => FuseIntersectSize)
     ext.injectOptimizerRule(_ => RewriteWindowTopK)
     ext.injectOptimizerRule(_ => RewriteBinnedRangeJoin)
+    ext.injectOptimizerRule(_ => RewriteIntervalJoin)
     ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

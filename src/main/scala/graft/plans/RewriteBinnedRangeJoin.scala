@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Alias, ArrayDistinct, AttributeReference, CaseWhen, CreateArray, EqualTo, Explode, Expression, GreaterThan, GreaterThanOrEqual, IntegralDivide, LessThan, LessThanOrEqual, Literal, PredicateHelper, Remainder, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Abs, Alias, ArrayDistinct, AttributeReference, CreateArray, EqualTo, Explode, Expression, GreaterThanOrEqual, LessThanOrEqual, Literal, PredicateHelper, Subtract}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -47,17 +47,7 @@ import org.apache.spark.sql.types.LongType
   */
 object RewriteBinnedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** Floor division e / width (width > 0) for any-sign e, wrap-safe over
-    * the full Long domain: truncating `div`, minus one when the remainder
-    * is negative. No intermediate can overflow — `e div w` and `e % w`
-    * are total for w > 0, and the -1 correction only fires when |q| is
-    * at most Long.MaxValue / 2 (w >= 2; w == 1 has remainder 0).
-    */
-  private def bin(e: Expression, width: Long): Expression = {
-    val q = IntegralDivide(e, Literal(width))
-    val r = Remainder(e, Literal(width))
-    CaseWhen(Seq((LessThan(r, Literal(0L)), Subtract(q, Literal(1L)))), q)
-  }
+  import BinnedJoins.{bin, clampedHi, clampedLo, hasEquiConjunct}
 
   /** The (leftKey, rightKey, width) of the first `abs(l - r) <= C`
     * conjunct whose operands split cleanly across the join sides.
@@ -82,15 +72,6 @@ object RewriteBinnedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     })
   }
 
-  private def hasEquiConjunct(conjuncts: Seq[Expression],
-      left: LogicalPlan, right: LogicalPlan): Boolean =
-    conjuncts.exists {
-      case EqualTo(a, b) =>
-        (canEvaluate(a, left) && canEvaluate(b, right)) ||
-          (canEvaluate(b, left) && canEvaluate(a, right))
-      case _ => false
-    }
-
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint)
         if j.resolved && !j.isStreaming =>
@@ -107,13 +88,10 @@ object RewriteBinnedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
           val binLAlias = Alias(bin(lk, width), "_graft_bin_l")()
           val projL = Project(left.output :+ binLAlias, left)
           val b = binLAlias.toAttribute
-          val lo = CaseWhen(Seq((GreaterThan(b, Literal(Long.MinValue)),
-            Subtract(b, Literal(1L)))), b)
-          val hi = CaseWhen(Seq((LessThan(b, Literal(Long.MaxValue)),
-            Add(b, Literal(1L)))), b)
           val genOut = AttributeReference("_graft_bin", LongType)()
           val gen = Generate(
-            Explode(ArrayDistinct(CreateArray(Seq(lo, b, hi)))),
+            Explode(ArrayDistinct(CreateArray(Seq(
+              clampedLo(b), b, clampedHi(b))))),
             unrequiredChildIndex = Nil, outer = false, qualifier = None,
             generatorOutput = Seq(genOut), child = projL)
           val binRAlias = Alias(bin(rk, width), "_graft_bin_r")()

@@ -138,6 +138,14 @@ class PlanSpec extends SparkSpec {
       || "SortMergeJoin \\[bin".r.findFirstIn(p).isDefined, p)
   }
 
+  test("naive interval join auto-rewrites to a binned equi-join (no BNLJ)") {
+    val p = plan(SparkEntry.queries("join_interval_auto")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("_graft_ivbin"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("join_interval_binned is an equi-join on bins — no pair-space scan") {
     val p = plan(SparkEntry.queries("join_interval_binned")(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"), p)

@@ -90,6 +90,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("RewriteIntervalJoin == brute force on random signed starts and " +
+      "points") {
+    // the naive p >= s AND p < s + C join goes through the interval
+    // auto-binning rewrite in this session (GraftExtensions active);
+    // signed values exercise the negative-bin floor path
+    for (_ <- 1 to 10) {
+      val n = rnd.nextInt(120) + 20
+      val width = (rnd.nextInt(50) + 1).toLong
+      val rows = List.tabulate(n)(i => (i.toLong, rnd.nextLong() % 500L))
+      val df = rows.toDF("id", "v").repartition(3)
+      val iv = df.select(col("id").as("iv_id"), col("v").as("s"))
+      val pts = df.select(col("id").as("pt_id"), col("v").as("p"))
+      val joined = iv.join(pts,
+          col("p") >= col("s") && col("p") < col("s") + lit(width))
+        .select("iv_id", "pt_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = (for {
+        (ii, s) <- rows; (pi, p) <- rows
+        if p >= s && p < s + width
+      } yield (ii, pi)).toSet
+      assert(joined == brute,
+        s"width=$width missing=${brute -- joined} extra=${joined -- brute}")
+    }
+  }
+
   test("RewriteBinnedRangeJoin == brute force on wrap-zone keys at the " +
       "Long domain edges") {
     // keys within `width` of Long.MinValue/MaxValue: the former
