@@ -47,6 +47,23 @@ class GoldenSpec extends SparkSpec {
     }
   }
 
+  test("round-5 operators pin their sf0.001 row counts") {
+    val expected = Map(
+      "table_profile_approx" -> 4L,
+      "sample_temperature" -> 20L,
+      "corpus_token_budget" -> 59L,
+      "dedup_containment" -> 28L,
+      "join_interval_binned" -> 16L,
+      "dedup_minhash_estimate" -> 28L,
+      "events_rfm" -> 15L,
+      "stream_topk" -> 858L,
+      "multimodal_dedup_bytes" -> 500L,
+      "join_interval_auto" -> 200L)
+    expected.foreach { case (k, n) =>
+      assert(SparkEntry.queries(k)(spark, sf).count() == n, k)
+    }
+  }
+
   test("round-4 operators pin their sf0.001 row counts") {
     val expected = Map(
       "text_chunk" -> 1388L,
