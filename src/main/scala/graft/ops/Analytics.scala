@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Composite analytics in the classic TPC-H query shapes — multi-join +
@@ -634,6 +635,53 @@ object Analytics {
           concat(col("r_score"), col("f_score"), col("m_score"))
             .as("segment"))
         .orderBy("user_id")
+    },
+
+    // last-touch attribution: every purchase is credited to the most
+    // recent preceding engagement touch (click/view) by the same user.
+    // Single window pass over the per-user event stream — the as-of shape
+    // (join_asof) generalized to carry id+type+gap in one frame, so the
+    // plan is one shuffle on user_id regardless of history length; ties
+    // on ts break by event_id so the credit is engine-independent.
+    "events_attribution" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val isTouch = col("event_type").isin("click", "view")
+      events(s, d)
+        .withColumn("t_id", when(isTouch, col("event_id")))
+        .withColumn("t_ts", when(isTouch, col("ts")))
+        .withColumn("t_ty", when(isTouch, col("event_type")))
+        .withColumn("touch_id", last(col("t_id"), ignoreNulls = true).over(w))
+        .withColumn("touch_ts", last(col("t_ts"), ignoreNulls = true).over(w))
+        .withColumn("touch_type", last(col("t_ty"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("touch_id"),
+          col("touch_type"),
+          expr("unix_micros(ts) - unix_micros(touch_ts)").as("gap_us"))
+        .orderBy("event_id")
+    },
+
+    // calendar gap-fill: each user's sparse daily activity densified over
+    // their own [first_day, last_day] spine — the missing-bucket repair
+    // timeseries feature pipelines run before lag/rolling features. The
+    // spine is generated per key (sequence + explode, O(days/user) rows,
+    // no driver loop, no global calendar broadcast) and the left join is
+    // co-partitioned on user_id with the daily aggregate, so the pass
+    // stays one shuffle at any user count.
+    "events_gap_fill" -> { (s, d) =>
+      val daily = events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val spine = events(s, d)
+        .groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("d0"),
+          max(to_date(col("ts"))).as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("user_id", "day")
     }
   )
 
@@ -668,6 +716,45 @@ object Analytics {
          |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
          |    || CAST(m_score AS VARCHAR) AS segment
          |FROM sc ORDER BY user_id""".stripMargin,
+    // the frame excludes the current row, so a touch sharing the
+    // purchase's exact ts still attributes only if it sorts earlier on
+    // (ts, event_id) — both engines use the identical order + frame
+    "events_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    CASE WHEN event_type IN ('click', 'view')
+        |         THEN event_id END AS t_id,
+        |    CASE WHEN event_type IN ('click', 'view') THEN ts END AS t_ts,
+        |    CASE WHEN event_type IN ('click', 'view')
+        |         THEN event_type END AS t_ty
+        |  FROM events),
+        |a AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(t_id IGNORE NULLS) OVER w AS touch_id,
+        |    last_value(t_ts IGNORE NULLS) OVER w AS touch_ts,
+        |    last_value(t_ty IGNORE NULLS) OVER w AS touch_type
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ts, touch_id, touch_type,
+        |  epoch_us(ts) - epoch_us(touch_ts) AS gap_us
+        |FROM a WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "events_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT user_id, CAST(unnest(generate_series(
+        |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+        |          max(CAST(ts AS DATE)) AS d1
+        |        FROM events GROUP BY 1))
+        |SELECT sp.user_id, sp.day,
+        |  CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events
+        |FROM sp LEFT JOIN daily d
+        |  ON sp.user_id = d.user_id AND sp.day = d.day
+        |ORDER BY 1, 2""".stripMargin,
     "q2_min_cost" ->
       """WITH eu AS (
         |  SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier

@@ -232,6 +232,38 @@ object Joins {
         .orderBy("iv_id")
     },
 
+    // interval × interval OVERLAP join with no equi key — the hardest of
+    // the three interval shapes (point-in-interval and |Δ|<=C bound one
+    // side; here both sides are extents). Both sides explode to the <=2
+    // bins they touch (bin width == the longer side's max length, so the
+    // explode is bounded), equi-join on bin, and the pair dedups WITHOUT
+    // a distinct: a pair joins only in the bin containing the overlap's
+    // START (bin == greatest(as,bs) div W) — every overlapping pair
+    // shares that bin and no pair matches twice. Shuffle <= 2|A| + 2|B|
+    // rows at any scale; the unaided form is an N² BNLJ.
+    "join_interval_overlap" -> { (s, d) =>
+      val W = 2L * 3600L * 1000000L // == the signup side's 2 h extent
+      val ev = events(s, d)
+      val a = ev
+        .filter(col("event_type") === "signup" && col("event_id") % 10 === 0)
+        .select(col("event_id").as("a_id"), unix_micros(col("ts")).as("as_us"))
+        .withColumn("ae_us", col("as_us") + lit(W))
+      val b = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("b_id"), unix_micros(col("ts")).as("bs_us"))
+        .withColumn("be_us", col("bs_us") + lit(3600L * 1000000L))
+      val aB = a.withColumn("bin", explode(array_distinct(array(
+        expr(s"as_us div $W"), expr(s"(ae_us - 1) div $W")))))
+      val bB = b.withColumn("bin", explode(array_distinct(array(
+        expr(s"bs_us div $W"), expr(s"(be_us - 1) div $W")))))
+      aB.join(bB, Seq("bin"))
+        .filter(col("as_us") < col("be_us") && col("bs_us") < col("ae_us"))
+        .filter(col("bin") === expr(s"greatest(as_us, bs_us) div $W"))
+        .select(col("a_id"), col("b_id"),
+          (least(col("ae_us"), col("be_us"))
+            - greatest(col("as_us"), col("bs_us"))).as("overlap_us"))
+        .orderBy("a_id", "b_id")
+    },
+
     // the NAIVE declarative form of join_range_binned: a plain theta join
     // on |Δts| <= 1 min with no equi key — the formulation users actually
     // write, which unaided plans as an N² BroadcastNestedLoopJoin. The
@@ -423,6 +455,20 @@ object Joins {
         |SELECT iv_id, count(*) AS n_pts
         |FROM iv JOIN ev p ON p.us >= s_us AND p.us < s_us + 60000000
         |GROUP BY iv_id ORDER BY iv_id""".stripMargin,
+    // the naive overlap reference — the binned plan must reproduce it
+    "join_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT event_id AS a_id, epoch_us(ts) AS as_us,
+        |    epoch_us(ts) + 7200000000 AS ae_us
+        |  FROM events WHERE event_type = 'signup' AND event_id % 10 = 0),
+        |b AS (
+        |  SELECT event_id AS b_id, epoch_us(ts) AS bs_us,
+        |    epoch_us(ts) + 3600000000 AS be_us
+        |  FROM events WHERE event_type = 'error')
+        |SELECT a_id, b_id,
+        |  least(ae_us, be_us) - greatest(as_us, bs_us) AS overlap_us
+        |FROM a JOIN b ON as_us < be_us AND bs_us < ae_us
+        |ORDER BY a_id, b_id""".stripMargin,
     // same quadratic reference as join_range_binned — the rewritten plan
     // must reproduce the naive join's answer exactly
     "join_range_auto" ->

@@ -311,7 +311,30 @@ object Similarity {
             |    i -> abs(v[i - 1] - (lo + codes[i - 1] * (hi - lo) / 255))),
             |  CAST(0 AS DOUBLE), (a, e) -> greatest(a, e)), 6)""".stripMargin)
             .as("max_err"))
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // embedding-table QA audit: per-label L2-norm distribution — the
+    // sanity pass run before any ANN index build (un-normalized or
+    // zero-norm vectors poison cosine indexes). Per-vector work happens
+    // inside codegen (fold over the array, no explode), one tiny shuffle
+    // on label. Determinism: each x² is rounded then decimal-summed so
+    // fold/merge order cannot move a norm; sqrt is IEEE-exact in both
+    // engines; the label average decimal-sums the rounded norms.
+    "embedding_norm_audit" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("norm", expr(
+          """round(sqrt(CAST(aggregate(v, CAST(0 AS DECIMAL(20,9)),
+            |  (a, x) -> CAST(a + CAST(round(x * x, 9) AS DECIMAL(20,9))
+            |    AS DECIMAL(20,9))) AS DOUBLE)), 6)""".stripMargin))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(expr("CAST(norm AS DECIMAL(12,6))")).cast("double")
+            / count(lit(1)), 6).as("avg_norm"),
+          min(col("norm")).as("min_norm"),
+          max(col("norm")).as("max_norm"))
+        .orderBy("label"))
   )
 
   private val duckVectors =
@@ -515,6 +538,22 @@ object Similarity {
          |  round(list_max(list_transform(generate_series(1, len(v)),
          |    i -> abs(v[i] - (lo + codes[i] * (hi - lo) / 255)))), 6)
          |    AS max_err
-         |FROM c ORDER BY vec_id""".stripMargin
+         |FROM c ORDER BY vec_id""".stripMargin,
+    // per-element rounding before the exact decimal sum mirrors the Spark
+    // fold — unnest+GROUP BY is DuckDB's fold equivalent
+    "embedding_norm_audit" ->
+      s"""WITH e AS ($duckVectors),
+         |el AS (SELECT e.vec_id, emb.label, e.v
+         |       FROM e JOIN embeddings emb ON e.vec_id = emb.vec_id),
+         |t AS (SELECT vec_id, label, unnest(v) AS x FROM el),
+         |n AS (SELECT vec_id, label,
+         |        round(sqrt(CAST(sum(CAST(round(x * x, 9)
+         |          AS DECIMAL(20,9))) AS DOUBLE)), 6) AS norm
+         |      FROM t GROUP BY 1, 2)
+         |SELECT label, count(*) AS n_vecs,
+         |  round(CAST(sum(CAST(norm AS DECIMAL(12,6))) AS DOUBLE)
+         |    / count(*), 6) AS avg_norm,
+         |  min(norm) AS min_norm, max(norm) AS max_norm
+         |FROM n GROUP BY label ORDER BY label""".stripMargin
   )
 }

@@ -16,6 +16,16 @@ object TextOps {
     t(s, d, "documents")
       .withColumn("toks", split(lower(trim(col("text"))), " "))
 
+  /** Chunk width for `text_boilerplate`: 3 tokens — sized to the fixture's
+    * ~31-word near-uniform vocabulary so repeated chunks actually occur
+    * (~3% of chunk types at every SF). Real corpora use lines/sentences;
+    * the pipeline shape is identical.
+    */
+  val BoilerW = 3
+
+  /** A chunk is boilerplate when it appears in >= this many distinct docs. */
+  val BoilerDf = 3
+
   /** One-pass heavy hitters (Misra-Gries): per-partition MG sketches with
     * K counters emit candidate values; pigeonhole guarantees every value
     * with GLOBAL freq > n/K exceeds n_p/K in some partition, so the
@@ -328,6 +338,34 @@ object TextOps {
         .select(col("doc_id"), explode(expr("winnow_fps(toks)"))
           .as("fingerprint"))
         .orderBy("doc_id", "fingerprint")
+    },
+
+    // boilerplate removal (the C4/RefinedWeb line-dedup pass, adapted to
+    // the fixture's newline-free docs): docs split into consecutive
+    // 3-token chunks, a chunk is boilerplate when its exact text occurs
+    // in >= 3 distinct docs, and each doc reports how many chunks/tokens
+    // survive. Only md5 digests shuffle to the frequency table and back
+    // (never the chunk text twice) — the digests-only discipline that
+    // keeps the pass linear when "chunk" means a 1 KB line at 100 TB.
+    "text_boilerplate" -> { (s, d) =>
+      val ch = toks(s, d)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(
+             |  sequence(0, cast(ceil(size(toks) / $BoilerW.0) as int) - 1),
+             |  i -> concat_ws(' ',
+             |    slice(toks, i * $BoilerW + 1, $BoilerW)))""".stripMargin))
+          .as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("h"),
+          size(split(col("chunk"), " ")).as("n_tok"))
+      val freq = ch.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      ch.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("df") >= BoilerDf, 1L).otherwise(0L)).as("n_boiler"),
+          sum(when(col("df") < BoilerDf, col("n_tok")).otherwise(0L))
+            .cast("long").as("n_tok_kept"))
+        .orderBy("doc_id")
     }
   )
 
@@ -498,6 +536,31 @@ object TextOps {
          |     AND s_fr >= s_zh THEN 'fr'
          |    ELSE 'zh' END AS predicted,
          |  CAST(s_en AS BIGINT) AS score_en
-         |FROM scored ORDER BY doc_id""".stripMargin
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    // BIGINT casts on every sum (DuckDB sum(int) is HUGEINT — the r04
+    // hash-fail class)
+    "text_boilerplate" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+         |  FROM documents),
+         |ch0 AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(0, CAST(ceil(len(w) / $BoilerW.0) AS BIGINT)),
+         |    i -> array_to_string(
+         |      list_slice(w, i * $BoilerW + 1, i * $BoilerW + $BoilerW),
+         |      ' '))) AS chunk
+         |  FROM tk),
+         |ch AS (
+         |  SELECT doc_id, md5(chunk) AS h,
+         |    len(string_split(chunk, ' ')) AS n_tok
+         |  FROM ch0),
+         |f AS (SELECT h, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN df >= $BoilerDf THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_boiler,
+         |  CAST(sum(CASE WHEN df < $BoilerDf THEN n_tok ELSE 0 END)
+         |    AS BIGINT) AS n_tok_kept
+         |FROM ch JOIN f USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -183,7 +183,25 @@ object TrainPrep {
         .agg(countDistinct(col("gram")).as("n_shared_grams"),
           countDistinct(col("eval_id")).as("n_eval_docs"))
         .orderBy("doc_id")
-    }
+    },
+
+    // deterministic train/valid/test assignment by content hash — the
+    // reproducible-split contract of every training pipeline: membership
+    // depends only on the doc's key bytes (md5 prefix, the sample_hash
+    // discipline), never on partitioning, seed state, or row order, so
+    // the split survives reruns, engine swaps, and corpus growth
+    // (existing docs never migrate when new ones arrive). Pure
+    // projection — map-only at any corpus size. Hex-prefix cuts: 'e6' =
+    // 230/256 ~ 89.8% train, 'f3' leaves ~5.1% each for valid/test.
+    "sample_split" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          substring(md5(col("doc_id").cast("string")), 1, 2).as("b"))
+        .withColumn("split",
+          when(col("b") < "e6", "train")
+            .when(col("b") < "f3", "valid").otherwise("test"))
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id"))
   )
 
   def oracle: Map[String, String] = Map(
@@ -283,6 +301,15 @@ object TrainPrep {
          |  count(DISTINCT e.doc_id) AS n_eval_docs
          |FROM g t JOIN g e ON t.gram = e.gram
          |WHERE t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
-         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "sample_split" ->
+      """SELECT doc_id, source,
+        |  CASE
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |      THEN 'train'
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+        |      THEN 'valid'
+        |    ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

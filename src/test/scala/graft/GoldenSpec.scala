@@ -58,7 +58,13 @@ class GoldenSpec extends SparkSpec {
       "events_rfm" -> 15L,
       "stream_topk" -> 858L,
       "multimodal_dedup_bytes" -> 500L,
-      "join_interval_auto" -> 200L)
+      "join_interval_auto" -> 200L,
+      "events_attribution" -> 202L,
+      "events_gap_fill" -> 449L,
+      "text_boilerplate" -> 500L,
+      "sample_split" -> 500L,
+      "join_interval_overlap" -> 12L,
+      "embedding_norm_audit" -> 10L)
     expected.foreach { case (k, n) =>
       assert(SparkEntry.queries(k)(spark, sf).count() == n, k)
     }

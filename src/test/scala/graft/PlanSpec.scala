@@ -154,6 +154,14 @@ class PlanSpec extends SparkSpec {
       || "SortMergeJoin \\[bin".r.findFirstIn(p).isDefined, p)
   }
 
+  test("join_interval_overlap equi-joins on bins — no pair-space scan") {
+    val p = plan(SparkEntry.queries("join_interval_overlap")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashJoin \\[bin".r.findFirstIn(p).isDefined
+      || "SortMergeJoin \\[bin".r.findFirstIn(p).isDefined, p)
+  }
+
   test("corpus_token_budget windows over score bins, not one global " +
       "partition") {
     // the doc-level prefix sum must be partitioned on the score bin; an

@@ -115,6 +115,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("binned interval-overlap construction == brute force on signed " +
+      "intervals, each pair exactly once") {
+    // the join_interval_overlap shape, generically: bin width >= both
+    // sides' max interval length, endpoint-bin explode (<=2 bins each),
+    // pair dedup via the overlap-start bin — no distinct, no pair scan.
+    // Signed starts exercise the truncating-div bins (monotone, spacing
+    // >= w, so the <=2-bin cover holds on both sides of zero).
+    for (_ <- 1 to 10) {
+      val n = rnd.nextInt(80) + 20
+      val w = (rnd.nextInt(40) + 2).toLong
+      def mk() = List.tabulate(n)(i => (i.toLong,
+        rnd.nextLong() % 500L, (rnd.nextInt(w.toInt) + 1).toLong))
+      val ar = mk(); val br = mk()
+      val a = ar.toDF("a_id", "as_v", "a_len")
+        .select(col("a_id"), col("as_v"),
+          (col("as_v") + col("a_len")).as("ae_v")).repartition(3)
+      val b = br.toDF("b_id", "bs_v", "b_len")
+        .select(col("b_id"), col("bs_v"),
+          (col("bs_v") + col("b_len")).as("be_v")).repartition(3)
+      val aB = a.withColumn("bin", explode(array_distinct(array(
+        expr(s"as_v div $w"), expr(s"(ae_v - 1) div $w")))))
+      val bB = b.withColumn("bin", explode(array_distinct(array(
+        expr(s"bs_v div $w"), expr(s"(be_v - 1) div $w")))))
+      val got = aB.join(bB, Seq("bin"))
+        .filter(col("as_v") < col("be_v") && col("bs_v") < col("ae_v"))
+        .filter(col("bin") === expr(s"greatest(as_v, bs_v) div $w"))
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList
+      val gotSet = got.toSet
+      assert(got.size == gotSet.size, s"w=$w a pair joined twice")
+      val brute = (for {
+        (ai, as0, al) <- ar; (bi, bs0, bl) <- br
+        if as0 < bs0 + bl && bs0 < as0 + al
+      } yield (ai, bi)).toSet
+      assert(gotSet == brute,
+        s"w=$w missing=${brute -- gotSet} extra=${gotSet -- brute}")
+    }
+  }
+
   test("RewriteBinnedRangeJoin == brute force on wrap-zone keys at the " +
       "Long domain edges") {
     // keys within `width` of Long.MinValue/MaxValue: the former
