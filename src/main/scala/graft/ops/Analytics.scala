@@ -682,6 +682,43 @@ object Analytics {
         .select(col("user_id"), col("day"),
           coalesce(col("n_events"), lit(0L)).as("n_events"))
         .orderBy("user_id", "day")
+    },
+
+    // A/B experiment readout: users hash-split 50/50 (the sample_split
+    // discipline — assignment is a pure function of the user key, so the
+    // same user lands in the same arm on every rerun and engine), per-arm
+    // conversion = "has any purchase", two-proportion z-score on the
+    // pooled rate. One per-user agg + one 4-way conditional agg to a
+    // single row — O(1) output at any user count, no pivot, no second
+    // scan. All post-agg arithmetic is the same IEEE expression tree in
+    // both engines, rounded at the end.
+    "events_ab_lift" -> { (s, d) =>
+      // conversion = a high-value purchase (>= 180): every fixture user
+      // purchases SOMETHING, which would pool p to 1 and zero the z
+      // denominator — the threshold keeps both arms mixed at every SF
+      val u = events(s, d).groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase"
+            && col("value") >= 180, 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("in_a",
+          substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+      u.agg(
+          sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("in_a"), col("converted")).otherwise(0L)).as("conv_a"),
+          sum(when(!col("in_a"), col("converted")).otherwise(0L)).as("conv_b"))
+        .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+          round(col("conv_a") / col("n_a"), 6).as("rate_a"),
+          round(col("conv_b") / col("n_b"), 6).as("rate_b"),
+          round(col("conv_b") / col("n_b") - col("conv_a") / col("n_a"), 6)
+            .as("abs_lift"),
+          round((col("conv_b") / col("n_b") - col("conv_a") / col("n_a"))
+            / sqrt(((col("conv_a") + col("conv_b"))
+                / (col("n_a") + col("n_b")))
+              * (lit(1.0) - (col("conv_a") + col("conv_b"))
+                / (col("n_a") + col("n_b")))
+              * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6)
+            .as("z_score"))
     }
   )
 
@@ -755,6 +792,34 @@ object Analytics {
         |FROM sp LEFT JOIN daily d
         |  ON sp.user_id = d.user_id AND sp.day = d.day
         |ORDER BY 1, 2""".stripMargin,
+    // integer / integer is float division in both engines; the z-score
+    // expression tree mirrors term-for-term so IEEE evaluation matches
+    "events_ab_lift" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value >= 180
+        |      THEN 1 ELSE 0 END) AS converted,
+        |    substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS in_a
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN in_a THEN converted ELSE 0 END) AS BIGINT)
+        |      AS conv_a,
+        |    CAST(sum(CASE WHEN NOT in_a THEN converted ELSE 0 END)
+        |      AS BIGINT) AS conv_b
+        |  FROM u)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  round(conv_a / n_a, 6) AS rate_a,
+        |  round(conv_b / n_b, 6) AS rate_b,
+        |  round(conv_b / n_b - conv_a / n_a, 6) AS abs_lift,
+        |  round((conv_b / n_b - conv_a / n_a)
+        |    / sqrt(((conv_a + conv_b) / (n_a + n_b))
+        |      * (1.0 - (conv_a + conv_b) / (n_a + n_b))
+        |      * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+        |FROM c""".stripMargin,
     "q2_min_cost" ->
       """WITH eu AS (
         |  SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier

@@ -304,6 +304,48 @@ object Joins {
         .orderBy("event_id")
     },
 
+    // nearest-in-time join (the sensor-fusion / log-alignment shape): for
+    // each purchase, the click with MINIMUM |Δt| in either direction by
+    // the same user. Two directed as-of passes — backward carries the
+    // latest click at-or-before, forward the earliest strictly-after —
+    // and a projection picks the closer (equal-ts clicks count backward
+    // in both engines, so no double credit). Still no range join: window
+    // state is one (id, ts) scalar pair per direction per partition scan,
+    // linear at any history length.
+    "join_asof_nearest" -> { (s, d) =>
+      val base = events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("is_p",
+          when(col("event_type") === "purchase", 1).otherwise(0))
+        .withColumn("c_id",
+          when(col("event_type") === "click", col("event_id")))
+        .withColumn("c_ts", when(col("event_type") === "click", col("ts")))
+      val wb = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_p"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("is_p").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base
+        .withColumn("b_id", last(col("c_id"), ignoreNulls = true).over(wb))
+        .withColumn("b_ts", last(col("c_ts"), ignoreNulls = true).over(wb))
+        .withColumn("f_id", last(col("c_id"), ignoreNulls = true).over(wf))
+        .withColumn("f_ts", last(col("c_ts"), ignoreNulls = true).over(wf))
+        .filter(col("event_type") === "purchase")
+        .withColumn("b_gap", expr("unix_micros(ts) - unix_micros(b_ts)"))
+        .withColumn("f_gap", expr("unix_micros(f_ts) - unix_micros(ts)"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("f_ts").isNull, col("b_id"))
+            .when(col("b_ts").isNull, col("f_id"))
+            .when(col("b_gap") <= col("f_gap"), col("b_id"))
+            .otherwise(col("f_id")).as("nearest_id"),
+          when(col("f_ts").isNull, col("b_gap"))
+            .when(col("b_ts").isNull, col("f_gap"))
+            .when(col("b_gap") <= col("f_gap"), col("b_gap"))
+            .otherwise(col("f_gap")).as("gap_us"))
+        .orderBy("event_id")
+    },
+
     // bucketed co-located join: both facts bucketed+sorted on the join key
     // into catalog tables -> the SortMergeJoin needs NO shuffle of either
     // side (PlanSpec pins the exchange-free join). This is the 100 TB
@@ -484,6 +526,42 @@ object Joins {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    // same two directed window passes; equal-ts clicks sort before the
+    // purchase ascending, so the descending frame excludes them — they
+    // credit backward exactly once in both engines
+    "join_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+        |    CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+        |    CASE WHEN event_type = 'click' THEN ts END AS c_ts
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |a AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(c_id IGNORE NULLS) OVER wb AS b_id,
+        |    last_value(c_ts IGNORE NULLS) OVER wb AS b_ts,
+        |    last_value(c_id IGNORE NULLS) OVER wf AS f_id,
+        |    last_value(c_ts IGNORE NULLS) OVER wf AS f_ts
+        |  FROM e
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, is_p, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id
+        |      ORDER BY ts DESC, is_p DESC, event_id DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN f_ts IS NULL THEN b_id
+        |       WHEN b_ts IS NULL THEN f_id
+        |       WHEN epoch_us(ts) - epoch_us(b_ts)
+        |         <= epoch_us(f_ts) - epoch_us(ts) THEN b_id
+        |       ELSE f_id END AS nearest_id,
+        |  CASE WHEN f_ts IS NULL THEN epoch_us(ts) - epoch_us(b_ts)
+        |       WHEN b_ts IS NULL THEN epoch_us(f_ts) - epoch_us(ts)
+        |       WHEN epoch_us(ts) - epoch_us(b_ts)
+        |         <= epoch_us(f_ts) - epoch_us(ts)
+        |         THEN epoch_us(ts) - epoch_us(b_ts)
+        |       ELSE epoch_us(f_ts) - epoch_us(ts) END AS gap_us
+        |FROM a WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
     "join_star" ->
       s"""SELECT r_name, n_name, count(*) AS cnt, $revenueSql AS revenue
          |FROM lineitem

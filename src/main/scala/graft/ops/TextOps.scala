@@ -366,6 +366,36 @@ object TextOps {
           sum(when(col("df") < BoilerDf, col("n_tok")).otherwise(0L))
             .cast("long").as("n_tok_kept"))
         .orderBy("doc_id")
+    },
+
+    // add-one-smoothed bigram LM scoring — the step up from
+    // text_unigram_lm's quality proxy (catches word-salad that unigram
+    // stats miss). Same plan discipline: both count tables are Zipf-small
+    // vs the corpus, so scoring is two broadcast joins over the exploded
+    // bigrams; per-bigram log-probs are rounded then decimal-summed so
+    // partial-agg merge order can never move a doc's score.
+    "text_bigram_lm" -> { (s, d) =>
+      val docs = toks(s, d)
+      val uni = docs.select(explode(col("toks")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c1"))
+      val vsz = uni.agg(count(lit(1)).as("v_sz"))
+      val bg = docs.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(toks) - 2),
+            |  i -> concat(toks[i], ' ', toks[i + 1]))""".stripMargin))
+          .as("bg"))
+      val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+      bg.join(broadcast(c2), "bg")
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .join(broadcast(uni), col("w1") === col("word"))
+        .crossJoin(broadcast(vsz))
+        .withColumn("lp", expr(
+          "CAST(round(ln((c2 + 1) / (c1 + v_sz)), 9) AS DECIMAL(20,9))"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+            .as("avg_logp"))
+        .orderBy("doc_id")
     }
   )
 
@@ -561,6 +591,29 @@ object TextOps {
          |  CAST(sum(CASE WHEN df < $BoilerDf THEN n_tok ELSE 0 END)
          |    AS BIGINT) AS n_tok_kept
          |FROM ch JOIN f USING (h)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_bigram_lm" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        |  FROM documents),
+        |uni AS (
+        |  SELECT word, count(*) AS c1
+        |  FROM (SELECT unnest(w) AS word FROM tk) GROUP BY 1),
+        |v AS (SELECT count(*) AS v_sz FROM uni),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i + 1])) AS bg
+        |  FROM tk WHERE len(w) >= 2),
+        |cb AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+        |j AS (
+        |  SELECT b.doc_id,
+        |    CAST(round(ln((cb.c2 + 1) / (uni.c1 + v.v_sz)), 9)
+        |      AS DECIMAL(20,9)) AS lp
+        |  FROM bg b JOIN cb ON b.bg = cb.bg
+        |  JOIN uni ON string_split(b.bg, ' ')[1] = uni.word
+        |  CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logp
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

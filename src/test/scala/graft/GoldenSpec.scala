@@ -64,7 +64,10 @@ class GoldenSpec extends SparkSpec {
       "text_boilerplate" -> 500L,
       "sample_split" -> 500L,
       "join_interval_overlap" -> 12L,
-      "embedding_norm_audit" -> 10L)
+      "embedding_norm_audit" -> 10L,
+      "events_ab_lift" -> 1L,
+      "join_asof_nearest" -> 202L,
+      "text_bigram_lm" -> 500L)
     expected.foreach { case (k, n) =>
       assert(SparkEntry.queries(k)(spark, sf).count() == n, k)
     }
