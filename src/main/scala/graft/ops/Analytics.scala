@@ -719,6 +719,66 @@ object Analytics {
                 / (col("n_a") + col("n_b")))
               * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6)
             .as("z_score"))
+    },
+
+    // robust outliers via the HISTOGRAM median: `value` is quantized to 2
+    // decimals, so the per-type (value, count) histogram is bounded by the
+    // domain (~20k rows) no matter how many events exist — median and MAD
+    // come from a cumulative window over that tiny histogram, never a
+    // per-type sort of the raw stream (the shape that makes exact
+    // quantiles scale; contrast events_anomaly's moment z-score, which
+    // a single wild value drags arbitrarily). Lower-median convention
+    // (smallest value whose cumulative count reaches ceil(n/2)) keeps
+    // every step integer/decimal-exact — no interpolation, no IEEE drift.
+    "events_outlier_mad" -> { (s, d) =>
+      val ev = events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      def lowerMedian(df: DataFrame, keyCol: String, vCol: String,
+          out: String): DataFrame = {
+        val h = df.groupBy(col(keyCol), col(vCol))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(keyCol).orderBy(vCol)
+        h.withColumn("cum", sum(col("cnt")).over(w))
+          .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(keyCol)))
+          .filter(col("cum") * 2 >= col("tot") + 1)
+          .groupBy(keyCol).agg(min(col(vCol)).as(out))
+      }
+      val med = lowerMedian(ev, "event_type", "value", "med")
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("dev",
+          abs(money(col("value")) - money(col("med"))).cast("double"))
+      val mad = lowerMedian(dev, "event_type", "dev", "mad")
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("mad") > 0)
+        .withColumn("robust_z",
+          round(col("dev") / (lit(1.4826) * col("mad")), 6))
+        .filter(col("robust_z") > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("robust_z"))
+        .orderBy("event_id")
+    },
+
+    // 3-step sequence mining: each user's event stream in (ts, event_id)
+    // order yields its consecutive event-type trigrams via two leads in ONE
+    // window pass (state = two lookahead rows per partition scan), then a
+    // global count — sequences x support, the frequent-pattern baseline.
+    // The trigram space is |types|^3 (125 here), so the agg output is O(1)
+    // however many events flow through; deterministic because ts ties
+    // break on event_id inside the window order.
+    "events_seq_trigrams" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(col("user_id"), concat_ws(" > ", col("event_type"),
+          col("e2"), col("e3")).as("seq"))
+        .groupBy("seq")
+        .agg(count(lit(1)).as("n_occur"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n_occur").desc, col("seq"))
     }
   )
 
@@ -820,6 +880,52 @@ object Analytics {
         |      * (1.0 - (conv_a + conv_b) / (n_a + n_b))
         |      * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
         |FROM c""".stripMargin,
+    // lower-median (no interpolation): smallest value whose cumulative
+    // histogram count reaches ceil(n/2); dev through DECIMAL(18,2) like
+    // the Spark side so the subtraction is exact
+    "events_outlier_mad" ->
+      """WITH h AS (
+        |  SELECT event_type, value, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |hc AS (
+        |  SELECT event_type, value,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS tot
+        |  FROM h),
+        |med AS (
+        |  SELECT event_type, min(value) AS med FROM hc
+        |  WHERE cum * 2 >= tot + 1 GROUP BY 1),
+        |dv AS (
+        |  SELECT e.event_id, e.event_type, e.value,
+        |    CAST(abs(CAST(e.value AS DECIMAL(18,2))
+        |      - CAST(m.med AS DECIMAL(18,2))) AS DOUBLE) AS dev
+        |  FROM events e JOIN med m USING (event_type)),
+        |dh AS (
+        |  SELECT event_type, dev, count(*) AS cnt FROM dv GROUP BY 1, 2),
+        |dhc AS (
+        |  SELECT event_type, dev,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS tot
+        |  FROM dh),
+        |mad AS (
+        |  SELECT event_type, min(dev) AS mad FROM dhc
+        |  WHERE cum * 2 >= tot + 1 GROUP BY 1)
+        |SELECT event_id, dv.event_type AS event_type, value,
+        |  round(dev / (1.4826 * mad), 6) AS robust_z
+        |FROM dv JOIN mad USING (event_type)
+        |WHERE mad > 0 AND round(dev / (1.4826 * mad), 6) > 3.0
+        |ORDER BY event_id""".stripMargin,
+    "events_seq_trigrams" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type || ' > ' || e2 || ' > ' || e3 AS seq,
+        |  count(*) AS n_occur, count(DISTINCT user_id) AS n_users
+        |FROM s WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n_occur DESC, seq""".stripMargin,
     "q2_min_cost" ->
       """WITH eu AS (
         |  SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier

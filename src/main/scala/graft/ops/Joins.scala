@@ -136,6 +136,29 @@ object Joins {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
+    // NOT IN is NOT an anti join when either side can be NULL: one NULL in
+    // the subquery empties the result, and a NULL probe key never
+    // qualifies. Spark plans this as a null-aware anti join (broadcast
+    // only — the build side must be scanned whole for the any-null check),
+    // which is exactly why curation pipelines prefer NOT EXISTS/left_anti
+    // unless they need these semantics. This key exercises the NULL-probe
+    // corner: customers with negative balance get a NULL key and must NOT
+    // appear, while the subquery stays null-free so the rest behaves as an
+    // anti join. SQL-expressed so Catalyst's NOT IN planning (not a manual
+    // rewrite) is what runs.
+    "join_anti_nullaware" -> { (s, d) =>
+      t(s, d, "customer").createOrReplaceTempView("g_cust")
+      t(s, d, "orders").createOrReplaceTempView("g_ord")
+      s.sql("""
+        SELECT c_custkey, c_name
+        FROM (SELECT c_custkey, c_name,
+                CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k
+              FROM g_cust)
+        WHERE k NOT IN (SELECT o_custkey FROM g_ord
+                        WHERE o_totalprice > 300000)
+        ORDER BY c_custkey""")
+    },
+
     "join_cross" -> ((s, d) =>
       t(s, d, "region").crossJoin(t(s, d, "nation"))
         .select("r_name", "n_name")
@@ -458,6 +481,14 @@ object Joins {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
         |                    AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti_nullaware" ->
+      """SELECT c_custkey, c_name
+        |FROM (SELECT c_custkey, c_name,
+        |        CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k
+        |      FROM customer)
+        |WHERE k NOT IN (SELECT o_custkey FROM orders
+        |                WHERE o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin,
     "join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation

@@ -335,6 +335,37 @@ object Similarity {
           min(col("norm")).as("min_norm"),
           max(col("norm")).as("max_norm"))
         .orderBy("label"))
+    ,
+
+    // per-DIMENSION embedding audit: mean/sd/min/max for each of the d
+    // coordinates — catches dead dimensions (sd ~ 0) and mean-shifted
+    // encoders before an index build. posexplode fans (vec, dim) rows out,
+    // but the agg output is O(d) regardless of corpus size and the partial
+    // agg combines map-side, so the shuffle carries d rows per partition.
+    // Moments decimal-sum rounded coordinates (merge-order-proof); sd is
+    // computed from the exact moments in double at the end.
+    "embedding_dim_stats" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+            .as(Seq("pos", "x")))
+        .select((col("pos") + 1).cast("long").as("dim"),
+          expr("CAST(round(x, 9) AS DECIMAL(20,9))").as("xd"),
+          expr("CAST(round(x * x, 9) AS DECIMAL(20,9))").as("xxd"),
+          col("x"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          sum(col("xd")).cast("double").as("sx"),
+          sum(col("xxd")).cast("double").as("sxx"),
+          round(min(col("x")), 6).as("min_x"),
+          round(max(col("x")), 6).as("max_x"))
+        .select(col("dim"), col("n"),
+          round(col("sx") / col("n"), 6).as("mean_x"),
+          round(sqrt(col("sxx") / col("n")
+            - (col("sx") / col("n")) * (col("sx") / col("n"))), 6)
+            .as("sd_x"),
+          col("min_x"), col("max_x"))
+        .orderBy("dim"))
   )
 
   private val duckVectors =
@@ -554,6 +585,24 @@ object Similarity {
          |  round(CAST(sum(CAST(norm AS DECIMAL(12,6))) AS DOUBLE)
          |    / count(*), 6) AS avg_norm,
          |  min(norm) AS min_norm, max(norm) AS max_norm
-         |FROM n GROUP BY label ORDER BY label""".stripMargin
+         |FROM n GROUP BY label ORDER BY label""".stripMargin,
+    // parallel unnests in one SELECT zip elementwise in DuckDB, giving the
+    // (dim, x) pairs posexplode produces on the Spark side
+    "embedding_dim_stats" ->
+      s"""WITH e AS ($duckVectors),
+         |t AS (
+         |  SELECT unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x
+         |  FROM e),
+         |m AS (
+         |  SELECT dim, count(*) AS n,
+         |    CAST(sum(CAST(round(x, 9) AS DECIMAL(20,9))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(round(x * x, 9) AS DECIMAL(20,9))) AS DOUBLE)
+         |      AS sxx,
+         |    round(min(x), 6) AS min_x, round(max(x), 6) AS max_x
+         |  FROM t GROUP BY 1)
+         |SELECT dim, n, round(sx / n, 6) AS mean_x,
+         |  round(sqrt(sxx / n - (sx / n) * (sx / n)), 6) AS sd_x,
+         |  min_x, max_x
+         |FROM m ORDER BY dim""".stripMargin
   )
 }

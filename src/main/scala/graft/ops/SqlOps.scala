@@ -75,7 +75,22 @@ object SqlOps {
         |top AS (SELECT * FROM big WHERE qty > 150)
         |SELECT t.l_orderkey, t.qty, o.o_orderpriority
         |FROM top t JOIN orders o ON t.l_orderkey = o.o_orderkey
-        |ORDER BY t.l_orderkey""".stripMargin)
+        |ORDER BY t.l_orderkey""".stripMargin,
+    // SQL-standard UNPIVOT (wide metrics -> long (metric, val) rows) —
+    // both engines parse the identical clause; every metric is cast to
+    // DOUBLE pre-unpivot so the stacked value column has one type
+    "sql_unpivot" ->
+      """WITH m AS (
+        |  SELECT o_orderstatus,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_price,
+        |    CAST(count(*) AS DOUBLE) AS n_orders,
+        |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / count(*), 6) AS avg_price
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, metric, val
+        |FROM m UNPIVOT (val FOR metric IN (total_price, n_orders, avg_price))
+        |ORDER BY o_orderstatus, metric""".stripMargin)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     sharedSql.map { case (name, q) =>

@@ -396,6 +396,85 @@ object TextOps {
           round(sum(col("lp")).cast("double") / count(lit(1)), 6)
             .as("avg_logp"))
         .orderBy("doc_id")
+    },
+
+    // per-doc token Shannon entropy (nats) — the diversity quality signal
+    // (low entropy = keyword-stuffed / template docs) next to
+    // text_repetition's duplicate-chunk view. One groupBy to per-doc term
+    // counts, one to the doc roll-up; per-term contributions are rounded
+    // then decimal-summed (the unigram_lm discipline) so partial-agg merge
+    // order can never move a doc's entropy.
+    "text_entropy" -> { (s, d) =>
+      val tf = toks(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      tf.withColumn("n",
+          sum(col("c")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id")))
+        .withColumn("h", expr(
+          """CAST(round(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n),
+            |  9) AS DECIMAL(20,9))""".stripMargin))
+        .groupBy("doc_id")
+        .agg(max(col("n")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          round(sum(col("h")).cast("double"), 6).as("entropy_nats"))
+        .orderBy("doc_id")
+    },
+
+    // keyword extraction: top-3 tf-idf terms per doc through the native
+    // TopKPerKey operator — ≤3 rows per (doc, partition) shuffle instead
+    // of a full per-doc score sort (the win_topk_native discipline applied
+    // to the text_tfidf scoring). Scores round to 6 before selection and
+    // ties break on the word so the pick is total-ordered.
+    "text_keywords" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val tf = toks(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df), "word")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("word"),
+          round(col("tf").cast("double")
+            * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6)
+            .as("score"))
+      graft.plans.TopKPerKey.topK(scored, Seq(col("doc_id")),
+          Seq(col("score").desc, col("word")), 3)
+        .orderBy(col("doc_id"), col("score").desc, col("word"))
+    },
+
+    // corpus Zipf fit: ln(freq) ~ slope * ln(rank) + intercept over the
+    // top-100 words — the one-row corpus health check (natural text sits
+    // near slope -1; template/spam corpora flatten). Vocab aggregates
+    // Zipf-small, TakeOrdered keeps 100 rows, and the closed-form least
+    // squares runs on five decimal-summed moments — the only window is
+    // a row_number over 100 rows.
+    "text_zipf_fit" -> { (s, d) =>
+      val top = toks(s, d)
+        .select(explode(col("toks")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("word")).limit(100)
+      val ranked = top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("word"))))
+      val m = ranked.select(
+        expr("CAST(round(ln(rank), 9) AS DECIMAL(20,9))").as("x"),
+        expr("CAST(round(ln(c), 9) AS DECIMAL(20,9))").as("y"),
+        expr("CAST(round(ln(rank) * ln(c), 9) AS DECIMAL(20,9))").as("xy"),
+        expr("CAST(round(ln(rank) * ln(rank), 9) AS DECIMAL(20,9))")
+          .as("xx"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("xy")).cast("double").as("sxy"),
+          sum(col("xx")).cast("double").as("sxx"))
+      m.select(col("n").cast("long").as("n_words"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx"))
+          / col("n"), 6).as("intercept"))
     }
   )
 
@@ -614,6 +693,67 @@ object TextOps {
         |  CROSS JOIN v)
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logp
-        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_entropy" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS c FROM tk GROUP BY 1, 2),
+        |tn AS (
+        |  SELECT doc_id, word, c, sum(c) OVER (PARTITION BY doc_id) AS n
+        |  FROM tf),
+        |h AS (
+        |  SELECT doc_id, n,
+        |    CAST(round(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n),
+        |      9) AS DECIMAL(20,9)) AS h
+        |  FROM tn)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_distinct,
+        |  round(CAST(sum(h) AS DOUBLE), 6) AS entropy_nats
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_keywords" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, tf.word AS word,
+        |    round(CAST(tf AS DOUBLE) * ln((n_docs + 1.0) / (df + 1.0)), 6)
+        |      AS score
+        |  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, word, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, word) AS rn
+        |  FROM sc)
+        |SELECT doc_id, word, score FROM r WHERE rn <= 3
+        |ORDER BY doc_id, score DESC, word""".stripMargin,
+    "text_zipf_fit" ->
+      """WITH f AS (
+        |  SELECT word, count(*) AS c
+        |  FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word
+        |        FROM documents) t
+        |  GROUP BY 1 ORDER BY c DESC, word LIMIT 100),
+        |r AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rank
+        |  FROM f),
+        |m0 AS (
+        |  SELECT
+        |    CAST(round(ln(rank), 9) AS DECIMAL(20,9)) AS x,
+        |    CAST(round(ln(c), 9) AS DECIMAL(20,9)) AS y,
+        |    CAST(round(ln(rank) * ln(c), 9) AS DECIMAL(20,9)) AS xy,
+        |    CAST(round(ln(rank) * ln(rank), 9) AS DECIMAL(20,9)) AS xx
+        |  FROM r),
+        |m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(xx) AS DOUBLE) AS sxx
+        |  FROM m0)
+        |SELECT CAST(n AS BIGINT) AS n_words,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        |    AS intercept
+        |FROM m""".stripMargin
   )
 }
