@@ -43,15 +43,32 @@ object Tables {
     s"/root/repo/target/tmp/$key/$sf"
   }
 
-  /** `events.ts` is Parquet TIMESTAMP(NANOS) which Spark 4.x cannot read
-    * natively; read it as Long nanos and truncate to microseconds — exactly
-    * what DuckDB does on its side (BASELINE.md "known parity hazard").
-    * The required `nanosAsLong` conf is set by [[graft.Sessions]] — the one
-    * definition site every entry point goes through.
+  /** `events.ts` has shipped in two physical parquet encodings across fixture
+    * generations, so the loader adapts to whatever the scan reports rather
+    * than hard-depending on one:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4.x cannot read it natively; with the
+    *    `nanosAsLong` conf (set in [[graft.Sessions]] — the one definition
+    *    site every entry point goes through) it arrives as LongType nanos,
+    *    which we truncate to microseconds exactly as DuckDB does
+    *    (BASELINE.md "known parity hazard").
+    *  - timestamp[us] (isAdjustedToUTC=false): arrives as TIMESTAMP_NTZ;
+    *    cast to the session TimestampType (session TZ is pinned UTC, so the
+    *    wall-clock values are preserved and match DuckDB's naive TIMESTAMP).
+    *
+    * Either way downstream operators always see a session-UTC TimestampType
+    * `ts` column.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = t(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+  }
 
   /** Exact money value: lossless on the 2-decimal fixture doubles. */
   def money(c: Column): Column = c.cast(DecimalType(18, 2))
