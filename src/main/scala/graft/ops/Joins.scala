@@ -147,14 +147,18 @@ object Joins {
     // anti join. SQL-expressed so Catalyst's NOT IN planning (not a manual
     // rewrite) is what runs.
     "join_anti_nullaware" -> { (s, d) =>
-      t(s, d, "customer").createOrReplaceTempView("g_cust")
-      t(s, d, "orders").createOrReplaceTempView("g_ord")
-      s.sql("""
+      // view names keyed by sf so concurrent scale factors on one session
+      // can't clobber each other (same contract as agg_grouping_sets)
+      val sfKey = d.replaceAll("[^A-Za-z0-9]", "_")
+      val (vc, vo) = (s"g_cust_$sfKey", s"g_ord_$sfKey")
+      t(s, d, "customer").createOrReplaceTempView(vc)
+      t(s, d, "orders").createOrReplaceTempView(vo)
+      s.sql(s"""
         SELECT c_custkey, c_name
         FROM (SELECT c_custkey, c_name,
                 CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k
-              FROM g_cust)
-        WHERE k NOT IN (SELECT o_custkey FROM g_ord
+              FROM $vc)
+        WHERE k NOT IN (SELECT o_custkey FROM $vo
                         WHERE o_totalprice > 300000)
         ORDER BY c_custkey""")
     },

@@ -343,7 +343,11 @@ object Similarity {
     // but the agg output is O(d) regardless of corpus size and the partial
     // agg combines map-side, so the shuffle carries d rows per partition.
     // Moments decimal-sum rounded coordinates (merge-order-proof); sd is
-    // computed from the exact moments in double at the end.
+    // computed from the exact moments in double at the end. The variance
+    // is clamped at 0 before sqrt: for a dead (near-constant) dimension
+    // the rounded moments can put sxx/n - mean^2 a hair below zero, where
+    // Spark's sqrt returns NaN but DuckDB RAISES — exactly the case this
+    // audit exists to catch, so both sides clamp identically.
     "embedding_dim_stats" -> ((s, d) =>
       t(s, d, "embeddings")
         .select(col("vec_id"),
@@ -361,8 +365,8 @@ object Similarity {
           round(max(col("x")), 6).as("max_x"))
         .select(col("dim"), col("n"),
           round(col("sx") / col("n"), 6).as("mean_x"),
-          round(sqrt(col("sxx") / col("n")
-            - (col("sx") / col("n")) * (col("sx") / col("n"))), 6)
+          round(sqrt(greatest(lit(0d), col("sxx") / col("n")
+            - (col("sx") / col("n")) * (col("sx") / col("n")))), 6)
             .as("sd_x"),
           col("min_x"), col("max_x"))
         .orderBy("dim"))
@@ -601,7 +605,7 @@ object Similarity {
          |    round(min(x), 6) AS min_x, round(max(x), 6) AS max_x
          |  FROM t GROUP BY 1)
          |SELECT dim, n, round(sx / n, 6) AS mean_x,
-         |  round(sqrt(sxx / n - (sx / n) * (sx / n)), 6) AS sd_x,
+         |  round(sqrt(greatest(0, sxx / n - (sx / n) * (sx / n))), 6) AS sd_x,
          |  min_x, max_x
          |FROM m ORDER BY dim""".stripMargin
   )
