@@ -32,26 +32,39 @@ object Dedup {
   val ContainmentThreshold = 0.8
   val HammingMax = 8 // dedup_simhash pair threshold (of 64 bits)
 
+  /** Memoized (sessionId, sf) -> cached shingle / band tables. Plan-keyed
+    * CacheManager matching already dedupes the *storage*, but every call
+    * still re-derives the logical plan, re-registers the native function,
+    * and re-runs analysis over the full sketch subtree — across the
+    * 7-query dedup family that re-analysis plus first-touch races cost
+    * ~10 s/bench. One DataFrame INSTANCE per (session, sf) makes reuse
+    * structural instead of coincidental (the `bloomSketchCache` contract:
+    * fixtures are immutable per sf dir, so entries never go stale).
+    */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val bandCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** doc_id -> distinct 3-word shingles (lower/trim normalized).
     *
     * Cached: the same logical plan is traversed several times inside each
-    * dedup query AND across dedup_minhash / dedup_ngram_jaccard (Spark
-    * keys the cache by plan, so all of them share one materialization —
-    * measured 10s/bench without it). Size is corpus-bounded (tokens ×
-    * ~1 shingle/token), a few MB per 100k docs — the cache-per-pipeline-
-    * stage pattern a production dedup job would use.
+    * dedup query AND across dedup_minhash / dedup_ngram_jaccard. Size is
+    * corpus-bounded (tokens × ~1 shingle/token), a few MB per 100k docs —
+    * the cache-per-pipeline-stage pattern a production dedup job would use.
     */
   private[graft] def shingled(s: SparkSession, d: String): DataFrame =
-    corpus(s, d)
-      .withColumn("toks", split(lower(trim(col("text"))), " "))
-      .withColumn("shingles",
-        when(size(col("toks")) >= 3,
-          array_distinct(expr(
-            """transform(sequence(0, size(toks) - 3),
-              |  i -> concat_ws(' ', slice(toks, i + 1, 3)))""".stripMargin)))
-          .otherwise(array()))
-      .select("doc_id", "shingles")
-      .cache()
+    shingleCache.computeIfAbsent((s, d), _ =>
+      corpus(s, d)
+        .withColumn("toks", split(lower(trim(col("text"))), " "))
+        .withColumn("shingles",
+          when(size(col("toks")) >= 3,
+            array_distinct(expr(
+              """transform(sequence(0, size(toks) - 3),
+                |  i -> concat_ws(' ', slice(toks, i + 1, 3)))""".stripMargin)))
+            .otherwise(array()))
+        .select("doc_id", "shingles")
+        .cache())
 
   /** The exact-dedup pipeline (normalize -> sha256 fingerprint -> groupBy
     * fingerprint -> min-id keeper + copy count), shared between the
@@ -84,14 +97,15 @@ object Dedup {
     // (short) docs are excluded BEFORE banding: minhash_bands of an
     // empty set is a constant, which would make every short doc collide
     // in every band (quadratic candidates on short-doc-heavy corpora).
-    // Cached (like `shingled`): the self-join below scans it twice, and
-    // every set-similarity dedup rebuilds the identical plan — one
-    // materialization of (doc_id, band, bh) rows serves them all instead
-    // of re-running the 64-hash sketch per scan.
-    val banded = sh.filter(size(col("shingles")) > 0)
-      .select(col("doc_id"),
-        posexplode(expr("minhash_bands(shingles)")).as(Seq("band", "bh")))
-      .cache()
+    // Memoized per (session, sf) like `shingled`: the self-join below
+    // scans it twice, and every set-similarity dedup needs the identical
+    // (doc_id, band, bh) table — one instance serves them all instead of
+    // re-deriving + re-analyzing the 64-hash sketch plan per query.
+    val banded = bandCache.computeIfAbsent((s, d), _ =>
+      sh.filter(size(col("shingles")) > 0)
+        .select(col("doc_id"),
+          posexplode(expr("minhash_bands(shingles)")).as(Seq("band", "bh")))
+        .cache())
 
     // LSH candidates: equal (band, band-hash), ordered pair, distinct
     val right = banded
@@ -341,8 +355,9 @@ object Dedup {
 
     // Charikar SimHash near-dup: one 64-bit signature per doc (native
     // expression), banded 8x8 bits for candidates, Hamming verify via
-    // bit_count(xor). No oracle (hash sketch) — DedupSpec cross-checks
-    // against the minhash pair set.
+    // bit_count(xor). Oracle-checked: DuckDB rebuilds the identical
+    // signatures (FNV-1a recursive CTE) and applies the same banded
+    // predicate; DedupSpec additionally cross-checks the minhash pair set.
     "dedup_simhash" -> { (s, d) =>
       graft.functions.CharikarSimHash.register(s)
       val sig = t(s, d, "documents")
@@ -529,6 +544,54 @@ object Dedup {
          |WHERE da.source <> db.source
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" -> exactJaccardSql,
+    // full banded-SimHash twin: the same FNV-1a per-token hash (recursive
+    // CTE over DISTINCT tokens, mod-2^64 HUGEINT arithmetic — the
+    // sim_pairs_lsh precedent), the same +1/-1 bit votes with multiplicity,
+    // the same sign rule, all in UBIGINT (the output carries no signed sig,
+    // so the two's-complement view never matters). The pair predicate
+    // replicates the BANDED semantics, not plain hamming<=8: pigeonhole
+    // only guarantees a shared 8-bit band at hamming<=7, so a distance-8
+    // pair with one flipped bit per band is (correctly) absent from both
+    // engines — hence the explicit any-zero-xor-byte conjunct.
+    "dedup_simhash" ->
+      """WITH RECURSIVE
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS s
+        |  FROM documents),
+        |dtok AS (SELECT DISTINCT s FROM tok),
+        |fnv AS (
+        |  SELECT s, 1 AS i, CAST(14695981039346656037 AS UBIGINT) AS h
+        |  FROM dtok
+        |  UNION ALL
+        |  SELECT s, i + 1,
+        |    CAST(CAST((CAST(xor(h, CAST(ord(substr(s, i, 1)) AS UBIGINT))
+        |      AS HUGEINT) * 1099511628211) % 18446744073709551616
+        |      AS HUGEINT) AS UBIGINT)
+        |  FROM fnv WHERE i <= len(s)),
+        |hfin AS (SELECT s, h FROM fnv WHERE i = len(s) + 1),
+        |occ AS (SELECT t.doc_id, f.h FROM tok t JOIN hfin f ON t.s = f.s),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM occ CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    bit_or(CASE WHEN v >= 0 THEN CAST(1 AS UBIGINT) << b
+        |           ELSE CAST(0 AS UBIGINT) END) AS usig
+        |  FROM votes GROUP BY doc_id),
+        |px AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    xor(a.usig, b.usig) AS x
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(x) AS BIGINT) AS hamming
+        |FROM px
+        |WHERE bit_count(x) <= 8
+        |  AND ((x & 255) = 0 OR ((x >> 8) & 255) = 0 OR ((x >> 16) & 255) = 0
+        |    OR ((x >> 24) & 255) = 0 OR ((x >> 32) & 255) = 0
+        |    OR ((x >> 40) & 255) = 0 OR ((x >> 48) & 255) = 0
+        |    OR ((x >> 56) & 255) = 0)
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // exact pairs + the bound boolean pinned true (DuckDB cannot rebuild
     // the native signatures; the agg_approx_distinct within_bound pattern)
     "dedup_minhash_estimate" ->
