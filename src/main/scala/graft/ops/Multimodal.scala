@@ -4,10 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column handling (SURVEY.md §2B): media payloads are opaque
-  * BinaryType columns with typed metadata alongside. The decode step is
-  * stubbed deterministically (the container ships no image/audio codecs —
-  * see the build brief) but the Spark-side plumbing — schema, typed Dataset,
-  * partition-wise batch processing — is real and is what matters at 100 TB:
+  * BinaryType columns with typed metadata alongside. The decode step parses
+  * a REAL container format — RIFF/WAVE (public spec: 'RIFF' size 'WAVE',
+  * then fourcc+size chunks, word-aligned; 'fmt ' carries the PCM format
+  * block, 'data' the samples) — the container ships no image codecs, but a
+  * WAV header walk needs none. The Spark-side plumbing — schema, typed
+  * Dataset, partition-wise batch processing — is what matters at 100 TB:
   * decode work is per-partition, no shuffle, no driver involvement.
   */
 object Multimodal {
@@ -16,20 +18,97 @@ object Multimodal {
   /** A media asset row: payload is an opaque binary column. */
   final case class Media(doc_id: Long, modality: String, payload: Array[Byte])
 
-  /** Extracted metadata produced by the (stubbed) decoder. */
-  final case class MediaMeta(doc_id: Long, modality: String, n_bytes: Long,
-    width: Int, height: Int, n_frames: Int)
+  /** Header fields extracted by the RIFF/WAVE decoder. */
+  final case class WavMeta(doc_id: Long, modality: String, n_bytes: Long,
+    riff_size: Long, audio_format: Int, n_channels: Int, sample_rate: Long,
+    byte_rate: Long, block_align: Int, bits_per_sample: Int,
+    data_bytes: Long, duration_us: Long)
 
-  /** Deterministic fake decode: derives "dimensions" from the payload bytes.
-    * A real deployment swaps only this function for a codec call; the
-    * surrounding dataflow (mapPartitions over binary columns) is unchanged.
+  /** Deterministic WAV synthesis: a valid RIFF/WAVE container whose PCM16
+    * payload is derived from the document bytes — the fixture generator for
+    * the decoder below (the corpus ships no binary media). Every fifth doc
+    * gets a LIST junk chunk between 'fmt ' and 'data' so a parser that
+    * assumes the canonical 44-byte layout (instead of walking chunks) fails
+    * the oracle.
     */
-  def stubDecode(m: Media): MediaMeta = {
-    val n = m.payload.length
-    val head = if (n > 0) java.lang.Byte.toUnsignedInt(m.payload(0)) else 0
-    MediaMeta(m.doc_id, m.modality, n.toLong,
-      width = 16 + (n % 640), height = 16 + (head * 4) % 480,
-      n_frames = if (m.modality == "video") 1 + n % 24 else 1)
+  def synthWav(docId: Long, text: String): Array[Byte] = {
+    val channels = (1 + docId % 2).toInt
+    val sampleRate = 8000L * (1 + docId % 3)
+    val bits = 16
+    val blockAlign = channels * (bits / 8)
+    val byteRate = sampleRate * blockAlign
+    val textBytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val nSamples = textBytes.length
+    val dataBytes = nSamples * blockAlign
+    val junk = docId % 5 == 0
+    val total = 12 + 24 + (if (junk) 12 else 0) + 8 + dataBytes
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(total - 8).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16)
+      .putShort(1.toShort)                 // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate.toInt)
+      .putInt(byteRate.toInt)
+      .putShort(blockAlign.toShort)
+      .putShort(bits.toShort)
+    if (junk) buf.put("LIST".getBytes).putInt(4).put("INFO".getBytes)
+    buf.put("data".getBytes).putInt(dataBytes)
+    var i = 0
+    while (i < nSamples) {
+      val sample = ((java.lang.Byte.toUnsignedInt(textBytes(i)) - 128) * 256)
+        .toShort
+      var c = 0
+      while (c < channels) { buf.putShort(sample); c += 1 }
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Real RIFF/WAVE header parse: validates the magic, walks the chunk list
+    * (word-aligned sizes), reads the 'fmt ' block fields and the 'data'
+    * size. Throws on malformed input — a corrupt asset must surface, not
+    * silently zero. This is the function a real deployment swaps for a full
+    * codec; the surrounding dataflow is unchanged.
+    */
+  def parseWav(docId: Long, payload: Array[Byte]): WavMeta = {
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", s"doc $docId: not a RIFF container")
+    val riffSize = java.lang.Integer.toUnsignedLong(buf.getInt)
+    require(fourcc() == "WAVE", s"doc $docId: not a WAVE form")
+    var audioFormat = -1; var channels = -1; var sampleRate = -1L
+    var byteRate = -1L; var blockAlign = -1; var bits = -1
+    var dataBytes = -1L
+    while (buf.remaining() >= 8) {
+      val id = fourcc()
+      val size = java.lang.Integer.toUnsignedLong(buf.getInt)
+      id match {
+        case "fmt " =>
+          val end = buf.position() + size.toInt
+          audioFormat = buf.getShort & 0xffff
+          channels = buf.getShort & 0xffff
+          sampleRate = java.lang.Integer.toUnsignedLong(buf.getInt)
+          byteRate = java.lang.Integer.toUnsignedLong(buf.getInt)
+          blockAlign = buf.getShort & 0xffff
+          bits = buf.getShort & 0xffff
+          buf.position(end)
+        case "data" =>
+          dataBytes = size
+          buf.position(buf.position() + size.toInt)
+        case _ => // skip unknown chunk payloads (LIST, fact, ...)
+          buf.position(buf.position() + size.toInt)
+      }
+      if (size % 2 == 1 && buf.hasRemaining) buf.get() // RIFF pad byte
+    }
+    require(audioFormat >= 0, s"doc $docId: missing fmt chunk")
+    require(dataBytes >= 0, s"doc $docId: missing data chunk")
+    WavMeta(docId, "audio", payload.length.toLong, riffSize, audioFormat,
+      channels, sampleRate, byteRate, blockAlign, bits, dataBytes,
+      duration_us = if (byteRate > 0) dataBytes * 1000000L / byteRate else 0L)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -98,15 +177,21 @@ object Multimodal {
           sum(octet_length(col("payload"))).cast("long").as("total_bytes"))
         .orderBy("keeper")),
 
-    // typed mapPartitions decode pipeline over binary payloads (no oracle:
-    // the stub isn't SQL — a unit spec pins its outputs)
+    // typed mapPartitions decode pipeline over binary payloads: synthesize
+    // a valid RIFF/WAVE container per doc, then parse it back with the real
+    // chunk-walking header decoder. Oracle-checked: DuckDB computes the
+    // fields the parser SHOULD extract in closed form from (doc_id, text) —
+    // any header-walk bug (wrong offset, missed junk chunk, endianness)
+    // diverges from the closed form and fails the hash match.
     "multimodal_decode" -> { (s, d) =>
       import s.implicits._
       t(s, d, "documents")
-        .select(col("doc_id"), lit("image").as("modality"),
-          encode(col("text"), "UTF-8").as("payload"))
-        .as[Media]
-        .mapPartitions(_.map(stubDecode))
+        .select(col("doc_id"), lit("audio").as("modality"),
+          col("text"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, modality, text) =>
+          parseWav(id, synthWav(id, text)).copy(modality = modality)
+        })
         .toDF()
         .orderBy("doc_id")
     }
@@ -153,6 +238,32 @@ object Multimodal {
       """SELECT doc_id, 'text' AS modality,
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |md5(text) AS digest
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the RIFF/WAVE fields the header parser must extract, recomputed in
+    // closed form from the synthesis parameters (synthWav): PCM16,
+    // channels = 1 + doc_id%2, rate = 8000*(1 + doc_id%3), a 12-byte LIST
+    // junk chunk every fifth doc, one sample per text byte
+    "multimodal_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+        |    CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+        |    CASE WHEN doc_id % 5 = 0 THEN 12 ELSE 0 END AS junk
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, n_channels, sample_rate,
+        |    CAST(n_channels * 2 AS INTEGER) AS block_align,
+        |    CAST(sample_rate * n_channels * 2 AS BIGINT) AS byte_rate,
+        |    CAST(n_samples * n_channels * 2 AS BIGINT) AS data_bytes, junk
+        |  FROM p)
+        |SELECT doc_id, 'audio' AS modality,
+        |  CAST(44 + data_bytes + junk AS BIGINT) AS n_bytes,
+        |  CAST(36 + data_bytes + junk AS BIGINT) AS riff_size,
+        |  CAST(1 AS INTEGER) AS audio_format, n_channels, sample_rate,
+        |  byte_rate, block_align, CAST(16 AS INTEGER) AS bits_per_sample,
+        |  data_bytes,
+        |  CAST(data_bytes * 1000000 // byte_rate AS BIGINT) AS duration_us
+        |FROM q ORDER BY doc_id""".stripMargin
   )
 }

@@ -271,14 +271,30 @@ class OperatorSpec extends SparkSpec {
     assert(fp.toSeq == fp2.toSeq) // deterministic across runs
   }
 
-  test("multimodal_decode stub is deterministic and byte-derived") {
+  test("multimodal_decode parses real RIFF/WAVE headers") {
     val rows = SparkEntry.queries("multimodal_decode")(spark, sf).collect()
     assert(rows.length > 0)
     rows.foreach { r =>
-      val m = Multimodal.Media(r.getAs[Long]("doc_id"), "image",
-        Array.fill(r.getAs[Long]("n_bytes").toInt)(0.toByte))
-      assert(r.getAs[Int]("width") == 16 + (m.payload.length % 640))
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("audio_format") == 1) // PCM
+      assert(r.getAs[Int]("n_channels") == (1 + id % 2).toInt)
+      assert(r.getAs[Long]("sample_rate") == 8000L * (1 + id % 3))
+      assert(r.getAs[Int]("block_align") ==
+        r.getAs[Int]("n_channels") * 2)
+      assert(r.getAs[Long]("byte_rate") ==
+        r.getAs[Long]("sample_rate") * r.getAs[Int]("block_align"))
+      // container size accounts for the junk LIST chunk on every 5th doc
+      val junk = if (id % 5 == 0) 12 else 0
+      assert(r.getAs[Long]("n_bytes") ==
+        44 + r.getAs[Long]("data_bytes") + junk)
+      assert(r.getAs[Long]("riff_size") == r.getAs[Long]("n_bytes") - 8)
     }
+    // parser rejects corrupt containers instead of zeroing
+    val wav = Multimodal.synthWav(7L, "hello world")
+    val parsed = Multimodal.parseWav(7L, wav)
+    assert(parsed.data_bytes == 11L * parsed.block_align)
+    wav(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.parseWav(7L, wav))
   }
 
   test("dedup_simhash covers the minhash near-dup pairs") {
