@@ -369,7 +369,43 @@ object Similarity {
             - (col("sx") / col("n")) * (col("sx") / col("n")))), 6)
             .as("sd_x"),
           col("min_x"), col("max_x"))
-        .orderBy("dim"))
+        .orderBy("dim")),
+
+    // per-label cluster-dispersion QA: each label's centroid (exact-decimal
+    // per-dimension means, rounded) and the distribution of member
+    // distances to it — the drift check run between encoder versions
+    // (a label whose avg distance balloons means its vectors no longer
+    // cluster). Centroids are O(labels × d) — broadcast back onto the
+    // exploded table, so the only big shuffles are the two (label, dim) /
+    // (vec) keyed partial aggs; nothing pairwise, nothing driver-side.
+    // Determinism: coordinates rounded then decimal-summed for the means;
+    // squared residuals rounded then decimal-summed per vector; sqrt is
+    // IEEE-exact; the final per-label avg decimal-sums rounded distances.
+    "embedding_centroid_drift" -> { (s, d) =>
+      val ex = t(s, d, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("label"),
+          posexplode(expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE), 6)" +
+              " AS DECIMAL(12,6)))")).as(Seq("j", "x")))
+      val cents = ex.groupBy("label", "j")
+        .agg(expr("CAST(round(CAST(sum(x) AS DOUBLE) / count(*), 6)" +
+          " AS DECIMAL(12,6))").as("c"))
+      val dist = ex.join(broadcast(cents), Seq("label", "j"))
+        .select(col("vec_id"), col("label"),
+          expr("CAST(round(CAST(x - c AS DOUBLE) * CAST(x - c AS DOUBLE)," +
+            " 9) AS DECIMAL(20,9))").as("sq"))
+        .groupBy("vec_id", "label")
+        .agg(expr("CAST(round(sqrt(CAST(sum(sq) AS DOUBLE)), 6)" +
+          " AS DECIMAL(12,6))").as("dist"))
+      dist.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("dist")).cast("double") / count(lit(1)), 6)
+            .as("avg_dist"),
+          min(col("dist")).cast("double").as("min_dist"),
+          max(col("dist")).cast("double").as("max_dist"))
+        .orderBy("label")
+    }
   )
 
   private val duckVectors =
@@ -590,6 +626,36 @@ object Similarity {
          |    / count(*), 6) AS avg_norm,
          |  min(norm) AS min_norm, max(norm) AS max_norm
          |FROM n GROUP BY label ORDER BY label""".stripMargin,
+    // the same exact-decimal chain as the Spark side: rounded coordinates
+    // summed in decimal for the centroid, exact decimal residual cast to
+    // double for the (IEEE-identical) square, decimal-summed per vector
+    "embedding_centroid_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS j,
+        |    unnest(list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(12,6)))) AS x
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT label, j,
+        |    CAST(round(CAST(sum(x) AS DOUBLE) / count(*), 6)
+        |      AS DECIMAL(12,6)) AS c
+        |  FROM e GROUP BY 1, 2),
+        |sq AS (
+        |  SELECT e.vec_id, e.label,
+        |    CAST(round(CAST(e.x - c.c AS DOUBLE)
+        |      * CAST(e.x - c.c AS DOUBLE), 9) AS DECIMAL(20,9)) AS sq
+        |  FROM e JOIN c ON e.label = c.label AND e.j = c.j),
+        |dist AS (
+        |  SELECT vec_id, label,
+        |    CAST(round(sqrt(CAST(sum(sq) AS DOUBLE)), 6)
+        |      AS DECIMAL(12,6)) AS dist
+        |  FROM sq GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(CAST(sum(dist) AS DOUBLE) / count(*), 6) AS avg_dist,
+        |  CAST(min(dist) AS DOUBLE) AS min_dist,
+        |  CAST(max(dist) AS DOUBLE) AS max_dist
+        |FROM dist GROUP BY label ORDER BY label""".stripMargin,
     // parallel unnests in one SELECT zip elementwise in DuckDB, giving the
     // (dim, x) pairs posexplode produces on the Spark side
     "embedding_dim_stats" ->

@@ -475,6 +475,35 @@ object TextOps {
         round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
           / (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx"))
           / col("n"), 6).as("intercept"))
+    },
+
+    // per-doc n-gram novelty against everything that came before it in
+    // doc_id order — the curriculum/dedup-drift signal ("how much of this
+    // doc is new text"): a gram is novel in the FIRST doc (smallest id)
+    // that contains it. Two shuffles, both keyed on the gram — one groupBy
+    // for the global first-occurrence table, one join back — never a pair
+    // join, linear in corpus size like dedup_substring. At 100 TB the gram
+    // string would be xxhash64'd before the exchange (8 bytes/row instead
+    // of ~30); kept raw here so the oracle comparison is exact.
+    "text_ngram_novelty" -> { (s, d) =>
+      val grams = corpus(s, d)
+        .withColumn("toks", split(lower(trim(col("text"))), " "))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          """transform(sequence(0, size(toks) - 5),
+            |  i -> concat_ws(' ', slice(toks, i + 1, 5)))""".stripMargin)))
+          .as("gram"))
+      val first = grams.groupBy("gram")
+        .agg(min(col("doc_id")).as("first_doc"))
+      grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams"), 6)
+            .as("novelty"))
+        .orderBy("doc_id")
     }
   )
 
@@ -754,6 +783,24 @@ object TextOps {
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
         |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
         |    AS intercept
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    "text_ngram_novelty" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w) - 4),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |      || ' ' || w[i+4]))) AS gram
+        |  FROM tk WHERE len(w) >= 5),
+        |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS novelty
+        |FROM g JOIN f ON g.gram = f.gram
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
   )
 }

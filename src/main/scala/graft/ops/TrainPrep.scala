@@ -201,7 +201,34 @@ object TrainPrep {
           when(col("b") < "e6", "train")
             .when(col("b") < "f3", "valid").otherwise("test"))
         .select("doc_id", "source", "split")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // weight-proportional sampling WITHOUT transcendentals: Duffield-
+    // Lund-Thorup priority sampling. Each doc draws a deterministic
+    // uniform u from its md5 (first 8 hex chars -> 32-bit int; the
+    // sample_hash discipline — reproducible across engines, reruns, and
+    // partitionings) and gets priority w/u; the k largest priorities are
+    // the sample, heavier docs proportionally likelier. Exponential-key
+    // reservoir (Efraimidis-Spirakis, u^(1/w)) needs pow/ln, which are
+    // NOT correctly-rounded and can differ between engines' libm by an
+    // ulp — priority sampling's single division IS IEEE-exact on both
+    // sides, so the drawn set hash-matches bit-for-bit. Top-k goes
+    // through TakeOrderedAndProject (bounded per-partition heaps), never
+    // a global sort: at 100 TB this is a map-only score + a k-row-per-
+    // partition reduction.
+    "sample_priority" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          greatest(col("n_chars"), lit(1L)).as("w"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") + 1L).as("u"))
+        // w/u scaled so priorities are O(1): both operands are integer-
+        // valued doubles (exact), one correctly-rounded division
+        .select(col("doc_id"), col("source"), col("w"),
+          round(col("w").cast("double") * 4294967296d
+            / (col("u").cast("double") * 1000d), 6).as("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(100))
   )
 
   def oracle: Map[String, String] = Map(
@@ -310,6 +337,19 @@ object TrainPrep {
         |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
         |      THEN 'valid'
         |    ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // same md5-derived uniform (DuckDB parses the hex via '0x' cast), the
+    // same single exact-operand IEEE division — both engines order by the
+    // identical rounded priority with the doc_id tiebreak
+    "sample_priority" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, GREATEST(n_chars, 1) AS w,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) + 1 AS u
+        |  FROM documents)
+        |SELECT doc_id, source, w,
+        |  round(CAST(w * 4294967296 AS DOUBLE)
+        |    / CAST(u * 1000 AS DOUBLE), 6) AS priority
+        |FROM p ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin
   )
 }

@@ -73,6 +73,16 @@ class GoldenSpec extends SparkSpec {
     }
   }
 
+  test("round-6 operators pin their sf0.001 row counts") {
+    val expected = Map(
+      "sample_priority" -> 100L,
+      "text_ngram_novelty" -> 500L,
+      "embedding_centroid_drift" -> 10L)
+    expected.foreach { case (k, n) =>
+      assert(SparkEntry.queries(k)(spark, sf).count() == n, k)
+    }
+  }
+
   test("round-4 operators pin their sf0.001 row counts") {
     val expected = Map(
       "text_chunk" -> 1388L,
