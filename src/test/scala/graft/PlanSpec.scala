@@ -340,6 +340,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("cols=[event_id,event_type]"), p)
   }
 
+  test("sample_priority plans TakeOrderedAndProject over a pure " +
+    "projection — no global sort, no shuffle before the top-k") {
+    val p = plan(SparkEntry.queries("sample_priority")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("text_ngram_novelty never goes pairwise — gram-keyed joins only") {
+    val p = plan(SparkEntry.queries("text_ngram_novelty")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p) // map-side combine on the agg
+  }
+
+  test("embedding_centroid_drift broadcasts the centroid table — vectors " +
+    "never pairwise-join") {
+    val p = plan(SparkEntry.queries("embedding_centroid_drift")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sql_lateral decorrelates to a join — no per-row re-execution") {
     val o = optimized(SparkEntry.queries("sql_lateral")(spark, sf))
     assert(o.contains("Join Inner"), o)

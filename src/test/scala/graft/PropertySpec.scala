@@ -347,4 +347,51 @@ class PropertySpec extends SparkSpec {
     val s3 = db.agg(sigs.head, sigs.tail: _*).collect()(0).toSeq
     assert(s1 != s3)
   }
+
+  test("priority sampling is scale-invariant in the weights and favors " +
+    "heavy rows") {
+    // priority = w/u: multiplying every weight by a constant scales every
+    // priority identically, so the drawn SET cannot change — the rank
+    // statistic only sees ratios. (Guards the w*2^32 double-exactness
+    // assumption too: a lossy product would break the invariance.)
+    val dir = "target/tmp/priority_prop"
+    for (t <- 1 to 3) {
+      val docs = (0L until 200L).map { i =>
+        (i, s"doc $i text", "en", "s", (rnd.nextInt(900) + 1).toLong * t)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val base = SparkEntry.queries("sample_priority")(spark, dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      docs.withColumn("n_chars", col("n_chars") * 7)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val scaled = SparkEntry.queries("sample_priority")(spark, dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(base == scaled, s"trial $t: weight scaling changed the sample")
+    }
+    // weight-proportionality, deterministically: give one doc ~all the
+    // corpus weight mass and it must be drawn
+    val skew = (0L until 200L).map { i =>
+      (i, s"doc $i", "en", "s", if (i == 77L) 1000000L else 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    skew.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val drawn = SparkEntry.queries("sample_priority")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(drawn.contains(77L), "the dominant-weight doc was not drawn")
+  }
+
+  test("an exact duplicate doc scores zero n-gram novelty") {
+    val dir = "target/tmp/novelty_prop"
+    val words = (1 to 60).map(i => s"w${rnd.nextInt(500)}")
+    val docs = Seq(
+      (0L, words.mkString(" "), "en", "s", 60L),
+      (1L, words.mkString(" "), "en", "s", 60L), // doc 0 verbatim
+      (2L, (1 to 40).map(i => s"fresh$i").mkString(" "), "en", "s", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val nov = SparkEntry.queries("text_ngram_novelty")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(nov(0L) == 1.0, s"first occurrence must be fully novel: $nov")
+    assert(nov(1L) == 0.0, s"verbatim duplicate must score 0: $nov")
+    assert(nov(2L) == 1.0, s"disjoint doc must be fully novel: $nov")
+  }
 }
