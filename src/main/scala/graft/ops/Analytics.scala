@@ -461,6 +461,33 @@ object Analytics {
         .orderBy("user_id")
     },
 
+    // deadline-bounded funnel: the chain only counts when every later
+    // stage lands within 24 h of the FIRST view — the attribution-window
+    // semantics real conversion funnels use (an unbounded funnel credits
+    // purchases weeks later). Same linear shape as events_funnel — three
+    // filtered min-aggs chained by user-key equi-joins, stage outputs
+    // shrinking monotonically — with t_view carried through the chain so
+    // the deadline predicate stays a per-row comparison, never a range
+    // join. Timestamp arithmetic is exact micros in both engines.
+    "events_funnel_window" -> { (s, d) =>
+      val ev = events(s, d)
+      val deadline = expr("t_view + INTERVAL 24 HOURS")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") > col("t_view") && col("ts") <= deadline)
+        .groupBy("user_id", "t_view").agg(min("ts").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") > col("t_click") && col("ts") <= deadline)
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      v.join(c.select("user_id", "t_click"), Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select("user_id", "t_view", "t_click", "t_purchase")
+        .orderBy("user_id")
+    },
+
     // top 3-step behavioral paths (sequence-mining lite): consecutive
     // event-type triples per user ranked by frequency. Two lags in ONE
     // window pass (same shuffle), then a path count + top-k — the
@@ -1141,6 +1168,26 @@ object Analytics {
         |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
         |  GROUP BY e.user_id)
         |SELECT v.user_id, t_view, t_click, t_purchase
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+    "events_funnel_window" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, v.t_view, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |    AND e.ts <= v.t_view + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id, v.t_view),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |    AND e.ts <= c.t_view + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view, t_click, t_purchase
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,

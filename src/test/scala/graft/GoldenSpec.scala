@@ -77,7 +77,8 @@ class GoldenSpec extends SparkSpec {
     val expected = Map(
       "sample_priority" -> 100L,
       "text_ngram_novelty" -> 500L,
-      "embedding_centroid_drift" -> 10L)
+      "embedding_centroid_drift" -> 10L,
+      "events_funnel_window" -> 15L)
     expected.foreach { case (k, n) =>
       assert(SparkEntry.queries(k)(spark, sf).count() == n, k)
     }
