@@ -331,6 +331,34 @@ object Joins {
         .orderBy("event_id")
     },
 
+    // as-of with a staleness bound (the feature-store read semantics: a
+    // feature older than the tolerance must NOT be served — better null
+    // than stale): same single window pass as join_asof, then the match is
+    // kept only when the purchase-click gap is within 2 h. The tolerance
+    // is a per-row projection on the already-computed as-of result, so the
+    // plan cost is identical to the unbounded as-of — still no range join,
+    // still one shuffle by user.
+    "join_asof_tolerance" -> { (s, d) =>
+      val ev = events(s, d)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_purchase"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tolUs = 2L * 3600L * 1000000L
+      ev.withColumn("is_purchase",
+          when(col("event_type") === "purchase", 1).otherwise(0))
+        .withColumn("click_ts",
+          when(col("event_type") === "click", col("ts")))
+        .withColumn("last_click_ts",
+          last("click_ts", ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("gap_us",
+          expr("unix_micros(ts) - unix_micros(last_click_ts)"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("gap_us") <= tolUs, col("last_click_ts")).as("click_ts"),
+          when(col("gap_us") <= tolUs, col("gap_us")).as("staleness_us"))
+        .orderBy("event_id")
+    },
+
     // nearest-in-time join (the sensor-fusion / log-alignment shape): for
     // each purchase, the click with MINIMUM |Δt| in either direction by
     // the same user. Two directed as-of passes — backward carries the
@@ -557,6 +585,18 @@ object Joins {
         |ORDER BY id_a, id_b""".stripMargin,
     "join_asof" ->
       """SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    // DuckDB's native ASOF JOIN + the staleness CASE — an independent
+    // formulation of the same semantics (the Spark side is a window pass)
+    "join_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+        |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 7200000000
+        |       THEN c.ts END AS click_ts,
+        |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 7200000000
+        |       THEN epoch_us(p.ts) - epoch_us(c.ts) END AS staleness_us
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts

@@ -78,7 +78,8 @@ class GoldenSpec extends SparkSpec {
       "sample_priority" -> 100L,
       "text_ngram_novelty" -> 500L,
       "embedding_centroid_drift" -> 10L,
-      "events_funnel_window" -> 15L)
+      "events_funnel_window" -> 15L,
+      "join_asof_tolerance" -> 202L)
     expected.foreach { case (k, n) =>
       assert(SparkEntry.queries(k)(spark, sf).count() == n, k)
     }
