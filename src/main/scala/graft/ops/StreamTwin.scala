@@ -120,6 +120,16 @@ object StreamTwin {
           count(col("t_click")).as("n_click"),
           count(col("t_purchase")).as("n_purchase"))),
 
+    // twin of the deadline-aware stateful funnel
+    // (Streams.funnelWindowProgress): stage reach-counts under the 24 h
+    // attribution bound; per-user timestamps are oracle-checked by
+    // `events_funnel_window`, stream-vs-batch equality by StreamingSpec
+    "stream_funnel_window" -> ((s, d) =>
+      Analytics.queries("events_funnel_window")(s, d)
+        .agg(count(col("t_view")).as("n_view"),
+          count(col("t_click")).as("n_click"),
+          count(col("t_purchase")).as("n_purchase"))),
+
     // twin of the windowed "trending types" top-k sink: hourly (window,
     // type) counts -> native per-window top-3 via the SAME
     // Streams.topTypesPerWindow the streaming spec drives over a
@@ -237,6 +247,26 @@ object StreamTwin {
         |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
         |  GROUP BY e.user_id)
         |SELECT count(t_view) AS n_view, count(t_click) AS n_click,
+        |  count(t_purchase) AS n_purchase
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "stream_funnel_window" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, v.t_view, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |    AND e.ts <= v.t_view + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id, v.t_view),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |    AND e.ts <= c.t_view + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id)
+        |SELECT count(v.t_view) AS n_view, count(t_click) AS n_click,
         |  count(t_purchase) AS n_purchase
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin

@@ -150,6 +150,51 @@ object Streams {
       }
   }
 
+  /** Deadline-aware funnel step: later stages only count within `deadlineMs`
+    * of the first view — the streaming form of `events_funnel_window`'s
+    * 24 h attribution bound. The deadline check is pure state arithmetic
+    * (no extra state fields, no timers): once the first view is pinned,
+    * every candidate stage compares its event time against tView + D.
+    */
+  private def funnelWindowStep(deadlineMs: Long)(st: FunnelState,
+      e: Event): FunnelState = {
+    def inWindow: Boolean =
+      st.tView.exists(v => e.ts.getTime <= v.getTime + deadlineMs)
+    e.event_type match {
+      case "view" if st.tView.isEmpty =>
+        st.copy(tView = Some(e.ts))
+      case "click" if st.tClick.isEmpty
+          && st.tView.exists(v => e.ts.after(v)) && inWindow =>
+        st.copy(tClick = Some(e.ts))
+      case "purchase" if st.tPurchase.isEmpty
+          && st.tClick.exists(c => e.ts.after(c)) && inWindow =>
+        st.copy(tPurchase = Some(e.ts))
+      case _ => st
+    }
+  }
+
+  /** [[funnelProgress]] with the 24 h attribution deadline — state shape
+    * and ordering discipline identical; only the step function changes
+    * (which is the point: deadline semantics are a per-event predicate,
+    * not a new state machine).
+    */
+  def funnelWindowProgress(events: Dataset[Event],
+      deadlineMs: Long = 24L * 3600L * 1000L): Dataset[FunnelSnapshot] = {
+    import events.sparkSession.implicits._
+    val step = funnelWindowStep(deadlineMs) _
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelSnapshot](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .foreach(e => st = step(st, e))
+          state.update(st)
+          FunnelSnapshot(userId, st.tView, st.tClick, st.tPurchase)
+      }
+  }
+
   /** Stream-stream interval join: purchases attributed to same-user clicks
     * within the 10 minutes before the purchase. Watermarks on BOTH sides
     * bound the join state — the condition every production stream-stream

@@ -79,7 +79,8 @@ class GoldenSpec extends SparkSpec {
       "text_ngram_novelty" -> 500L,
       "embedding_centroid_drift" -> 10L,
       "events_funnel_window" -> 15L,
-      "join_asof_tolerance" -> 202L)
+      "join_asof_tolerance" -> 202L,
+      "stream_funnel_window" -> 1L)
     expected.foreach { case (k, n) =>
       assert(SparkEntry.queries(k)(spark, sf).count() == n, k)
     }

@@ -274,6 +274,47 @@ class StreamingSpec extends SparkSpec {
       .foreach { case (u, s) => assert(s.t_view.isEmpty, s"user $u") }
   }
 
+  test("deadline-aware streaming funnel equals the batch " +
+    "events_funnel_window") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Tables
+    val all = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val in = MemoryStream[Event]
+    val q = Streams.funnelWindowProgress(in.toDS())
+      .writeStream.format("memory").queryName("funnel_win_t")
+      .outputMode(OutputMode.Update()).start()
+    in.addData(b1.toIndexedSeq)
+    q.processAllAvailable()
+    in.addData(b2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("funnel_win_t")
+      .as[Streams.FunnelSnapshot].collect()
+      .groupBy(_.user_id).map { case (u, snaps) =>
+        u -> snaps.maxBy(s =>
+          (s.t_view.size + s.t_click.size + s.t_purchase.size))
+      }
+    val batch = SparkEntry.queries("events_funnel_window")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.getTimestamp(1)),
+        Option(r.getTimestamp(2)), Option(r.getTimestamp(3)))).toMap
+    batch.foreach { case (u, (v, c, p)) =>
+      val s = streamed(u)
+      assert((s.t_view, s.t_click, s.t_purchase) == ((v, c, p)), s"user $u")
+    }
+    // the deadline must BITE somewhere on the fixture, or this test pins
+    // nothing the unbounded funnel didn't: at least one user must differ
+    // from the unbounded batch funnel
+    val unbounded = SparkEntry.queries("events_funnel")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (Option(r.getTimestamp(1)),
+        Option(r.getTimestamp(2)), Option(r.getTimestamp(3)))).toMap
+    assert(batch != unbounded,
+      "24h deadline never bit on the fixture — widen or shrink it")
+  }
+
   test("transformWithState (arbitrary state v2) matches mapGroupsWithState") {
     val old = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
