@@ -360,7 +360,11 @@ object Dedup {
     // predicate; DedupSpec additionally cross-checks the minhash pair set.
     "dedup_simhash" -> { (s, d) =>
       graft.functions.CharikarSimHash.register(s)
-      val sig = t(s, d, "documents")
+      // corpus(), not the raw table: the one-row-group fixture scans as a
+      // single partition, serializing the 64-bit sketch on one core while
+      // 31 idle (the Tables.corpus rationale; the sketch is the CPU cost
+      // here, the orderBy at the end makes the result order-insensitive)
+      val sig = corpus(s, d)
         .withColumn("toks", split(lower(trim(col("text"))), " "))
         .select(col("doc_id"), expr("charikar_simhash(toks)").as("sig"))
       val banded = sig.select(col("doc_id"), col("sig"),
