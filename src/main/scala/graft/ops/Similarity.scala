@@ -255,22 +255,30 @@ object Similarity {
     // max|w| — order-independent — instead of an L2 fold whose summation
     // order differs between engines.
     "embedding_pca_power" -> { (s, d) =>
-      val ex = vectors(s, d).select(col("vec_id"),
-          posexplode(expr(
-            "transform(v, x -> CAST(round(x, 6) AS DECIMAL(12,6)))"))
-            .as(Seq("j", "x")))
+      // vectors stay ARRAYS end-to-end on the dots side: the per-vector
+      // contraction x·v runs as an in-codegen zip_with/aggregate fold
+      // against the broadcast 1-row direction array — no explode, no
+      // join, no groupBy(vec_id) shuffle (the earlier exploded-join form
+      // paid two broadcast joins + a 320k-row shuffle per round for the
+      // same exact decimals; decimal addition is exact and associative,
+      // so fold order cannot move a bit and the oracle is unchanged).
+      // Only the cross-VECTOR dimension sums (w_j = Σᵢ xᵢⱼ·dotᵢ) still
+      // explode — that reduction genuinely crosses rows.
+      val vecs = vectors(s, d).select(col("vec_id"),
+          expr("transform(v, x -> CAST(round(x, 6) AS DECIMAL(12,6)))")
+            .as("xv"))
         .cache()
-      def iterate(v: DataFrame): DataFrame = {
-        val dots = ex.join(broadcast(v), "j")
-          .groupBy("vec_id")
-          .agg(expr("CAST(sum(x * vj) AS DECIMAL(20,8))").as("dot"))
-        // dots is O(N) tiny (one row per vector) next to the O(N·d)
-        // exploded table: broadcast it so the contraction is map-side —
-        // unhinted, this planned as a shuffle+sort of the big side per
-        // round (isolated cold run 10.7 s → 7.5 s at sf0.1; in-suite
-        // 5.5 → 4.9 s — the remaining cost is the 320k-row decimal
-        // contraction itself, the price of bit-stable loadings)
-        val w = ex.join(broadcast(dots), "vec_id")
+      // one round: direction ARRAY (1-row frame) -> (j, vj) next direction
+      def round(varr: DataFrame): DataFrame = {
+        val dots = vecs.crossJoin(broadcast(varr))
+          .select(col("vec_id"), col("xv"), expr(
+            """CAST(aggregate(
+              |  zip_with(xv, varr, (x, y) -> CAST(x * y AS DECIMAL(38,12))),
+              |  CAST(0 AS DECIMAL(38,12)),
+              |  (a, p) -> CAST(a + p AS DECIMAL(38,12))) AS DECIMAL(20,8))"""
+              .stripMargin).as("dot"))
+        val w = dots
+          .select(col("dot"), posexplode(col("xv")).as(Seq("j", "x")))
           .groupBy("j").agg(sum(col("x") * col("dot")).as("w"))
         val m = w.agg(max(abs(col("w"))).as("m"))
         w.crossJoin(broadcast(m))
@@ -278,9 +286,15 @@ object Similarity {
             "CAST(round(CAST(w AS DOUBLE) / CAST(m AS DOUBLE), 6) " +
               "AS DECIMAL(12,6))").as("vj"))
       }
-      val v0 = ex.select(col("j")).distinct()
-        .select(col("j"), expr("CAST(1.0 AS DECIMAL(12,6))").as("vj"))
-      iterate(iterate(v0))
+      // (j, vj) -> the 1-row direction array, j-ordered to align with xv
+      def toArr(v: DataFrame): DataFrame =
+        v.agg(expr(
+          "transform(array_sort(collect_list(struct(j, vj))), s -> s.vj)")
+          .as("varr"))
+      val v0 = vecs.limit(1)
+        .select(expr("transform(xv, x -> CAST(1.0 AS DECIMAL(12,6)))")
+          .as("varr"))
+      round(toArr(round(v0)))
         .select(col("j").cast("long").as("dim"),
           col("vj").cast("double").as("loading"))
         .orderBy("dim")

@@ -67,13 +67,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("_graft_bin"), p)
   }
 
-  test("embedding_pca_power contracts via broadcast joins, never SMJ") {
+  test("embedding_pca_power folds dots in-codegen — no vec_id shuffle, " +
+    "no hash join, never SMJ") {
     val p = plan(SparkEntry.queries("embedding_pca_power")(spark, sf))
-    // both per-round contractions (direction and dots) must join broadcast
-    // against the exploded table — a SortMergeJoin here means the O(N·d)
-    // side is being shuffled per round
-    assert(p.contains("BroadcastHashJoin"), p)
+    // the per-vector contraction x·v runs as a zip_with/aggregate fold
+    // against the broadcast 1-row direction array: any join on the
+    // O(N·d) exploded table, or a shuffle keyed by vec_id, means the
+    // round regressed to the exploded-join form
+    assert(p.contains("zip_with"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("hashpartitioning(vec_id"), p)
   }
 
   test("join_bloom probes before the join and broadcasts the dim") {
