@@ -396,22 +396,38 @@ object Similarity {
     // squared residuals rounded then decimal-summed per vector; sqrt is
     // IEEE-exact; the final per-label avg decimal-sums rounded distances.
     "embedding_centroid_drift" -> { (s, d) =>
-      val ex = t(s, d, "embeddings")
+      val vecs = t(s, d, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("label"),
-          posexplode(expr(
-            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE), 6)" +
-              " AS DECIMAL(12,6)))")).as(Seq("j", "x")))
-      val cents = ex.groupBy("label", "j")
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE), 6)" +
+            " AS DECIMAL(12,6)))").as("xv"))
+        .cache()
+      // centroids still reduce across vectors (that genuinely crosses
+      // rows): one explode + one (label, j) keyed agg, O(labels × d) out
+      val cents = vecs
+        .select(col("label"), posexplode(col("xv")).as(Seq("j", "x")))
+        .groupBy("label", "j")
         .agg(expr("CAST(round(CAST(sum(x) AS DOUBLE) / count(*), 6)" +
           " AS DECIMAL(12,6))").as("c"))
-      val dist = ex.join(broadcast(cents), Seq("label", "j"))
-        .select(col("vec_id"), col("label"),
-          expr("CAST(round(CAST(x - c AS DOUBLE) * CAST(x - c AS DOUBLE)," +
-            " 9) AS DECIMAL(20,9))").as("sq"))
-        .groupBy("vec_id", "label")
-        .agg(expr("CAST(round(sqrt(CAST(sum(sq) AS DOUBLE)), 6)" +
-          " AS DECIMAL(12,6))").as("dist"))
+      // ...but the residual Σ(x-c)² is per-vector arithmetic: fold it
+      // in-codegen against a broadcast 1-row label→centroid-array map
+      // (the embedding_pca_power discipline) instead of re-exploding and
+      // joining the O(N·d) table — decimal sums are exact+associative,
+      // so fold order can't move a bit and the oracle is unchanged
+      val cmap = cents.groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(j, c))), " +
+          "s -> s.c)").as("carr"))
+        .agg(expr("map_from_entries(collect_list(struct(label, carr)))")
+          .as("cmap"))
+      val dist = vecs.crossJoin(broadcast(cmap))
+        .select(col("vec_id"), col("label"), expr(
+          """CAST(round(sqrt(CAST(aggregate(
+            |  zip_with(xv, element_at(cmap, label),
+            |    (x, c) -> CAST(round(CAST(x - c AS DOUBLE)
+            |      * CAST(x - c AS DOUBLE), 9) AS DECIMAL(30,9))),
+            |  CAST(0 AS DECIMAL(30,9)),
+            |  (a, q) -> CAST(a + q AS DECIMAL(30,9))) AS DOUBLE)), 6)
+            |AS DECIMAL(12,6))""".stripMargin).as("dist"))
       dist.groupBy("label")
         .agg(count(lit(1)).as("n_vecs"),
           round(sum(col("dist")).cast("double") / count(lit(1)), 6)

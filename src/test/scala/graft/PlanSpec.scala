@@ -359,11 +359,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p) // map-side combine on the agg
   }
 
-  test("embedding_centroid_drift broadcasts the centroid table — vectors " +
-    "never pairwise-join") {
+  test("embedding_centroid_drift folds residuals in-codegen — no vec " +
+    "shuffle, vectors never pairwise-join") {
     val p = plan(SparkEntry.queries("embedding_centroid_drift")(spark, sf))
-    assert(p.contains("BroadcastHashJoin"), p)
+    // residual Σ(x-c)² folds against the broadcast label→centroid map
+    // (the pca discipline); a hash join or vec_id shuffle means the
+    // exploded-join form regressed
+    assert(p.contains("zip_with"), p)
     assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("hashpartitioning(vec_id"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
