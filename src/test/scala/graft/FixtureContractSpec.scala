@@ -66,4 +66,68 @@ class FixtureContractSpec extends SparkSpec {
     assert(df.schema("ts").dataType == TimestampType)
     assert(df.count() > 0)
   }
+
+  // ---- schema-drift tripwire -------------------------------------------
+  // Round 5 lost 41 queries because a fixture regeneration silently
+  // changed one column's physical encoding and every consumer failed
+  // cryptically downstream. This pins the SCANNED schema of every
+  // fixture table: when the driver regenerates fixtures differently,
+  // exactly one test fails, NAMING the drifted column — fix the loader
+  // (Tables.scala), then update the accepted forms here.
+
+  private val acceptedSchemas: Map[String, Map[String, Set[DataType]]] = {
+    // int keys may widen int32<->int64 between generations; timestamps may
+    // move between physical units/annotations (the round-5 regression) —
+    // every form listed here is one the loaders + oracles handle today
+    val key: Set[DataType] = Set(IntegerType, LongType)
+    val ts: Set[DataType] = Set(LongType, TimestampType, TimestampNTZType)
+    val date: Set[DataType] = Set(TimestampType, TimestampNTZType, DateType)
+    Map(
+      "region" -> Map("r_regionkey" -> key, "r_name" -> Set(StringType)),
+      "nation" -> Map("n_nationkey" -> key,
+        "n_name" -> Set(StringType), "n_regionkey" -> key),
+      "customer" -> Map("c_custkey" -> Set(LongType),
+        "c_name" -> Set(StringType), "c_acctbal" -> Set(DoubleType),
+        "c_nationkey" -> key),
+      "supplier" -> Map("s_suppkey" -> Set(LongType),
+        "s_nationkey" -> key, "s_acctbal" -> Set(DoubleType)),
+      "part" -> Map("p_partkey" -> Set(LongType),
+        "p_retailprice" -> Set(DoubleType)),
+      "orders" -> Map("o_orderkey" -> Set(LongType),
+        "o_custkey" -> Set(LongType), "o_totalprice" -> Set(DoubleType),
+        "o_orderdate" -> date),
+      "lineitem" -> Map("l_orderkey" -> Set(LongType),
+        "l_partkey" -> Set(LongType), "l_suppkey" -> Set(LongType),
+        "l_linenumber" -> key,
+        "l_quantity" -> Set(DoubleType),
+        "l_extendedprice" -> Set(DoubleType),
+        "l_discount" -> Set(DoubleType), "l_tax" -> Set(DoubleType),
+        "l_shipdate" -> date),
+      "events" -> Map("event_id" -> Set(LongType), "ts" -> ts,
+        "user_id" -> Set(LongType), "event_type" -> Set(StringType),
+        "value" -> Set(DoubleType), "props" -> Set(StringType)),
+      "documents" -> Map("doc_id" -> Set(LongType),
+        "text" -> Set(StringType), "lang" -> Set(StringType),
+        "source" -> Set(StringType), "n_chars" -> Set(LongType)),
+      "embeddings" -> Map("vec_id" -> Set(LongType),
+        "label" -> (key + StringType),
+        "embedding" -> Set(ArrayType(FloatType), ArrayType(FloatType, false),
+          ArrayType(DoubleType), ArrayType(DoubleType, false))))
+  }
+
+  acceptedSchemas.foreach { case (table, cols) =>
+    test(s"fixture table $table scans with the accepted column types") {
+      val schema = Tables.t(spark, sf, table).schema
+      cols.foreach { case (name, accepted) =>
+        assert(schema.fieldNames.contains(name),
+          s"$table.$name MISSING — fixtures regenerated with a new " +
+            "schema; update Tables loaders + this contract")
+        val dt = schema(name).dataType
+        assert(accepted.contains(dt),
+          s"$table.$name scanned as $dt, accepted: $accepted — the " +
+            "fixture encoding drifted (the round-5 events.ts class); " +
+            "make the loader adaptive, then add the new form here")
+      }
+    }
+  }
 }
