@@ -202,6 +202,45 @@ class CompactionJob(s: JobSettings) extends GenericEtl[JobSettings](s) {
     }
 }
 
+/** Draws a weight-proportional sample under the reference's job contract:
+  * read `input_source` (any parquet with an id and a numeric weight
+  * column), run the engine's deterministic priority sampler
+  * ([[graft.ops.TrainPrep.prioritySample]] — md5-derived uniform, w/u
+  * priorities, k largest), write the sample to `output_directory`. The
+  * draw is a pure function of the id bytes, so reruns, repartitions, and
+  * engine swaps reproduce the same sample — the property a training-data
+  * subsetting job needs for auditability.
+  *
+  * Settings keys (via `JobSettings.extra`):
+  *  - `id_column`: stable id (default `doc_id`)
+  *  - `weight_column`: sampling weight (default `n_chars`)
+  *  - `sample_size`: k (default 100)
+  */
+class SampleJob(s: JobSettings) extends GenericEtl[JobSettings](s) {
+  import org.apache.spark.sql.functions._
+
+  override def runJob(spark: SparkSession): JobResponse =
+    try {
+      val idCol = settings.extra.getOrElse("id_column", "doc_id")
+      val wCol = settings.extra.getOrElse("weight_column", "n_chars")
+      val k = settings.extra.getOrElse("sample_size", "100").toInt
+      val df = spark.read.parquet(settings.inputSource)
+      val total = df.count()
+      // the operator's own pipeline — not a copy that could drift from it
+      graft.ops.TrainPrep.prioritySample(df, idCol, wCol, k)
+        .write.mode("overwrite").parquet(settings.outputDirectory)
+      val out = spark.read.parquet(settings.outputDirectory)
+      val row = out.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("w")), lit(0L)).as("w_sum")).head()
+      JobResponse(200,
+        Some(s"sampled ${row.getLong(0)} of $total rows by $wCol"),
+        Some(s"""{"sampled": ${row.getLong(0)}, "total": $total,""" +
+          s""" "weight_sum": ${row.getLong(1)}}"""))
+    } catch {
+      case e: Exception => JobResponse(500, Some(e.toString), None)
+    }
+}
+
 /** Re-encodes a dataset with a different parquet codec and reports the
   * before/after byte sizes (the "compression job" shape of the reference
   * ecosystem).

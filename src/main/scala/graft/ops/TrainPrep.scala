@@ -203,33 +203,42 @@ object TrainPrep {
         .select("doc_id", "source", "split")
         .orderBy("doc_id")),
 
-    // weight-proportional sampling WITHOUT transcendentals: Duffield-
-    // Lund-Thorup priority sampling. Each doc draws a deterministic
-    // uniform u from its md5 (first 8 hex chars -> 32-bit int; the
-    // sample_hash discipline — reproducible across engines, reruns, and
-    // partitionings) and gets priority w/u; the k largest priorities are
-    // the sample, heavier docs proportionally likelier. Exponential-key
-    // reservoir (Efraimidis-Spirakis, u^(1/w)) needs pow/ln, which are
-    // NOT correctly-rounded and can differ between engines' libm by an
-    // ulp — priority sampling's single division IS IEEE-exact on both
-    // sides, so the drawn set hash-matches bit-for-bit. Top-k goes
-    // through TakeOrderedAndProject (bounded per-partition heaps), never
-    // a global sort: at 100 TB this is a map-only score + a k-row-per-
-    // partition reduction.
+    // weight-proportional sampling WITHOUT transcendentals — see
+    // [[prioritySample]]; shared with the harness-level SampleJob so the
+    // operator and the job cannot drift apart
     "sample_priority" -> ((s, d) =>
-      t(s, d, "documents")
-        .select(col("doc_id"), col("source"),
-          greatest(col("n_chars"), lit(1L)).as("w"),
-          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast("long") + 1L).as("u"))
-        // w/u scaled so priorities are O(1): both operands are integer-
-        // valued doubles (exact), one correctly-rounded division
-        .select(col("doc_id"), col("source"), col("w"),
-          round(col("w").cast("double") * 4294967296d
-            / (col("u").cast("double") * 1000d), 6).as("priority"))
-        .orderBy(col("priority").desc, col("doc_id"))
-        .limit(100))
+      prioritySample(t(s, d, "documents"), "doc_id", "n_chars", 100)
+        .select(col("doc_id"), col("source"), col("w"), col("priority")))
   )
+
+  /** Duffield-Lund-Thorup priority sampling: each row draws a
+    * deterministic uniform u from the md5 of its id (first 8 hex chars ->
+    * 32-bit int; the sample_hash discipline — reproducible across
+    * engines, reruns, and partitionings) and gets priority w/u; the k
+    * largest priorities are the sample, heavier rows proportionally
+    * likelier. Exponential-key reservoir (Efraimidis-Spirakis, u^(1/w))
+    * needs pow/ln, which are NOT correctly-rounded and can differ between
+    * engines' libm by an ulp — priority sampling's single division IS
+    * IEEE-exact on both sides, so the drawn set hash-matches
+    * bit-for-bit. Top-k goes through TakeOrderedAndProject (bounded
+    * per-partition heaps), never a global sort: at 100 TB this is a
+    * map-only score + a k-row-per-partition reduction.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame =
+    df
+      .withColumn("w", greatest(col(weightCol).cast("long"), lit(1L)))
+      .withColumn("u",
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long") + 1L)
+      // w/u scaled so priorities are O(1): both operands are integer-
+      // valued doubles (exact), one correctly-rounded division
+      .withColumn("priority",
+        round(col("w").cast("double") * 4294967296d
+          / (col("u").cast("double") * 1000d), 6))
+      .drop("u")
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
 
   def oracle: Map[String, String] = Map(
     "pack_sequences" ->

@@ -165,4 +165,24 @@ class JobsSpec extends SparkSpec {
       JobRunner.makeJob("NopeJob", JobSettings("/a", "/b"))
     }
   }
+
+  test("SampleJob draws exactly the operator's priority sample") {
+    val job = new SampleJob(JobSettings(
+      s"$sf/documents.parquet", s"$out/sample",
+      Map("sample_size" -> "50")))
+    val r = job.runJob(spark)
+    assert(r.statusCode == 200, r)
+    assert(r.data.exists(_.contains("\"sampled\": 50")), r)
+    val jobIds = spark.read.parquet(s"$out/sample")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val opIds = graft.ops.TrainPrep.prioritySample(
+        spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "n_chars", 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(jobIds == opIds, "job sample diverged from the operator's draw")
+    // rerun determinism: the draw is a pure function of the id bytes
+    assert(job.runJob(spark).statusCode == 200)
+    val again = spark.read.parquet(s"$out/sample")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == jobIds)
+  }
 }
