@@ -55,8 +55,45 @@ object Bench {
     (results, failed)
   }
 
+  /** Bench-isolation tripwire: any OTHER live Spark/sbt JVM on the host
+    * (concurrent verify run, stray test JVM) steals cores from local[*]
+    * and inflates timings up to 4x — r6 measured 114.3s clean vs 133.3s
+    * ambient for identical code, ambiguity that burned a round of
+    * per-query regression analysis. Walk the process table, excluding
+    * this JVM and its ancestor chain (sbt forks the bench, so the parent
+    * sbt JVM is legitimately alive).
+    */
+  private[graft] def foreignSparkJvms(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val selfChain = Iterator.iterate(ProcessHandle.current)(
+        h => h.parent().orElse(null))
+      .takeWhile(_ != null).map(_.pid).toSet
+    ProcessHandle.allProcesses().iterator().asScala
+      .filterNot(h => selfChain.contains(h.pid))
+      .flatMap { h =>
+        val cl = h.info().commandLine()
+        if (cl.isPresent) Some((h.pid, cl.get)) else None
+      }
+      .collect {
+        case (pid, cmd)
+          if cmd.contains("java") &&
+            (cmd.toLowerCase.contains("spark") || cmd.contains("sbt")) =>
+          s"pid $pid: ${cmd.take(120)}"
+      }
+      .toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // warn BEFORE the expensive run, to stderr only — stdout stays
+    // reserved for the single machine-readable summary line
+    val foreign = foreignSparkJvms()
+    foreign.foreach(f => System.err.println(
+      s"[bench] WARNING concurrent JVM: $f"))
+    if (foreign.nonEmpty) System.err.println(
+      s"[bench] WARNING: ${foreign.size} concurrent Spark/sbt JVM(s) " +
+        "live — timings will be inflated; rerun alone for comparable " +
+        "numbers (BASELINE.md isolation rule)")
     val spark = Sessions.local(Sessions.envCores, appName = "graft-bench")
     // warm the JVM / codegen / session machinery so the first measured
     // query doesn't absorb startup costs, and create the bucketed tables
@@ -90,7 +127,8 @@ object Bench {
     Files.createDirectories(Paths.get("/root/repo/target"))
     Files.write(Paths.get(s"/root/repo/$detail"),
       (s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$full,""" +
-        s""""failed":$failedJson,"sf":"$sfDir"}""").getBytes(StandardCharsets.UTF_8))
+        s""""failed":$failedJson,"foreign_jvms":${foreign.size},""" +
+        s""""sf":"$sfDir"}""").getBytes(StandardCharsets.UTF_8))
     val head = jsonMap(results.filter(r => Headline.contains(r._1)))
     spark.stop()
     // the machine-readable summary is the FINAL stdout line, after

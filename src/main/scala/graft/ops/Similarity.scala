@@ -244,6 +244,53 @@ object Similarity {
         .orderBy("cluster")
     },
 
+    // product quantization (the IVF-PQ compression stage every
+    // billion-vector ANN index runs): the 64-dim vector splits into M=8
+    // subspaces of 8 dims, each subvector snaps to the nearest of K=16
+    // per-subspace codebook centroids (deterministic seeds = slices of
+    // the first 16 vectors, the kmeans_lloyd convention), and the vector
+    // ships as 8 codes + its reconstruction error. Scale shape: the
+    // codebook is O(M*K) and BROADCAST; the corpus explodes to M
+    // subvector rows per vector (same total bytes as the input — a
+    // projection, not a blow-up), each scoring 16 candidates in one
+    // broadcast-join pass, then one groupBy(vec_id) reassembles codes.
+    // No all-pairs anywhere; at 100 TB this is a map-side scan + one
+    // key-local shuffle of (vec_id, sub, code) triples. Determinism: the
+    // squared distance accumulates in exact decimal over lossless
+    // round(·,6) casts (merge order can't move an ulp) and the argmin
+    // tiebreaks on code id — both engines pick identical codes.
+    "embedding_pq" -> { (s, d) =>
+      val e = vectors(s, d)
+      def slices(src: DataFrame, idAs: String) = src.select(
+        col("vec_id").as(idAs),
+        posexplode(expr(
+          "transform(sequence(1, 8), m -> slice(v, (m - 1) * 8 + 1, 8))"))
+          .as(Seq("sub", "sv")))
+      val cb = broadcast(slices(e.filter(col("vec_id") < 16), "code")
+        .select(col("sub"), col("code"), col("sv").as("cv")))
+      val d2 = expr(
+        """aggregate(
+          |  zip_with(sv, cv, (x, c) ->
+          |    (CAST(round(x, 6) AS DECIMAL(12,6))
+          |      - CAST(round(c, 6) AS DECIMAL(12,6)))
+          |    * (CAST(round(x, 6) AS DECIMAL(12,6))
+          |      - CAST(round(c, 6) AS DECIMAL(12,6)))),
+          |  CAST(0 AS DECIMAL(30,12)),
+          |  (acc, z) -> CAST(acc + z AS DECIMAL(30,12)))""".stripMargin)
+      val w = Window.partitionBy("vec_id", "sub")
+        .orderBy(col("d2"), col("code"))
+      slices(e, "vec_id").join(cb, "sub")
+        .withColumn("d2", d2)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("vec_id")
+        .agg(
+          expr("transform(array_sort(collect_list(struct(sub, code))), " +
+            "p -> p.code)").as("codes"),
+          round(sum(col("d2")).cast("double"), 6).as("recon_err"))
+        .orderBy("vec_id")
+    },
+
     // dominant principal direction by two unrolled power-iteration rounds
     // (infinity-norm normalized): v' ∝ Σᵢ xᵢ (xᵢ · v). The d×d Gram
     // matrix is never materialized — each round is one broadcast of the
@@ -549,6 +596,42 @@ object Similarity {
          |SELECT q_id, n_id, cos, rnk FROM r WHERE rnk <= $TopK
          |ORDER BY q_id, rnk""".stripMargin
     },
+    // PQ twin: same seed-slice codebook, same exact-decimal squared
+    // distance (sum order irrelevant — decimal adds are associative),
+    // same (d2, code) argmin tiebreak
+    "embedding_pq" ->
+      s"""WITH e AS ($duckVectors),
+         |sub AS (
+         |  SELECT vec_id, unnest(generate_series(0, 7)) AS sub, v FROM e),
+         |sv AS (
+         |  SELECT vec_id, sub,
+         |    list_slice(v, sub * 8 + 1, sub * 8 + 8) AS sv
+         |  FROM sub),
+         |cb AS (
+         |  SELECT vec_id AS code, sub,
+         |    list_slice(v, sub * 8 + 1, sub * 8 + 8) AS cv
+         |  FROM (SELECT vec_id, unnest(generate_series(0, 7)) AS sub, v
+         |        FROM e WHERE vec_id < 16)),
+         |dims AS (
+         |  SELECT s.vec_id, s.sub, c.code,
+         |    unnest(generate_series(1, 8)) AS j, s.sv, c.cv
+         |  FROM sv s JOIN cb c USING (sub)),
+         |d2 AS (
+         |  SELECT vec_id, sub, code,
+         |    sum((CAST(round(sv[j], 6) AS DECIMAL(12,6))
+         |          - CAST(round(cv[j], 6) AS DECIMAL(12,6)))
+         |      * (CAST(round(sv[j], 6) AS DECIMAL(12,6))
+         |          - CAST(round(cv[j], 6) AS DECIMAL(12,6)))) AS d2
+         |  FROM dims GROUP BY 1, 2, 3),
+         |best AS (
+         |  SELECT vec_id, sub, code, d2,
+         |    row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY d2, code) AS rn
+         |  FROM d2)
+         |SELECT vec_id, list(code ORDER BY sub) AS codes,
+         |  round(CAST(sum(d2) AS DOUBLE), 6) AS recon_err
+         |FROM best WHERE rn = 1
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // every Lloyd stage is deterministic SQL (fixed seeds, rounded-cosine
     // argmax, exact-decimal dimension means), so both iterations hash-check
     "kmeans_lloyd" -> {

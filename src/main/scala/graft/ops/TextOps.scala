@@ -329,8 +329,11 @@ object TextOps {
         .orderBy("event_id")),
 
     // winnowing fingerprints via the native WinnowFingerprints expression
-    // (3-gram shingle hashes, min per window of 4, distinct). The hash has
-    // no DuckDB twin, so rows-only check + unit spec.
+    // (3-gram shingle hashes, min per window of 4, distinct). The FNV-1a
+    // hash IS DuckDB-expressible (recursive CTE over distinct shingles,
+    // the dedup_simhash precedent), so this has a full oracle. NOTE: the
+    // native window-min and TreeSet order compare SIGNED longs, so the
+    // oracle converts UBIGINT->BIGINT two's-complement BEFORE its min.
     "text_fingerprint" -> { (s, d) =>
       graft.functions.WinnowFingerprints.register(s)
       toks(s, d)
@@ -801,6 +804,49 @@ object TextOps {
         |  round(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
         |    AS DOUBLE) / count(*), 6) AS novelty
         |FROM g JOIN f ON g.gram = f.gram
-        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // winnowing twin: the same FNV-1a 64 per-shingle hash (recursive CTE
+    // over DISTINCT 3-token shingles, mod-2^64 HUGEINT arithmetic — the
+    // dedup_simhash precedent; per-char ord == per-byte because the
+    // fixture corpus is ASCII-only, pinned by FixtureContractSpec), then
+    // min per sliding window of 4 and DISTINCT. The unsigned hash is
+    // converted to signed BIGINT (two's complement) BEFORE the window
+    // min, because the native expression compares signed longs.
+    "text_fingerprint" ->
+      """WITH RECURSIVE
+        |tk AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        |  FROM documents
+        |  WHERE len(string_split(lower(trim(text)), ' ')) >= 6),
+        |sh AS (
+        |  SELECT doc_id, pos, len(w) - 2 AS nsh,
+        |    array_to_string(list_slice(w, pos, pos + 2), ' ') AS s
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(1, len(w) - 2)) AS pos
+        |        FROM tk)),
+        |ds AS (SELECT DISTINCT s FROM sh),
+        |fnv AS (
+        |  SELECT s, 1 AS i, CAST(14695981039346656037 AS UBIGINT) AS h
+        |  FROM ds
+        |  UNION ALL
+        |  SELECT s, i + 1,
+        |    CAST(CAST((CAST(xor(h, CAST(ord(substr(s, i, 1)) AS UBIGINT))
+        |      AS HUGEINT) * 1099511628211) % 18446744073709551616
+        |      AS HUGEINT) AS UBIGINT)
+        |  FROM fnv WHERE i <= len(s)),
+        |hf AS (
+        |  SELECT s,
+        |    CAST(CAST(h AS HUGEINT)
+        |      - CASE WHEN h >= CAST(9223372036854775808 AS UBIGINT)
+        |        THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS hs
+        |  FROM fnv WHERE i = len(s) + 1),
+        |wm AS (
+        |  SELECT sh.doc_id, sh.pos, sh.nsh,
+        |    min(hf.hs) OVER (PARTITION BY sh.doc_id ORDER BY sh.pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+        |  FROM sh JOIN hf ON sh.s = hf.s)
+        |SELECT DISTINCT doc_id, m AS fingerprint
+        |FROM wm WHERE pos <= nsh - 3
+        |ORDER BY doc_id, fingerprint""".stripMargin
   )
 }

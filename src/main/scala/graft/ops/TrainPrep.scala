@@ -167,16 +167,24 @@ object TrainPrep {
     // is contaminated if it shares any 5-gram with any eval doc. The eval
     // modulus is 7 (not something sparser) so the fixture's planted
     // near-dup groups straddle the split and the check exercises real
-    // hits. The join key is the n-gram itself (inverted index), eval side
-    // broadcast — candidate work is proportional to shared n-grams, never
-    // |train| × |eval|.
+    // hits. The join key is the n-gram itself (inverted index) — candidate
+    // work is proportional to shared n-grams, never |train| × |eval|.
+    // Deliberately NO broadcast hint: this eval side is ~1/7 of the
+    // corpus, i.e. corpus-PROPORTIONAL, and a forced broadcast of a side
+    // that grows with the input OOMs executors at 100 TB. Unhinted, the
+    // planner shuffles both sides on `gram` (linear, scale-safe), and AQE
+    // may still elect a broadcast at runtime when the MEASURED size is
+    // small — a bounded decision, unlike the hint. (A production check
+    // against a fixed benchmark suite — bounded by construction — is
+    // where an explicit broadcast belongs; PlanSpec pins the no-hint
+    // invariant here.)
     "contamination_check" -> { (s, d) =>
       // one gram explode over the whole corpus, cached — the train and
       // eval branches are filters over the same materialization instead
       // of two evaluations of the explode+distinct pipeline
       val g = grams(toks(s, d)).select(col("doc_id"), col("gram")).cache()
-      val evalGrams = broadcast(g.filter(col("doc_id") % 7 === 0)
-        .select(col("doc_id").as("eval_id"), col("gram")))
+      val evalGrams = g.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("eval_id"), col("gram"))
       g.filter(col("doc_id") % 7 =!= 0)
         .join(evalGrams, "gram")
         .groupBy("doc_id")
@@ -231,8 +239,13 @@ object TrainPrep {
       .withColumn("u",
         conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
           .cast("long") + 1L)
-      // w/u scaled so priorities are O(1): both operands are integer-
-      // valued doubles (exact), one correctly-rounded division
+      // w/u scaled so priorities are O(1). Arithmetic is DOUBLE end-to-end
+      // on BOTH engines (the oracle mirrors this order): w -> double is the
+      // only rounding (exact for w < 2^53), x * 2^32 is a pure exponent
+      // shift (always exact), u * 1000 is an exact integer-valued double
+      // (< 2^42), and the single division is IEEE-correctly-rounded — so
+      // priorities hash-match for ANY long weight, with no integer-overflow
+      // path anywhere (a BIGINT-side product would raise at w >= 2^31).
       .withColumn("priority",
         round(col("w").cast("double") * 4294967296d
           / (col("u").cast("double") * 1000d), 6))
@@ -357,8 +370,8 @@ object TrainPrep {
         |      AS BIGINT) + 1 AS u
         |  FROM documents)
         |SELECT doc_id, source, w,
-        |  round(CAST(w * 4294967296 AS DOUBLE)
-        |    / CAST(u * 1000 AS DOUBLE), 6) AS priority
+        |  round(CAST(w AS DOUBLE) * 4294967296
+        |    / (CAST(u AS DOUBLE) * 1000), 6) AS priority
         |FROM p ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin
   )
 }

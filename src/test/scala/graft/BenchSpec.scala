@@ -28,4 +28,50 @@ class BenchSpec extends SparkSpec {
     assert(failed.isEmpty, s"failed: $failed")
     assert(results.size == SparkEntry.queries.size)
   }
+
+  test("isolation tripwire never flags this JVM or its sbt ancestor chain") {
+    // the test JVM is itself a Spark-classpath JVM forked by sbt — if the
+    // ancestor exclusion broke, the bench would cry wolf on EVERY run
+    val selfPid = ProcessHandle.current().pid
+    val parentPids = Iterator.iterate(ProcessHandle.current)(
+        h => h.parent().orElse(null))
+      .takeWhile(_ != null).map(_.pid).toSet
+    val flagged = Bench.foreignSparkJvms()
+    parentPids.foreach { p =>
+      assert(!flagged.exists(_.startsWith(s"pid $p:")),
+        s"own chain pid $p flagged: $flagged")
+    }
+    assert(!flagged.exists(_.startsWith(s"pid $selfPid:")))
+  }
+
+  test("budgeted queries stay under their per-key ceiling at sf0.1 " +
+      "(2x the r6 driver time + 0.5s noise) — regressions land in-session, " +
+      "not in the next round's verdict") {
+    // budgets cover every key the r6 driver measured at >= 1.0s; faster
+    // keys sit below the ~0.3s ambient-noise floor where a 2x "regression"
+    // is indistinguishable from scheduler jitter (VERDICT r6 "What's
+    // wrong" #3), so gating them would only produce flakes.
+    val sf01 = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$sf01/documents.parquet").exists())
+    val budgets = {
+      val txt = scala.io.Source.fromFile("/root/repo/bench_budgets.json", "UTF-8")
+      val raw = try txt.mkString finally txt.close()
+      """"([a-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(raw)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter { case (k, _) => SparkEntry.queries.contains(k) }.toMap
+    }
+    assert(budgets.size >= 25, s"budget file parsed ${budgets.size} keys")
+    graft.ops.Joins.ensureBucketed(spark, sf01)
+    graft.ops.Lakehouse.ensureZoned(spark, sf01)
+    graft.ops.Graph.warm(spark, sf01)
+    SparkEntry.queries("join_bloom")(spark, sf01) // fill the sketch cache
+    val (results, failed) = Bench.runQueries(spark, sf01,
+      SparkEntry.queries.view.filterKeys(budgets.contains).toMap)
+    assert(failed.isEmpty, s"failed: $failed")
+    val over = results.collect {
+      case (k, t) if t > 2 * budgets(k) + 0.5 =>
+        f"$k: $t%.2fs > 2*${budgets(k)}%.2f+0.5"
+    }
+    assert(over.isEmpty, s"over budget: ${over.mkString("; ")}")
+  }
 }

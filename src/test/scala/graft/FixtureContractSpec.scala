@@ -81,7 +81,13 @@ class FixtureContractSpec extends SparkSpec {
     // every form listed here is one the loaders + oracles handle today
     val key: Set[DataType] = Set(IntegerType, LongType)
     val ts: Set[DataType] = Set(LongType, TimestampType, TimestampNTZType)
-    val date: Set[DataType] = Set(TimestampType, TimestampNTZType, DateType)
+    // DateType is deliberately NOT accepted: no loader normalizes a
+    // date-typed o_orderdate/l_shipdate today, so accepting it here would
+    // pass the tripwire while every consumer (and the timestamp-shaped
+    // oracles) failed cryptically — the exact drift class this spec
+    // exists to catch. If the driver ever regenerates these as DATE,
+    // this test must fail until a normalizing loader lands.
+    val date: Set[DataType] = Set(TimestampType, TimestampNTZType)
     Map(
       "region" -> Map("r_regionkey" -> key, "r_name" -> Set(StringType)),
       "nation" -> Map("n_nationkey" -> key,
@@ -113,6 +119,22 @@ class FixtureContractSpec extends SparkSpec {
         "label" -> (key + StringType),
         "embedding" -> Set(ArrayType(FloatType), ArrayType(FloatType, false),
           ArrayType(DoubleType), ArrayType(DoubleType, false))))
+  }
+
+  // The dedup_simhash / sim_pairs_lsh / text_fingerprint oracles rebuild
+  // FNV-1a in DuckDB by iterating CODEPOINTS (ord(substr(s,i,1))) while the
+  // native expressions hash UTF-8 BYTES; the two agree iff the corpus is
+  // pure ASCII. The fixtures are ASCII today — pin it, so a regenerated
+  // corpus with any non-ASCII token fails HERE (naming the cause) instead
+  // of as an inscrutable oracle hash mismatch.
+  test("documents.text is ASCII-only (FNV oracle codepoint==byte contract)") {
+    val nonAscii = Tables.t(spark, sf, "documents")
+      .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
+    assert(nonAscii == 0,
+      s"$nonAscii documents contain non-ASCII chars — the FNV-1a oracles " +
+        "(dedup_simhash, sim_pairs_lsh, text_fingerprint) hash codepoints " +
+        "and now diverge from the byte-hashing native expressions; " +
+        "rewrite those oracles to iterate UTF-8 bytes")
   }
 
   acceptedSchemas.foreach { case (table, cols) =>

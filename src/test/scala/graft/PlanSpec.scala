@@ -214,9 +214,18 @@ class PlanSpec extends SparkSpec {
       "l_extendedprice:double,l_discount:double,l_shipdate:timestamp"), p)
   }
 
-  test("contamination_check broadcasts the eval-side gram index") {
-    val p = plan(SparkEntry.queries("contamination_check")(spark, sf))
-    assert(p.contains("BroadcastHashJoin"), p)
+  test("contamination_check leaves the gram join UNHINTED — the eval side " +
+      "is corpus-proportional, so a forced broadcast would OOM at scale") {
+    val df = SparkEntry.queries("contamination_check")(spark, sf)
+    // no join-strategy hint anywhere in the optimized plan (a broadcast()
+    // call survives optimization as `strategy=broadcast` on the Join
+    // node): the strategy is the planner's — shuffle equi-join on gram at
+    // scale; AQE may broadcast at runtime from MEASURED sizes, which is
+    // bounded in a way a hint is not
+    val o = optimized(df)
+    assert(!o.contains("strategy=broadcast") && !o.contains("ResolvedHint"), o)
+    val p = plan(df)
+    assert(p.contains("Join") || p.contains("join"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
@@ -236,6 +245,54 @@ class PlanSpec extends SparkSpec {
     assert(o.contains("salt"), o)
     val p = plan(SparkEntry.queries("join_skew_salted")(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("AQE splits a skewed join partition at runtime — the production " +
+      "path at 100 TB where manual salting isn't wired") {
+    // complements join_skew_salted: salting is the explicit design, AQE
+    // skew-join is what a cluster does for every join we DIDN'T salt.
+    // Plant one hot key (~95% of rows), force a shuffle join (no
+    // broadcast), lower the skew thresholds to fixture scale, and pin
+    // that the final adaptive plan actually split the hot partition
+    // (SortMergeJoin(skew=true) + a skewed AQEShuffleRead).
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+    val saved = keys.map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      c.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      // payload is md5 (incompressible — a constant-string payload
+      // compresses below the skew threshold and gets COALESCED instead)
+      // and must survive column pruning, so the final agg consumes it
+      val left = spark.range(200000L)
+        .select(
+          when(col("id") % 20 === 0, col("id") % 50 + 1).otherwise(lit(0L))
+            .as("k"),
+          md5(col("id").cast("string")).as("payload"))
+      val right = spark.range(51L).select(col("id").as("k"),
+        lit("dim").as("name"))
+      val joined = left.join(right, "k")
+        .select(sum(length(col("payload"))).as("n"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p)
+      assert(p.contains("AQEShuffleRead") && p.contains("skewed"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
   }
 
   test("events_anomaly broadcasts the per-type stats back onto the scan") {

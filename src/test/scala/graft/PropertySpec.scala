@@ -302,6 +302,55 @@ class PropertySpec extends SparkSpec {
     } finally edges.unpersist()
   }
 
+  test("reliable checkpoint mode refuses to run without a checkpoint dir") {
+    // declared BEFORE the end-to-end reliable test: setCheckpointDir has
+    // no unset API, so this must run while the shared context is still
+    // dir-less. The guard keeps it vacuously green if another suite set
+    // one first.
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      spark.conf.set(graft.ops.Dedup.ReliableCheckpointKey, "true")
+      try {
+        import spark.implicits._
+        val edges = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+        val e = intercept[IllegalArgumentException] {
+          graft.ops.Dedup.connectedComponents(spark, edges)
+        }
+        assert(e.getMessage.contains(graft.ops.Dedup.ReliableCheckpointKey))
+      } finally spark.conf.set(graft.ops.Dedup.ReliableCheckpointKey, "false")
+    }
+  }
+
+  test("connected components run end-to-end through the RELIABLE " +
+      "checkpoint path (the cluster/preemption deployment mode)") {
+    val ckDir = "/root/repo/target/tmp/reliable_ck"
+    val sc = spark.sparkContext
+    val prevDir = sc.getCheckpointDir
+    sc.setCheckpointDir(ckDir)
+    spark.conf.set(graft.ops.Dedup.ReliableCheckpointKey, "true")
+    try {
+      // two components incl. a chain — several rounds, each reliably
+      // checkpointed; the answer must be identical to the local path
+      val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L))
+      val df = pairs.toDF("doc_a", "doc_b")
+      val edges = df.union(df.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst").cache()
+      try {
+        val got = graft.ops.Dedup.connectedComponents(spark, edges)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+          10L -> 10L, 11L -> 10L))
+        // the gate actually engaged: reliable checkpoints leave RDD
+        // checkpoint files under the configured dir
+        val wrote = new java.io.File(ckDir).listFiles()
+        assert(wrote != null && wrote.nonEmpty,
+          "no checkpoint files written — the reliable path did not run")
+      } finally edges.unpersist()
+    } finally {
+      spark.conf.set(graft.ops.Dedup.ReliableCheckpointKey, "false")
+      prevDir.foreach(sc.setCheckpointDir)
+    }
+  }
+
   test("connected components match driver-side union-find on random graphs") {
     for (_ <- 1 to 5) {
       val n = rnd.nextInt(80) + 20
