@@ -171,6 +171,42 @@ object Graph {
           col("doc_a") === col("a3") && col("c2") === col("c3"))
         .select(col("doc_a"), col("doc_b"), col("c2").as("doc_c"))
         .orderBy("doc_a", "doc_b", "doc_c")
+    },
+
+    // common-neighbor link scoring over the near-dup pair graph — the
+    // cluster-density audit a dedup pipeline runs before collapsing
+    // components (an edge whose endpoints share most of their neighbors
+    // sits inside a dense clique → safe to collapse; a bridge edge with
+    // none is the classic false-positive to re-verify). Input is the
+    // LSH-pruned pair table, so the graph is SMALL by the pruning
+    // invariant and the wedge join (e1.v = e2.u) is bounded by
+    // sum(deg(x)^2) over that pruned graph — never corpus-quadratic. On
+    // a power-law graph the guard is the usual hub cap before wedging;
+    // the near-dup graph has no hubs by construction (Jaccard >= 0.8 is
+    // ~an equivalence relation). Scoring arithmetic: integer-valued
+    // counts in IEEE double, one division, round(6) — bit-stable.
+    "graph_common_neighbors" -> { (s, d) =>
+      val p = Dedup.minhashPairs(s, d).select("doc_a", "doc_b").cache()
+      val e = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionAll(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+      val cn = e.select(col("u").as("a"), col("v").as("x"))
+        .join(e.select(col("u").as("x"), col("v").as("b")), "x")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("nc"))
+      p.join(cn, col("doc_a") === col("a") && col("doc_b") === col("b"),
+          "left")
+        .join(deg.select(col("u").as("doc_a"), col("deg").as("deg_a")),
+          "doc_a")
+        .join(deg.select(col("u").as("doc_b"), col("deg").as("deg_b")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          coalesce(col("nc"), lit(0L)).as("n_common"),
+          round(coalesce(col("nc"), lit(0L)).cast("double")
+            / (col("deg_a") + col("deg_b")
+              - coalesce(col("nc"), lit(0L))).cast("double"), 6)
+            .as("nbr_jaccard"))
+        .orderBy("doc_a", "doc_b")
     }
   )
 
@@ -249,6 +285,31 @@ object Graph {
          |FROM jpairs p1
          |JOIN jpairs p2 ON p1.doc_b = p2.doc_a
          |JOIN jpairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
-         |ORDER BY p1.doc_a, p1.doc_b, doc_c""".stripMargin
+         |ORDER BY p1.doc_a, p1.doc_b, doc_c""".stripMargin,
+
+    // exact pair graph (DuckDB computes the same >= 0.8 Jaccard pairs),
+    // same wedge count + neighborhood-Jaccard arithmetic
+    "graph_common_neighbors" ->
+      s"""WITH ${Dedup.jaccardCtes},
+         |e AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |  UNION ALL
+         |  SELECT doc_b AS u, doc_a AS v FROM jpairs),
+         |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY 1),
+         |cn AS (
+         |  SELECT e1.u AS a, e2.v AS b, count(*) AS nc
+         |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+         |  WHERE e1.u < e2.v
+         |  GROUP BY 1, 2)
+         |SELECT j.doc_a, j.doc_b,
+         |  COALESCE(cn.nc, 0) AS n_common,
+         |  round(CAST(COALESCE(cn.nc, 0) AS DOUBLE)
+         |    / CAST(da.deg + db.deg - COALESCE(cn.nc, 0) AS DOUBLE), 6)
+         |    AS nbr_jaccard
+         |FROM jpairs j
+         |LEFT JOIN cn ON cn.a = j.doc_a AND cn.b = j.doc_b
+         |JOIN deg da ON da.u = j.doc_a
+         |JOIN deg db ON db.u = j.doc_b
+         |ORDER BY j.doc_a, j.doc_b""".stripMargin
   )
 }

@@ -285,6 +285,29 @@ object Lakehouse {
         .orderBy("part", "file_id")
     },
 
+    // vacuum planning (the other half of table maintenance next to
+    // compact_plan): under copy-on-write, a MERGE rewrites every file
+    // that contains an updated key, leaving the file's previous
+    // generation unreferenced — the vacuum candidate set. Files are the
+    // same synthesized (month, o_orderkey%20) slices as compact_plan;
+    // the change feed is the same %7 update set the MERGE family uses
+    // (inserts land in NEW files and orphan nothing). Like every
+    // maintenance pass here this touches file STATS only — one groupBy
+    // over O(#files) metadata rows, zero data bytes — which is what
+    // keeps VACUUM plannable at 100 TB where #files ~ 10^6.
+    "vacuum_plan" -> { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("part"),
+          pmod(col("o_orderkey"), lit(20)).cast("long").as("file_id"))
+        .agg((count(lit(1)) * 120L).as("bytes"),
+          sum(when(col("o_orderkey") % 7 === 0, 1L).otherwise(0L))
+            .as("n_changed"))
+        .filter(col("n_changed") > 0)
+        .select(to_date(col("part")).as("part"), col("file_id"),
+          col("bytes").as("reclaim_bytes"), col("n_changed"))
+        .orderBy("part", "file_id")
+    },
+
     // snapshot diff (CDC between two table versions): version B applies
     // the same deterministic change feed MERGE uses; the diff classifies
     // every key as added / removed / changed / unchanged with one
@@ -418,6 +441,19 @@ object Lakehouse {
         |SELECT CAST(part AS DATE) AS part, file_id, bytes,
         |  CAST(floor((cum - bytes) / 65536) AS BIGINT) AS rewrite_group
         |FROM c ORDER BY part, file_id""".stripMargin,
+    // vacuum twin: same file synthesis as compact_plan, same %7 change
+    // feed as the MERGE family
+    "vacuum_plan" ->
+      """WITH f AS (
+        |  SELECT date_trunc('month', o_orderdate) AS part,
+        |    o_orderkey % 20 AS file_id, count(*) * 120 AS bytes,
+        |    CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_changed
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT CAST(part AS DATE) AS part, file_id,
+        |  bytes AS reclaim_bytes, n_changed
+        |FROM f WHERE n_changed > 0
+        |ORDER BY part, file_id""".stripMargin,
     "snapshot_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

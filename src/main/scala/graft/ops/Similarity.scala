@@ -37,6 +37,9 @@ object Similarity {
   val DocCosineThreshold = 0.8
   val TopK = 5
 
+  /** Neighbors kept per vector in `embedding_knn_graph`. */
+  val KnnK = 5
+
   /** vec_id + embedding cast to double[] (cast once, before any kernel).
     *
     * Repartitioned to cluster parallelism for the same reason as
@@ -187,6 +190,51 @@ object Similarity {
         .select(col("q_id"), col("vec_id").as("n_id"), col("cos"),
           row_number().over(wTop).cast("long").as("rnk"))
         .filter(col("rnk") <= TopK)
+        .orderBy("q_id", "rnk")
+    },
+
+    // k-NN graph construction — the corpus-wide build every graph-ANN
+    // index (HNSW/NSG) and every graph-based dedup/label-propagation
+    // pass starts from. Same IVF machinery as sim_topk_ivf but with ALL
+    // vectors as queries: assign each vector to its nearest of C
+    // centroids (one broadcast pass), probe each query's 2 nearest
+    // centroids, search only those clusters, keep the top 5 neighbors
+    // through the bounded-heap TopKPerKey operator (≤ K rows per
+    // (query, partition) ever shuffle — never a full per-query sort).
+    // Work is N * nprobe * N/C kernel evals; C is the accuracy/cost
+    // knob and scales ~sqrt(N) in a real deployment (C=16 here matches
+    // the fixture and the sim_topk_ivf convention, keeping the two
+    // IVF paths comparable). Candidate sets are disjoint by
+    // construction (a vector lives in exactly one cluster), so no
+    // dedup step is needed before the heap.
+    "embedding_knn_graph" -> { (s, d) =>
+      val e = vectors(s, d)
+      val cent = broadcast(e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv")))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("c_id"))
+      val assign = e.crossJoin(cent)
+        .withColumn("ccos", expr("round(cosine_sim(v, cv), 6)"))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
+      val wProbe = Window.partitionBy("q_id")
+        .orderBy(col("qcos").desc, col("c_id"))
+      val probes = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .crossJoin(cent)
+        .withColumn("qcos", expr("round(cosine_sim(qv, cv), 6)"))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= 2)
+        .select("q_id", "qv", "c_id")
+      val scored = probes.join(assign, col("c_id") === col("cluster"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", expr("round(cosine_sim(qv, v), 6)"))
+        .select(col("q_id"), col("vec_id").as("n_id"), col("cos"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("n_id"))
+      graft.plans.TopKPerKey.topK(scored, Seq(col("q_id")),
+          Seq(col("cos").desc, col("n_id")), KnnK)
+        .withColumn("rnk", row_number().over(w).cast("long"))
         .orderBy("q_id", "rnk")
     },
 
@@ -596,6 +644,38 @@ object Similarity {
          |SELECT q_id, n_id, cos, rnk FROM r WHERE rnk <= $TopK
          |ORDER BY q_id, rnk""".stripMargin
     },
+    // knn-graph twin: the sim_topk_ivf pipeline with every vector as a
+    // query and nprobe=2 — assignment, probing, and ranking all share
+    // the rounded-cosine + id-tiebreak determinism discipline
+    "embedding_knn_graph" -> {
+      def cos(a: String, b: String) =
+        s"""round(list_dot_product($a, $b) /
+           |    (sqrt(list_dot_product($a, $a))
+           |     * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+      s"""WITH e AS ($duckVectors),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, v, c_id AS cluster FROM (
+         |    SELECT e.vec_id, e.v, cent.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.v", "cent.cv")} DESC, cent.c_id) AS arn
+         |    FROM e CROSS JOIN cent) WHERE arn = 1),
+         |probes AS (
+         |  SELECT q_id, qv, c_id FROM (
+         |    SELECT e.vec_id AS q_id, e.v AS qv, cent.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.v", "cent.cv")} DESC, cent.c_id) AS prn
+         |    FROM e CROSS JOIN cent) WHERE prn <= 2),
+         |r AS (
+         |  SELECT q_id, a.vec_id AS n_id, ${cos("p.qv", "a.v")} AS cos,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ${cos("p.qv", "a.v")} DESC, a.vec_id) AS rnk
+         |  FROM probes p JOIN assign a ON p.c_id = a.cluster
+         |  WHERE a.vec_id <> p.q_id)
+         |SELECT q_id, n_id, cos, rnk FROM r WHERE rnk <= $KnnK
+         |ORDER BY q_id, rnk""".stripMargin
+    },
+
     // PQ twin: same seed-slice codebook, same exact-decimal squared
     // distance (sum order irrelevant — decimal adds are associative),
     // same (d2, code) argmin tiebreak

@@ -393,6 +393,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKPerKey"), p)
   }
 
+  test("embedding_knn_graph is cluster-bounded: heap top-k, no all-pairs " +
+      "BNLJ on the corpus side") {
+    val p = plan(SparkEntry.queries("embedding_knn_graph")(spark, sf))
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop joins are against the broadcast O(C) centroid
+    // list (assignment + probing); the candidate search itself is an
+    // equi-join on cluster id
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("DSv2 source scan: range filter and column pruning reach the " +
     "connector") {
     val p = plan(SparkEntry.queries("source_pushdown_v2")(spark, sf))
