@@ -748,6 +748,27 @@ object Analytics {
             .as("z_score"))
     },
 
+    // weekly seasonality profile per event type: day-of-week volume,
+    // in-type share, and peak-day flag — the load-shaping/anomaly
+    // baseline every event pipeline keeps. The corpus collapses to a
+    // (type × 7) aggregate in one map-combined pass; shares and peaks
+    // are windows over that tiny table, never a second scan. DOW is
+    // Sunday=0 on both engines (Spark dayofweek()-1, DuckDB
+    // date_part('dow')).
+    "events_seasonality" -> { (s, d) =>
+      val wT = Window.partitionBy("event_type")
+      events(s, d)
+        .select(col("event_type"),
+          (dayofweek(col("ts")) - 1).cast("long").as("dow"))
+        .groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("share", round(col("n_events").cast("double")
+          / sum(col("n_events")).over(wT).cast("double"), 6))
+        .withColumn("is_peak",
+          col("n_events") === max(col("n_events")).over(wT))
+        .orderBy("event_type", "dow")
+    },
+
     // robust outliers via the HISTOGRAM median: `value` is quantized to 2
     // decimals, so the per-type (value, count) histogram is bounded by the
     // domain (~20k rows) no matter how many events exist — median and MAD
@@ -907,6 +928,19 @@ object Analytics {
         |      * (1.0 - (conv_a + conv_b) / (n_a + n_b))
         |      * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
         |FROM c""".stripMargin,
+    // Sunday=0 on both engines: Spark dayofweek()-1 == DuckDB 'dow'
+    "events_seasonality" ->
+      """WITH a AS (
+        |  SELECT event_type, CAST(date_part('dow', ts) AS BIGINT) AS dow,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, dow, n_events,
+        |  round(CAST(n_events AS DOUBLE)
+        |    / CAST(sum(n_events) OVER (PARTITION BY event_type) AS DOUBLE),
+        |    6) AS share,
+        |  n_events = max(n_events) OVER (PARTITION BY event_type)
+        |    AS is_peak
+        |FROM a ORDER BY event_type, dow""".stripMargin,
     // lower-median (no interpolation): smallest value whose cumulative
     // histogram count reaches ceil(n/2); dev through DECIMAL(18,2) like
     // the Spark side so the subtraction is exact

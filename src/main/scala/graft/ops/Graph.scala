@@ -207,6 +207,40 @@ object Graph {
               - coalesce(col("nc"), lit(0L))).cast("double"), 6)
             .as("nbr_jaccard"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // local clustering coefficient per node of the near-dup graph —
+    // 2·triangles / (deg·(deg−1)), the per-node density score that
+    // separates clique members (coeff → 1: safe to collapse the whole
+    // cluster) from hub/bridge nodes (coeff → 0: each edge needs its own
+    // verify). Same ordered two-join triangle closure as graph_triangles
+    // (each triangle a<b<c lists once, then votes for all 3 corners via
+    // one explode), same LSH-pruned pair graph, so the join never
+    // touches the corpus. Arithmetic is integer-valued doubles + one
+    // division + round — bit-stable.
+    "graph_clustering_coeff" -> { (s, d) =>
+      val p = Dedup.minhashPairs(s, d).select("doc_a", "doc_b").cache()
+      val e = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionAll(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+      val wedge = p.select(col("doc_a").as("b2"), col("doc_b").as("c2"))
+      val closer = p.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
+      val tris = p.join(wedge, col("doc_b") === col("b2"))
+        .join(closer,
+          col("doc_a") === col("a3") && col("c2") === col("c3"))
+        .select(col("doc_a").as("x1"), col("doc_b").as("x2"),
+          col("c2").as("x3"))
+      val perNode = tris
+        .select(explode(array(col("x1"), col("x2"), col("x3"))).as("u"))
+        .groupBy("u").agg(count(lit(1)).as("n_tri"))
+      deg.join(perNode, Seq("u"), "left")
+        .select(col("u").as("node"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          when(col("deg") >= 2,
+            round((lit(2L) * coalesce(col("n_tri"), lit(0L))).cast("double")
+              / (col("deg") * (col("deg") - 1)).cast("double"), 6))
+            .otherwise(lit(0.0)).as("clustering"))
+        .orderBy("node")
     }
   )
 
@@ -310,6 +344,35 @@ object Graph {
          |LEFT JOIN cn ON cn.a = j.doc_a AND cn.b = j.doc_b
          |JOIN deg da ON da.u = j.doc_a
          |JOIN deg db ON db.u = j.doc_b
-         |ORDER BY j.doc_a, j.doc_b""".stripMargin
+         |ORDER BY j.doc_a, j.doc_b""".stripMargin,
+
+    // exact-Jaccard pair graph, same triangle closure + 3-corner votes,
+    // same 2t/(d(d-1)) arithmetic in doubles
+    "graph_clustering_coeff" ->
+      s"""WITH ${Dedup.jaccardCtes},
+         |e AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |  UNION ALL
+         |  SELECT doc_b AS u, doc_a AS v FROM jpairs),
+         |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY 1),
+         |tri AS (
+         |  SELECT p1.doc_a AS a, p1.doc_b AS b, p2.doc_b AS c
+         |  FROM jpairs p1
+         |  JOIN jpairs p2 ON p1.doc_b = p2.doc_a
+         |  JOIN jpairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+         |pn AS (
+         |  SELECT u, count(*) AS n_tri FROM (
+         |    SELECT a AS u FROM tri
+         |    UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri)
+         |  GROUP BY 1)
+         |SELECT deg.u AS node, deg.deg,
+         |  COALESCE(pn.n_tri, 0) AS n_tri,
+         |  CASE WHEN deg.deg >= 2 THEN
+         |    round(CAST(2 * COALESCE(pn.n_tri, 0) AS DOUBLE)
+         |      / CAST(deg.deg * (deg.deg - 1) AS DOUBLE), 6)
+         |  ELSE CAST(0.0 AS DOUBLE) END AS clustering
+         |FROM deg LEFT JOIN pn ON pn.u = deg.u
+         |ORDER BY node""".stripMargin
   )
 }

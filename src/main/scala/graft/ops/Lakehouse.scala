@@ -308,6 +308,41 @@ object Lakehouse {
         .orderBy("part", "file_id")
     },
 
+    // merge-on-read positional deletes (the Iceberg v2 deletion-vector
+    // read path, the copy-on-write alternative to vacuum_plan's
+    // rewrites): the delete file records (file, row POSITION), not keys,
+    // so appliers need no key lookup — just an anti join on position.
+    // Files are the synthesized (month, o_orderkey%20) slices; position
+    // is the rank a writer would have assigned (key order within file);
+    // the delete vector marks the %7 change-feed rows. Output is the
+    // per-file read audit (rows, applied deletes, live rows) readers
+    // consult before scheduling splits. Position assignment and the
+    // apply are (part, file_id)-partitioned windows/joins — per-file
+    // work, never a global order, and the anti join moves (file, pos)
+    // pairs, never row payloads.
+    "delete_vector_apply" -> { (s, d) =>
+      val w = Window.partitionBy("part", "file_id").orderBy("o_orderkey")
+      val rows = t(s, d, "orders")
+        .select(date_trunc("month", col("o_orderdate")).as("part"),
+          pmod(col("o_orderkey"), lit(20)).cast("long").as("file_id"),
+          col("o_orderkey"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+      val dv = rows.filter(col("o_orderkey") % 7 === 0)
+        .select(col("part").as("dp"), col("file_id").as("df"),
+          col("pos").as("dpos"))
+      val live = rows.join(dv,
+          col("part") === col("dp") && col("file_id") === col("df")
+            && col("pos") === col("dpos"), "left_anti")
+        .groupBy("part", "file_id").agg(count(lit(1)).as("n_live"))
+      rows.groupBy("part", "file_id").agg(count(lit(1)).as("n_rows"))
+        .join(live, Seq("part", "file_id"), "left")
+        .select(to_date(col("part")).as("part"), col("file_id"),
+          col("n_rows"), coalesce(col("n_live"), lit(0L)).as("n_live"),
+          (col("n_rows") - coalesce(col("n_live"), lit(0L)))
+            .as("n_deleted"))
+        .orderBy("part", "file_id")
+    },
+
     // snapshot diff (CDC between two table versions): version B applies
     // the same deterministic change feed MERGE uses; the diff classifies
     // every key as added / removed / changed / unchanged with one
@@ -454,6 +489,32 @@ object Lakehouse {
         |  bytes AS reclaim_bytes, n_changed
         |FROM f WHERE n_changed > 0
         |ORDER BY part, file_id""".stripMargin,
+    // same positional semantics: the delete vector addresses (file, pos)
+    // from the same rank assignment, applied via NOT EXISTS
+    "delete_vector_apply" ->
+      """WITH r AS (
+        |  SELECT date_trunc('month', o_orderdate) AS part,
+        |    o_orderkey % 20 AS file_id, o_orderkey,
+        |    row_number() OVER (
+        |      PARTITION BY date_trunc('month', o_orderdate),
+        |        o_orderkey % 20
+        |      ORDER BY o_orderkey) AS pos
+        |  FROM orders),
+        |dv AS (SELECT part, file_id, pos FROM r WHERE o_orderkey % 7 = 0),
+        |live AS (
+        |  SELECT part, file_id, count(*) AS n_live FROM r
+        |  WHERE NOT EXISTS (SELECT 1 FROM dv
+        |    WHERE dv.part = r.part AND dv.file_id = r.file_id
+        |      AND dv.pos = r.pos)
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT part, file_id, count(*) AS n_rows FROM r
+        |        GROUP BY 1, 2)
+        |SELECT CAST(tot.part AS DATE) AS part, tot.file_id, tot.n_rows,
+        |  COALESCE(live.n_live, 0) AS n_live,
+        |  tot.n_rows - COALESCE(live.n_live, 0) AS n_deleted
+        |FROM tot LEFT JOIN live
+        |  ON live.part = tot.part AND live.file_id = tot.file_id
+        |ORDER BY part, tot.file_id""".stripMargin,
     "snapshot_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column handling (SURVEY.md §2B): media payloads are opaque
@@ -194,10 +195,54 @@ object Multimodal {
         })
         .toDF()
         .orderBy("doc_id")
+    },
+
+    // webdataset-style shard planning over the media MANIFEST: pack the
+    // WAV payloads into ~64 KiB tar shards in doc order within 32
+    // writer buckets (the pack_sequences discipline — each writer packs
+    // its own stream, no global cumsum). Planning is metadata-only: the
+    // RIFF container size is computable from manifest fields alone
+    // (channels/junk-chunk/sample count are doc-keyed — see synthWav:
+    // 44 header bytes + 12 for the %5 LIST chunk + samples × blockAlign),
+    // so the planner never touches a payload byte — at 100 TB shard
+    // planning reads the manifest and the media lake stays cold. Output
+    // is the shard manifest (files, bytes per shard) the tar writers
+    // execute.
+    "multimodal_shard_plan" -> { (s, d) =>
+      val w = Window.partitionBy("bucket").orderBy("doc_id")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(32)).cast("long").as("bucket"),
+          (lit(44L)
+            + when(col("doc_id") % 5 === 0, 12L).otherwise(0L)
+            + octet_length(col("text")).cast("long")
+              * (lit(1L) + col("doc_id") % 2) * 2L).as("n_bytes"))
+        .withColumn("cum", sum(col("n_bytes")).over(w))
+        .withColumn("shard", floor((col("cum") - col("n_bytes")) / 65536L))
+        .groupBy("bucket", "shard")
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("n_bytes")).as("shard_bytes"))
+        .orderBy("bucket", "shard")
     }
   )
 
   def oracle: Map[String, String] = Map(
+    // same metadata-only size formula, same per-bucket cumsum
+    "multimodal_shard_plan" ->
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 32 AS bucket,
+        |    44 + CASE WHEN doc_id % 5 = 0 THEN 12 ELSE 0 END
+        |      + CAST(octet_length(encode(text)) AS BIGINT)
+        |        * (1 + doc_id % 2) * 2 AS n_bytes
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, bucket, n_bytes,
+        |    sum(n_bytes) OVER (PARTITION BY bucket ORDER BY doc_id) AS cum
+        |  FROM m)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(floor((cum - n_bytes) / 65536) AS BIGINT) AS shard,
+        |  count(*) AS n_files, CAST(sum(n_bytes) AS BIGINT) AS shard_bytes
+        |FROM c GROUP BY 1, 2 ORDER BY bucket, shard""".stripMargin,
     "multimodal_audio_window" ->
       """WITH d AS (
         |  SELECT doc_id, text, octet_length(encode(text)) AS n_bytes

@@ -61,6 +61,47 @@ object Similarity {
       .cache()
   }
 
+  /** The IVF top-k pipeline behind `sim_topk_ivf` AND the exact-vs-ANN
+    * comparison in `sim_recall_eval` (single definition so the graded
+    * path and the production path cannot drift): assign every vector to
+    * its nearest of 16 deterministic coarse centroids (one broadcast
+    * pass), probe each query's nprobe=4 nearest centroids, search only
+    * those clusters, rank the survivors. Returns (q_id, n_id, cos, rnk)
+    * with rnk <= TopK, unordered.
+    */
+  private def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(s, d)
+    val cent = broadcast(e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("v").as("cv")))
+    // assign every vector to its nearest centroid (1 broadcast pass)
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("c_id"))
+    val assign = e.crossJoin(cent)
+      .withColumn("ccos", expr("round(cosine_sim(v, cv), 6)"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
+    // queries probe their nprobe=4 nearest centroids
+    val q = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("qcos").desc, col("c_id"))
+    val probes = q.crossJoin(cent)
+      .withColumn("qcos", expr("round(cosine_sim(qv, cv), 6)"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= 4)
+      .select("q_id", "qv", "c_id")
+    // search only the probed clusters
+    val wTop = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    probes.join(assign, col("c_id") === col("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr("round(cosine_sim(qv, v), 6)"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cos"),
+        row_number().over(wTop).cast("long").as("rnk"))
+      .filter(col("rnk") <= TopK)
+  }
+
   /** doc_id + 512-dim signed hashing-trick vector over the doc's 3-word
     * shingle set ([[graft.functions.HashTfVec]]) — the featurization feeding
     * `sim_pairs_lsh`. Shingle-less (short) docs are dropped: a zero vector
@@ -158,39 +199,38 @@ object Similarity {
 
     // scale path B: IVF — deterministic coarse centroids, nprobe-bounded
     // search. Comparisons per query drop from N to ~(nprobe/C)*N. ANN by
-    // construction => no oracle; OperatorSpec measures recall vs exact.
-    "sim_topk_ivf" -> { (s, d) =>
+    // construction; the whole deterministic pipeline is ALSO mirrored in
+    // SQL, and sim_recall_eval grades it against exact search.
+    "sim_topk_ivf" -> ((s, d) => ivfTopK(s, d).orderBy("q_id", "rnk")),
+
+    // ANN quality gate: recall@k of the IVF path against brute-force
+    // exact search over the same queries — the eval loop every ANN
+    // deployment runs before trusting an index config (C, nprobe) at
+    // scale. Exact side reuses the bounded-heap TopKPerKey plan (the
+    // sim_cosine_topk shape); the hit count is an equi-join of the two
+    // k-row-per-query lists — O(q·k), independent of corpus size. Both
+    // branches are deterministic (rounded cosine, id tiebreaks), so even
+    // the recall NUMBERS hash-match the oracle.
+    "sim_recall_eval" -> { (s, d) =>
       val e = vectors(s, d)
-      val cent = broadcast(e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("v").as("cv")))
-      // assign every vector to its nearest centroid (1 broadcast pass)
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("ccos").desc, col("c_id"))
-      val assign = e.crossJoin(cent)
-        .withColumn("ccos", expr("round(cosine_sim(v, cv), 6)"))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
-      // queries probe their nprobe=4 nearest centroids
-      val q = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val wProbe = Window.partitionBy("q_id")
-        .orderBy(col("qcos").desc, col("c_id"))
-      val probes = q.crossJoin(cent)
-        .withColumn("qcos", expr("round(cosine_sim(qv, cv), 6)"))
-        .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= 4)
-        .select("q_id", "qv", "c_id")
-      // search only the probed clusters
-      val wTop = Window.partitionBy("q_id")
-        .orderBy(col("cos").desc, col("vec_id"))
-      probes.join(assign, col("c_id") === col("cluster"))
-        .filter(col("vec_id") =!= col("q_id"))
+      val q = broadcast(e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")))
+      val scored = q.join(e, col("vec_id") =!= col("q_id"))
         .withColumn("cos", expr("round(cosine_sim(qv, v), 6)"))
-        .select(col("q_id"), col("vec_id").as("n_id"), col("cos"),
-          row_number().over(wTop).cast("long").as("rnk"))
-        .filter(col("rnk") <= TopK)
-        .orderBy("q_id", "rnk")
+        .select(col("q_id"), col("vec_id").as("n_id"), col("cos"))
+      val exact = graft.plans.TopKPerKey.topK(scored, Seq(col("q_id")),
+          Seq(col("cos").desc, col("n_id")), TopK)
+        .select("q_id", "n_id")
+      val ann = ivfTopK(s, d).select("q_id", "n_id")
+      val hits = exact.join(ann, Seq("q_id", "n_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double")
+            / col("n_exact").cast("double"), 6).as("recall"))
+        .orderBy("q_id")
     },
 
     // k-NN graph construction — the corpus-wide build every graph-ANN
@@ -537,6 +577,40 @@ object Similarity {
     """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |FROM embeddings""".stripMargin
 
+  /** The rounded-cosine SQL kernel shared by every vector oracle. */
+  private def duckCos(a: String, b: String) =
+    s"""round(list_dot_product($a, $b) /
+       |    (sqrt(list_dot_product($a, $a))
+       |     * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+
+  /** The IVF pipeline CTE chain (assign -> probe -> cluster-bounded rank)
+    * shared by the `sim_topk_ivf` and `sim_recall_eval` oracles — single
+    * definition mirroring the single [[ivfTopK]] on the Spark side.
+    */
+  private val ivfSqlCtes =
+    s"""e AS ($duckVectors),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT vec_id, v, c_id AS cluster FROM (
+       |    SELECT e.vec_id, e.v, cent.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCos("e.v", "cent.cv")} DESC, cent.c_id) AS arn
+       |    FROM e CROSS JOIN cent) WHERE arn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+       |      WHERE vec_id >= 10 AND vec_id < 20),
+       |probes AS (
+       |  SELECT q_id, qv, c_id FROM (
+       |    SELECT q.q_id, q.qv, cent.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${duckCos("q.qv", "cent.cv")} DESC, cent.c_id) AS prn
+       |    FROM q CROSS JOIN cent) WHERE prn <= 4),
+       |r AS (
+       |  SELECT q_id, a.vec_id AS n_id, ${duckCos("p.qv", "a.v")} AS cos,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ${duckCos("p.qv", "a.v")} DESC, a.vec_id) AS rnk
+       |  FROM probes p JOIN assign a ON p.c_id = a.cluster
+       |  WHERE a.vec_id <> p.q_id)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     // The full LSH pipeline's OUTPUT is exactly reproducible in SQL (the
     // dedup_embedding precedent): verified pairs carry the exact cosine of
@@ -614,36 +688,32 @@ object Similarity {
     // rounded-cosine argmax assignment, nprobe probes, cluster-bounded
     // top-k), so the ANN path is hash-checked end-to-end, not just
     // recall-spec'd — every CTE mirrors one stage of the Spark plan
-    "sim_topk_ivf" -> {
-      def cos(a: String, b: String) =
-        s"""round(list_dot_product($a, $b) /
-           |    (sqrt(list_dot_product($a, $a))
-           |     * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
-      s"""WITH e AS ($duckVectors),
-         |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
-         |assign AS (
-         |  SELECT vec_id, v, c_id AS cluster FROM (
-         |    SELECT e.vec_id, e.v, cent.c_id,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cos("e.v", "cent.cv")} DESC, cent.c_id) AS arn
-         |    FROM e CROSS JOIN cent) WHERE arn = 1),
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
-         |      WHERE vec_id >= 10 AND vec_id < 20),
-         |probes AS (
-         |  SELECT q_id, qv, c_id FROM (
-         |    SELECT q.q_id, q.qv, cent.c_id,
-         |      row_number() OVER (PARTITION BY q.q_id
-         |        ORDER BY ${cos("q.qv", "cent.cv")} DESC, cent.c_id) AS prn
-         |    FROM q CROSS JOIN cent) WHERE prn <= 4),
-         |r AS (
-         |  SELECT q_id, a.vec_id AS n_id, ${cos("p.qv", "a.v")} AS cos,
-         |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY ${cos("p.qv", "a.v")} DESC, a.vec_id) AS rnk
-         |  FROM probes p JOIN assign a ON p.c_id = a.cluster
-         |  WHERE a.vec_id <> p.q_id)
+    "sim_topk_ivf" ->
+      s"""WITH $ivfSqlCtes
          |SELECT q_id, n_id, cos, rnk FROM r WHERE rnk <= $TopK
-         |ORDER BY q_id, rnk""".stripMargin
-    },
+         |ORDER BY q_id, rnk""".stripMargin,
+    // same IVF CTE chain + a brute-force exact top-k branch; the hit
+    // join and recall arithmetic mirror the Spark plan stage-for-stage
+    "sim_recall_eval" ->
+      s"""WITH $ivfSqlCtes,
+         |ann AS (SELECT q_id, n_id FROM r WHERE rnk <= $TopK),
+         |x AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.q_id, b.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${duckCos("q.qv", "b.v")} DESC, b.vec_id) AS xrn
+         |    FROM q CROSS JOIN e b WHERE b.vec_id <> q.q_id)
+         |  WHERE xrn <= $TopK),
+         |h AS (
+         |  SELECT x.q_id, count(*) AS n_hit
+         |  FROM x JOIN ann ON ann.q_id = x.q_id AND ann.n_id = x.n_id
+         |  GROUP BY 1),
+         |nx AS (SELECT q_id, count(*) AS n_exact FROM x GROUP BY 1)
+         |SELECT nx.q_id, nx.n_exact, COALESCE(h.n_hit, 0) AS n_hit,
+         |  round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+         |    / CAST(nx.n_exact AS DOUBLE), 6) AS recall
+         |FROM nx LEFT JOIN h ON h.q_id = nx.q_id
+         |ORDER BY nx.q_id""".stripMargin,
     // knn-graph twin: the sim_topk_ivf pipeline with every vector as a
     // query and nprobe=2 — assignment, probing, and ranking all share
     // the rounded-cosine + id-tiebreak determinism discipline

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (SURVEY.md §2B):
@@ -115,6 +116,35 @@ object TextOps {
         .select(explode(col("toks")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word"))),
+
+    // vocabulary-coverage curve: what fraction of all token OCCURRENCES
+    // the top-k vocabulary covers, at each candidate vocab size — the
+    // tokenizer-budget design table (pick the k where the curve bends).
+    // The corpus collapses to (token, freq) in one map-combined
+    // aggregate; everything after runs on the VOCABULARY (≪ corpus, the
+    // Zipf reality that makes the op cheap at 100 TB), so the global
+    // rank window is vocab-sized. Sizes beyond the vocabulary saturate:
+    // n_vocab_used reports the true cutoff, coverage reaches 1.0.
+    "text_vocab_coverage" -> { (s, d) =>
+      import s.implicits._
+      val freq = toks(s, d)
+        .select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      val ranked = freq.withColumn("rnk",
+        row_number().over(Window.orderBy(col("n").desc, col("tok")))
+          .cast("long"))
+      val total = freq.agg(sum(col("n")).as("n_total"))
+      val sizes = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L).toDF("vocab_size")
+      broadcast(sizes).join(ranked, col("rnk") <= col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(max(col("rnk")).as("n_vocab_used"),
+          sum(col("n")).as("covered"))
+        .crossJoin(broadcast(total))
+        .select(col("vocab_size"), col("n_vocab_used"), col("covered"),
+          round(col("covered").cast("double")
+            / col("n_total").cast("double"), 6).as("coverage"))
+        .orderBy("vocab_size")
+    },
 
     // BPE-style pre-tokenization count next to the whitespace count: the
     // GPT-2-family pre-tokenizer splits off punctuation runs and digit
@@ -565,6 +595,27 @@ object TextOps {
         |FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word
         |      FROM documents) w
         |GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
+    // same vocab-sized rank window; sums cast out of DuckDB's HUGEINT
+    "text_vocab_coverage" ->
+      """WITH f AS (
+        |  SELECT tok, count(*) AS n
+        |  FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+        |        FROM documents) w
+        |  GROUP BY tok),
+        |r AS (
+        |  SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rnk
+        |  FROM f),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM f),
+        |sz(vocab_size) AS (
+        |  VALUES (1), (2), (4), (8), (16), (32), (64))
+        |SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+        |  CAST(max(rnk) AS BIGINT) AS n_vocab_used,
+        |  CAST(sum(n) AS BIGINT) AS covered,
+        |  round(CAST(sum(n) AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+        |    AS coverage
+        |FROM sz JOIN r ON r.rnk <= sz.vocab_size CROSS JOIN tot
+        |GROUP BY vocab_size, n_total
+        |ORDER BY vocab_size""".stripMargin,
     "text_tokens_regex" ->
       """SELECT doc_id,
         |CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)

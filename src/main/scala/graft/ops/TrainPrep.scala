@@ -34,6 +34,12 @@ object TrainPrep {
     */
   val ContamN = 5
 
+  /** Output shard count for `shard_balance` — the writer streams the
+    * balanced assignment feeds (small vs PackShards so each rank bucket
+    * snakes across every shard several times).
+    */
+  val BalanceShards = 8
+
   // corpus(), not a raw scan: the fixture file is one parquet row group,
   // and contamination's gram explode would otherwise run on a single core
   // (the Tables.corpus pitfall). Cached (the Dedup.shingled pattern):
@@ -216,7 +222,89 @@ object TrainPrep {
     // operator and the job cannot drift apart
     "sample_priority" -> ((s, d) =>
       prioritySample(t(s, d, "documents"), "doc_id", "n_chars", 100)
-        .select(col("doc_id"), col("source"), col("w"), col("priority")))
+        .select(col("doc_id"), col("source"), col("w"), col("priority"))),
+
+    // one BPE training iteration: adjacent-symbol pair counts at the
+    // character level, weighted by corpus word frequency — the inner loop
+    // of byte-pair-encoding tokenizer training (count pairs, merge the
+    // top pair, repeat). Two keyed aggregates: corpus -> (word, freq),
+    // where the map-side combine collapses the corpus to its vocabulary
+    // before anything shuffles, then word -> adjacent char pairs exploded
+    // WITH multiplicity ("aaa" votes "aa" twice) and freq-weighted. The
+    // top-50 window runs over the PAIR vocabulary — bounded by alphabet²,
+    // never corpus-sized — so the global window is O(1k) rows at any SF.
+    "tokenizer_bpe_pairs" -> { (s, d) =>
+      val wf = toks(s, d)
+        .select(explode(col("toks")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("wf"))
+      val w50 = Window.orderBy(col("n_occ").desc, col("pair"))
+      wf.select(col("wf"), explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("wf")).as("n_occ"))
+        .withColumn("rnk", row_number().over(w50).cast("long"))
+        .filter(col("rnk") <= 50)
+        .select("rnk", "pair", "n_occ")
+        .orderBy("rnk")
+    },
+
+    // token-balanced shard assignment: docs rank by size (desc) inside
+    // PackShards independent hash buckets and snake across BalanceShards
+    // output shards (block 0 deals 0..7, block 1 deals 7..0, ...) — the
+    // deterministic distributed form of longest-processing-time
+    // scheduling. Each bucket is an independent worker (the
+    // pack_sequences discipline: no global-order single-partition
+    // window ever exists), and snaking cancels the within-block size
+    // gradient plain round-robin accumulates. Output is the per-shard
+    // audit (docs, tokens, skew vs the perfect-balance mean) a writer
+    // fleet is sized from.
+    "shard_balance" -> { (s, d) =>
+      val w = Window.partitionBy("bucket")
+        .orderBy(col("n_tok").desc, col("doc_id"))
+      val assigned = toks(s, d)
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tok"),
+          pmod(col("doc_id"), lit(PackShards)).cast("long").as("bucket"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("pos", (col("rn") - 1) % BalanceShards)
+        .withColumn("shard",
+          when(expr(s"((rn - 1) DIV $BalanceShards) % 2 = 0"), col("pos"))
+            .otherwise(lit(BalanceShards.toLong - 1) - col("pos")))
+      assigned.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .withColumn("skew", round(col("n_tokens").cast("double")
+          / (sum(col("n_tokens")).over(Window.partitionBy())
+              .cast("double") / BalanceShards), 6))
+        .orderBy("shard")
+    },
+
+    // curriculum schedule: docs order easy-to-hard by type-token ratio
+    // (repetitive text first, lexically diverse text last) inside
+    // PackShards independent buckets — each data-loader worker orders
+    // its own shard, the distributed form of curriculum sampling — and
+    // rank maps to 4 phases by explicit integer proration, never NTILE
+    // (whose remainder distribution is implementation lore; the
+    // (rn-1)*4 DIV n formula is the same integer on every engine).
+    // Ranking happens on the ALREADY-rounded score so both engines
+    // compare identical doubles, doc_id breaking ties.
+    "curriculum_order" -> { (s, d) =>
+      val docs = toks(s, d)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(PackShards)).cast("long").as("bucket"),
+          round(expr("size(array_distinct(toks))").cast("double")
+            / size(col("toks")), 6).as("score"))
+      val w = Window.partitionBy("bucket")
+        .orderBy(col("score"), col("doc_id"))
+      docs
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n_bucket",
+          count(lit(1)).over(Window.partitionBy("bucket")).cast("long"))
+        .withColumn("phase",
+          (expr("(rn - 1) * 4 DIV n_bucket") + 1).cast("long"))
+        .select("doc_id", "bucket", "score", "rn", "phase")
+        .orderBy("doc_id")
+    }
   )
 
   /** Duffield-Lund-Thorup priority sampling: each row draws a
@@ -372,6 +460,76 @@ object TrainPrep {
         |SELECT doc_id, source, w,
         |  round(CAST(w AS DOUBLE) * 4294967296
         |    / (CAST(u AS DOUBLE) * 1000), 6) AS priority
-        |FROM p ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin
+        |FROM p ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
+    // same freq-weighted multiplicity counting; pairs materialize via
+    // list_transform over per-word index series (the contamination-gram
+    // pattern), sum cast out of DuckDB's HUGEINT
+    "tokenizer_bpe_pairs" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+        |  FROM documents),
+        |wf AS (
+        |  SELECT w, count(*) AS wf FROM tok WHERE len(w) >= 2 GROUP BY 1),
+        |p AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> substring(w, i, 2))) AS pair, wf
+        |  FROM wf),
+        |a AS (
+        |  SELECT pair, CAST(sum(wf) AS BIGINT) AS n_occ FROM p GROUP BY 1),
+        |r AS (
+        |  SELECT pair, n_occ,
+        |    row_number() OVER (ORDER BY n_occ DESC, pair) AS rnk
+        |  FROM a)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, pair, n_occ
+        |FROM r WHERE rnk <= 50 ORDER BY rnk""".stripMargin,
+    // same two-level snake: per-bucket size rank, explicit block parity
+    "shard_balance" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, doc_id % $PackShards AS bucket,
+         |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+         |      AS n_tok
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, bucket, n_tok,
+         |    row_number() OVER (PARTITION BY bucket
+         |      ORDER BY n_tok DESC, doc_id) AS rn
+         |  FROM tk),
+         |asn AS (
+         |  SELECT n_tok,
+         |    CASE WHEN ((rn - 1) // $BalanceShards) % 2 = 0
+         |      THEN (rn - 1) % $BalanceShards
+         |      ELSE $BalanceShards - 1 - (rn - 1) % $BalanceShards
+         |    END AS shard
+         |  FROM r),
+         |a AS (
+         |  SELECT shard, count(*) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |  FROM asn GROUP BY 1)
+         |SELECT CAST(shard AS BIGINT) AS shard, n_docs, n_tokens,
+         |  round(CAST(n_tokens AS DOUBLE)
+         |    / (CAST(sum(n_tokens) OVER () AS DOUBLE) / $BalanceShards), 6)
+         |    AS skew
+         |FROM a ORDER BY shard""".stripMargin,
+    // rank on the already-rounded score (identical doubles both sides),
+    // explicit integer proration instead of NTILE
+    "curriculum_order" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, doc_id % $PackShards AS bucket,
+         |    round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+         |      AS score
+         |  FROM d),
+         |r AS (
+         |  SELECT doc_id, bucket, score,
+         |    row_number() OVER (PARTITION BY bucket
+         |      ORDER BY score, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY bucket) AS n_bucket
+         |  FROM sc)
+         |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, score,
+         |  CAST(rn AS BIGINT) AS rn,
+         |  CAST((rn - 1) * 4 // n_bucket + 1 AS BIGINT) AS phase
+         |FROM r ORDER BY doc_id""".stripMargin
   )
 }

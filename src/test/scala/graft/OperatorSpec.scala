@@ -377,6 +377,99 @@ class OperatorSpec extends SparkSpec {
       s"native=${native.take(3).mkString(",")} window=${window.take(3).mkString(",")}")
   }
 
+  test("shard_balance conserves docs and lands within 10% of perfect") {
+    val rows = SparkEntry.queries("shard_balance")(spark, sf).collect()
+    assert(rows.length == TrainPrep.BalanceShards)
+    assert(rows.map(_.getAs[Long]("shard")).toSet ==
+      (0L until TrainPrep.BalanceShards).toSet)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.t(spark, sf, "documents").count())
+    rows.foreach { r =>
+      val skew = r.getAs[Double]("skew")
+      assert(skew > 0.9 && skew < 1.1,
+        s"shard ${r.getAs[Long]("shard")} skew $skew") // measured [0.96, 1.02]
+    }
+  }
+
+  test("curriculum_order fills all 4 phases, monotone within bucket") {
+    val rows = SparkEntry.queries("curriculum_order")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("rn"),
+        r.getAs[Long]("phase"), r.getAs[Double]("score")))
+    assert(rows.map(_._3).toSet == Set(1L, 2L, 3L, 4L))
+    rows.groupBy(_._1).values.foreach { b =>
+      val byRank = b.sortBy(_._2)
+      // rank follows the score order and phase never decreases with rank
+      assert(byRank.map(_._4).sameElements(byRank.map(_._4).sorted))
+      assert(byRank.map(_._3).sameElements(byRank.map(_._3).sorted))
+    }
+  }
+
+  test("dedup_incremental covers the whole batch; verdicts match pairs") {
+    val rows = SparkEntry.queries("dedup_incremental")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_dups"),
+        r.getAs[Boolean]("is_dup")))
+    val batch = Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(rows.length == batch)
+    rows.foreach { case (id, n, dup) => assert(dup == (n > 0), s"doc $id") }
+    // every crossing LSH pair must surface as a flagged batch doc
+    val crossing = SparkEntry.queries("dedup_minhash")(spark, sf)
+      .collect().flatMap { r =>
+        val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        if (a % 5 == 0 && b % 5 != 0) Some(a)
+        else if (b % 5 == 0 && a % 5 != 0) Some(b) else None
+      }.toSet
+    val flagged = rows.filter(_._3).map(_._1).toSet
+    assert(crossing == flagged,
+      s"verdicts drifted from the pair graph: " +
+        s"${((crossing diff flagged) ++ (flagged diff crossing)).take(5)}")
+  }
+
+  test("sim_recall_eval mean recall >= 0.7 (the sim_topk_ivf pin)") {
+    val rows = SparkEntry.queries("sim_recall_eval")(spark, sf).collect()
+    assert(rows.length == 10)
+    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(mean >= 0.7, s"mean recall $mean") // measured 0.76
+    rows.foreach(r => assert(r.getAs[Long]("n_exact") == Similarity.TopK))
+  }
+
+  test("text_vocab_coverage is monotone and saturates at 1.0") {
+    val rows = SparkEntry.queries("text_vocab_coverage")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("vocab_size"), r.getAs[Long]("n_vocab_used"),
+        r.getAs[Double]("coverage")))
+    assert(rows.map(_._1).sameElements(Array(1L, 2L, 4L, 8L, 16L, 32L, 64L)))
+    val cov = rows.map(_._3)
+    assert(cov.sameElements(cov.sorted), "coverage must be nondecreasing")
+    assert(cov.last == 1.0)
+    // sizes past the true vocabulary report the real cutoff, not the ask
+    assert(rows.last._2 == rows.map(_._2).max)
+  }
+
+  test("tokenizer_bpe_pairs ranks by weighted count, pairs are 2 chars") {
+    val rows = SparkEntry.queries("tokenizer_bpe_pairs")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[String]("pair"),
+        r.getAs[Long]("n_occ")))
+    assert(rows.nonEmpty && rows.length <= 50)
+    assert(rows.forall(_._2.length == 2))
+    assert(rows.map(-_._3).sameElements(rows.map(-_._3).sorted),
+      "n_occ must be nonincreasing in rank")
+  }
+
+  test("graph_clustering_coeff stays in [0,1]; deg-1 nodes score 0") {
+    val rows = SparkEntry.queries("graph_clustering_coeff")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("deg"), r.getAs[Long]("n_tri"),
+        r.getAs[Double]("clustering")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (deg, tri, c) =>
+      assert(c >= 0.0 && c <= 1.0, s"deg=$deg tri=$tri c=$c")
+      if (deg < 2) assert(c == 0.0 && tri == 0)
+    }
+  }
+
   test("dedup_substring flags the near-dup region, not the background") {
     val flagged = SparkEntry.queries("dedup_substring")(spark, sf)
       .filter(col("flag_dup")).select("doc_id").collect()

@@ -179,6 +179,27 @@ class PlanSpec extends SparkSpec {
     assert(!"windowspecdefinition\\(score".r.findFirstIn(p).isDefined, p)
   }
 
+  test("shard_balance / curriculum_order rank inside buckets, never one " +
+      "global doc partition") {
+    // the corpus_token_budget discipline: the doc-level rank window must
+    // be partitioned on the hash bucket; the only global window allowed
+    // is over the 8-row shard audit
+    val p1 = plan(SparkEntry.queries("shard_balance")(spark, sf))
+    assert("windowspecdefinition\\(bucket#\\d+L?, n_tok"
+      .r.findFirstIn(p1).isDefined, p1)
+    assert(!"windowspecdefinition\\(n_tok".r.findFirstIn(p1).isDefined, p1)
+    val p2 = plan(SparkEntry.queries("curriculum_order")(spark, sf))
+    assert("windowspecdefinition\\(bucket#\\d+L?, score"
+      .r.findFirstIn(p2).isDefined, p2)
+    assert(!"windowspecdefinition\\(score".r.findFirstIn(p2).isDefined, p2)
+  }
+
+  test("dedup_incremental probes the band index — no pair-space scan") {
+    val p = plan(SparkEntry.queries("dedup_incremental")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sim_pairs_lsh joins only on band keys — no pair-space scan") {
     val p = plan(SparkEntry.queries("sim_pairs_lsh")(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
