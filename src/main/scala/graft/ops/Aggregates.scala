@@ -318,8 +318,57 @@ object Aggregates {
         .agg(expr("max_by(l_quantity, struct(cnt, -l_quantity))")
           .as("mode_qty"),
           max(col("cnt")).as("mode_cnt"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // Count-Min sketch (Cormode–Muthukrishnan): depth-4 × width-64
+    // counters over the corpus word stream, queried for the top-50 words
+    // against their exact counts — est ≥ exact always, and the
+    // overestimate column shows the collision error the width bounds.
+    // The hash family is the textbook pairwise-independent
+    // ((a·x + b) mod p) mod w over a dense word id, so both engines
+    // compute identical buckets in plain BIGINT arithmetic. Scale shape:
+    // ONE corpus-linear keyed count, then everything else is vocab-sized
+    // (the id-assignment window runs over the Zipf-small vocabulary,
+    // never the corpus); the counter table is O(depth × width) and the
+    // estimate join is vocab × depth. The sketch is mergeable by
+    // construction (counters sum), the agg_sketch_union property.
+    "agg_countmin" -> { (s, d) =>
+      val wc = TextOps.wordCounts(s, d)
+      val wid = wc.withColumn("wid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("word"))
+        .cast("long"))
+      val hashes = wid.select(col("word"), col("cnt"), col("wid"),
+          explode(array(CmsRows.map { case (j, a, b) =>
+            struct(lit(j).as("j"), lit(a).as("a"), lit(b).as("b"))
+          }: _*)).as("h"))
+        .select(col("word"), col("cnt"),
+          col("h.j").as("j"),
+          (((col("h.a") * col("wid") + col("h.b")) % CmsP) % CmsW)
+            .as("bucket"))
+      val counters = hashes.groupBy("j", "bucket")
+        .agg(sum(col("cnt")).as("total"))
+      hashes.join(counters, Seq("j", "bucket"))
+        .groupBy("word")
+        .agg(max(col("cnt")).as("exact"), min(col("total")).as("cms_est"))
+        .select(col("word"), col("exact"), col("cms_est"),
+          (col("cms_est") - col("exact")).as("overestimate"))
+        .orderBy(col("exact").desc, col("word"))
+        .limit(50)
+    }
   )
+
+  /** Count-Min hash family: (j, a, b) rows of ((a·id + b) mod P) mod W —
+    * LCG-style constants, mirrored verbatim in the oracle SQL.
+    */
+  val CmsRows: Seq[(Long, Long, Long)] = Seq(
+    (0L, 1103515245L, 12345L), (1L, 214013L, 2531011L),
+    (2L, 69069L, 1234567L), (3L, 1664525L, 1013904223L))
+  val CmsP = 2147483647L
+  val CmsW = 64L
+
+  /** The `(VALUES ...)` twin of [[CmsRows]]. */
+  val cmsRowsSql: String = CmsRows
+    .map { case (j, a, b) => s"($j, $a, $b)" }.mkString(", ")
 
   /** TPC-H Q1 analog; cites reference `core.py:108-110` (run_job is the only
     * computation hook there — this is the kind of body a child job supplies).
@@ -513,6 +562,31 @@ object Aggregates {
         |    ORDER BY cnt DESC, l_quantity ASC) AS rn
         |  FROM c)
         |SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_cnt
-        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    // identical LCG hash family in BIGINT; sums cast out of HUGEINT
+    "agg_countmin" ->
+      s"""WITH wc AS (
+         |  SELECT word, count(*) AS cnt
+         |  FROM (SELECT unnest(string_split(lower(trim(text)), ' '))
+         |          AS word
+         |        FROM documents) t
+         |  GROUP BY word),
+         |wid AS (
+         |  SELECT word, cnt,
+         |    CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS wid
+         |  FROM wc),
+         |hs AS (
+         |  SELECT word, cnt, h.j,
+         |    ((h.a * wid + h.b) % ${CmsP}) % ${CmsW} AS bucket
+         |  FROM wid CROSS JOIN (VALUES $cmsRowsSql) h(j, a, b)),
+         |ctr AS (
+         |  SELECT j, bucket, CAST(sum(cnt) AS BIGINT) AS total
+         |  FROM hs GROUP BY j, bucket),
+         |est AS (
+         |  SELECT word, max(cnt) AS exact, min(total) AS cms_est
+         |  FROM hs JOIN ctr USING (j, bucket)
+         |  GROUP BY word)
+         |SELECT word, exact, cms_est, cms_est - exact AS overestimate
+         |FROM est ORDER BY exact DESC, word LIMIT 50""".stripMargin
   )
 }

@@ -827,6 +827,239 @@ object Analytics {
         .agg(count(lit(1)).as("n_occur"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("n_occur").desc, col("seq"))
+    },
+
+    // discrete survival curve over user lifetimes: tenure = days between
+    // a user's first and last activity; S(t) = fraction of users whose
+    // tenure reached t. Computed from the TENURE HISTOGRAM, not per-user
+    // rows — one shuffle to per-user min/max, one to the O(#distinct
+    // tenure days) histogram, then a reverse-cumulative window over that
+    // histogram. The unpartitioned window is over day-granularity tenure
+    // values (bounded by the log's calendar span — ~30 here, a few
+    // thousand at any horizon), never over users, which is what keeps the
+    // curve computable when users number 10⁹.
+    "events_survival" -> { (s, d) =>
+      val ten = events(s, d)
+        .groupBy("user_id")
+        .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+          .cast("long").as("tenure"))
+      val hist = ten.groupBy("tenure").agg(count(lit(1)).as("n_ended"))
+      val w = Window.orderBy(col("tenure").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("n_reached", sum(col("n_ended")).over(w))
+        .withColumn("n_total",
+          sum(col("n_ended")).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+        .select(col("tenure").as("tenure_days"), col("n_ended"),
+          col("n_reached"),
+          round(col("n_reached").cast("double")
+            / col("n_total").cast("double"), 6).as("survival"))
+        .orderBy("tenure_days")
+    },
+
+    // per-user behavioral entropy: Shannon entropy (bits) of each user's
+    // event-type mix — the engagement-diversity score bot-detection and
+    // recommendation pipelines compute per entity. Two keyed aggregates
+    // ((user, type) counts, then the per-user fold) — no windows, no
+    // per-user sort. Entropy terms are IEEE doubles, so the cross-row sum
+    // goes through the round(·,12)→decimal discipline (Tables.scala) and
+    // partial-agg merge order can never move a bit.
+    "events_user_entropy" -> { (s, d) =>
+      val tc = events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      tc.withColumn("tot",
+          sum(col("n")).over(Window.partitionBy("user_id")))
+        .groupBy("user_id")
+        .agg(max(col("tot")).as("n_events"),
+          count(lit(1)).as("n_types"),
+          sum(expr("CAST(round(-(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))" +
+            " * log2(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)), 12)" +
+            " AS DECIMAL(28,12))"))
+            .cast("double").as("entropy_bits"))
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          round(col("entropy_bits"), 6).as("entropy_bits"))
+        .orderBy("user_id")
+    },
+
+    // longest consecutive-day activity streak per user — the classic
+    // gaps-and-islands on the per-user distinct-day grid (the engagement
+    // metric every DAU dashboard carries). One shuffle to distinct
+    // (user, day), one per-user window for the island id (epoch_day −
+    // row_number is constant within a run), then two keyed aggregates.
+    // All windows partition by user_id — nothing global anywhere.
+    "events_streaks" -> { (s, d) =>
+      val days = events(s, d)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val runs = days
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("run_len"))
+      runs.groupBy("user_id")
+        .agg(max(col("run_len")).as("longest_streak"),
+          sum(col("run_len")).as("n_active_days"))
+        .orderBy("user_id")
+    },
+
+    // inter-arrival timing profile per user: mean/min/max gap and the
+    // coefficient of variation (sd/mean — the burstiness score; cv ≈ 1 is
+    // Poisson, cv ≫ 1 is bursty, the signal rate-limiters and bot
+    // detectors key on). Gaps are EXACT integer microseconds from one
+    // lag window pass; moments sum in decimal (Σgap² of 30-day-µs gaps
+    // overflows BIGINT — the 128-bit-accumulator lesson), and only the
+    // final mean/sd arithmetic runs in IEEE double. One user-keyed
+    // window + one keyed agg — linear at any history length.
+    "events_interarrival" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("gap",
+          expr("unix_micros(ts) - unix_micros(prev)"))
+        .select(col("user_id"), col("gap"),
+          col("gap").cast("decimal(19,0)").as("gd"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gd")).cast("double").as("sg"),
+          sum(expr("CAST(gd * gd AS DECIMAL(38,0))")).cast("double")
+            .as("sgg"),
+          min(col("gap")).as("min_gap_us"),
+          max(col("gap")).as("max_gap_us"))
+        .select(col("user_id"), col("n_gaps"),
+          round(col("sg") / col("n_gaps") / 1e6, 6).as("mean_gap_s"),
+          col("min_gap_us"), col("max_gap_us"),
+          round(sqrt(greatest(lit(0d), col("sgg") / col("n_gaps")
+            - (col("sg") / col("n_gaps")) * (col("sg") / col("n_gaps"))))
+            / (col("sg") / col("n_gaps")), 6).as("cv"))
+        .orderBy("user_id")
+    },
+
+    // velocity spike detection: flag (user, hour) cells whose event count
+    // runs >= 2.5x that user's OWN mean hourly rate (and >= 3 absolute) —
+    // per-entity baselines, where events_anomaly is per-type global.
+    // Two keyed aggregates ((user, hour) cells, then the per-user
+    // baseline over active hours) + one user-keyed join back — the
+    // baseline table is O(users) and the comparison is per-row. Baseline
+    // mean is integer-sum / integer-count in IEEE double, identical both
+    // engines.
+    "events_velocity" -> { (s, d) =>
+      val cells = events(s, d)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val base = cells.groupBy("user_id")
+        .agg((sum(col("n")).cast("double") / count(lit(1)))
+          .as("mean_hourly"))
+      cells.join(base, "user_id")
+        .filter(col("n") >= 3
+          && col("n").cast("double") >= lit(2.5) * col("mean_hourly"))
+        .select(col("user_id"), col("hr"), col("n"),
+          round(col("mean_hourly"), 6).as("mean_hourly"),
+          round(col("n").cast("double") / col("mean_hourly"), 6)
+            .as("spike_factor"))
+        .orderBy("user_id", "hr")
+    },
+
+    // market-basket association rules over order contents: support /
+    // confidence / lift for brand pairs bought together (events_cooccur
+    // is type-level per session; this is the true basket form with the
+    // full rule metrics). The pair join runs AFTER a per-order distinct
+    // on the ~25-value brand dimension, so the pair space is bounded by
+    // (brands/order)² ≈ constant per order — linear in orders, the only
+    // shape basket mining survives at 100 TB. Metrics are integer
+    // counts through IEEE division, round(·,6), lift ties broken by
+    // brand names.
+    "basket_rules" -> { (s, d) =>
+      val baskets = t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+        .distinct()
+      val nOrders = t(s, d, "orders").agg(count(lit(1)).as("n_orders"))
+      val brandN = baskets.groupBy("brand").agg(count(lit(1)).as("bn"))
+      val pairs = baskets
+        .join(baskets.select(col("okey").as("o2"), col("brand").as("brand_b")),
+          col("okey") === col("o2") && col("brand") < col("brand_b"))
+        .groupBy(col("brand").as("brand_a"), col("brand_b"))
+        .agg(count(lit(1)).as("pair_n"))
+      pairs
+        .join(broadcast(brandN.select(col("brand").as("brand_a"),
+          col("bn").as("n_a"))), "brand_a")
+        .join(broadcast(brandN.select(col("brand").as("brand_b"),
+          col("bn").as("n_b"))), "brand_b")
+        .crossJoin(broadcast(nOrders))
+        .filter(col("pair_n") >= 5)
+        .select(col("brand_a"), col("brand_b"), col("pair_n"),
+          round(col("pair_n").cast("double") / col("n_a"), 6)
+            .as("confidence"),
+          round((col("pair_n").cast("double") / col("n_a"))
+            / (col("n_b").cast("double") / col("n_orders")), 6).as("lift"))
+        .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+        .limit(50)
+    },
+
+    // DAU/WAU stickiness: per day, the daily actives and the trailing
+    // 7-day actives, ratio = the engagement-stickiness KPI. The trailing
+    // DISTINCT count never windows over users: each (user, day) activity
+    // fans out to the ≤7 future days it keeps the user "weekly-active"
+    // for (a bounded explode, the join_interval_binned discipline), then
+    // one distinct + one keyed count. Linear with a 7× constant; at
+    // 100 TB both aggregates shuffle (user, day) pairs, never events.
+    "events_stickiness" -> { (s, d) =>
+      val days = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val dau = days.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = days
+        .select(col("user_id"), explode(sequence(lit(0), lit(6)))
+          .as("off"), col("day"))
+        .select(col("user_id"), expr("date_add(day, off)").as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau"), 6)
+            .as("stickiness"))
+        .orderBy("day")
+    },
+
+    // growth accounting (the MAU-decomposition identity): every active
+    // user-week is classified new / retained / resurrected from its
+    // per-user lag, and churn posts to the FOLLOWING week when a user
+    // goes absent — so week-over-week active counts reconcile exactly
+    // (active_w = active_{w-1} + new + resurrected − churned). Two
+    // per-user window passes over the distinct (user, week) grid + keyed
+    // counts; the grid is |users|·|weeks| at worst, shuffled once on
+    // user_id then once on week — linear in the event log either way.
+    "events_growth_accounting" -> { (s, d) =>
+      val uw = events(s, d)
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("wk"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("wk")
+      val classed = uw
+        .withColumn("prev", lag(col("wk"), 1).over(w))
+        .withColumn("nxt", lead(col("wk"), 1).over(w))
+      val states = classed.groupBy("wk").agg(
+        sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(datediff(col("wk"), col("prev")) === 7, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("prev").isNotNull
+          && datediff(col("wk"), col("prev")) > 7, 1L).otherwise(0L))
+          .as("n_resurrected"))
+      val churn = classed
+        .filter(col("nxt").isNull || datediff(col("nxt"), col("wk")) > 7)
+        .select(date_add(col("wk"), 7).as("wk"))
+        .groupBy("wk").agg(count(lit(1)).as("n_churned"))
+      states.join(churn, Seq("wk"), "full_outer")
+        .select(col("wk"), coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+          coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+        .orderBy("wk")
     }
   )
 
@@ -987,6 +1220,156 @@ object Analytics {
         |  count(*) AS n_occur, count(DISTINCT user_id) AS n_users
         |FROM s WHERE e3 IS NOT NULL
         |GROUP BY 1 ORDER BY n_occur DESC, seq""".stripMargin,
+    "events_survival" ->
+      """WITH ten AS (
+        |  SELECT user_id,
+        |    CAST(datediff('day', min(CAST(ts AS DATE)),
+        |      max(CAST(ts AS DATE))) AS BIGINT) AS tenure
+        |  FROM events GROUP BY user_id),
+        |h AS (SELECT tenure, count(*) AS n_ended FROM ten GROUP BY tenure),
+        |c AS (
+        |  SELECT tenure, n_ended,
+        |    CAST(sum(n_ended) OVER (ORDER BY tenure DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_reached,
+        |    CAST(sum(n_ended) OVER () AS BIGINT) AS n_total
+        |  FROM h)
+        |SELECT tenure AS tenure_days, n_ended, n_reached,
+        |  round(CAST(n_reached AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+        |    AS survival
+        |FROM c ORDER BY tenure_days""".stripMargin,
+    "events_user_entropy" ->
+      """WITH tc AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tt AS (
+        |  SELECT user_id, n,
+        |    sum(n) OVER (PARTITION BY user_id) AS tot
+        |  FROM tc)
+        |SELECT user_id, CAST(max(tot) AS BIGINT) AS n_events,
+        |  count(*) AS n_types,
+        |  round(CAST(sum(CAST(round(
+        |      -(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+        |      * log2(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)), 12)
+        |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy_bits
+        |FROM tt GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp
+        |  FROM days),
+        |rl AS (
+        |  SELECT user_id, grp, count(*) AS run_len
+        |  FROM runs GROUP BY 1, 2)
+        |SELECT user_id, max(run_len) AS longest_streak,
+        |  CAST(sum(run_len) AS BIGINT) AS n_active_days
+        |FROM rl GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_interarrival" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) AS gap
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, gap, CAST(gap AS DECIMAL(19,0)) AS gd
+        |  FROM g WHERE gap IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, count(*) AS n_gaps,
+        |    CAST(sum(gd) AS DOUBLE) AS sg,
+        |    CAST(sum(CAST(gd * gd AS DECIMAL(38,0))) AS DOUBLE) AS sgg,
+        |    min(gap) AS min_gap_us, max(gap) AS max_gap_us
+        |  FROM f GROUP BY user_id)
+        |SELECT user_id, n_gaps,
+        |  round(sg / n_gaps / 1e6, 6) AS mean_gap_s,
+        |  min_gap_us, max_gap_us,
+        |  round(sqrt(greatest(0, sgg / n_gaps - (sg / n_gaps)
+        |      * (sg / n_gaps)))
+        |    / (sg / n_gaps), 6) AS cv
+        |FROM m ORDER BY user_id""".stripMargin,
+    "events_velocity" ->
+      """WITH cells AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |base AS (
+        |  SELECT user_id, CAST(sum(n) AS DOUBLE) / count(*) AS mean_hourly
+        |  FROM cells GROUP BY user_id)
+        |SELECT c.user_id, c.hr, c.n,
+        |  round(b.mean_hourly, 6) AS mean_hourly,
+        |  round(CAST(c.n AS DOUBLE) / b.mean_hourly, 6) AS spike_factor
+        |FROM cells c JOIN base b ON c.user_id = b.user_id
+        |WHERE c.n >= 3 AND CAST(c.n AS DOUBLE) >= 2.5 * b.mean_hourly
+        |ORDER BY c.user_id, c.hr""".stripMargin,
+    "basket_rules" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |bn AS (SELECT brand, count(*) AS bn FROM baskets GROUP BY brand),
+        |pairs AS (
+        |  SELECT a.brand AS brand_a, b.brand AS brand_b,
+        |    count(*) AS pair_n
+        |  FROM baskets a JOIN baskets b
+        |    ON a.okey = b.okey AND a.brand < b.brand
+        |  GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n_orders FROM orders)
+        |SELECT brand_a, brand_b, pair_n,
+        |  round(CAST(pair_n AS DOUBLE) / na.bn, 6) AS confidence,
+        |  round((CAST(pair_n AS DOUBLE) / na.bn)
+        |    / (CAST(nb.bn AS DOUBLE) / n.n_orders), 6) AS lift
+        |FROM pairs
+        |JOIN bn na ON na.brand = pairs.brand_a
+        |JOIN bn nb ON nb.brand = pairs.brand_b
+        |CROSS JOIN n
+        |WHERE pair_n >= 5
+        |ORDER BY lift DESC, brand_a, brand_b LIMIT 50""".stripMargin,
+    "events_stickiness" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM days GROUP BY day),
+        |ex AS (
+        |  SELECT DISTINCT user_id, day + CAST(off AS INTEGER) AS day
+        |  FROM days CROSS JOIN (SELECT unnest(generate_series(0, 6))
+        |    AS off) o),
+        |wau AS (SELECT day, count(*) AS wau FROM ex GROUP BY day)
+        |SELECT d.day, d.dau, w.wau,
+        |  round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+        |FROM dau d JOIN wau w ON d.day = w.day
+        |ORDER BY d.day""".stripMargin,
+    "events_growth_accounting" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)
+        |    AS wk
+        |  FROM events),
+        |cl AS (
+        |  SELECT user_id, wk,
+        |    lag(wk) OVER w AS prev, lead(wk) OVER w AS nxt
+        |  FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY wk)),
+        |states AS (
+        |  SELECT wk,
+        |    CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(sum(CASE WHEN datediff('day', prev, wk) = 7
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL
+        |      AND datediff('day', prev, wk) > 7 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_resurrected
+        |  FROM cl GROUP BY wk),
+        |churn AS (
+        |  SELECT wk + 7 AS wk, count(*) AS n_churned
+        |  FROM cl WHERE nxt IS NULL OR datediff('day', wk, nxt) > 7
+        |  GROUP BY 1)
+        |SELECT COALESCE(s.wk, c.wk) AS wk,
+        |  COALESCE(n_new, 0) AS n_new,
+        |  COALESCE(n_retained, 0) AS n_retained,
+        |  COALESCE(n_resurrected, 0) AS n_resurrected,
+        |  COALESCE(n_churned, 0) AS n_churned
+        |FROM states s FULL OUTER JOIN churn c ON s.wk = c.wk
+        |ORDER BY wk""".stripMargin,
     "q2_min_cost" ->
       """WITH eu AS (
         |  SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier

@@ -36,6 +36,18 @@ object Graph {
     */
   val SuppOffset = 10000000L
 
+  /** k-core peel threshold + fixed round budget (the SLA form, like
+    * [[Iters]]). k sits inside the customer-degree range at every fixture
+    * sf (3..10 at sf0.001, 3..67 at sf0.01) so the peel genuinely removes
+    * nodes while leaving a core, and the cascade re-converges within the
+    * budget.
+    */
+  val KcoreK = 8
+  val KcoreRounds = 3
+
+  /** BFS hop budget — multi-source frontier expansion rounds. */
+  val BfsRounds = 3
+
   /** Distinct undirected trade edges: customer c bought from supplier s
     * (via any lineitem) ⇒ edges c→s' and s'→c with s' = s + offset.
     *
@@ -241,6 +253,96 @@ object Graph {
               / (col("deg") * (col("deg") - 1)).cast("double"), 6))
             .otherwise(lit(0.0)).as("clustering"))
         .orderBy("node")
+    },
+
+    // k-core decomposition, fixed-round peel: each round recomputes
+    // degrees inside the surviving subgraph and drops nodes under
+    // [[KcoreK]] — the standard "dense trading core" extraction (spam/
+    // abuse pipelines peel entity graphs exactly like this before
+    // scoring). Per round the data movement is the cached edge list
+    // filtered against a broadcast O(V) alive set on BOTH endpoints plus
+    // one keyed count — edges never re-shuffle (the pagerank layout), so
+    // at 100 TB each round is a broadcast-filter + partial-agg pass.
+    // Output: survivors with their within-core degree after the budget.
+    "graph_kcore_peel" -> { (s, d) =>
+      val e = edges(s, d)
+      def coreDeg(a: DataFrame): DataFrame =
+        e.join(broadcast(a.select(col("node").as("asrc"))),
+            col("src") === col("asrc"))
+          .join(broadcast(a.select(col("node").as("adst"))),
+            col("dst") === col("adst"))
+          .groupBy("src").agg(count(lit(1)).as("deg"))
+      val init = e.select(col("src").as("node")).distinct()
+      val alive = (1 to KcoreRounds).foldLeft(init) { (a, _) =>
+        coreDeg(a).filter(col("deg") >= KcoreK)
+          .select(col("src").as("node"))
+      }
+      coreDeg(alive)
+        .select(col("src").as("node"),
+          when(col("src") >= SuppOffset, "supplier").otherwise("customer")
+            .as("kind"),
+          col("deg"))
+        .orderBy("node")
+    },
+
+    // multi-source BFS, [[BfsRounds]] frontier expansions: min hop
+    // distance from the seed set (every 100th customer) over the trade
+    // graph — the reachability/blast-radius primitive (which entities sit
+    // within h hops of a flagged set). Same iterative layout as pagerank:
+    // per round the O(V) (node, dist) table broadcasts against the cached
+    // src-partitioned edges, then one keyed min — the edge list never
+    // moves. min-combine makes re-visits harmless, so no visited-set
+    // bookkeeping and the plan stays declarative.
+    "graph_bfs_layers" -> { (s, d) =>
+      val e = edges(s, d)
+      val seeds = e.select(col("src").as("node")).distinct()
+        .filter(col("node") < SuppOffset && col("node") % 100 === 0)
+        .withColumn("dist", lit(0L))
+      val out = (1 to BfsRounds).foldLeft(seeds) { (lab, _) =>
+        val nb = e.join(broadcast(lab.select(col("node").as("ln"),
+            col("dist"))), col("src") === col("ln"))
+          .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+        lab.unionByName(nb).groupBy("node").agg(min("dist").as("dist"))
+      }
+      out.select(col("node"),
+          when(col("node") >= SuppOffset, "supplier").otherwise("customer")
+            .as("kind"),
+          col("dist"))
+        .orderBy("node")
+    },
+
+    // degree assortativity (Newman's r): Pearson correlation of endpoint
+    // degrees across edges — one number separating hub-attracts-leaf
+    // graphs (r < 0, the bipartite trade shape) from peer-to-peer ones
+    // (r > 0); the topology fingerprint graph pipelines log per snapshot.
+    // Two broadcast O(V) degree joins against the cached edge list + one
+    // five-moment aggregate (the agg_regression discipline: integer
+    // degrees sum in exact decimal, only the final r runs in IEEE
+    // double). Output is a single row at any graph size.
+    "graph_degree_assortativity" -> { (s, d) =>
+      val e = edges(s, d)
+      val deg = nodeTable(s, d).select(col("node"), col("deg"))
+      val pairs = e
+        .join(broadcast(deg.select(col("node").as("ns"),
+          col("deg").cast("decimal(19,0)").as("x"))),
+          col("src") === col("ns"))
+        .join(broadcast(deg.select(col("node").as("nd"),
+          col("deg").cast("decimal(19,0)").as("y"))),
+          col("dst") === col("nd"))
+      pairs
+        .agg(count(lit(1)).as("n_edges"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(expr("x * y")).cast("double").as("sxy"),
+          sum(expr("x * x")).cast("double").as("sxx"),
+          sum(expr("y * y")).cast("double").as("syy"))
+        .select(col("n_edges"),
+          round((col("n_edges").cast("double") * col("sxy")
+              - col("sx") * col("sy"))
+            / sqrt((col("n_edges").cast("double") * col("sxx")
+                - col("sx") * col("sx"))
+              * (col("n_edges").cast("double") * col("syy")
+                - col("sy") * col("sy"))), 6).as("assortativity"))
     }
   )
 
@@ -373,6 +475,97 @@ object Graph {
          |      / CAST(deg.deg * (deg.deg - 1) AS DOUBLE), 6)
          |  ELSE CAST(0.0 AS DOUBLE) END AS clustering
          |FROM deg LEFT JOIN pn ON pn.u = deg.u
+         |ORDER BY node""".stripMargin,
+
+    // same unrolled peel rounds; each recomputes in-subgraph degrees
+    "graph_kcore_peel" -> {
+      val rounds = (1 to KcoreRounds).map { i =>
+        s"""a$i AS (
+           |  SELECT src AS node FROM (
+           |    SELECT e.src, count(*) AS deg FROM e
+           |    JOIN a${i - 1} s ON e.src = s.node
+           |    JOIN a${i - 1} t ON e.dst = t.node
+           |    GROUP BY e.src) q
+           |  WHERE deg >= $KcoreK)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS sp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (
+         |  SELECT c AS src, sp AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT sp AS src, c AS dst FROM pairs),
+         |a0 AS (SELECT DISTINCT src AS node FROM e),
+         |$rounds
+         |SELECT src AS node,
+         |  CASE WHEN src >= $SuppOffset THEN 'supplier' ELSE 'customer' END
+         |    AS kind,
+         |  deg
+         |FROM (
+         |  SELECT e.src, count(*) AS deg FROM e
+         |  JOIN a$KcoreRounds s ON e.src = s.node
+         |  JOIN a$KcoreRounds t ON e.dst = t.node
+         |  GROUP BY e.src) q
          |ORDER BY node""".stripMargin
+    },
+
+    // same unrolled min-dist frontier expansions
+    "graph_bfs_layers" -> {
+      val rounds = (1 to BfsRounds).map { i =>
+        s"""d$i AS (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, p.dist + 1 AS dist
+           |    FROM e JOIN d${i - 1} p ON e.src = p.node) q
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS sp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (
+         |  SELECT c AS src, sp AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT sp AS src, c AS dst FROM pairs),
+         |d0 AS (
+         |  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist FROM e
+         |  WHERE src < $SuppOffset AND src % 100 = 0),
+         |$rounds
+         |SELECT node,
+         |  CASE WHEN node >= $SuppOffset THEN 'supplier' ELSE 'customer' END
+         |    AS kind,
+         |  dist
+         |FROM d$BfsRounds ORDER BY node""".stripMargin
+    },
+
+    // same broadcast-degree joins + five exact-decimal moments
+    "graph_degree_assortativity" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS sp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (
+         |  SELECT c AS src, sp AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT sp AS src, c AS dst FROM pairs),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+         |ep AS (
+         |  SELECT CAST(a.deg AS DECIMAL(19,0)) AS x,
+         |    CAST(b.deg AS DECIMAL(19,0)) AS y
+         |  FROM e
+         |  JOIN deg a ON e.src = a.node
+         |  JOIN deg b ON e.dst = b.node),
+         |m AS (
+         |  SELECT count(*) AS n_edges,
+         |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+         |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+         |    CAST(sum(y * y) AS DOUBLE) AS syy
+         |  FROM ep)
+         |SELECT n_edges,
+         |  round((CAST(n_edges AS DOUBLE) * sxy - sx * sy)
+         |    / sqrt((CAST(n_edges AS DOUBLE) * sxx - sx * sx)
+         |      * (CAST(n_edges AS DOUBLE) * syy - sy * sy)), 6)
+         |    AS assortativity
+         |FROM m""".stripMargin
   )
 }

@@ -62,6 +62,25 @@ object Lakehouse {
       .select("o_orderkey", "ck", "dy")
   }
 
+  /** The synthetic ordered changelog for `cdc_apply` and its streaming
+    * twin: initial snapshot inserts (seq 0), updates (seq 1), deletes
+    * (seq 2), re-inserts (seq 3) — each seq appears at most once per key,
+    * so per-column arg-max over seq picks one coherent row version.
+    */
+  private[graft] def cdcLog(s: SparkSession, d: String): DataFrame = {
+    val snap = t(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    def op(df: DataFrame, seq: Int, o: String): DataFrame =
+      df.withColumn("seq", lit(seq.toLong)).withColumn("op", lit(o))
+    op(snap, 0, "I")
+      .unionByName(op(snap.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + 50.0), 1, "U"))
+      .unionByName(op(snap.filter(col("o_orderkey") % 10 === 0), 2, "D"))
+      .unionByName(op(snap.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("o_orderstatus", lit("R")), 3, "I"))
+  }
+
   /** The synthetic CDC batch derived deterministically from the snapshot:
     * every 7th key is an update (price + 100, status 'U'), every 97th key
     * re-enters as a brand-new row (key + 10M, status 'N'). Shared by the
@@ -308,6 +327,116 @@ object Lakehouse {
         .orderBy("part", "file_id")
     },
 
+    // file-level Bloom index for POINT lookups (the companion to
+    // zonemap_skip's range pruning — Parquet bloom filters / Delta bloom
+    // indexes do exactly this): per file, a 63-bit two-hash Bloom mask
+    // (bits 0..62 — DuckDB's checked << overflows at 1<<63, Spark wraps;
+    // 63 keeps both engines in range)
+    // over its keys (bit_or aggregate — mergeable, computed map-side),
+    // then a probe-key set tests membership and each file reports how
+    // many probes it must serve. Index build is one linear pass emitting
+    // O(#files) masks; the probe join is #files × #probes on O(8-byte)
+    // masks — metadata-scale. The hash family reuses the Count-Min LCG
+    // rows so both engines compute identical bits in plain BIGINT.
+    "bloom_index_prune" -> { (s, d) =>
+      val (_, a0, b0) = Aggregates.CmsRows(0)
+      val (_, a1, b1) = Aggregates.CmsRows(1)
+      val p = Aggregates.CmsP
+      def bitsOf(k: String): String =
+        s"shiftleft(CAST(1 AS BIGINT), CAST((($a0 * $k + $b0) % $p) % 63 " +
+          s"AS INT)) | shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST((($a1 * $k + $b1) % $p) % 63 AS INT))"
+      val files = t(s, d, "orders").select(
+        date_trunc("month", col("o_orderdate")).as("part"),
+        pmod(col("o_orderkey"), lit(20)).cast("long").as("file_id"),
+        col("o_orderkey").as("k"))
+      val masks = files.withColumn("b", expr(bitsOf("k")))
+        .groupBy("part", "file_id")
+        .agg(count(lit(1)).as("n_keys"), expr("bit_or(b)").as("mask"))
+      val probes = t(s, d, "orders")
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("pk")).distinct()
+        .withColumn("pb", expr(bitsOf("pk")))
+      masks.join(broadcast(probes),
+          expr("(mask & pb) = pb"), "left")
+        .groupBy("part", "file_id", "n_keys", "mask")
+        .agg(coalesce(sum(when(col("pk").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_probe_hits"))
+        .select(to_date(col("part")).as("part"), col("file_id"),
+          col("n_keys"), col("mask"), col("n_probe_hits"),
+          (col("n_probe_hits") > 0L).as("would_scan"))
+        .orderBy("part", "file_id")
+    },
+
+    // data-quality constraint audit (the expectations/dbt-test/Delta-
+    // constraint pass every ingestion pipeline gates on): NOT NULL,
+    // UNIQUE, referential integrity, range, and domain checks across
+    // four tables, one summary row per constraint with the violation
+    // count. Each leg is one linear aggregate (the FK leg an anti join on
+    // the key); the output is O(#constraints) however big the tables —
+    // the report a 100 TB ingest job emits before publishing a snapshot.
+    "constraint_check" -> { (s, d) =>
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val l = t(s, d, "lineitem")
+      def leg(name: String, df: DataFrame, viol: org.apache.spark.sql.Column)
+        : DataFrame =
+        df.agg(count(lit(1)).as("n_checked"),
+          coalesce(sum(when(viol, 1L).otherwise(0L)), lit(0L))
+            .as("n_violations"))
+          .select(lit(name).as("constraint_name"), col("n_checked"),
+            col("n_violations"))
+      val unique = o
+        .agg(count(lit(1)).as("n_checked"),
+          (count(lit(1)) - countDistinct(col("o_orderkey")))
+            .as("n_violations"))
+        .select(lit("orders.o_orderkey UNIQUE").as("constraint_name"),
+          col("n_checked"), col("n_violations"))
+      val fk = o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_violations"))
+        .crossJoin(o.agg(count(lit(1)).as("n_checked")))
+        .select(lit("orders.o_custkey FK customer").as("constraint_name"),
+          col("n_checked"), col("n_violations"))
+      Seq(
+        leg("orders.o_orderkey NOT NULL", o, col("o_orderkey").isNull),
+        unique, fk,
+        leg("lineitem.l_discount IN [0,1]", l,
+          !col("l_discount").between(0.0, 1.0)),
+        leg("lineitem.l_quantity IN (0,100]", l,
+          col("l_quantity") <= 0.0 || col("l_quantity") > 100.0),
+        leg("events.event_type DOMAIN", events(s, d),
+          !col("event_type").isin("click", "view", "purchase", "signup",
+            "error")))
+        .reduce(_ unionByName _)
+        .withColumn("pass", col("n_violations") === 0L)
+        .orderBy("constraint_name")
+    },
+
+    // partition layout health report (the third maintenance planner next
+    // to compact_plan/vacuum_plan): per-partition file census — count,
+    // bytes, min/max file size, and the max/avg skew factor that tells a
+    // table maintainer which partitions straggle scans (one hot file
+    // serializes the partition's split work). Same synthesized (month,
+    // key%20) file stats; metadata-only O(#files) groupBy, zero data
+    // bytes — plannable at 100 TB where #files ~ 10⁶.
+    "partition_skew_audit" -> { (s, d) =>
+      val files = t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("part"),
+          pmod(col("o_orderkey"), lit(20)).cast("long").as("file_id"))
+        .agg((count(lit(1)) * 120L).as("bytes"))
+      files.groupBy("part")
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("bytes")).as("total_bytes"),
+          min(col("bytes")).as("min_file_bytes"),
+          max(col("bytes")).as("max_file_bytes"))
+        .select(to_date(col("part")).as("part"), col("n_files"),
+          col("total_bytes"), col("min_file_bytes"), col("max_file_bytes"),
+          round(col("max_file_bytes").cast("double")
+            / (col("total_bytes").cast("double") / col("n_files")), 6)
+            .as("skew"))
+        .orderBy("part")
+    },
+
     // merge-on-read positional deletes (the Iceberg v2 deletion-vector
     // read path, the copy-on-write alternative to vacuum_plan's
     // rewrites): the delete file records (file, row POSITION), not keys,
@@ -379,6 +508,78 @@ object Lakehouse {
         .groupBy("change")
         .agg(count(lit(1)).as("n_keys"))
         .orderBy("change")
+    },
+
+    // ordered-changelog apply (the CDC consumer path, one step past
+    // merge_upsert's single-batch SCD1): the log carries multiple
+    // operations per key — initial insert (seq 0), update (seq 1),
+    // delete (seq 2), re-insert (seq 3) — and the final state is
+    // last-writer-wins by sequence number, honoring deletes. Plan: ONE
+    // key-shuffle aggregate with per-column max_by(·, seq) — no window
+    // sort, fully partial-aggregable, so at 100 TB the log streams
+    // through map-side combines and only per-key states shuffle. Ties
+    // are impossible by construction (each seq appears at most once per
+    // key), so per-column arg-max picks one coherent row version.
+    "cdc_apply" -> { (s, d) =>
+      cdcLog(s, d).groupBy("o_orderkey")
+        .agg(expr("max_by(op, seq)").as("last_op"),
+          expr("max_by(o_custkey, seq)").as("o_custkey"),
+          expr("max_by(o_orderstatus, seq)").as("o_orderstatus"),
+          expr("max_by(o_totalprice, seq)").as("o_totalprice"))
+        .filter(col("last_op") =!= "D")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // incremental materialized-aggregate maintenance: the per-customer
+    // order profile is kept as MERGEABLE state (count, exact-decimal sum,
+    // min, max), so refreshing after a new partition lands costs one
+    // aggregate over the DELTA plus a key-join merge with the stored
+    // state — never a rescan of the base. The query runs the full
+    // lifecycle: base state (orders before the cutoff), delta state
+    // (orders after), merged = combine(base, delta), and a per-key
+    // matches_full audit against an independent full recompute — all four
+    // legs shuffle only on o_custkey. avg is derived at read time
+    // (sum/count), the classic reason views store sums, not means. At
+    // 100 TB the delta leg is O(new partition) and the merge moves only
+    // O(distinct keys) state rows.
+    "incremental_agg_merge" -> { (s, d) =>
+      val cutoff = lit("1999-01-01").cast("timestamp")
+      val o = t(s, d, "orders")
+        .select(col("o_custkey"), money(col("o_totalprice")).as("p"),
+          col("o_orderdate"))
+      def state(df: DataFrame): DataFrame =
+        df.groupBy("o_custkey").agg(count(lit(1)).as("n"),
+          sum(col("p")).as("s"), min(col("p")).as("mn"),
+          max(col("p")).as("mx"))
+      val base = state(o.filter(col("o_orderdate") < cutoff))
+        .withColumnsRenamed(Map("n" -> "bn", "s" -> "bs", "mn" -> "bmn",
+          "mx" -> "bmx"))
+      val delta = state(o.filter(col("o_orderdate") >= cutoff))
+        .withColumnsRenamed(Map("n" -> "dn", "s" -> "ds", "mn" -> "dmn",
+          "mx" -> "dmx"))
+      val merged = base.join(delta, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("bs"), lit(0).cast("decimal(18,2)"))
+            + coalesce(col("ds"), lit(0).cast("decimal(18,2)")))
+            .cast("double").as("total"),
+          least(col("bmn"), col("dmn"))
+            .as("mnd"),
+          greatest(col("bmx"), col("dmx"))
+            .as("mxd"))
+      val full = state(o).select(col("o_custkey").as("k2"),
+        col("n").as("fn"), col("s").cast("double").as("fs"),
+        col("mn").as("fmn"), col("mx").as("fmx"))
+      merged.join(full, col("o_custkey") === col("k2"))
+        .select(col("o_custkey"), col("n_orders"), col("total"),
+          col("mnd").cast("double").as("min_price"),
+          col("mxd").cast("double").as("max_price"),
+          (col("n_orders") === col("fn") && col("total") === col("fs")
+            && col("mnd").cast("double") === col("fmn")
+            && col("mxd").cast("double") === col("fmx")).as("matches_full"))
+        .orderBy("o_custkey")
     },
 
     // Z-order clustering key: bit-interleave (custkey, orderdate) so a
@@ -579,6 +780,136 @@ object Lakehouse {
         |FROM ch
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    "bloom_index_prune" -> {
+      val (_, a0, b0) = Aggregates.CmsRows(0)
+      val (_, a1, b1) = Aggregates.CmsRows(1)
+      val p = Aggregates.CmsP
+      def bitsOf(k: String): String =
+        s"((CAST(1 AS BIGINT) << CAST((($a0 * $k + $b0) % $p) % 63 " +
+          s"AS INTEGER)) | (CAST(1 AS BIGINT) << " +
+          s"CAST((($a1 * $k + $b1) % $p) % 63 AS INTEGER)))"
+      s"""WITH files AS (
+         |  SELECT date_trunc('month', o_orderdate) AS part,
+         |    CAST(o_orderkey % 20 AS BIGINT) AS file_id,
+         |    o_orderkey AS k, ${bitsOf("o_orderkey")} AS b
+         |  FROM orders),
+         |masks AS (
+         |  SELECT part, file_id, count(*) AS n_keys, bit_or(b) AS mask
+         |  FROM files GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT DISTINCT o_orderkey AS pk, ${bitsOf("o_orderkey")} AS pb
+         |  FROM orders WHERE o_orderkey % 97 = 0)
+         |SELECT CAST(m.part AS DATE) AS part, m.file_id, m.n_keys, m.mask,
+         |  CAST(COALESCE(sum(CASE WHEN p.pk IS NOT NULL THEN 1 ELSE 0
+         |    END), 0) AS BIGINT) AS n_probe_hits,
+         |  CAST(COALESCE(sum(CASE WHEN p.pk IS NOT NULL THEN 1 ELSE 0
+         |    END), 0) AS BIGINT) > 0 AS would_scan
+         |FROM masks m LEFT JOIN probes p ON (m.mask & p.pb) = p.pb
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY part, file_id""".stripMargin
+    },
+    "constraint_check" ->
+      """WITH legs AS (
+        |  SELECT 'orders.o_orderkey NOT NULL' AS constraint_name,
+        |    count(*) AS n_checked,
+        |    CAST(COALESCE(sum(CASE WHEN o_orderkey IS NULL THEN 1
+        |      ELSE 0 END), 0) AS BIGINT) AS n_violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders.o_orderkey UNIQUE', count(*),
+        |    count(*) - count(DISTINCT o_orderkey)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey FK customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL
+        |  SELECT 'lineitem.l_discount IN [0,1]', count(*),
+        |    CAST(COALESCE(sum(CASE WHEN NOT (l_discount BETWEEN 0.0
+        |      AND 1.0) THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.l_quantity IN (0,100]', count(*),
+        |    CAST(COALESCE(sum(CASE WHEN l_quantity <= 0.0
+        |      OR l_quantity > 100.0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events.event_type DOMAIN', count(*),
+        |    CAST(COALESCE(sum(CASE WHEN event_type NOT IN ('click',
+        |      'view', 'purchase', 'signup', 'error') THEN 1 ELSE 0 END),
+        |      0) AS BIGINT)
+        |  FROM events)
+        |SELECT constraint_name, n_checked, n_violations,
+        |  n_violations = 0 AS pass
+        |FROM legs ORDER BY constraint_name""".stripMargin,
+    "partition_skew_audit" ->
+      """WITH files AS (
+        |  SELECT date_trunc('month', o_orderdate) AS part,
+        |    CAST(o_orderkey % 20 AS BIGINT) AS file_id,
+        |    count(*) * 120 AS bytes
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT CAST(part AS DATE) AS part, count(*) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |  min(bytes) AS min_file_bytes, max(bytes) AS max_file_bytes,
+        |  round(CAST(max(bytes) AS DOUBLE)
+        |    / (CAST(sum(bytes) AS DOUBLE) / count(*)), 6) AS skew
+        |FROM files GROUP BY part ORDER BY part""".stripMargin,
+    "cdc_apply" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders),
+        |log AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    0 AS seq, 'I' AS op FROM snap
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'U', o_totalprice + 50.0, 1, 'U'
+        |  FROM snap WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 2, 'D'
+        |  FROM snap WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'R', o_totalprice, 3, 'I'
+        |  FROM snap WHERE o_orderkey % 20 = 0),
+        |fin AS (
+        |  SELECT o_orderkey, arg_max(op, seq) AS last_op,
+        |    arg_max(o_custkey, seq) AS o_custkey,
+        |    arg_max(o_orderstatus, seq) AS o_orderstatus,
+        |    arg_max(o_totalprice, seq) AS o_totalprice
+        |  FROM log GROUP BY o_orderkey)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM fin WHERE last_op <> 'D' ORDER BY o_orderkey""".stripMargin,
+    "incremental_agg_merge" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+        |    o_orderdate
+        |  FROM orders),
+        |b AS (
+        |  SELECT o_custkey, count(*) AS bn, sum(p) AS bs, min(p) AS bmn,
+        |    max(p) AS bmx
+        |  FROM o WHERE o_orderdate < TIMESTAMP '1999-01-01'
+        |  GROUP BY o_custkey),
+        |dl AS (
+        |  SELECT o_custkey, count(*) AS dn, sum(p) AS ds, min(p) AS dmn,
+        |    max(p) AS dmx
+        |  FROM o WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        |  GROUP BY o_custkey),
+        |m AS (
+        |  SELECT COALESCE(b.o_custkey, dl.o_custkey) AS o_custkey,
+        |    COALESCE(bn, 0) + COALESCE(dn, 0) AS n_orders,
+        |    CAST(COALESCE(bs, 0) + COALESCE(ds, 0) AS DOUBLE) AS total,
+        |    CAST(least(bmn, dmn) AS DOUBLE) AS min_price,
+        |    CAST(greatest(bmx, dmx) AS DOUBLE) AS max_price
+        |  FROM b FULL OUTER JOIN dl ON b.o_custkey = dl.o_custkey),
+        |f AS (
+        |  SELECT o_custkey, count(*) AS fn, CAST(sum(p) AS DOUBLE) AS fs,
+        |    CAST(min(p) AS DOUBLE) AS fmn, CAST(max(p) AS DOUBLE) AS fmx
+        |  FROM o GROUP BY o_custkey)
+        |SELECT m.o_custkey, m.n_orders, m.total, m.min_price, m.max_price,
+        |  (m.n_orders = f.fn AND m.total = f.fs AND m.min_price = f.fmn
+        |    AND m.max_price = f.fmx) AS matches_full
+        |FROM m JOIN f ON m.o_custkey = f.o_custkey
+        |ORDER BY m.o_custkey""".stripMargin,
     "zorder_cluster" ->
       s"""WITH b AS (
          |  SELECT o_orderkey, o_custkey AS ckr,

@@ -570,6 +570,99 @@ object Similarity {
           min(col("dist")).cast("double").as("min_dist"),
           max(col("dist")).cast("double").as("max_dist"))
         .orderBy("label")
+    },
+
+    // per-dimension whitening (standardize each coordinate to mean 0 /
+    // unit variance + ε) — the normalization pass before PCA/IVF
+    // training, and the fix for the mean-shifted/dead dimensions
+    // embedding_dim_stats diagnoses. Scale shape: one (dim)-keyed moment
+    // aggregate (O(d) output), stats BROADCAST back onto the exploded
+    // table, one (vec)-keyed re-fold — all linear, nothing pairwise.
+    // Determinism: moments decimal-sum rounded coordinates; mean/sd
+    // derive from those exact sums through identical IEEE ops on both
+    // engines, so the per-cell z values are bit-equal; the per-vector
+    // norm then decimal-sums round(z²,9).
+    "embedding_whiten" -> { (s, d) =>
+      val ex = t(s, d, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+            .as(Seq("pos", "x")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+          col("x"),
+          expr("CAST(round(x, 9) AS DECIMAL(20,9))").as("xd"),
+          expr("CAST(round(x * x, 9) AS DECIMAL(20,9))").as("xxd"))
+      val stats = ex.groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          sum(col("xd")).cast("double").as("sx"),
+          sum(col("xxd")).cast("double").as("sxx"))
+        .select(col("dim"), (col("sx") / col("n")).as("mu"),
+          sqrt(greatest(lit(0d), col("sxx") / col("n")
+            - (col("sx") / col("n")) * (col("sx") / col("n")))
+            + lit(1e-6)).as("sd"))
+      ex.join(broadcast(stats), "dim")
+        .withColumn("z", (col("x") - col("mu")) / col("sd"))
+        .groupBy("vec_id")
+        .agg(round(sqrt(
+            sum(expr("CAST(round(z * z, 9) AS DECIMAL(30,9))"))
+              .cast("double")), 6).as("white_norm"),
+          round(max(abs(col("z"))), 6).as("max_abs_z"))
+        .orderBy("vec_id")
+    },
+
+    // maximal-marginal-relevance re-rank (Carbonell–Goldstein): after
+    // retrieval, pick a DIVERSE top-4 — each greedy round scores the
+    // remaining candidates 0.7·relevance − 0.3·(max similarity to the
+    // already-picked set) — the de-redundancy step retrieval-augmented
+    // dataset builders run after ANN. Scale shape: the expensive part is
+    // the retrieval (bounded-heap top-8 per query, the sim_cosine_topk
+    // path); everything after operates on ≤8 rows/query (≤56 pair sims,
+    // window picks over ≤8-row groups), so the greedy unroll costs
+    // O(queries), never O(corpus). All scores round(·,6) with id
+    // tie-breaks — both engines pick identical sets in identical order.
+    "sim_mmr_rerank" -> { (s, d) =>
+      val e = vectors(s, d)
+      val q = broadcast(e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")))
+      val scored = q.join(e, col("vec_id") =!= col("q_id"))
+        .withColumn("rel", expr("round(cosine_sim(qv, v), 6)"))
+        .select(col("q_id"), col("vec_id").as("c_id"), col("v"), col("rel"))
+      val cands = graft.plans.TopKPerKey.topK(scored, Seq(col("q_id")),
+          Seq(col("rel").desc, col("c_id")), 8)
+        .cache()
+      val cb = cands.select(col("q_id"), col("c_id").as("o_id"),
+        col("v").as("ov"))
+      val sims = cands.join(cb, Seq("q_id"))
+        .filter(col("c_id") =!= col("o_id"))
+        .withColumn("sim", expr("round(cosine_sim(v, ov), 6)"))
+        .select("q_id", "c_id", "o_id", "sim")
+      val wq = Window.partitionBy("q_id")
+        .orderBy(col("rel").desc, col("c_id"))
+      val sel1 = cands.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("c_id").as("s_id"), lit(1L).as("rank"))
+      val picks = (2 to 4).foldLeft(sel1) { (sel, r) =>
+        val rem = cands.join(sel.select(col("q_id"),
+          col("s_id").as("c_id")), Seq("q_id", "c_id"), "left_anti")
+        val pen = sims.join(sel.select(col("q_id"),
+            col("s_id").as("o_id")), Seq("q_id", "o_id"))
+          .groupBy("q_id", "c_id").agg(max(col("sim")).as("max_sim"))
+        val w2 = Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("c_id"))
+        val next = rem.join(pen, Seq("q_id", "c_id"))
+          .withColumn("score",
+            round(lit(0.7) * col("rel") - lit(0.3) * col("max_sim"), 6))
+          .withColumn("rn", row_number().over(w2))
+          .filter(col("rn") === 1)
+          .select(col("q_id"), col("c_id").as("s_id"),
+            lit(r.toLong).as("rank"))
+        sel.unionByName(next)
+      }
+      picks.join(cands.select(col("q_id"), col("c_id").as("s_id"),
+          col("rel")), Seq("q_id", "s_id"))
+        .select(col("q_id"), col("rank"), col("s_id").as("vec_id"),
+          col("rel"))
+        .orderBy("q_id", "rank")
     }
   )
 
@@ -936,6 +1029,88 @@ object Similarity {
          |SELECT dim, n, round(sx / n, 6) AS mean_x,
          |  round(sqrt(greatest(0, sxx / n - (sx / n) * (sx / n))), 6) AS sd_x,
          |  min_x, max_x
-         |FROM m ORDER BY dim""".stripMargin
+         |FROM m ORDER BY dim""".stripMargin,
+    // same per-dim moments -> identical IEEE mean/sd -> bit-equal z cells
+    "embedding_whiten" ->
+      """WITH ex AS (
+        |  SELECT vec_id,
+        |    CAST(unnest(generate_series(1, len(embedding))) AS BIGINT)
+        |      AS dim,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        |  FROM embeddings),
+        |e2 AS (
+        |  SELECT vec_id, dim, x,
+        |    CAST(round(x, 9) AS DECIMAL(20,9)) AS xd,
+        |    CAST(round(x * x, 9) AS DECIMAL(20,9)) AS xxd
+        |  FROM ex),
+        |st AS (
+        |  SELECT dim, count(*) AS n, CAST(sum(xd) AS DOUBLE) AS sx,
+        |    CAST(sum(xxd) AS DOUBLE) AS sxx
+        |  FROM e2 GROUP BY dim),
+        |sdv AS (
+        |  SELECT dim, sx / n AS mu,
+        |    sqrt(greatest(0, sxx / n - (sx / n) * (sx / n)) + 1e-6) AS sd
+        |  FROM st),
+        |z AS (
+        |  SELECT vec_id, (x - mu) / sd AS z
+        |  FROM e2 JOIN sdv USING (dim))
+        |SELECT vec_id,
+        |  round(sqrt(CAST(sum(CAST(round(z * z, 9) AS DECIMAL(30,9)))
+        |    AS DOUBLE)), 6) AS white_norm,
+        |  round(max(abs(z)), 6) AS max_abs_z
+        |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // the same greedy unroll, one CTE block per round; the NOT EXISTS
+    // anti-join mirrors the left_anti, and every pick window carries the
+    // identical (score DESC, id) total order
+    "sim_mmr_rerank" -> {
+      val rounds = (2 to 4).map { r =>
+        s"""p$r AS (
+           |  SELECT s.q_id, s.c_id, max(s.sim) AS max_sim
+           |  FROM sims s JOIN sel${r - 1} pv
+           |    ON pv.q_id = s.q_id AND pv.s_id = s.o_id
+           |  GROUP BY 1, 2),
+           |r$r AS (
+           |  SELECT c.q_id, c.c_id,
+           |    round(0.7 * c.rel - 0.3 * p.max_sim, 6) AS score
+           |  FROM cands c JOIN p$r p
+           |    ON p.q_id = c.q_id AND p.c_id = c.c_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} pv
+           |    WHERE pv.q_id = c.q_id AND pv.s_id = c.c_id)),
+           |s$r AS (
+           |  SELECT q_id, c_id AS s_id, CAST($r AS BIGINT) AS rank FROM (
+           |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY score DESC, c_id) AS rn
+           |    FROM r$r) t WHERE rn = 1),
+           |sel$r AS (
+           |  SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS ($duckVectors),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 4),
+         |scored AS (
+         |  SELECT q_id, e.vec_id AS c_id, e.v,
+         |    ${duckCos("qv", "e.v")} AS rel
+         |  FROM q JOIN e ON e.vec_id <> q_id),
+         |cands AS (
+         |  SELECT q_id, c_id, v, rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rel DESC, c_id) AS rn
+         |    FROM scored) t WHERE rn <= 8),
+         |sims AS (
+         |  SELECT a.q_id, a.c_id, b.c_id AS o_id,
+         |    ${duckCos("a.v", "b.v")} AS sim
+         |  FROM cands a JOIN cands b
+         |    ON a.q_id = b.q_id AND a.c_id <> b.c_id),
+         |sel1 AS (
+         |  SELECT q_id, c_id AS s_id, CAST(1 AS BIGINT) AS rank FROM (
+         |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rel DESC, c_id) AS rn
+         |    FROM cands) t WHERE rn = 1),
+         |$rounds
+         |SELECT p.q_id, p.rank, p.s_id AS vec_id, c.rel
+         |FROM sel4 p JOIN cands c
+         |  ON c.q_id = p.q_id AND c.c_id = p.s_id
+         |ORDER BY p.q_id, p.rank""".stripMargin
+    }
   )
 }

@@ -91,6 +91,25 @@ object StreamTwin {
       s.read.parquet(dir).orderBy("event_type")
     },
 
+    // twin of the foreachBatch CDC applier: the ordered changelog
+    // (Lakehouse.cdcLog) split into two micro-batches (seq <= 1, then
+    // seq >= 2) and merged by the SAME function a writeStream would call
+    // (Streams.cdcApplyTo) — the final state table must equal the batch
+    // cdc_apply's one-shot last-writer-wins, which is exactly what the
+    // (shared) oracle checks. Cross-batch ordering is foreachBatch's
+    // sequential contract; within a batch, seq decides.
+    "stream_cdc_apply" -> { (s, d) =>
+      val dir = scratch("stream_cdc_apply", d)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      val log = Lakehouse.cdcLog(s, d)
+      val sink = graft.streaming.Streams.cdcApplyTo(dir) _
+      sink(log.filter(col("seq") <= 1), 0L)
+      sink(log.filter(col("seq") >= 2), 1L)
+      s.read.parquet(dir).orderBy("o_orderkey")
+    },
+
     // twin of the stream-stream interval join (purchase attribution):
     // same join condition as Streams.purchaseAttribution
     "stream_join" -> { (s, d) =>
@@ -208,6 +227,32 @@ object StreamTwin {
     "stream_upsert_sink" ->
       """SELECT event_type, count(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the micro-batched apply must accumulate to the one-shot batch
+    // answer — the oracle IS cdc_apply's
+    "stream_cdc_apply" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders),
+        |log AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    0 AS seq, 'I' AS op FROM snap
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'U', o_totalprice + 50.0, 1, 'U'
+        |  FROM snap WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 2, 'D'
+        |  FROM snap WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'R', o_totalprice, 3, 'I'
+        |  FROM snap WHERE o_orderkey % 20 = 0),
+        |fin AS (
+        |  SELECT o_orderkey, arg_max(op, seq) AS last_op,
+        |    arg_max(o_custkey, seq) AS o_custkey,
+        |    arg_max(o_orderstatus, seq) AS o_orderstatus,
+        |    arg_max(o_totalprice, seq) AS o_totalprice
+        |  FROM log GROUP BY o_orderkey)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM fin WHERE last_op <> 'D' ORDER BY o_orderkey""".stripMargin,
     "stream_static_join" ->
       """SELECT category, count(*) AS cnt,
         |CAST(sum(CAST(value AS DECIMAL(18,2))

@@ -17,6 +17,15 @@ object TextOps {
     t(s, d, "documents")
       .withColumn("toks", split(lower(trim(col("text"))), " "))
 
+  /** Corpus word counts `(word, cnt)` — the one corpus-linear pass shared
+    * with [[Aggregates]]' Count-Min sketch (everything downstream of it is
+    * vocab-sized).
+    */
+  def wordCounts(s: SparkSession, d: String): DataFrame =
+    corpus(s, d)
+      .select(explode(split(lower(trim(col("text"))), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
   /** Chunk width for `text_boilerplate`: 3 tokens — sized to the fixture's
     * ~31-word near-uniform vocabulary so repeated chunks actually occur
     * (~3% of chunk types at every SF). Real corpora use lines/sentences;
@@ -537,6 +546,208 @@ object TextOps {
           round(col("n_novel").cast("double") / col("n_grams"), 6)
             .as("novelty"))
         .orderBy("doc_id")
+    },
+
+    // Gopher-style quality rule census (Rae et al. 2021's repetition-free
+    // rules, adapted to the fixture's punctuation-free corpus): per-doc
+    // word-count bounds, mean-word-length bounds, alphabetic-word ratio,
+    // and minimum stopword hits — reported as PER-RULE flags plus the
+    // conjunction, the audit view a curation team reads before committing
+    // to thresholds (pipeline_quality_filter is the downstream
+    // keep-only filter with its own independent rule set). Pure
+    // projection per row — no shuffle at all until the output sort.
+    "text_gopher_rules" -> ((s, d) =>
+      toks(s, d)
+        .withColumn("n_words", metrics.nTokens)
+        .withColumn("mean_wl", metrics.avgWordLen)
+        .withColumn("alpha_ratio",
+          expr("size(filter(toks, t -> t rlike '[a-z]'))").cast("double")
+            / size(col("toks")))
+        .withColumn("stop_hits",
+          expr("""size(filter(toks,
+               |  t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))"""
+            .stripMargin).cast("long"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_wl"), 6).as("mean_wl"),
+          round(col("alpha_ratio"), 6).as("alpha_ratio"), col("stop_hits"),
+          col("n_words").between(10L, 100000L).as("rule_wc"),
+          col("mean_wl").between(2.0, 10.0).as("rule_wl"),
+          (col("alpha_ratio") >= 0.8).as("rule_alpha"),
+          (col("stop_hits") >= 2L).as("rule_stop"),
+          (col("n_words").between(10L, 100000L)
+            && col("mean_wl").between(2.0, 10.0)
+            && col("alpha_ratio") >= 0.8
+            && col("stop_hits") >= 2L).as("keep"))
+        .orderBy("doc_id")),
+
+    // readability scoring with the deterministic vowel-group syllable
+    // heuristic (each maximal [aeiouy]+ run ≈ one syllable — the classic
+    // dictionary-free approximation): Flesch reading ease with the whole
+    // doc as one sentence. The point at 100 TB is the SHAPE: two regexp
+    // counts per row, zero shuffles, all arithmetic per-row IEEE double —
+    // the score pipeline is embarrassingly parallel, and both engines run
+    // the identical regex so the counts match exactly.
+    "text_readability" -> ((s, d) =>
+      toks(s, d)
+        .withColumn("n_words", metrics.nTokens)
+        .withColumn("n_syll",
+          size(expr("regexp_extract_all(text, '[aeiouy]+', 0)"))
+            .cast("long"))
+        .filter(col("n_words") > 0)
+        .select(col("doc_id"), col("n_words"), col("n_syll"),
+          round(col("n_syll").cast("double") / col("n_words"), 6)
+            .as("syll_per_word"),
+          round(lit(206.835)
+            - lit(1.015) * col("n_words").cast("double")
+            - lit(84.6) * (col("n_syll").cast("double")
+              / col("n_words").cast("double")), 4).as("flesch"))
+        .orderBy("doc_id")),
+
+    // rare-word ratio: per-doc share of tokens whose CORPUS frequency sits
+    // below the mean vocabulary frequency — the lexical-sophistication /
+    // OOV-pressure signal (docs of frequent words only = template text;
+    // high rare share = specialist or noisy text). Two keyed aggregates
+    // (vocab counts, per-doc fold) + one broadcast O(1) threshold — the
+    // vocab table is Zipf-small, the corpus never pair-joins.
+    "text_rare_word_ratio" -> { (s, d) =>
+      val words = toks(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("word"))
+      val vocab = words.groupBy("word").agg(count(lit(1)).as("freq"))
+      val thr = vocab.agg((sum(col("freq")).cast("double")
+        / count(lit(1))).as("mean_freq"))
+      words.join(broadcast(vocab), "word")
+        .crossJoin(broadcast(thr))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("freq").cast("double") < col("mean_freq"), 1L)
+            .otherwise(0L)).as("n_rare"))
+        .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+          round(col("n_rare").cast("double") / col("n_tokens"), 6)
+            .as("rare_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // per-source dataset card (the datasheet table every corpus release
+    // ships): doc/token volumes, language spread with the modal language,
+    // and the quality-filter pass rate — one row per source, the
+    // at-a-glance view a curation team reads before weighting sources in
+    // `corpus_mix`. Two keyed aggregates over per-doc projections plus
+    // the shared qualityFiltered keeper set (single definition with
+    // pipeline_quality_filter, so the pass-rate column can never drift
+    // from the actual filter). Output is O(#sources).
+    "corpus_datacard" -> { (s, d) =>
+      val docs = toks(s, d)
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(col("toks")).cast("long").as("n_tok"))
+      val keepers = qualityFiltered(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), lit(1L).as("passed"))
+      val langMode = docs.groupBy("source", "lang")
+        .agg(count(lit(1)).as("ln"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_langs"),
+          // modal language, ties to the smallest code (the
+          // graph_label_prop arg-min discipline)
+          expr("min_by(lang, struct(-ln, lang))").as("top_lang"))
+      docs.join(keepers, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          round(sum(col("n_tok")).cast("double") / count(lit(1)), 6)
+            .as("avg_tokens"),
+          coalesce(sum(col("passed")), lit(0L)).as("n_quality_pass"))
+        .join(langMode, "source")
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("avg_tokens"), col("n_langs"), col("top_lang"),
+          round(col("n_quality_pass").cast("double") / col("n_docs"), 6)
+            .as("quality_pass_rate"))
+        .orderBy("source")
+    },
+
+    // template mining (the template-spam / boilerplate-skeleton census):
+    // every token below the mean vocabulary frequency masks to '<*>',
+    // and documents sharing the resulting skeleton group together — the
+    // cheap way to find fill-in-the-blank generated text that exact and
+    // MinHash dedup both miss (each instance differs in the rare slots).
+    // The vocab→freq table is Zipf-small, so the mask runs as an
+    // in-codegen transform against a broadcast map (the centroid-drift
+    // cmap discipline) — no per-token join, no reassembly shuffle; the
+    // only exchange is the final template groupBy.
+    "text_template_mining" -> { (s, d) =>
+      // skeletons are per 8-token CHUNK, not per doc: whole-doc skeletons
+      // only collide for equal-length docs (never, on a 10..99-token
+      // corpus), while chunk skeletons surface the shared spans template
+      // spam actually repeats; keep-set = the top-10 vocabulary (an O(1)
+      // broadcast array), everything else masks to '<*>'
+      val top = wordCounts(s, d)
+        .orderBy(col("cnt").desc, col("word")).limit(10)
+        .agg(expr("sort_array(collect_list(word))").as("keep"))
+      corpus(s, d)
+        .withColumn("toks", split(lower(trim(col("text"))), " "))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(1, size(toks) - 7, 8)")).as("start"))
+        .crossJoin(broadcast(top))
+        .select(col("doc_id"), concat_ws(" ", expr(
+          "transform(slice(toks, start, 8), t -> CASE WHEN " +
+            "array_contains(keep, t) THEN t ELSE '<*>' END)"))
+          .as("template"))
+        .groupBy("template")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("min_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("template"))
+        .limit(100)
+    },
+
+    // Heaps'-law fit: vocabulary growth V(n) ≈ k·n^β sampled at ten
+    // doc-id checkpoints, β and ln k by closed-form least squares on the
+    // log-log curve (the text_zipf_fit discipline — decimal-summed
+    // moments, no global sort). The cumulative curve is computed WITHOUT
+    // any ordered window: first-occurrence doc per word (one keyed agg
+    // over the Zipf-small vocab), then each side joins the broadcast
+    // 10-row checkpoint table — at 100 TB both legs are linear passes
+    // with map-side combines; nothing ever materializes in doc order.
+    "text_heaps_fit" -> { (s, d) =>
+      val docs = toks(s, d)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
+      val cps = docs.agg(max(col("doc_id")).as("mid"))
+        .select(explode(sequence(lit(1), lit(10))).as("decile"), col("mid"))
+        .select(col("decile").cast("long").as("decile"),
+          floor(col("mid") * col("decile") / 10.0).cast("long").as("cp"))
+      val tokAt = docs.crossJoin(broadcast(cps))
+        .filter(col("doc_id") <= col("cp"))
+        .groupBy("decile").agg(sum(col("n_tok")).as("n_tokens"))
+      val vocAt = toks(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("word"))
+        .groupBy("word").agg(min(col("doc_id")).as("fd"))
+        .crossJoin(broadcast(cps))
+        .filter(col("fd") <= col("cp"))
+        .groupBy("decile").agg(count(lit(1)).as("vocab"))
+      val curve = tokAt.join(vocAt, "decile")
+      val fit = curve.select(
+          expr("CAST(round(ln(n_tokens), 9) AS DECIMAL(20,9))").as("x"),
+          expr("CAST(round(ln(vocab), 9) AS DECIMAL(20,9))").as("y"),
+          expr("CAST(round(ln(n_tokens) * ln(vocab), 9) AS DECIMAL(20,9))")
+            .as("xy"),
+          expr("CAST(round(ln(n_tokens) * ln(n_tokens), 9) AS DECIMAL(20,9))")
+            .as("xx"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("xy")).cast("double").as("sxy"),
+          sum(col("xx")).cast("double").as("sxx"))
+        .select(
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("beta"),
+          round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx"))
+            / col("n"), 6).as("ln_k"))
+      curve.crossJoin(broadcast(fit))
+        .select(col("decile"), col("n_tokens"), col("vocab"), col("beta"),
+          col("ln_k"))
+        .orderBy("decile")
     }
   )
 
@@ -898,6 +1109,177 @@ object TextOps {
         |  FROM sh JOIN hf ON sh.s = hf.s)
         |SELECT DISTINCT doc_id, m AS fingerprint
         |FROM wm WHERE pos <= nsh - 3
-        |ORDER BY doc_id, fingerprint""".stripMargin
+        |ORDER BY doc_id, fingerprint""".stripMargin,
+    "text_gopher_rules" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w)
+        |      AS mean_wl,
+        |    CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]')))
+        |      AS DOUBLE) / len(w) AS alpha_ratio,
+        |    CAST(len(list_filter(w, t -> t IN
+        |      ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT)
+        |      AS stop_hits
+        |  FROM tk)
+        |SELECT doc_id, n_words, round(mean_wl, 6) AS mean_wl,
+        |  round(alpha_ratio, 6) AS alpha_ratio, stop_hits,
+        |  n_words BETWEEN 10 AND 100000 AS rule_wc,
+        |  mean_wl BETWEEN 2.0 AND 10.0 AS rule_wl,
+        |  alpha_ratio >= 0.8 AS rule_alpha,
+        |  stop_hits >= 2 AS rule_stop,
+        |  (n_words BETWEEN 10 AND 100000 AND mean_wl BETWEEN 2.0 AND 10.0
+        |    AND alpha_ratio >= 0.8 AND stop_hits >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "text_readability" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+        |      AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
+        |      AS n_syll
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_syll,
+        |  round(CAST(n_syll AS DOUBLE) / n_words, 6) AS syll_per_word,
+        |  round(206.835 - 1.015 * CAST(n_words AS DOUBLE)
+        |    - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)), 4)
+        |    AS flesch
+        |FROM m WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+    "text_rare_word_ratio" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' '))
+        |    AS word
+        |  FROM documents),
+        |vocab AS (SELECT word, count(*) AS freq FROM words GROUP BY word),
+        |thr AS (
+        |  SELECT CAST(sum(freq) AS DOUBLE) / count(*) AS mean_freq
+        |  FROM vocab)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN CAST(freq AS DOUBLE) < mean_freq
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  round(CAST(sum(CASE WHEN CAST(freq AS DOUBLE) < mean_freq
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rare_ratio
+        |FROM words JOIN vocab USING (word) CROSS JOIN thr
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "corpus_datacard" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, source, lang,
+         |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+         |      AS n_tok
+         |  FROM documents),
+         |keepers AS (
+         |  SELECT doc_id
+         |  FROM (SELECT doc_id, text,
+         |          string_split(lower(trim(text)), ' ') AS w
+         |        FROM documents) d
+         |  WHERE ${metrics.nTokensSql} BETWEEN 15 AND 80
+         |    AND ${metrics.ttrSql} >= 0.3
+         |    AND ${metrics.avgWordLenSql} BETWEEN 2.0 AND 12.0),
+         |lm AS (
+         |  SELECT source, lang, count(*) AS ln
+         |  FROM docs GROUP BY 1, 2),
+         |lmode AS (
+         |  SELECT source, count(*) AS n_langs,
+         |    min(CASE WHEN rn = 1 THEN lang END) AS top_lang
+         |  FROM (SELECT source, lang,
+         |          row_number() OVER (PARTITION BY source
+         |            ORDER BY ln DESC, lang) AS rn
+         |        FROM lm) t
+         |  GROUP BY source),
+         |agg AS (
+         |  SELECT d.source, count(*) AS n_docs,
+         |    CAST(sum(d.n_tok) AS BIGINT) AS total_tokens,
+         |    round(CAST(sum(d.n_tok) AS DOUBLE) / count(*), 6)
+         |      AS avg_tokens,
+         |    CAST(COALESCE(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1
+         |      ELSE 0 END), 0) AS BIGINT) AS n_quality_pass
+         |  FROM docs d LEFT JOIN keepers k ON d.doc_id = k.doc_id
+         |  GROUP BY d.source)
+         |SELECT a.source, a.n_docs, a.total_tokens, a.avg_tokens,
+         |  l.n_langs, l.top_lang,
+         |  round(CAST(a.n_quality_pass AS DOUBLE) / a.n_docs, 6)
+         |    AS quality_pass_rate
+         |FROM agg a JOIN lmode l ON a.source = l.source
+         |ORDER BY a.source""".stripMargin,
+    // per-token join + ordered string_agg rebuild — a different plan
+    // shape (DuckDB has no broadcast-array transform), same skeletons
+    "text_template_mining" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT word, count(*) AS freq
+        |  FROM (SELECT unnest(w) AS word FROM tk) x GROUP BY word),
+        |keep AS (
+        |  SELECT word FROM vocab ORDER BY freq DESC, word LIMIT 10),
+        |st AS (
+        |  SELECT doc_id, w,
+        |    unnest(generate_series(1, len(w) - 7, 8)) AS start
+        |  FROM tk WHERE len(w) >= 8),
+        |words AS (
+        |  SELECT doc_id, start,
+        |    unnest(list_slice(w, start, start + 7)) AS word,
+        |    generate_subscripts(list_slice(w, start, start + 7), 1) AS pos
+        |  FROM st),
+        |masked AS (
+        |  SELECT ws.doc_id, ws.start, ws.pos,
+        |    CASE WHEN k.word IS NULL THEN '<*>' ELSE ws.word END AS tok
+        |  FROM words ws LEFT JOIN keep k USING (word)),
+        |tpl AS (
+        |  SELECT doc_id, start, string_agg(tok, ' ' ORDER BY pos)
+        |    AS template
+        |  FROM masked GROUP BY doc_id, start)
+        |SELECT template, count(*) AS n_chunks,
+        |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS min_doc
+        |FROM tpl GROUP BY template
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, template LIMIT 100""".stripMargin,
+    "text_heaps_fit" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        |  FROM documents),
+        |cps AS (
+        |  SELECT CAST(decile AS BIGINT) AS decile,
+        |    CAST(floor((SELECT max(doc_id) FROM tk) * decile / 10.0)
+        |      AS BIGINT) AS cp
+        |  FROM generate_series(1, 10) t(decile)),
+        |tok_at AS (
+        |  SELECT decile, CAST(sum(len(w)) AS BIGINT) AS n_tokens
+        |  FROM tk CROSS JOIN cps WHERE doc_id <= cp GROUP BY decile),
+        |firsts AS (
+        |  SELECT word, min(doc_id) AS fd
+        |  FROM (SELECT doc_id, unnest(w) AS word FROM tk) u
+        |  GROUP BY word),
+        |voc_at AS (
+        |  SELECT decile, count(*) AS vocab
+        |  FROM firsts CROSS JOIN cps WHERE fd <= cp GROUP BY decile),
+        |curve AS (
+        |  SELECT decile, n_tokens, vocab
+        |  FROM tok_at JOIN voc_at USING (decile)),
+        |m0 AS (
+        |  SELECT
+        |    CAST(round(ln(n_tokens), 9) AS DECIMAL(20,9)) AS x,
+        |    CAST(round(ln(vocab), 9) AS DECIMAL(20,9)) AS y,
+        |    CAST(round(ln(n_tokens) * ln(vocab), 9) AS DECIMAL(20,9))
+        |      AS xy,
+        |    CAST(round(ln(n_tokens) * ln(n_tokens), 9) AS DECIMAL(20,9))
+        |      AS xx
+        |  FROM curve),
+        |mm AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(xx) AS DOUBLE) AS sxx
+        |  FROM m0),
+        |fit AS (
+        |  SELECT
+        |    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+        |    round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+        |      / n, 6) AS ln_k
+        |  FROM mm)
+        |SELECT decile, n_tokens, vocab, beta, ln_k
+        |FROM curve CROSS JOIN fit ORDER BY decile""".stripMargin
   )
 }

@@ -304,6 +304,33 @@ object TrainPrep {
           (expr("(rn - 1) * 4 DIV n_bucket") + 1).cast("long"))
         .select("doc_id", "bucket", "score", "rn", "phase")
         .orderBy("doc_id")
+    },
+
+    // proportional stratified allocation: a 100-doc sample where each
+    // source's quota is round(K·n_src/N) (floored at 1 so tail sources
+    // stay represented — the balancing lever between `sample_stratified`'s
+    // fixed-k and raw proportional draws that zero out small strata).
+    // Draw order inside a stratum is the content-hash rank (rerun/
+    // engine/partitioning-stable, the sample_split discipline). One
+    // source-keyed window + two O(#sources) broadcast tables.
+    "sample_proportional" -> { (s, d) =>
+      val k = 100
+      val docs = t(s, d, "documents")
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+      val total = docs.agg(count(lit(1)).as("n_total"))
+      val alloc = counts.crossJoin(broadcast(total))
+        .select(col("source"), col("n_src"),
+          greatest(lit(1L),
+            round(lit(k) * col("n_src").cast("double") / col("n_total"))
+              .cast("long")).as("k_src"))
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .join(broadcast(alloc), "source")
+        .filter(col("rn") <= col("k_src"))
+        .select("source", "rn", "doc_id", "n_src", "k_src")
+        .orderBy("source", "rn")
     }
   )
 
@@ -530,6 +557,26 @@ object TrainPrep {
          |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, score,
          |  CAST(rn AS BIGINT) AS rn,
          |  CAST((rn - 1) * 4 // n_bucket + 1 AS BIGINT) AS phase
-         |FROM r ORDER BY doc_id""".stripMargin
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "sample_proportional" ->
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+        |total AS (SELECT count(*) AS n_total FROM documents),
+        |alloc AS (
+        |  SELECT source, n_src,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(round(100 * CAST(n_src AS DOUBLE) / n_total)
+        |        AS BIGINT)) AS k_src
+        |  FROM counts CROSS JOIN total),
+        |ranked AS (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |      AS rn
+        |  FROM documents)
+        |SELECT r.source, r.rn, r.doc_id, a.n_src, a.k_src
+        |FROM ranked r JOIN alloc a ON r.source = a.source
+        |WHERE r.rn <= a.k_src
+        |ORDER BY r.source, r.rn""".stripMargin
   )
 }

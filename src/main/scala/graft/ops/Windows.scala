@@ -179,6 +179,72 @@ object Windows {
           max(col("run_len")).as("max_run"),
           sum(col("run_len")).as("n_events"))
         .orderBy("user_id")
+    },
+
+    // truncated EWMA (α = 0.5, depth 8): exponentially-weighted moving
+    // average of value per user — the smoothing pass monitoring and
+    // feature pipelines run per entity. A true EWMA is a sequential
+    // recurrence (not window-expressible); the depth-8 truncation
+    // under-weights by < 0.4% and becomes EIGHT lag() reads in ONE
+    // window pass (one shuffle, O(depth) state per scan). Weights 2⁻ʲ
+    // are exact binary doubles, the weighted sum is a fixed-order
+    // per-row expression — bit-identical on both engines.
+    "win_ewma" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val depth = 8
+      val base = events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          money(col("value")).cast("double").as("y"))
+      val lagged = (0 until depth).foldLeft(base) { (df, j) =>
+        df.withColumn(s"y$j",
+          if (j == 0) col("y") else lag(col("y"), j).over(w))
+      }
+      val num = (0 until depth).map(j =>
+        coalesce(col(s"y$j") * lit(math.pow(0.5, j)), lit(0.0)))
+        .reduce(_ + _)
+      val den = (0 until depth).map(j =>
+        when(col(s"y$j").isNotNull, lit(math.pow(0.5, j)))
+          .otherwise(lit(0.0)))
+        .reduce(_ + _)
+      lagged
+        .select(col("user_id"), col("event_id"), col("y").as("value"),
+          round(num / den, 6).as("ewma"))
+        .orderBy("event_id")
+    },
+
+    // rolling least-squares trend: per-user slope of value over the last
+    // 5 events (x = per-user ordinal, so the slope is per-step drift) —
+    // the windowed trend detector monitoring pipelines run per entity.
+    // The five sufficient statistics are window sums of exact decimals
+    // over the 5-row frame (count/Σx/Σy/Σxy/Σx²) — frame math is exact,
+    // only the final slope division runs in IEEE double. One user-keyed
+    // window shuffle, O(1) state per scan — linear at any history.
+    "win_rolling_slope" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wf = w.rowsBetween(-4, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          money(col("value")).as("y"))
+        .withColumn("x", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wf))
+        .withColumn("sx", sum(col("x").cast("decimal(19,0)")).over(wf))
+        .withColumn("sy", sum(col("y")).over(wf))
+        .withColumn("sxy", sum(expr(
+          "CAST(x AS DECIMAL(19,0)) * y")).over(wf))
+        .withColumn("sxx", sum(expr(
+          "CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))")).over(wf))
+        .select(col("user_id"), col("event_id"), col("x").as("rn"),
+          col("y").cast("double").as("value"),
+          // + 0.0 normalizes IEEE −0.0 (a sign-flipped exact-zero
+          // numerator) to +0.0 on both engines
+          when(col("n") >= 2, round(
+            (col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+            / (col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")), 6)
+            + lit(0.0))
+            .as("slope5"))
+        .orderBy("event_id")
     }
   )
 
@@ -290,6 +356,56 @@ object Windows {
         |  FROM islands GROUP BY user_id, island)
         |SELECT user_id, count(*) AS n_islands, max(run_len) AS max_run,
         |  CAST(sum(run_len) AS BIGINT) AS n_events
-        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // identical fixed-order weighted sum — term order and association
+    // mirror the Scala fold exactly
+    "win_ewma" -> {
+      val yexpr = "CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE)"
+      val lags = (0 until 8).map { j =>
+        if (j == 0) s"$yexpr AS y0"
+        else s"lag($yexpr, $j) OVER w AS y$j"
+      }.mkString(",\n        |    ")
+      val num = (0 until 8)
+        .map(j => s"COALESCE(y$j * ${math.pow(0.5, j)}, 0.0)")
+        .mkString(" + ")
+      val den = (0 until 8)
+        .map(j => s"(CASE WHEN y$j IS NOT NULL THEN ${math.pow(0.5, j)}" +
+          " ELSE 0.0 END)")
+        .mkString(" + ")
+      s"""WITH l AS (
+         |  SELECT user_id, event_id,
+         |    $lags
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id, event_id, y0 AS value,
+         |  round(($num) / ($den), 6) AS ewma
+         |FROM l ORDER BY event_id""".stripMargin
+    },
+    "win_rolling_slope" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(value AS DECIMAL(18,2)) AS y,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS x
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, x, y,
+        |    count(*) OVER wf AS n,
+        |    sum(CAST(x AS DECIMAL(19,0))) OVER wf AS sx,
+        |    sum(y) OVER wf AS sy,
+        |    sum(CAST(x AS DECIMAL(19,0)) * y) OVER wf AS sxy,
+        |    sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+        |      OVER wf AS sxx
+        |  FROM base
+        |  WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, x AS rn, CAST(y AS DOUBLE) AS value,
+        |  CASE WHEN n >= 2 THEN round(
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0
+        |  END AS slope5
+        |FROM m ORDER BY event_id""".stripMargin
   )
 }

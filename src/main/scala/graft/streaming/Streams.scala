@@ -258,6 +258,42 @@ object Streams {
     * foreachBatch documents (batchId is provided for dedup; this demo
     * state is count-additive).
     */
+  /** foreachBatch CDC applier: merge one micro-batch of an ORDERED
+    * changelog (columns o_orderkey/o_custkey/o_orderstatus/o_totalprice/
+    * seq/op with op ∈ I/U/D) into a parquet state table. Within the batch
+    * last-writer-wins by seq; across batches the sequential foreachBatch
+    * contract IS the ordering (existing state is tagged seq −1, so any
+    * batch row beats it), and a delete that wins removes the key — a later
+    * batch's re-insert then lands on absent state. Same crash-safe
+    * tmp-swap as [[upsertCountsTo]]; replays are idempotent because the
+    * merge is a pure last-writer-wins function of (state ∪ batch).
+    */
+  def cdcApplyTo(dir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "seq", "op").map(col)
+    val in =
+      if (fs.exists(p))
+        spark.read.parquet(dir)
+          .withColumn("seq", lit(-1L)).withColumn("op", lit("I"))
+          .select(cols: _*)
+          .unionByName(batch.select(cols: _*))
+      else batch.select(cols: _*)
+    val merged = in.groupBy("o_orderkey")
+      .agg(expr("max_by(op, seq)").as("last_op"),
+        expr("max_by(o_custkey, seq)").as("o_custkey"),
+        expr("max_by(o_orderstatus, seq)").as("o_orderstatus"),
+        expr("max_by(o_totalprice, seq)").as("o_totalprice"))
+      .filter(col("last_op") =!= "D")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
+
   def upsertCountsTo(dir: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val p = new org.apache.hadoop.fs.Path(dir)

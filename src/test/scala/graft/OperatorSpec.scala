@@ -470,6 +470,275 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("cdc_apply honors deletes, re-inserts, and last-writer-wins") {
+    val rows = SparkEntry.queries("cdc_apply")(spark, sf).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[String]("o_orderstatus"))
+      .toMap
+    val keys = Tables.t(spark, sf, "orders").select("o_orderkey")
+      .collect().map(_.getLong(0))
+    keys.foreach { k =>
+      if (k % 20 == 0) assert(rows.get(k).contains("R"), s"key $k")
+      else if (k % 10 == 0) assert(!rows.contains(k), s"key $k not deleted")
+      else if (k % 5 == 0) assert(rows.get(k).contains("U"), s"key $k")
+      else assert(rows.contains(k), s"base key $k lost")
+    }
+  }
+
+  test("incremental_agg_merge: merged state always matches full recompute") {
+    val rows = SparkEntry.queries("incremental_agg_merge")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Boolean]("matches_full"),
+      s"merge drifted from recompute at custkey ${r.getAs[Long]("o_custkey")}"))
+  }
+
+  test("graph_kcore_peel removes low-degree nodes but keeps a core") {
+    val core = SparkEntry.queries("graph_kcore_peel")(spark, sf).collect()
+    val all = graft.ops.Graph.edges(spark, sf)
+      .select("src").distinct().count()
+    assert(core.nonEmpty && core.length < all,
+      s"peel must strictly shrink the graph: ${core.length} of $all")
+    // suppliers are the high-degree side of the bipartite trade graph —
+    // the peel should never remove all of them
+    assert(core.exists(_.getAs[String]("kind") == "supplier"))
+  }
+
+  test("graph_bfs_layers: seeds at 0, bipartite parity of layers") {
+    val rows = SparkEntry.queries("graph_bfs_layers")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[String]("kind"),
+        r.getAs[Long]("dist")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (node, kind, dist) =>
+      assert(dist >= 0 && dist <= graft.ops.Graph.BfsRounds)
+      if (dist == 0)
+        assert(kind == "customer" && node % 100 == 0, s"bad seed $node")
+      // trade graph is bipartite: odd hops land on suppliers, even on
+      // customers
+      assert((dist % 2 == 1) == (kind == "supplier"), s"$node at $dist")
+    }
+  }
+
+  test("events_growth_accounting reconciles the MAU identity") {
+    val acc = SparkEntry.queries("events_growth_accounting")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("wk").toString,
+        r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"),
+        r.getAs[Long]("n_resurrected"), r.getAs[Long]("n_churned")))
+      .sortBy(_._1)
+    val active = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts")))
+        .as("wk")).distinct()
+      .groupBy("wk").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[java.sql.Date]("wk").toString
+        -> r.getAs[Long]("n")).toMap
+    var prev = 0L
+    acc.foreach { case (wk, nw, ret, res, ch) =>
+      val a = active.getOrElse(wk, 0L)
+      assert(a == prev + nw + res - ch,
+        s"week $wk: $a != $prev + $nw + $res - $ch")
+      assert(ret <= prev)
+      prev = a
+    }
+  }
+
+  test("events_streaks: streak bounds and totals") {
+    val rows = SparkEntry.queries("events_streaks")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (st, days) = (r.getAs[Long]("longest_streak"),
+        r.getAs[Long]("n_active_days"))
+      assert(st >= 1 && st <= days)
+    }
+  }
+
+  test("agg_countmin never underestimates (the CMS guarantee)") {
+    val rows = SparkEntry.queries("agg_countmin")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact"))
+      assert(r.getAs[Long]("overestimate") >= 0)
+    }
+  }
+
+  test("sim_mmr_rerank picks are distinct, rank-1 is the top candidate") {
+    val rows = SparkEntry.queries("sim_mmr_rerank")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("rel")))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 4)
+    byQ.foreach { case (q, picks) =>
+      assert(picks.length == 4, s"query $q")
+      assert(picks.map(_._3).distinct.length == 4, s"dup pick in query $q")
+      val first = picks.find(_._2 == 1L).get
+      assert(first._4 == picks.map(_._4).max,
+        s"rank-1 of query $q is not the max-relevance pick")
+    }
+  }
+
+  test("text_heaps_fit: vocab curve is monotone, beta in (0, 1]") {
+    val rows = SparkEntry.queries("text_heaps_fit")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("vocab"), r.getAs[Double]("beta")))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    val vs = rows.map(_._3)
+    assert(vs.sameElements(vs.sorted), "vocab must be nondecreasing")
+    val ts = rows.map(_._2)
+    assert(ts.sameElements(ts.sorted), "token counts must be nondecreasing")
+    // sublinear growth: beta in [0, 1] — the fixture's flat ~31-word
+    // vocabulary saturates by the first checkpoint, so the slope can be
+    // exactly 0 at sf0.001 (vocab constant while tokens grow)
+    assert(rows.head._4 >= 0.0 && rows.head._4 <= 1.0,
+      s"beta ${rows.head._4}")
+  }
+
+  test("stream_cdc_apply micro-batched state equals one-shot cdc_apply") {
+    val streamed = SparkEntry.queries("stream_cdc_apply")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val oneShot = SparkEntry.queries("cdc_apply")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == oneShot,
+      s"state drifted: ${(streamed diff oneShot).take(3)} / " +
+        s"${(oneShot diff streamed).take(3)}")
+  }
+
+  test("events_interarrival: gap count conservation, cv non-negative") {
+    val rows = SparkEntry.queries("events_interarrival")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val totalGaps = rows.map(_.getAs[Long]("n_gaps")).sum
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf).select("user_id")
+      .distinct().count()
+    assert(totalGaps == nEvents - nUsers,
+      s"$totalGaps gaps from $nEvents events / $nUsers users")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cv") >= 0.0)
+      assert(r.getAs[Long]("min_gap_us") <= r.getAs[Long]("max_gap_us"))
+    }
+  }
+
+  test("events_velocity: every flagged cell clears both thresholds") {
+    SparkEntry.queries("events_velocity")(spark, sf).collect().foreach {
+      r =>
+        assert(r.getAs[Long]("n") >= 3)
+        assert(r.getAs[Double]("spike_factor") >= 2.5)
+    }
+  }
+
+  test("partition_skew_audit: skew >= 1, bytes reconcile to row count") {
+    val rows = SparkEntry.queries("partition_skew_audit")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("skew") >= 1.0)
+      assert(r.getAs[Long]("min_file_bytes") <= r.getAs[Long]("max_file_bytes"))
+    }
+    val total = rows.map(_.getAs[Long]("total_bytes")).sum
+    assert(total == Tables.t(spark, sf, "orders").count() * 120L)
+  }
+
+  test("constraint_check: every constraint passes on the clean fixture") {
+    val rows = SparkEntry.queries("constraint_check")(spark, sf).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("pass"),
+        s"${r.getAs[String]("constraint_name")}: " +
+          s"${r.getAs[Long]("n_violations")} violations")
+      assert(r.getAs[Long]("n_checked") > 0)
+    }
+  }
+
+  test("graph_degree_assortativity: bipartite hub graph is disassortative") {
+    val rows = SparkEntry.queries("graph_degree_assortativity")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head.getAs[Double]("assortativity")
+    assert(r >= -1.0 && r < 0.0,
+      s"customer-supplier edges pair low with high degree, expected r < 0, got $r")
+  }
+
+  test("events_stickiness: DAU <= WAU, ratio in (0, 1]") {
+    val rows = SparkEntry.queries("events_stickiness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("wau"))
+      val s = r.getAs[Double]("stickiness")
+      assert(s > 0.0 && s <= 1.0)
+    }
+  }
+
+  test("win_rolling_slope: one row per event, no slope before 2 points") {
+    val rows = SparkEntry.queries("win_rolling_slope")(spark, sf).collect()
+    assert(rows.length == Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      if (r.getAs[Long]("rn") == 1L) assert(r.isNullAt(r.fieldIndex("slope5")))
+      else assert(!r.isNullAt(r.fieldIndex("slope5")))
+    }
+  }
+
+  test("bloom_index_prune: no false negatives, and the index prunes") {
+    val rows = SparkEntry.queries("bloom_index_prune")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // ground truth: which files actually contain a probe key
+    val truth = Tables.t(spark, sf, "orders")
+      .select(to_date(date_trunc("month", col("o_orderdate"))).as("part"),
+        pmod(col("o_orderkey"), lit(20)).cast("long").as("file_id"),
+        (col("o_orderkey") % 97 === 0).as("hit"))
+      .groupBy("part", "file_id")
+      .agg(max(col("hit")).as("has_probe"))
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("part").toString,
+        r.getAs[Long]("file_id")) -> r.getAs[Boolean]("has_probe"))
+      .toMap
+    var scanned = 0
+    rows.foreach { r =>
+      val key = (r.getAs[java.sql.Date]("part").toString,
+        r.getAs[Long]("file_id"))
+      val would = r.getAs[Boolean]("would_scan")
+      if (truth(key)) assert(would, s"false negative at $key")
+      if (would) scanned += 1
+    }
+    assert(scanned < rows.length,
+      s"bloom index pruned nothing: $scanned of ${rows.length} files scan")
+  }
+
+  test("basket_rules: metrics well-formed, support floor respected") {
+    val rows = SparkEntry.queries("basket_rules")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pair_n") >= 5)
+      val c = r.getAs[Double]("confidence")
+      assert(c > 0.0 && c <= 1.0)
+      assert(r.getAs[Double]("lift") > 0.0)
+      assert(r.getAs[String]("brand_a") < r.getAs[String]("brand_b"))
+    }
+  }
+
+  test("win_ewma stays inside the running value envelope") {
+    val rows = SparkEntry.queries("win_ewma")(spark, sf).collect()
+    assert(rows.length == Tables.events(spark, sf).count())
+    val vals = rows.map(_.getAs[Double]("value"))
+    val (lo, hi) = (vals.min, vals.max)
+    rows.foreach { r =>
+      val e = r.getAs[Double]("ewma")
+      assert(e >= lo - 1e-6 && e <= hi + 1e-6, s"ewma $e outside [$lo, $hi]")
+    }
+  }
+
+  test("text_template_mining masks rare slots and groups duplicates") {
+    val rows = SparkEntry.queries("text_template_mining")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty, "no templates with n_docs >= 2 — threshold broke")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 2)
+      assert(r.getAs[Long]("n_chunks") >= r.getAs[Long]("n_docs"))
+      assert(r.getAs[String]("template").split(" ").length == 8)
+    }
+    assert(rows.exists(_.getAs[String]("template").contains("<*>")),
+      "no template has a masked slot — the top-10 keep mask is dead")
+  }
+
   test("dedup_substring flags the near-dup region, not the background") {
     val flagged = SparkEntry.queries("dedup_substring")(spark, sf)
       .filter(col("flag_dup")).select("doc_id").collect()

@@ -460,6 +460,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("text_gopher_rules and text_readability are map-only scoring " +
+    "passes (no exchange before the output sort)") {
+    Seq("text_gopher_rules", "text_readability").foreach { k =>
+      val p = plan(SparkEntry.queries(k)(spark, sf)
+        // strip the presentation orderBy: the claim is about the scoring
+        .limit(1))
+      assert(!p.contains("Exchange hashpartitioning"), s"$k:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$k:\n$p")
+    }
+  }
+
+  test("cdc_apply is one key-shuffle aggregate — no window sort, " +
+    "partial max_by before the exchange") {
+    val p = plan(SparkEntry.queries("cdc_apply")(spark, sf))
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby")
+      || p.contains("max_by"), p)
+    assert(!p.contains("Window"), p)
+    val shuffles = "Exchange hashpartitioning".r
+      .findAllMatchIn(p).length
+    assert(shuffles <= 1, s"expected <= 1 key shuffle, got $shuffles:\n$p")
+  }
+
+  test("embedding_whiten broadcasts the O(d) stats back (no vec-side " +
+    "shuffle join)") {
+    val p = plan(SparkEntry.queries("embedding_whiten")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("sql_lateral decorrelates to a join — no per-row re-execution") {
     val o = optimized(SparkEntry.queries("sql_lateral")(spark, sf))
     assert(o.contains("Join Inner"), o)

@@ -159,6 +159,41 @@ class StreamingSpec extends SparkSpec {
       Map("view" -> 3L, "click" -> 1L, "purchase" -> 1L), after2)
   }
 
+  test("foreachBatch CDC applier converges through a real writeStream " +
+      "(insert, update, delete, re-insert across micro-batches)") {
+    val stateDir = "/root/repo/target/tmp/stream_cdc_spec"
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String, Double, Long, String)]
+    val q = input.toDF().toDF("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "seq", "op")
+      .writeStream
+      .foreachBatch(Streams.cdcApplyTo(stateDir) _)
+      .outputMode(OutputMode.Append())
+      .start()
+    // batch 1: insert keys 1, 2, 3; update key 2
+    input.addData((1L, 10L, "O", 5.0, 0L, "I"), (2L, 20L, "O", 6.0, 0L, "I"),
+      (3L, 30L, "O", 7.0, 0L, "I"), (2L, 20L, "U", 8.0, 1L, "U"))
+    q.processAllAvailable()
+    val after1 = spark.read.parquet(stateDir)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getDouble(3)))
+      .toMap
+    assert(after1 == Map(1L -> ("O", 5.0), 2L -> ("U", 8.0),
+      3L -> ("O", 7.0)), after1.toString)
+    // batch 2: delete key 1, re-insert key 3 with new status
+    input.addData((1L, 10L, "O", 5.0, 2L, "D"),
+      (3L, 30L, "R", 9.0, 3L, "I"))
+    q.processAllAvailable()
+    q.stop()
+    val after2 = spark.read.parquet(stateDir)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getDouble(3)))
+      .toMap
+    assert(after2 == Map(2L -> ("U", 8.0), 3L -> ("R", 9.0)),
+      after2.toString)
+  }
+
   test("stream-static dim join over readStream equals the batch twin") {
     val src = "/root/repo/target/tmp/stream_src/events_dim"
     val batch = graft.ops.Tables.events(spark, sf)
