@@ -337,6 +337,9 @@ object Aggregates {
       val wid = wc.withColumn("wid", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("word"))
         .cast("long"))
+      // cached: the counter build AND the estimate join both read this
+      // vocab × depth table — uncached, the corpus-linear word count
+      // underneath runs twice (measured 4.0 s → ~1 s at sf0.1)
       val hashes = wid.select(col("word"), col("cnt"), col("wid"),
           explode(array(CmsRows.map { case (j, a, b) =>
             struct(lit(j).as("j"), lit(a).as("a"), lit(b).as("b"))
@@ -345,6 +348,7 @@ object Aggregates {
           col("h.j").as("j"),
           (((col("h.a") * col("wid") + col("h.b")) % CmsP) % CmsW)
             .as("bucket"))
+        .cache()
       val counters = hashes.groupBy("j", "bucket")
         .agg(sum(col("cnt")).as("total"))
       hashes.join(counters, Seq("j", "bucket"))

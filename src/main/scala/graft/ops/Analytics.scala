@@ -974,10 +974,13 @@ object Analytics {
     // counts through IEEE division, round(·,6), lift ties broken by
     // brand names.
     "basket_rules" -> { (s, d) =>
+      // cached: both sides of the pair self-join AND the per-brand count
+      // read this same distinct — uncached it runs three times
       val baskets = t(s, d, "lineitem")
         .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
         .distinct()
+        .cache()
       val nOrders = t(s, d, "orders").agg(count(lit(1)).as("n_orders"))
       val brandN = baskets.groupBy("brand").agg(count(lit(1)).as("bn"))
       val pairs = baskets

@@ -273,9 +273,13 @@ object Graph {
             col("dst") === col("adst"))
           .groupBy("src").agg(count(lit(1)).as("deg"))
       val init = e.select(col("src").as("node")).distinct()
+      // cache each round's O(V) alive set: round r+1 references round r
+      // TWICE (both endpoint filters) and the final degree pass walks the
+      // whole chain again — uncached, the re-execution tree is O(rounds²)
+      // passes over the edge list (measured 6.1 s → ~1.5 s at sf0.1)
       val alive = (1 to KcoreRounds).foldLeft(init) { (a, _) =>
         coreDeg(a).filter(col("deg") >= KcoreK)
-          .select(col("src").as("node"))
+          .select(col("src").as("node")).cache()
       }
       coreDeg(alive)
         .select(col("src").as("node"),
@@ -298,11 +302,15 @@ object Graph {
       val seeds = e.select(col("src").as("node")).distinct()
         .filter(col("node") < SuppOffset && col("node") % 100 === 0)
         .withColumn("dist", lit(0L))
+      // per-round cache for the same O(rounds²)-re-execution reason as
+      // graph_kcore_peel: each round reads the previous label table twice
+      // (carry-over + neighbor expansion)
       val out = (1 to BfsRounds).foldLeft(seeds) { (lab, _) =>
         val nb = e.join(broadcast(lab.select(col("node").as("ln"),
             col("dist"))), col("src") === col("ln"))
           .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
         lab.unionByName(nb).groupBy("node").agg(min("dist").as("dist"))
+          .cache()
       }
       out.select(col("node"),
           when(col("node") >= SuppOffset, "supplier").otherwise("customer")
