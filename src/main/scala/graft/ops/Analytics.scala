@@ -964,6 +964,61 @@ object Analytics {
         .orderBy("user_id", "hr")
     },
 
+    // monthly revenue trend with month-over-month and year-over-year
+    // growth — the reporting time series every revenue dashboard carries.
+    // The corpus collapses to O(#months) rows in one keyed exact-decimal
+    // aggregate BEFORE any window touches it, so the unpartitioned lag
+    // windows run over a calendar-bounded table (~80 rows here, a few
+    // hundred at any horizon) — never over the fact table.
+    "trend_revenue_monthly" -> { (s, d) =>
+      val monthly = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(to_date(date_trunc("month", col("o_orderdate")))
+          .as("month"))
+        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+      val w = Window.orderBy("month")
+      monthly
+        .withColumn("prev_m", lag(col("revenue"), 1).over(w))
+        .withColumn("prev_y", lag(col("revenue"), 12).over(w))
+        .select(col("month"), round(col("revenue"), 2).as("revenue"),
+          col("n_orders"),
+          round((col("revenue") - col("prev_m")) / col("prev_m"), 6)
+            .as("mom_growth"),
+          round((col("revenue") - col("prev_y")) / col("prev_y"), 6)
+            .as("yoy_growth"))
+        .orderBy("month")
+    },
+
+    // open-order backlog over time (the event-sourcing inventory view):
+    // an order opens in its order month and closes in its LAST ship
+    // month; backlog_m = cumulative opened − cumulative closed. Two
+    // keyed monthly histograms merged full-outer, then cumulative
+    // windows over the O(#months) calendar table — the fact tables
+    // collapse before any ordered state exists.
+    "orders_backlog" -> { (s, d) =>
+      val opened = t(s, d, "orders")
+        .groupBy(to_date(date_trunc("month", col("o_orderdate")))
+          .as("month"))
+        .agg(count(lit(1)).as("n_opened"))
+      val closed = t(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(max(col("l_shipdate")).as("last_ship"))
+        .groupBy(to_date(date_trunc("month", col("last_ship")))
+          .as("month"))
+        .agg(count(lit(1)).as("n_closed"))
+      val w = Window.orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      opened.join(closed, Seq("month"), "full_outer")
+        .select(col("month"),
+          coalesce(col("n_opened"), lit(0L)).as("n_opened"),
+          coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+        .withColumn("backlog",
+          sum(col("n_opened") - col("n_closed")).over(w))
+        .orderBy("month")
+    },
+
     // market-basket association rules over order contents: support /
     // confidence / lift for brand pairs bought together (events_cooccur
     // is type-level per session; this is the true basket form with the
@@ -1308,6 +1363,45 @@ object Analytics {
         |FROM cells c JOIN base b ON c.user_id = b.user_id
         |WHERE c.n >= 3 AND CAST(c.n AS DOUBLE) >= 2.5 * b.mean_hourly
         |ORDER BY c.user_id, c.hr""".stripMargin,
+    "trend_revenue_monthly" ->
+      s"""WITH m AS (
+         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |    CAST(sum(${sql.discPrice("l_extendedprice", "l_discount")})
+         |      AS DOUBLE) AS revenue,
+         |    count(DISTINCT o_orderkey) AS n_orders
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1),
+         |t AS (
+         |  SELECT month, revenue, n_orders,
+         |    lag(revenue, 1) OVER (ORDER BY month) AS prev_m,
+         |    lag(revenue, 12) OVER (ORDER BY month) AS prev_y
+         |  FROM m)
+         |SELECT month, round(revenue, 2) AS revenue, n_orders,
+         |  round((revenue - prev_m) / prev_m, 6) AS mom_growth,
+         |  round((revenue - prev_y) / prev_y, 6) AS yoy_growth
+         |FROM t ORDER BY month""".stripMargin,
+    "orders_backlog" ->
+      """WITH opened AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    count(*) AS n_opened
+        |  FROM orders GROUP BY 1),
+        |lastship AS (
+        |  SELECT l_orderkey, max(l_shipdate) AS last_ship
+        |  FROM lineitem GROUP BY l_orderkey),
+        |closed AS (
+        |  SELECT CAST(date_trunc('month', last_ship) AS DATE) AS month,
+        |    count(*) AS n_closed
+        |  FROM lastship GROUP BY 1),
+        |merged AS (
+        |  SELECT COALESCE(o.month, c.month) AS month,
+        |    COALESCE(o.n_opened, 0) AS n_opened,
+        |    COALESCE(c.n_closed, 0) AS n_closed
+        |  FROM opened o FULL OUTER JOIN closed c ON o.month = c.month)
+        |SELECT month, n_opened, n_closed,
+        |  CAST(sum(n_opened - n_closed) OVER (ORDER BY month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS backlog
+        |FROM merged ORDER BY month""".stripMargin,
     "basket_rules" ->
       """WITH baskets AS (
         |  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand

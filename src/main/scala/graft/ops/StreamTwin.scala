@@ -91,6 +91,31 @@ object StreamTwin {
       s.read.parquet(dir).orderBy("event_type")
     },
 
+    // twin of the windowed distinct-user sketch: the SAME builder
+    // (Streams.distinctUsersPerWindow) supplies the HLL estimate — exact
+    // windowed countDistinct is unsupported on a stream, the reason the
+    // sketch exists — and the twin joins it to the batch-exact count,
+    // reducing the estimate to its accuracy claim (agg_approx_distinct
+    // pattern; the oracle pins the exact count + bound-held boolean).
+    "stream_distinct_users" -> { (s, d) =>
+      val ev = events(s, d)
+      val approx = graft.streaming.Streams.distinctUsersPerWindow(ev)
+      val exact = ev
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .select(col("window.start").as("wstart"), col("n_exact"))
+      exact.join(approx, "wstart")
+        .select(col("wstart"), col("n_exact"),
+          // ±2 absolute floor: tiny hourly windows (n ≈ 5..17) make the
+          // 15% relative band sub-integer, and even the rsd-0.02 HLL
+          // legitimately sits up to 2 off there (1 of 720 fixture
+          // windows) — the bound states what the sketch actually meets
+          (abs(col("n_approx") - col("n_exact"))
+            <= greatest(lit(2.0), col("n_exact").cast("double") * 0.15))
+            .as("within_bound"))
+        .orderBy("wstart")
+    },
+
     // twin of the foreachBatch CDC applier: the ordered changelog
     // (Lakehouse.cdcLog) split into two micro-batches (seq <= 1, then
     // seq >= 2) and merged by the SAME function a writeStream would call
@@ -227,6 +252,10 @@ object StreamTwin {
     "stream_upsert_sink" ->
       """SELECT event_type, count(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_distinct_users" ->
+      """SELECT date_trunc('hour', ts) AS wstart,
+        |count(DISTINCT user_id) AS n_exact, TRUE AS within_bound
+        |FROM events GROUP BY 1 ORDER BY wstart""".stripMargin,
     // the micro-batched apply must accumulate to the one-shot batch
     // answer — the oracle IS cdc_apply's
     "stream_cdc_apply" ->

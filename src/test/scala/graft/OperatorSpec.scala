@@ -739,6 +739,30 @@ class OperatorSpec extends SparkSpec {
       "no template has a masked slot — the top-10 keep mask is dead")
   }
 
+  test("orders_backlog: nonnegative, reconciles to the totals") {
+    val rows = SparkEntry.queries("orders_backlog")(spark, sf).collect()
+      .map(r => (r.getAs[java.sql.Date]("month").toString,
+        r.getAs[Long]("n_opened"), r.getAs[Long]("n_closed"),
+        r.getAs[Long]("backlog"))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    // an order can only close at-or-after its open month, so the running
+    // balance can never dip negative
+    rows.foreach { case (m, _, _, b) => assert(b >= 0, s"month $m: $b") }
+    assert(rows.last._4 ==
+      rows.map(_._2).sum - rows.map(_._3).sum)
+  }
+
+  test("trend_revenue_monthly: growth defined exactly past the lag horizon") {
+    val rows = SparkEntry.queries("trend_revenue_monthly")(spark, sf)
+      .collect()
+    assert(rows.length >= 13, "needs more than a year of months")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Double]("revenue") > 0.0)
+      assert(r.isNullAt(r.fieldIndex("mom_growth")) == (i == 0))
+      assert(r.isNullAt(r.fieldIndex("yoy_growth")) == (i < 12))
+    }
+  }
+
   test("dedup_substring flags the near-dup region, not the background") {
     val flagged = SparkEntry.queries("dedup_substring")(spark, sf)
       .filter(col("flag_dup")).select("doc_id").collect()

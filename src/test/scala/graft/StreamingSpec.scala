@@ -194,6 +194,25 @@ class StreamingSpec extends SparkSpec {
       after2.toString)
   }
 
+  test("windowed distinct-user sketch over readStream equals the batch " +
+      "builder (HLL state is the only stream-legal distinct)") {
+    val src = "/root/repo/target/tmp/stream_src/events_distinct"
+    val batch = graft.ops.Tables.events(spark, sf)
+    batch.write.mode("overwrite").parquet(src)
+    val streamed = spark.readStream.schema(batch.schema).parquet(src)
+    val q = Streams.toMemorySink(
+      Streams.distinctUsersPerWindow(streamed), "stream_distinct_users_t",
+      OutputMode.Complete())
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stream_distinct_users_t")
+      .as[(java.sql.Timestamp, Long)].collect().toSet
+    val want = Streams.distinctUsersPerWindow(batch)
+      .as[(java.sql.Timestamp, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("stream-static dim join over readStream equals the batch twin") {
     val src = "/root/repo/target/tmp/stream_src/events_dim"
     val batch = graft.ops.Tables.events(spark, sf)
