@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** CLI entry point mirroring the reference's argparse surface
   * (`core.py:15-47`): settings come from `-j/--job-settings <json>`,
   * `-c/--config-file <path>`, or `TRANSFORMATION_JOB_*` env vars (in that
-  * precedence order), plus `--job <FormatConversionJob|CompressionJob|DedupJob|QualityFilterJob|CompactionJob|ProfileJob|SampleJob>`.
+  * precedence order), plus `--job <FormatConversionJob|CompressionJob|DedupJob|QualityFilterJob|CompactionJob|ProfileJob|SampleJob|CdcApplyJob>`.
   *
   * Prints the JobResponse as one JSON line; exit code 0 iff statusCode 200.
   */
@@ -38,6 +38,7 @@ object JobRunner {
       case "CompactionJob" => new CompactionJob(s)
       case "ProfileJob" => new ProfileJob(s)
       case "SampleJob" => new SampleJob(s)
+      case "CdcApplyJob" => new CdcApplyJob(s)
       case other =>
         throw new IllegalArgumentException(s"unknown job: $other")
     }

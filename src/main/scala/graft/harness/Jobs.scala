@@ -241,6 +241,33 @@ class SampleJob(s: JobSettings) extends GenericEtl[JobSettings](s) {
     }
 }
 
+/** Applies an ordered CDC changelog onto a base snapshot under the
+  * reference job contract: seed the state table with the base, then run
+  * the SAME last-writer-wins merge the streaming sink calls
+  * ([[graft.streaming.Streams.cdcApplyTo]]) — job and stream can never
+  * drift. Settings: `inputSource` = base snapshot parquet (orders
+  * schema), `extra.changelog` = changelog parquet (base columns + seq +
+  * op ∈ I/U/D), `outputDirectory` = the state table.
+  */
+class CdcApplyJob(s: JobSettings) extends GenericEtl[JobSettings](s) {
+  override def runJob(spark: SparkSession): JobResponse =
+    try {
+      val changelog = settings.extra.getOrElse("changelog",
+        settings.inputSource + "_changelog")
+      val base = spark.read.parquet(settings.inputSource)
+      val nBase = base.count()
+      base.write.mode("overwrite").parquet(settings.outputDirectory)
+      val log = spark.read.parquet(changelog)
+      graft.streaming.Streams.cdcApplyTo(settings.outputDirectory)(log, 0L)
+      val n = spark.read.parquet(settings.outputDirectory).count()
+      JobResponse(200,
+        Some(s"applied changelog onto $nBase base rows -> $n live rows"),
+        Some(s"""{"base_rows": $nBase, "live_rows": $n}"""))
+    } catch {
+      case e: Exception => JobResponse(500, Some(e.toString), None)
+    }
+}
+
 /** Re-encodes a dataset with a different parquet codec and reports the
   * before/after byte sizes (the "compression job" shape of the reference
   * ecosystem).

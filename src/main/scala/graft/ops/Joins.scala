@@ -359,6 +359,50 @@ object Joins {
         .orderBy("event_id")
     },
 
+    // point-in-time dimension lookup (the feature-store PIT-correctness
+    // join): each purchase is served the SCD2 segment (version + state)
+    // that was valid AT ITS TIMESTAMP — never a later one (training-serving
+    // skew is exactly this bug). The dimension is the scd2_history build
+    // over the same user stream; the lookup is the as-of shape: segments
+    // and probes union into ONE user-keyed window pass where
+    // last(ignoreNulls) carries (version, state, valid_from) — no
+    // point-in-interval range join, one shuffle by user at any history
+    // length. Same-ts ordering puts the segment row first (is_probe
+    // tiebreak), so a purchase that itself opens a segment reads its own
+    // new state, and higher event_id wins equal-ts segment ties exactly
+    // like the version-DESC oracle.
+    "join_temporal_dim" -> { (s, d) =>
+      val ev = events(s, d)
+      val wSeg = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val segs = ev
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", lag(col("event_type"), 1).over(wSeg))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("version", row_number().over(wSeg).cast("long"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(0).as("is_probe"), col("version"),
+          col("event_type").as("seg_type"), col("ts").as("seg_from"))
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(1).as("is_probe"), lit(null).cast("long").as("version"),
+          lit(null).cast("string").as("seg_type"),
+          lit(null).cast("timestamp").as("seg_from"))
+      val wAsof = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_probe"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      segs.unionByName(probes)
+        .withColumn("dim_version",
+          last(col("version"), ignoreNulls = true).over(wAsof))
+        .withColumn("dim_type",
+          last(col("seg_type"), ignoreNulls = true).over(wAsof))
+        .withColumn("dim_valid_from",
+          last(col("seg_from"), ignoreNulls = true).over(wAsof))
+        .filter(col("is_probe") === 1)
+        .select("event_id", "user_id", "ts", "dim_version", "dim_type",
+          "dim_valid_from")
+        .orderBy("event_id")
+    },
+
     // nearest-in-time join (the sensor-fusion / log-alignment shape): for
     // each purchase, the click with MINIMUM |Δt| in either direction by
     // the same user. Two directed as-of passes — backward carries the
@@ -589,6 +633,34 @@ object Joins {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    // the SCD2 segment build + a ranked PIT pick: among segments with
+    // valid_from <= probe ts, latest valid_from wins, version DESC
+    // breaking same-ts ties (== the window pass's event_id tie order)
+    "join_temporal_dim" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |segs AS (
+        |  SELECT user_id, ts AS seg_from, event_type AS seg_type,
+        |    CAST(row_number() OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+        |      AS version
+        |  FROM o WHERE prev IS NULL OR prev <> event_type),
+        |probes AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |ranked AS (
+        |  SELECT p.event_id, p.user_id, p.ts, s.version, s.seg_type,
+        |    s.seg_from,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY s.seg_from DESC, s.version DESC) AS rn
+        |  FROM probes p JOIN segs s
+        |    ON p.user_id = s.user_id AND s.seg_from <= p.ts)
+        |SELECT event_id, user_id, ts, version AS dim_version,
+        |  seg_type AS dim_type, seg_from AS dim_valid_from
+        |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin,
     // DuckDB's native ASOF JOIN + the staleness CASE — an independent
     // formulation of the same semantics (the Spark side is a window pass)
     "join_asof_tolerance" ->

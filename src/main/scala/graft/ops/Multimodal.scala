@@ -197,6 +197,35 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    // media curation gate (the text_gopher_rules analog for audio): run
+    // the REAL header decode, then per-asset rule flags — duration floor,
+    // sample-rate whitelist, and the byte_rate == sample_rate·block_align
+    // container-consistency check (a corrupted fmt block fails it) — plus
+    // the keep conjunction. Decode stays per-partition (no shuffle); the
+    // rules are pure projections over the decoded fields, so at 100 TB
+    // the gate costs exactly one pass over the media lake.
+    "multimodal_quality_gate" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "documents")
+        .select(col("doc_id"), lit("audio").as("modality"), col("text"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, modality, text) =>
+          parseWav(id, synthWav(id, text)).copy(modality = modality)
+        })
+        .toDF()
+        .select(col("doc_id"), col("duration_us"), col("sample_rate"),
+          col("n_channels"),
+          (col("duration_us") >= 20000L).as("rule_duration"),
+          col("sample_rate").isin(8000L, 16000L).as("rule_rate"),
+          (col("byte_rate") === col("sample_rate") * col("block_align"))
+            .as("rule_consistent"),
+          (col("duration_us") >= 20000L
+            && col("sample_rate").isin(8000L, 16000L)
+            && col("byte_rate") === col("sample_rate") * col("block_align"))
+            .as("keep"))
+        .orderBy("doc_id")
+    },
+
     // webdataset-style shard planning over the media MANIFEST: pack the
     // WAV payloads into ~64 KiB tar shards in doc order within 32
     // writer buckets (the pack_sequences discipline — each writer packs
@@ -288,6 +317,34 @@ object Multimodal {
     // closed form from the synthesis parameters (synthWav): PCM16,
     // channels = 1 + doc_id%2, rate = 8000*(1 + doc_id%3), a 12-byte LIST
     // junk chunk every fifth doc, one sample per text byte
+    // same closed-form header fields + the identical rule projections
+    "multimodal_quality_gate" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+        |    CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_samples
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, n_channels, sample_rate,
+        |    CAST(n_channels * 2 AS INTEGER) AS block_align,
+        |    CAST(sample_rate * n_channels * 2 AS BIGINT) AS byte_rate,
+        |    CAST(n_samples * n_channels * 2 AS BIGINT) AS data_bytes
+        |  FROM p),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(data_bytes * 1000000 // byte_rate AS BIGINT)
+        |      AS duration_us,
+        |    sample_rate, n_channels,
+        |    byte_rate = sample_rate * block_align AS rule_consistent
+        |  FROM q)
+        |SELECT doc_id, duration_us, sample_rate, n_channels,
+        |  duration_us >= 20000 AS rule_duration,
+        |  sample_rate IN (8000, 16000) AS rule_rate,
+        |  rule_consistent,
+        |  (duration_us >= 20000 AND sample_rate IN (8000, 16000)
+        |    AND rule_consistent) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     "multimodal_decode" ->
       """WITH p AS (
         |  SELECT doc_id,

@@ -91,6 +91,25 @@ object TextOps {
       "CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w)"
   }
 
+  /** The marker-count language scorer shared by `text_langid` and
+    * `text_lang_confusion`: per-doc per-language marker hits plus the
+    * argmax prediction (ties resolve in [[LangMarkers]] order — en first —
+    * exactly as the chained CASE in the oracle SQL does).
+    */
+  private def langScored(s: SparkSession, d: String): DataFrame = {
+    val scored = LangMarkers.foldLeft(toks(s, d)) { case (df, (lang, ws)) =>
+      df.withColumn(s"s_$lang", expr(
+        s"size(filter(toks, t -> t IN (${ws.map("'" + _ + "'").mkString(", ")})))"))
+    }
+    val langs = LangMarkers.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last)) { case (lang, rest) =>
+      val others = langs.filterNot(_ == lang)
+      when(others.map(o => col(s"s_$lang") >= col(s"s_$o"))
+        .reduce(_ && _), lang).otherwise(rest)
+    }
+    scored.withColumn("actual", col("lang")).withColumn("predicted", pred)
+  }
+
   /** Stopword marker sets for the language-ID heuristic; fixed, tiny, and
     * mirrored verbatim in the oracle SQL.
     */
@@ -290,21 +309,28 @@ object TextOps {
             substring(col("text"), 11, 20)).cast("long").as("dist_self"))
         .orderBy("doc_id")),
 
-    "text_langid" -> { (s, d) =>
-      val scored = LangMarkers.foldLeft(toks(s, d)) { case (df, (lang, ws)) =>
-        df.withColumn(s"s_$lang", expr(
-          s"size(filter(toks, t -> t IN (${ws.map("'" + _ + "'").mkString(", ")})))"))
-      }
-      val langs = LangMarkers.map(_._1)
-      val pred = langs.init.foldRight(lit(langs.last)) { case (lang, rest) =>
-        val others = langs.filterNot(_ == lang)
-        when(others.map(o => col(s"s_$lang") >= col(s"s_$o"))
-          .reduce(_ && _), lang).otherwise(rest)
-      }
-      scored.select(col("doc_id"), col("lang").as("actual"),
-        pred.as("predicted"),
-        col("s_en").cast("long").as("score_en"))
-        .orderBy("doc_id")
+    "text_langid" -> ((s, d) =>
+      langScored(s, d)
+        .select(col("doc_id"), col("actual"), col("predicted"),
+          col("s_en").cast("long").as("score_en"))
+        .orderBy("doc_id")),
+
+    // language-ID confusion matrix — the eval view for the marker
+    // heuristic (per (actual, predicted) cell: count + the within-actual
+    // recall share). The classifier-eval census every labeling pipeline
+    // reports; one keyed agg over the shared scorer + an O(langs)
+    // per-actual total window. Diagonal share = per-class recall.
+    "text_lang_confusion" -> { (s, d) =>
+      val cells = langScored(s, d)
+        .groupBy("actual", "predicted").agg(count(lit(1)).as("n_docs"))
+      cells
+        .withColumn("n_actual",
+          sum(col("n_docs")).over(Window.partitionBy("actual")))
+        .select(col("actual"), col("predicted"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("n_actual"), 6)
+            .as("share"),
+          (col("actual") === col("predicted")).as("is_correct"))
+        .orderBy("actual", "predicted")
     },
 
     // training-chunk preparation: overlapping token windows (32 tokens,
@@ -755,6 +781,33 @@ object TextOps {
     lang -> ws.map("'" + _ + "'").mkString(", ")
   }.toMap
 
+  /** The scored + argmax-predicted CTE chain shared by the `text_langid`
+    * and `text_lang_confusion` oracles — single SQL definition mirroring
+    * the single [[langScored]] on the Spark side.
+    */
+  private lazy val langPredCtes: String = {
+    val langs = LangMarkers.map(_._1)
+    val cases = langs.init.map { lang =>
+      val conds = langs.filterNot(_ == lang)
+        .map(o => s"s_$lang >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString("\n|    ")
+    s"""scored AS (
+       |  SELECT doc_id, lang,
+       |${langs.map(l =>
+          s"    len(list_filter(w, t -> t IN (${inLists(l)}))) AS s_$l")
+         .mkString(",\n|")}
+       |  FROM (SELECT doc_id, lang,
+       |          string_split(lower(trim(text)), ' ') AS w
+       |        FROM documents) d),
+       |pred AS (
+       |  SELECT doc_id, lang AS actual, s_en,
+       |    CASE
+       |    $cases
+       |    ELSE '${langs.last}' END AS predicted
+       |  FROM scored)""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "text_pii_scrub" ->
       """SELECT event_id,
@@ -917,29 +970,22 @@ object TextOps {
         |  AND ${metrics.avgWordLenSql} BETWEEN 2.0 AND 12.0
         |ORDER BY doc_id""".stripMargin,
     "text_langid" ->
-      s"""WITH scored AS (
-         |  SELECT doc_id, lang,
-         |    len(list_filter(w, t -> t IN (${inLists("en")}))) AS s_en,
-         |    len(list_filter(w, t -> t IN (${inLists("es")}))) AS s_es,
-         |    len(list_filter(w, t -> t IN (${inLists("de")}))) AS s_de,
-         |    len(list_filter(w, t -> t IN (${inLists("fr")}))) AS s_fr,
-         |    len(list_filter(w, t -> t IN (${inLists("zh")}))) AS s_zh
-         |  FROM (SELECT doc_id, lang,
-         |          string_split(lower(trim(text)), ' ') AS w
-         |        FROM documents) d)
-         |SELECT doc_id, lang AS actual,
-         |  CASE
-         |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
-         |     AND s_en >= s_zh THEN 'en'
-         |    WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr
-         |     AND s_es >= s_zh THEN 'es'
-         |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
-         |     AND s_de >= s_zh THEN 'de'
-         |    WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de
-         |     AND s_fr >= s_zh THEN 'fr'
-         |    ELSE 'zh' END AS predicted,
+      s"""WITH $langPredCtes
+         |SELECT doc_id, actual, predicted,
          |  CAST(s_en AS BIGINT) AS score_en
-         |FROM scored ORDER BY doc_id""".stripMargin,
+         |FROM pred ORDER BY doc_id""".stripMargin,
+    // shared scorer CTE + one keyed agg and an O(langs) total window
+    "text_lang_confusion" ->
+      s"""WITH $langPredCtes,
+         |cells AS (
+         |  SELECT actual, predicted, count(*) AS n_docs
+         |  FROM pred GROUP BY 1, 2)
+         |SELECT actual, predicted, n_docs,
+         |  round(CAST(n_docs AS DOUBLE)
+         |    / CAST(sum(n_docs) OVER (PARTITION BY actual) AS DOUBLE), 6)
+         |    AS share,
+         |  actual = predicted AS is_correct
+         |FROM cells ORDER BY actual, predicted""".stripMargin,
     // BIGINT casts on every sum (DuckDB sum(int) is HUGEINT — the r04
     // hash-fail class)
     "text_boilerplate" ->

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -306,6 +306,55 @@ object TrainPrep {
         .orderBy("doc_id")
     },
 
+    // sequence-length planning table: docs bucketed by power-of-two token
+    // length, with the token loss a 512-token context truncation would
+    // cost per bucket — the histogram batch-assembly reads before picking
+    // context/packing strategy (pack_sequences' sibling). ONE hash
+    // aggregate with map-side combine; output is O(log max_len) rows.
+    "seq_len_histogram" -> { (s, d) =>
+      val docs = toks(s, d)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
+      // bucket = smallest power of two >= n_tok, as a generated integer
+      // CASE chain — log2/pow would round-trip through each engine's
+      // libm, whose last-ulp behavior is not cross-engine stable
+      val bucket = (0 to 20).foldRight(lit(1L << 21): Column) { (k, rest) =>
+        when(col("n_tok") <= (1L << k), lit(1L << k)).otherwise(rest)
+      }
+      docs
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(greatest(col("n_tok") - 512L, lit(0L)))
+            .as("tokens_lost_at_512"))
+        .orderBy("bucket")
+    },
+
+    // corpus-mix concentration: Gini coefficient over per-source token
+    // shares — one number for "how skewed is the mix" next to
+    // corpus_mix's weights (0 = perfectly even sources, →1 = one source
+    // dominates). The corpus collapses to O(#sources) token counts
+    // first; the rank window and the Gini fold run over that tiny table.
+    // Σ rank·tokens in exact decimal; only the final ratio is IEEE.
+    "corpus_gini" -> { (s, d) =>
+      val src = toks(s, d)
+        .groupBy("source")
+        .agg(sum(size(col("toks")).cast("long")).as("tok"))
+      val w = Window.orderBy(col("tok"), col("source"))
+      val ranked = src.withColumn("i", row_number().over(w).cast("long"))
+      ranked
+        .agg(count(lit(1)).as("n_sources"),
+          sum(col("tok")).as("total_tokens"),
+          sum(expr("CAST(i AS DECIMAL(19,0)) * CAST(tok AS DECIMAL(19,0))"))
+            .cast("double").as("iw"))
+        .select(col("n_sources"), col("total_tokens"),
+          round((lit(2.0) * col("iw"))
+            / (col("n_sources").cast("double")
+              * col("total_tokens").cast("double"))
+            - (col("n_sources") + 1L).cast("double")
+              / col("n_sources").cast("double"), 6).as("gini"))
+    },
+
     // proportional stratified allocation: a 100-doc sample where each
     // source's quota is round(K·n_src/N) (floored at 1 so tail sources
     // stay represented — the balancing lever between `sample_stratified`'s
@@ -558,6 +607,47 @@ object TrainPrep {
          |  CAST(rn AS BIGINT) AS rn,
          |  CAST((rn - 1) * 4 // n_bucket + 1 AS BIGINT) AS phase
          |FROM r ORDER BY doc_id""".stripMargin,
+    // same generated power-of-two CASE chain (no libm log2 on either side)
+    "seq_len_histogram" -> {
+      val cases = (0 to 20)
+        .map(k => s"WHEN n_tok <= ${1L << k} THEN ${1L << k}")
+        .mkString("\n|      ")
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+         |      AS n_tok
+         |  FROM documents)
+         |SELECT CAST(CASE
+         |      $cases
+         |      ELSE ${1L << 21} END AS BIGINT) AS bucket,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |  CAST(sum(greatest(n_tok - 512, 0)) AS BIGINT)
+         |    AS tokens_lost_at_512
+         |FROM docs GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+    "corpus_gini" ->
+      """WITH src AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(lower(trim(text)), ' ')))
+        |      AS BIGINT) AS tok
+        |  FROM documents GROUP BY source),
+        |ranked AS (
+        |  SELECT source, tok,
+        |    CAST(row_number() OVER (ORDER BY tok, source) AS BIGINT) AS i
+        |  FROM src),
+        |m AS (
+        |  SELECT count(*) AS n_sources,
+        |    CAST(sum(tok) AS BIGINT) AS total_tokens,
+        |    CAST(sum(CAST(i AS DECIMAL(19,0)) * CAST(tok AS DECIMAL(19,0)))
+        |      AS DOUBLE) AS iw
+        |  FROM ranked)
+        |SELECT n_sources, total_tokens,
+        |  round((2.0 * iw)
+        |    / (CAST(n_sources AS DOUBLE) * CAST(total_tokens AS DOUBLE))
+        |    - CAST(n_sources + 1 AS DOUBLE) / CAST(n_sources AS DOUBLE), 6)
+        |    AS gini
+        |FROM m""".stripMargin,
     "sample_proportional" ->
       """WITH counts AS (
         |  SELECT source, count(*) AS n_src FROM documents GROUP BY source),

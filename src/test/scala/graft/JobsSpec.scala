@@ -185,4 +185,25 @@ class JobsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == jobIds)
   }
+
+  test("CdcApplyJob applies the changelog to the batch operator's answer") {
+    import org.apache.spark.sql.functions._
+    // base + changelog staged from the operator's own deterministic log
+    val base = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    base.write.mode("overwrite").parquet(s"$out/cdc_base")
+    graft.ops.Lakehouse.cdcLog(spark, sf)
+      .filter(col("seq") >= 1) // seq-0 inserts are the base itself
+      .write.mode("overwrite").parquet(s"$out/cdc_log")
+    val job = new CdcApplyJob(JobSettings(
+      s"$out/cdc_base", s"$out/cdc_state",
+      Map("changelog" -> s"$out/cdc_log")))
+    val r = job.runJob(spark)
+    assert(r.statusCode == 200, r)
+    val got = spark.read.parquet(s"$out/cdc_state")
+      .collect().map(_.toSeq).toSet
+    val want = SparkEntry.queries("cdc_apply")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "job state diverged from the cdc_apply operator")
+  }
 }

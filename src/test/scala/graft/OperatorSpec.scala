@@ -763,6 +763,68 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("multimodal_quality_gate rules split the corpus, keep == conj") {
+    val rows = SparkEntry.queries("multimodal_quality_gate")(spark, sf)
+      .collect()
+    assert(rows.length == Tables.t(spark, sf, "documents").count())
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("rule_consistent"),
+        s"container consistency failed at doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Boolean]("keep") ==
+        (r.getAs[Boolean]("rule_duration") && r.getAs[Boolean]("rule_rate")
+          && r.getAs[Boolean]("rule_consistent")))
+    }
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < rows.length,
+      s"gate must split the corpus: $kept of ${rows.length}")
+  }
+
+  test("text_lang_confusion shares sum to 1 per actual, counts conserve") {
+    val rows = SparkEntry.queries("text_lang_confusion")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("actual"), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("share")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (a, cells) =>
+      val s = cells.map(_._3).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"actual $a shares sum to $s")
+    }
+    assert(rows.map(_._2).sum ==
+      Tables.t(spark, sf, "documents").count())
+  }
+
+  test("seq_len_histogram: power-of-two buckets, doc counts conserve") {
+    val rows = SparkEntry.queries("seq_len_histogram")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert((b & (b - 1)) == 0, s"bucket $b is not a power of two")
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.t(spark, sf, "documents").count())
+  }
+
+  test("corpus_gini stays in [0, 1)") {
+    val r = SparkEntry.queries("corpus_gini")(spark, sf).collect().head
+    val g = r.getAs[Double]("gini")
+    assert(g >= 0.0 && g < 1.0, s"gini $g")
+    assert(r.getAs[Long]("n_sources") == 20)
+  }
+
+  test("join_temporal_dim: one row per purchase, never a future segment") {
+    val rows = SparkEntry.queries("join_temporal_dim")(spark, sf).collect()
+    val nPurch = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.length == nPurch)
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("dim_version")),
+        s"purchase ${r.getAs[Long]("event_id")} got no segment")
+      assert(!r.getAs[java.sql.Timestamp]("dim_valid_from")
+        .after(r.getAs[java.sql.Timestamp]("ts")),
+        s"future segment served at ${r.getAs[Long]("event_id")}")
+    }
+  }
+
   test("dedup_substring flags the near-dup region, not the background") {
     val flagged = SparkEntry.queries("dedup_substring")(spark, sf)
       .filter(col("flag_dup")).select("doc_id").collect()
