@@ -235,6 +235,24 @@ object Dedup {
     */
   val ReliableCheckpointKey = "spark.graft.reliableCheckpoint"
 
+  /** Connected-component labels over the LSH near-dup pair graph — the
+    * shared build behind `dedup_connected` and `dedup_cluster_stats`.
+    * Pairs are cached (the union references the pair plan twice; without
+    * it the whole LSH pipeline executes once per branch — measured ~2× the
+    * dominant cost of the query at sf0.1).
+    */
+  private def connectedLabels(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+      .cache()
+    pairs.count()
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .cache()
+    try connectedComponents(s, edges)
+    finally { edges.unpersist(); pairs.unpersist() }
+  }
+
   private[graft] def connectedComponents(s: SparkSession,
       edges: DataFrame, maxIter: Int = 32): DataFrame = {
     val sc = s.sparkContext
@@ -532,25 +550,24 @@ object Dedup {
     // transitive dedup: near-dup is not transitive pair-wise (A~B, B~C but
     // A!~C), so production keeper assignment runs on CONNECTED COMPONENTS
     // of the pair graph, not on individual pairs.
-    "dedup_connected" -> { (s, d) =>
-      // cache the PAIRS, not just the symmetric edge view: the union below
-      // references the pair plan twice, so without this the whole LSH pair
-      // pipeline executes once per branch (measured ~2x the dominant cost
-      // of this query at sf0.1)
-      val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
-        .cache()
-      pairs.count()
-      val edges = pairs
-        .union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst")
-        .cache()
-      val labels =
-        try connectedComponents(s, edges)
-        finally { edges.unpersist(); pairs.unpersist() }
-      labels
+    "dedup_connected" -> ((s, d) =>
+      connectedLabels(s, d)
         .select(col("id").as("doc_id"), col("label").as("keeper"))
-        .orderBy("doc_id")
-    },
+        .orderBy("doc_id")),
+
+    // dedup yield report: the cluster-size histogram over the connected
+    // near-dup components — n_docs_removable = Σ clusters·(size−1) is the
+    // number a dedup run reports as its savings before anyone deletes a
+    // byte. Two O(#labeled-docs) keyed aggregates on top of the same
+    // label build; output is O(#distinct sizes).
+    "dedup_cluster_stats" -> ((s, d) =>
+      connectedLabels(s, d)
+        .groupBy("label").agg(count(lit(1)).as("csize"))
+        .groupBy("csize")
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("csize").as("cluster_size"), col("n_clusters"),
+          (col("n_clusters") * (col("csize") - 1L)).as("n_docs_removable"))
+        .orderBy("cluster_size")),
 
     // embedding-cosine near-dup dedup, run where embedding dedup actually
     // operates: near-duplicate documents with a wide similarity margin. The
@@ -838,6 +855,25 @@ object Dedup {
          |  WHERE e.v <> r.u)
          |SELECT u AS doc_id, least(u, min(v)) AS keeper
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    // same transitive closure, reduced to the size histogram
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |  UNION ALL
+         |  SELECT doc_b AS u, doc_a AS v FROM jpairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |  WHERE e.v <> r.u),
+         |labels AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS keeper
+         |  FROM reach GROUP BY u),
+         |cl AS (SELECT keeper, count(*) AS csize FROM labels GROUP BY 1)
+         |SELECT csize AS cluster_size, count(*) AS n_clusters,
+         |  CAST(count(*) * (csize - 1) AS BIGINT) AS n_docs_removable
+         |FROM cl GROUP BY csize ORDER BY cluster_size""".stripMargin,
     // exact binary shingle-indicator cosine over ALL pairs sharing a
     // shingle (inverted index, no LSH on the oracle side), then the same
     // smallest-id-keeper decision step

@@ -825,6 +825,24 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("dedup_cluster_stats reconciles with the component labels") {
+    val stats = SparkEntry.queries("dedup_cluster_stats")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("cluster_size"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("n_docs_removable")))
+    assert(stats.nonEmpty)
+    stats.foreach { case (sz, n, rem) =>
+      assert(sz >= 2, "a labeled component has at least one edge")
+      assert(rem == n * (sz - 1))
+    }
+    val labels = SparkEntry.queries("dedup_connected")(spark, sf).collect()
+    val nDocs = labels.length.toLong
+    val nClusters = labels.map(_.getAs[Long]("keeper")).distinct.length
+    assert(stats.map(t => t._1 * t._2).sum == nDocs)
+    assert(stats.map(_._2).sum == nClusters)
+    assert(stats.map(_._3).sum == nDocs - nClusters)
+  }
+
   test("dedup_substring flags the near-dup region, not the background") {
     val flagged = SparkEntry.queries("dedup_substring")(spark, sf)
       .filter(col("flag_dup")).select("doc_id").collect()
