@@ -964,6 +964,64 @@ object Analytics {
         .orderBy("user_id", "hr")
     },
 
+    // cohort lifetime value: customers grouped by first-order year, the
+    // per-cohort average cumulative revenue at each year offset — the
+    // LTV curve (events_retention counts heads; this follows the money).
+    // Two customer-keyed aggregates (first year, then (customer, offset)
+    // revenue), one O(cohorts × offsets) cumulative window over the tiny
+    // matrix — the fact table never enters a window.
+    "cohort_ltv" -> { (s, d) =>
+      val firstYear = t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(min(year(col("o_orderdate"))).as("cohort_year"))
+      val perOffset = t(s, d, "orders")
+        .join(firstYear, "o_custkey")
+        .groupBy(col("o_custkey"), col("cohort_year"),
+          (year(col("o_orderdate")) - col("cohort_year")).as("year_offset"))
+        .agg(moneySum(col("o_totalprice")).as("rev"))
+      val cohortSize = firstYear.groupBy("cohort_year")
+        .agg(count(lit(1)).as("n_customers"))
+      val cells = perOffset.groupBy("cohort_year", "year_offset")
+        .agg(sum(expr("CAST(rev AS DECIMAL(18,2))")).as("rev_d"))
+      val w = Window.partitionBy("cohort_year").orderBy("year_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("cum_rev", sum(col("rev_d")).over(w))
+        .join(broadcast(cohortSize), "cohort_year")
+        .select(col("cohort_year"),
+          col("year_offset").cast("long").as("year_offset"),
+          col("rev_d").cast("double").as("cohort_revenue"),
+          round(col("cum_rev").cast("double") / col("n_customers"), 6)
+            .as("ltv_per_customer"))
+        .orderBy("cohort_year", "year_offset")
+    },
+
+    // supplier concentration per part type: Herfindahl–Hirschman index
+    // over supplier revenue shares — the sourcing-risk audit (HHI → 1 is
+    // a single-supplier category; procurement flags > 0.25). One
+    // (type, supplier)-keyed exact-decimal aggregate, shares and the
+    // Σ share² fold computed over the O(types × suppliers) matrix with
+    // round(·,12)-decimal summed squares — merge-order-proof.
+    "supplier_hhi" -> { (s, d) =>
+      val rev = t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"), col("l_suppkey"))
+        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .as("rev"))
+      val tot = rev.groupBy("p_type")
+        .agg(sum(col("rev")).as("tot"), count(lit(1)).as("n_suppliers"))
+      rev.join(tot, "p_type")
+        .withColumn("share",
+          col("rev").cast("double") / col("tot").cast("double"))
+        .groupBy("p_type")
+        .agg(max(col("n_suppliers")).as("n_suppliers"),
+          sum(expr("CAST(round(share * share, 12) AS DECIMAL(28,12))"))
+            .cast("double").as("hhi_raw"))
+        .select(col("p_type"), col("n_suppliers"),
+          round(col("hhi_raw"), 6).as("hhi"))
+        .orderBy("p_type")
+    },
+
     // monthly revenue trend with month-over-month and year-over-year
     // growth — the reporting time series every revenue dashboard carries.
     // The corpus collapses to O(#months) rows in one keyed exact-decimal
@@ -1363,6 +1421,54 @@ object Analytics {
         |FROM cells c JOIN base b ON c.user_id = b.user_id
         |WHERE c.n >= 3 AND CAST(c.n AS DOUBLE) >= 2.5 * b.mean_hourly
         |ORDER BY c.user_id, c.hr""".stripMargin,
+    "cohort_ltv" ->
+      """WITH fy AS (
+        |  SELECT o_custkey,
+        |    CAST(min(year(o_orderdate)) AS INTEGER) AS cohort_year
+        |  FROM orders GROUP BY o_custkey),
+        |po AS (
+        |  SELECT o.o_custkey, f.cohort_year,
+        |    CAST(year(o.o_orderdate) AS INTEGER) - f.cohort_year
+        |      AS year_offset,
+        |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS rev
+        |  FROM orders o JOIN fy f ON o.o_custkey = f.o_custkey
+        |  GROUP BY 1, 2, 3),
+        |cs AS (
+        |  SELECT cohort_year, count(*) AS n_customers
+        |  FROM fy GROUP BY cohort_year),
+        |cells AS (
+        |  SELECT cohort_year, year_offset,
+        |    sum(CAST(rev AS DECIMAL(18,2))) AS rev_d
+        |  FROM po GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort_year, year_offset, rev_d,
+        |    sum(rev_d) OVER (PARTITION BY cohort_year ORDER BY year_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        |  FROM cells)
+        |SELECT c.cohort_year, CAST(c.year_offset AS BIGINT) AS year_offset,
+        |  CAST(c.rev_d AS DOUBLE) AS cohort_revenue,
+        |  round(CAST(c.cum_rev AS DOUBLE) / s.n_customers, 6)
+        |    AS ltv_per_customer
+        |FROM cum c JOIN cs s ON c.cohort_year = s.cohort_year
+        |ORDER BY c.cohort_year, c.year_offset""".stripMargin,
+    "supplier_hhi" ->
+      s"""WITH rev AS (
+         |  SELECT p_type, l_suppkey,
+         |    sum(${sql.discPrice("l_extendedprice", "l_discount")}) AS rev
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT p_type, sum(rev) AS tot, count(*) AS n_suppliers
+         |  FROM rev GROUP BY p_type),
+         |sh AS (
+         |  SELECT r.p_type, t.n_suppliers,
+         |    CAST(r.rev AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+         |  FROM rev r JOIN tot t ON r.p_type = t.p_type)
+         |SELECT p_type, max(n_suppliers) AS n_suppliers,
+         |  round(CAST(sum(CAST(round(share * share, 12)
+         |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS hhi
+         |FROM sh GROUP BY p_type ORDER BY p_type""".stripMargin,
     "trend_revenue_monthly" ->
       s"""WITH m AS (
          |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

@@ -447,11 +447,14 @@ object TextOps {
       val uni = docs.select(explode(col("toks")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("c1"))
       val vsz = uni.agg(count(lit(1)).as("v_sz"))
+      // cached: the exploded bigram stream feeds BOTH the count build and
+      // the scoring join — uncached the corpus-sized explode runs twice
       val bg = docs.filter(size(col("toks")) >= 2)
         .select(col("doc_id"), explode(expr(
           """transform(sequence(0, size(toks) - 2),
             |  i -> concat(toks[i], ' ', toks[i + 1]))""".stripMargin))
           .as("bg"))
+        .cache()
       val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
       bg.join(broadcast(c2), "bg")
         .withColumn("w1", split(col("bg"), " ").getItem(0))

@@ -843,6 +843,31 @@ class OperatorSpec extends SparkSpec {
     assert(stats.map(_._3).sum == nDocs - nClusters)
   }
 
+  test("cohort_ltv curves start at offset 0 and never decrease") {
+    val rows = SparkEntry.queries("cohort_ltv")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("cohort_year"), r.getAs[Long]("year_offset"),
+        r.getAs[Double]("ltv_per_customer")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cy, cells) =>
+      val sorted = cells.sortBy(_._2)
+      assert(sorted.head._2 == 0L, s"cohort $cy has no offset-0 cell")
+      val ltv = sorted.map(_._3)
+      assert(ltv.zip(ltv.tail).forall { case (a, b) => b >= a },
+        s"cohort $cy LTV decreased: ${ltv.mkString(", ")}")
+    }
+  }
+
+  test("supplier_hhi sits in the (1/n, 1] concentration band") {
+    val rows = SparkEntry.queries("supplier_hhi")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, h) = (r.getAs[Long]("n_suppliers"), r.getAs[Double]("hhi"))
+      assert(h <= 1.0 + 1e-9)
+      assert(h >= 1.0 / n - 1e-6,
+        s"${r.getAs[String]("p_type")}: hhi $h below the 1/$n floor")
+    }
+  }
+
   test("dedup_substring flags the near-dup region, not the background") {
     val flagged = SparkEntry.queries("dedup_substring")(spark, sf)
       .filter(col("flag_dup")).select("doc_id").collect()
