@@ -320,6 +320,26 @@ object Aggregates {
           max(col("cnt")).as("mode_cnt"))
         .orderBy("l_returnflag")),
 
+    // weighted average (the aggregation-family gap next to moneyAvg):
+    // price-weighted mean discount per return flag — the form every
+    // blended-rate metric takes (weighted CTR, revenue-weighted margin).
+    // Numerator and denominator each sum in EXACT decimal (w·x products
+    // are fixed-scale decimals), one IEEE division at the end — the
+    // plain avg-of-ratios vs ratio-of-sums mistake is structurally
+    // impossible here. One partial-aggregable hash agg.
+    "agg_weighted_avg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum(money(col("l_extendedprice")) * money(col("l_discount")))
+          .as("wx"),
+          sum(money(col("l_extendedprice"))).as("wsum"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("n_rows"),
+          round(col("wx").cast("double") / col("wsum").cast("double"), 6)
+            .as("weighted_avg_discount"),
+          col("wsum").cast("double").as("weight_total"))
+        .orderBy("l_returnflag")),
+
     // Count-Min sketch (Cormode–Muthukrishnan): depth-4 × width-64
     // counters over the corpus word stream, queried for the top-50 words
     // against their exact counts — est ≥ exact always, and the
@@ -567,6 +587,16 @@ object Aggregates {
         |  FROM c)
         |SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_cnt
         |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    "agg_weighted_avg" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+        |    6) AS weighted_avg_discount,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS weight_total
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // identical LCG hash family in BIGINT; sums cast out of HUGEINT
     "agg_countmin" ->
       s"""WITH wc AS (

@@ -964,6 +964,33 @@ object Analytics {
         .orderBy("user_id", "hr")
     },
 
+    // first-touch attribution — the complementary model to
+    // events_attribution's last-touch (campaign ROI uses both ends:
+    // which touch ACQUIRED the user vs which CONVERTED them). Same
+    // single-window as-of shape, but `first(ignoreNulls)` over the
+    // unbounded-preceding frame carries the EARLIEST engagement touch;
+    // still one shuffle by user, O(1) frame state.
+    "events_first_touch" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val isTouch = col("event_type").isin("click", "view")
+      events(s, d)
+        .withColumn("t_id", when(isTouch, col("event_id")))
+        .withColumn("t_ts", when(isTouch, col("ts")))
+        .withColumn("t_ty", when(isTouch, col("event_type")))
+        .withColumn("touch_id",
+          first(col("t_id"), ignoreNulls = true).over(w))
+        .withColumn("touch_ts",
+          first(col("t_ts"), ignoreNulls = true).over(w))
+        .withColumn("touch_type",
+          first(col("t_ty"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("touch_id"), col("touch_type"),
+          expr("unix_micros(ts) - unix_micros(touch_ts)").as("age_us"))
+        .orderBy("event_id")
+    },
+
     // cohort lifetime value: customers grouped by first-order year, the
     // per-cohort average cumulative revenue at each year offset — the
     // LTV curve (events_retention counts heads; this follows the money).
@@ -1421,6 +1448,26 @@ object Analytics {
         |FROM cells c JOIN base b ON c.user_id = b.user_id
         |WHERE c.n >= 3 AND CAST(c.n AS DOUBLE) >= 2.5 * b.mean_hourly
         |ORDER BY c.user_id, c.hr""".stripMargin,
+    "events_first_touch" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    CASE WHEN event_type IN ('click', 'view')
+        |         THEN event_id END AS t_id,
+        |    CASE WHEN event_type IN ('click', 'view') THEN ts END AS t_ts,
+        |    CASE WHEN event_type IN ('click', 'view')
+        |         THEN event_type END AS t_ty
+        |  FROM events),
+        |a AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    first_value(t_id IGNORE NULLS) OVER w AS touch_id,
+        |    first_value(t_ts IGNORE NULLS) OVER w AS touch_ts,
+        |    first_value(t_ty IGNORE NULLS) OVER w AS touch_type
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ts, touch_id, touch_type,
+        |  epoch_us(ts) - epoch_us(touch_ts) AS age_us
+        |FROM a WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "cohort_ltv" ->
       """WITH fy AS (
         |  SELECT o_custkey,

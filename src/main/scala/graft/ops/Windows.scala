@@ -212,6 +212,29 @@ object Windows {
         .orderBy("event_id")
     },
 
+    // rolling exact median over the trailing 5 events — the robust
+    // smoother (EWMA follows spikes; the median ignores them). A 5-row
+    // frame means the median is a PURE expression: sort the 5 lagged
+    // values in-row and take the middle — no percentile state, no frame
+    // aggregate, emitted only once the frame is full (the first 4 rows
+    // per user are null, like slope5 before 2 points). One window
+    // shuffle, O(depth) state per scan.
+    "win_rolling_median" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val base = events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          money(col("value")).cast("double").as("y"))
+      val lagged = (1 to 4).foldLeft(base) { (df, j) =>
+        df.withColumn(s"y$j", lag(col("y"), j).over(w))
+      }
+      lagged
+        .select(col("user_id"), col("event_id"), col("y").as("value"),
+          when(col("y4").isNotNull,
+            element_at(array_sort(array(col("y"), col("y1"), col("y2"),
+              col("y3"), col("y4"))), 3)).as("median5"))
+        .orderBy("event_id")
+    },
+
     // rolling least-squares trend: per-user slope of value over the last
     // 5 events (x = per-user ordinal, so the slope is per-step drift) —
     // the windowed trend detector monitoring pipelines run per entity.
@@ -381,6 +404,21 @@ object Windows {
          |  round(($num) / ($den), 6) AS ewma
          |FROM l ORDER BY event_id""".stripMargin
     },
+    "win_rolling_median" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS y
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, y,
+        |    lag(y, 1) OVER w AS y1, lag(y, 2) OVER w AS y2,
+        |    lag(y, 3) OVER w AS y3, lag(y, 4) OVER w AS y4
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id, y AS value,
+        |  CASE WHEN y4 IS NOT NULL
+        |    THEN list_sort([y, y1, y2, y3, y4])[3] END AS median5
+        |FROM l ORDER BY event_id""".stripMargin,
     "win_rolling_slope" ->
       """WITH base AS (
         |  SELECT user_id, event_id, ts,

@@ -868,6 +868,51 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("events_first_touch precedes last-touch on every purchase") {
+    val first = SparkEntry.queries("events_first_touch")(spark, sf)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Long]("touch_id")),
+          r.getAs[java.lang.Long]("age_us"))).toMap
+    val last = SparkEntry.queries("events_attribution")(spark, sf)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Long]("touch_id")),
+          r.getAs[java.lang.Long]("gap_us"))).toMap
+    assert(first.keySet == last.keySet)
+    first.foreach { case (id, (ft, age)) =>
+      val (lt, gap) = last(id)
+      assert(ft.isDefined == lt.isDefined, s"purchase $id")
+      if (ft.isDefined)
+        assert(age >= gap, s"purchase $id: first-touch age $age < " +
+          s"last-touch gap $gap")
+    }
+  }
+
+  test("win_rolling_median stays inside the value envelope") {
+    val rows = SparkEntry.queries("win_rolling_median")(spark, sf)
+      .collect()
+    assert(rows.length == Tables.events(spark, sf).count())
+    val vals = rows.map(_.getAs[Double]("value"))
+    val (lo, hi) = (vals.min, vals.max)
+    var defined = 0
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("median5"))) {
+        defined += 1
+        val m = r.getAs[Double]("median5")
+        assert(m >= lo && m <= hi)
+      }
+    }
+    assert(defined > 0)
+  }
+
+  test("agg_weighted_avg lands inside the discount range") {
+    SparkEntry.queries("agg_weighted_avg")(spark, sf).collect().foreach {
+      r =>
+        val wa = r.getAs[Double]("weighted_avg_discount")
+        assert(wa >= 0.0 && wa <= 0.1 + 1e-9,
+          s"${r.getAs[String]("l_returnflag")}: $wa outside fixture range")
+    }
+  }
+
   test("dedup_substring flags the near-dup region, not the background") {
     val flagged = SparkEntry.queries("dedup_substring")(spark, sf)
       .filter(col("flag_dup")).select("doc_id").collect()
