@@ -1104,6 +1104,22 @@ object Analytics {
         .orderBy("month")
     },
 
+    // order-size distribution: how many line items orders carry — the
+    // basket-size histogram capacity planning and join-selectivity
+    // estimates read (it is also the bound behind basket_rules' pair
+    // space). Two keyed aggregates, O(#distinct sizes) out.
+    "orders_size_dist" -> { (s, d) =>
+      val sizes = t(s, d, "lineitem")
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n_items"))
+      val tot = sizes.agg(count(lit(1)).as("n_orders"))
+      sizes.groupBy("n_items").agg(count(lit(1)).as("n_orders_at"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_items"), col("n_orders_at"),
+          round(col("n_orders_at").cast("double") / col("n_orders"), 6)
+            .as("share"))
+        .orderBy("n_items")
+    },
+
     // market-basket association rules over order contents: support /
     // confidence / lift for brand pairs bought together (events_cooccur
     // is type-level per session; this is the true basket form with the
@@ -1555,6 +1571,15 @@ object Analytics {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS backlog
         |FROM merged ORDER BY month""".stripMargin,
+    "orders_size_dist" ->
+      """WITH sizes AS (
+        |  SELECT l_orderkey, count(*) AS n_items
+        |  FROM lineitem GROUP BY l_orderkey),
+        |tot AS (SELECT count(*) AS n_orders FROM sizes)
+        |SELECT n_items, count(*) AS n_orders_at,
+        |  round(CAST(count(*) AS DOUBLE) / max(t.n_orders), 6) AS share
+        |FROM sizes CROSS JOIN tot t
+        |GROUP BY n_items ORDER BY n_items""".stripMargin,
     "basket_rules" ->
       """WITH baskets AS (
         |  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand

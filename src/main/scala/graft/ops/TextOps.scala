@@ -656,6 +656,23 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // corpus lexical summary: vocabulary size, hapax legomena (words
+    // seen exactly once — the OOV/noise tail a tokenizer budget must
+    // absorb), and the corpus-level type-token ratio in one row. Vocab
+    // aggregates are Zipf-small; everything after the one corpus-linear
+    // count is O(vocab).
+    "text_hapax_stats" -> { (s, d) =>
+      wordCounts(s, d)
+        .agg(count(lit(1)).as("n_vocab"),
+          sum(col("cnt")).as("n_tokens"),
+          sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("n_vocab"), col("n_tokens"), col("n_hapax"),
+          round(col("n_hapax").cast("double") / col("n_vocab"), 6)
+            .as("hapax_ratio"),
+          round(col("n_vocab").cast("double") / col("n_tokens"), 6)
+            .as("corpus_ttr"))
+    },
+
     // per-source dataset card (the datasheet table every corpus release
     // ships): doc/token volumes, language spread with the modal language,
     // and the quality-filter pass rate — one row per source, the
@@ -1213,6 +1230,22 @@ object TextOps {
         |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rare_ratio
         |FROM words JOIN vocab USING (word) CROSS JOIN thr
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_hapax_stats" ->
+      """WITH wc AS (
+        |  SELECT word, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(lower(trim(text)), ' '))
+        |          AS word
+        |        FROM documents) t
+        |  GROUP BY word)
+        |SELECT count(*) AS n_vocab,
+        |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS hapax_ratio,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS BIGINT), 6)
+        |    AS corpus_ttr
+        |FROM wc""".stripMargin,
     "corpus_datacard" ->
       s"""WITH docs AS (
          |  SELECT doc_id, source, lang,

@@ -913,6 +913,27 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("orders_size_dist shares sum to 1 and orders conserve") {
+    val rows = SparkEntry.queries("orders_size_dist")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shares - 1.0) < 1e-4, s"shares sum to $shares")
+    assert(rows.map(_.getAs[Long]("n_orders_at")).sum ==
+      Tables.t(spark, sf, "lineitem").select("l_orderkey")
+        .distinct().count())
+  }
+
+  test("text_hapax_stats ratios are consistent with the vocab") {
+    val r = SparkEntry.queries("text_hapax_stats")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n_vocab") > 0)
+    assert(r.getAs[Long]("n_hapax") <= r.getAs[Long]("n_vocab"))
+    val hr = r.getAs[Double]("hapax_ratio")
+    assert(hr >= 0.0 && hr <= 1.0)
+    val ttr = r.getAs[Double]("corpus_ttr")
+    assert(ttr > 0.0 && ttr <= 1.0)
+  }
+
   test("dedup_substring flags the near-dup region, not the background") {
     val flagged = SparkEntry.queries("dedup_substring")(spark, sf)
       .filter(col("flag_dup")).select("doc_id").collect()
