@@ -1120,6 +1120,155 @@ object Analytics {
         .orderBy("n_items")
     },
 
+    // ABC / Pareto classification of parts by revenue contribution — the
+    // inventory-policy split (A: the heads that cover 80% of revenue,
+    // B: the next 15%, C: the long tail). The corpus collapses to an
+    // O(parts) revenue table in ONE exact-decimal keyed agg; the ordered
+    // cumulative share then runs a single global window over the SMALL
+    // dim-sized table (at cluster scale: range-partition the window by
+    // the revenue sort key — the input is O(parts), never the fact
+    // table). Shares divide exact decimals in IEEE double, so the class
+    // boundaries are bit-identical across engines.
+    "inventory_abc_class" -> { (s, d) =>
+      val rev = t(s, d, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .as("rev"))
+      val tot = rev.agg(sum(col("rev")).as("tot"))
+      val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev
+        .withColumn("cum", sum(col("rev")).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("cum_share",
+          col("cum").cast("double") / col("tot").cast("double"))
+        .withColumn("cls",
+          when(col("cum_share") <= 0.80, "A")
+            .when(col("cum_share") <= 0.95, "B").otherwise("C"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("rev")).cast("double").as("revenue"),
+          round(sum(col("rev")).cast("double")
+            / max(col("tot")).cast("double"), 6).as("share"))
+        .orderBy("cls")
+    },
+
+    // fulfillment-latency profile: order-date → ship-date delay in whole
+    // days, summarized per order priority (the SLA table an ops review
+    // reads; exposes whether URGENT really ships faster). One equi-join
+    // on the order key + one keyed agg; the delay is exact integer days,
+    // the mean divides an exact integer sum, and the exact interpolated
+    // p90 follows the agg_percentile precedent (integer inputs ⇒
+    // round(4) agrees across engines).
+    "ship_delay_stats" -> { (s, d) =>
+      t(s, d, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(t(s, d, "lineitem").select("l_orderkey", "l_shipdate"),
+          col("o_orderkey") === col("l_orderkey"))
+        .withColumn("delay",
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("delay")).cast("double") / count(lit(1)), 6)
+            .as("mean_delay_days"),
+          min(col("delay")).as("min_delay"),
+          round(expr("percentile(delay, 0.9)"), 4).as("p90_delay"),
+          max(col("delay")).as("max_delay"))
+        .orderBy("o_orderpriority")
+    },
+
+    // repeat-purchase cadence: the distribution of gaps between a
+    // customer's consecutive orders, bucketed into the lifecycle bands a
+    // retention model keys on (within a week / month / quarter / longer).
+    // One customer-keyed lag window + one O(4)-out keyed agg — the
+    // orders-table sibling of events_interarrival's per-user microsecond
+    // profile, at business granularity with a fixed-band histogram.
+    "orders_repeat_intervals" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      val gaps = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+        .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("gap_days",
+          datediff(col("o_orderdate"), col("prev")).cast("long"))
+        .withColumn("band",
+          when(col("gap_days") <= 7, "01_week")
+            .when(col("gap_days") <= 30, "02_month")
+            .when(col("gap_days") <= 90, "03_quarter")
+            .otherwise("04_long"))
+      val tot = gaps.agg(count(lit(1)).as("n_total"))
+      gaps.groupBy("band")
+        .agg(count(lit(1)).as("n_gaps"),
+          round(sum(col("gap_days")).cast("double") / count(lit(1)), 6)
+            .as("mean_gap_days"))
+        .crossJoin(broadcast(tot))
+        .select(col("band"), col("n_gaps"), col("mean_gap_days"),
+          round(col("n_gaps").cast("double") / col("n_total"), 6)
+            .as("share"))
+        .orderBy("band")
+    },
+
+    // Laspeyres price index by month — realized unit prices (exact
+    // decimal Σprice/Σqty per brand-month, rounded to a DECIMAL(18,6)
+    // price) weighted by base-month quantities, so the index tracks pure
+    // price movement with the basket frozen at the first month. The fact
+    // table collapses to O(brands × months) in one exact-decimal keyed
+    // agg; everything after is dim-sized (base-basket join + one keyed
+    // decimal dot-product per month). Products stay in decimal until the
+    // single final IEEE division.
+    "price_index_monthly" -> { (s, d) =>
+      val bm = t(s, d, "lineitem")
+        .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+        .agg(sum(money(col("l_extendedprice"))).as("sp"),
+          sum(money(col("l_quantity"))).as("sq"))
+        // up: DECIMAL(12,6) bounds unit price < 10^6; q: DECIMAL(18,2)
+        // holds brand-month quantity sums to 10^16 — both chosen so the
+        // up × q product stays inside precision 38 EXACTLY in both
+        // engines (a wider operand would trip Spark's lossy
+        // precision-reduction on multiply)
+        .select(col("p_brand"), col("month"),
+          expr("CAST(round(CAST(sp AS DOUBLE) / CAST(sq AS DOUBLE), 6)" +
+            " AS DECIMAL(12,6))").as("up"),
+          col("sq").cast("decimal(18,2)").as("sq"))
+      val m0 = bm.agg(min(col("month")).as("m0"))
+      val base = bm.crossJoin(broadcast(m0))
+        .filter(col("month") === col("m0"))
+        .select(col("p_brand"), col("up").as("up0"), col("sq").as("q0"))
+      bm.join(broadcast(base), "p_brand")
+        .groupBy("month")
+        .agg(count(lit(1)).as("n_brands"),
+          sum(expr("CAST(up * q0 AS DECIMAL(38,8))")).cast("double")
+            .as("num"),
+          sum(expr("CAST(up0 * q0 AS DECIMAL(38,8))")).cast("double")
+            .as("den"))
+        .select(col("month"), col("n_brands"),
+          round(col("num") / col("den"), 6).as("price_index"))
+        .orderBy("month")
+    },
+
+    // weekly activity grid: event volume by (weekday, hour) cell with
+    // corpus share — the calendar heatmap behind capacity planning and
+    // anomaly baselines (a spike off this grid is events_velocity's
+    // per-user signal at fleet level). One keyed agg to ≤168 cells plus
+    // a broadcast 1-row total.
+    "events_calendar_profile" -> { (s, d) =>
+      val cells = events(s, d)
+        .groupBy(expr("weekday(ts)").cast("int").as("dow"),
+          hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n_events"))
+      val tot = cells.agg(sum(col("n_events")).as("n_total"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("dow"), col("hr"), col("n_events"),
+          round(col("n_events").cast("double") / col("n_total"), 6)
+            .as("share"))
+        .orderBy("dow", "hr")
+    },
+
     // market-basket association rules over order contents: support /
     // confidence / lift for brand pairs bought together (events_cooccur
     // is type-level per session; this is the true basket form with the
@@ -1580,6 +1729,101 @@ object Analytics {
         |  round(CAST(count(*) AS DOUBLE) / max(t.n_orders), 6) AS share
         |FROM sizes CROSS JOIN tot t
         |GROUP BY n_items ORDER BY n_items""".stripMargin,
+    "inventory_abc_class" ->
+      s"""WITH rev AS (
+         |  SELECT l_partkey,
+         |    sum(${sql.discPrice("l_extendedprice", "l_discount")}) AS rev
+         |  FROM lineitem GROUP BY l_partkey),
+         |tot AS (SELECT sum(rev) AS tot FROM rev),
+         |c AS (
+         |  SELECT l_partkey, rev,
+         |    sum(rev) OVER (ORDER BY rev DESC, l_partkey
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM rev),
+         |k AS (
+         |  SELECT rev, t.tot,
+         |    CASE WHEN CAST(cum AS DOUBLE) / CAST(t.tot AS DOUBLE) <= 0.80
+         |           THEN 'A'
+         |         WHEN CAST(cum AS DOUBLE) / CAST(t.tot AS DOUBLE) <= 0.95
+         |           THEN 'B'
+         |         ELSE 'C' END AS cls
+         |  FROM c CROSS JOIN tot t)
+         |SELECT cls, count(*) AS n_parts,
+         |  CAST(sum(rev) AS DOUBLE) AS revenue,
+         |  round(CAST(sum(rev) AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6)
+         |    AS share
+         |FROM k GROUP BY cls ORDER BY cls""".stripMargin,
+    "ship_delay_stats" ->
+      """WITH dl AS (
+        |  SELECT o_orderpriority,
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS delay
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        |SELECT o_orderpriority, count(*) AS n_lines,
+        |  round(CAST(sum(delay) AS DOUBLE) / count(*), 6)
+        |    AS mean_delay_days,
+        |  min(delay) AS min_delay,
+        |  round(quantile_cont(delay, 0.9), 4) AS p90_delay,
+        |  max(delay) AS max_delay
+        |FROM dl GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin,
+    "orders_repeat_intervals" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day',
+        |      CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+        |  FROM orders),
+        |f AS (
+        |  SELECT gap_days,
+        |    CASE WHEN gap_days <= 7 THEN '01_week'
+        |         WHEN gap_days <= 30 THEN '02_month'
+        |         WHEN gap_days <= 90 THEN '03_quarter'
+        |         ELSE '04_long' END AS band
+        |  FROM g WHERE gap_days IS NOT NULL),
+        |tot AS (SELECT count(*) AS n_total FROM f)
+        |SELECT band, count(*) AS n_gaps,
+        |  round(CAST(sum(gap_days) AS DOUBLE) / count(*), 6)
+        |    AS mean_gap_days,
+        |  round(CAST(count(*) AS DOUBLE) / max(t.n_total), 6) AS share
+        |FROM f CROSS JOIN tot t GROUP BY band ORDER BY band""".stripMargin,
+    "price_index_monthly" ->
+      """WITH bm AS (
+        |  SELECT p_brand,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(round(
+        |      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+        |      AS DECIMAL(12,6)) AS up,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS sq
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |m0 AS (SELECT min(month) AS m0 FROM bm),
+        |base AS (
+        |  SELECT p_brand, up AS up0, sq AS q0
+        |  FROM bm CROSS JOIN m0 WHERE month = m0),
+        |j AS (
+        |  SELECT bm.month,
+        |    CAST(bm.up * b.q0 AS DECIMAL(38,8)) AS nm,
+        |    CAST(b.up0 * b.q0 AS DECIMAL(38,8)) AS dn
+        |  FROM bm JOIN base b ON bm.p_brand = b.p_brand)
+        |SELECT month, count(*) AS n_brands,
+        |  round(CAST(sum(nm) AS DOUBLE) / CAST(sum(dn) AS DOUBLE), 6)
+        |    AS price_index
+        |FROM j GROUP BY month ORDER BY month""".stripMargin,
+    "events_calendar_profile" ->
+      """WITH cells AS (
+        |  SELECT CAST(isodow(ts) - 1 AS INT) AS dow,
+        |    CAST(hour(ts) AS INT) AS hr, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT sum(n_events) AS n_total FROM cells)
+        |SELECT dow, hr, n_events,
+        |  round(CAST(n_events AS DOUBLE) / t.n_total, 6) AS share
+        |FROM cells CROSS JOIN tot t ORDER BY dow, hr""".stripMargin,
     "basket_rules" ->
       """WITH baskets AS (
         |  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand

@@ -451,6 +451,34 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, d) =>
       exactJaccardPairs(s, d).orderBy("doc_a", "doc_b")),
 
+    // blocked edit-distance near-dup: candidate pairs from a cheap
+    // (first-token, token-count-bucket) blocking key, re-ranked by exact
+    // Levenshtein over the 80-char head. This is the precise RE-RANK
+    // stage of a fuzzy-dedup pipeline — the pair space is quadratic only
+    // WITHIN a block (first-token blocks are Zipf-headed, so production
+    // swaps in a MinHash pre-filter when a head block outgrows the
+    // quadratic budget; the bucketed token count caps it here).
+    // Levenshtein cost is bounded by the fixed 80-char head, not the doc.
+    "dedup_editdist_blocked" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), lower(trim(col("text"))).as("tx"))
+        .select(col("doc_id"),
+          split(col("tx"), " ").getItem(0).as("w1"),
+          expr("CAST(size(split(tx, ' ')) AS BIGINT) div 5").as("nb"),
+          substring(col("tx"), 1, 80).as("head"))
+      val a = docs.select(col("doc_id").as("doc_a"), col("w1"),
+        col("nb"), col("head").as("head_a"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("w1"),
+        col("nb"), col("head").as("head_b"))
+      a.join(b, Seq("w1", "nb"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("head_a"), col("head_b")).cast("long")
+            .as("head_dist"))
+        .filter(col("head_dist") <= 12)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // MinHash ESTIMATOR quality check: for every exact-Jaccard qualifying
     // pair, the signature-agreement estimate (shared kernel with the
     // production band join — same permutation family) must sit within 0.2
@@ -732,6 +760,20 @@ object Dedup {
          |WHERE da.source <> db.source
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" -> exactJaccardSql,
+    "dedup_editdist_blocked" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(trim(text)) AS tx FROM documents),
+        |k AS (
+        |  SELECT doc_id, string_split(tx, ' ')[1] AS w1,
+        |    CAST(len(string_split(tx, ' ')) AS BIGINT) // 5 AS nb,
+        |    substr(tx, 1, 80) AS head
+        |  FROM d)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.head, b.head) AS BIGINT) AS head_dist
+        |FROM k a JOIN k b
+        |  ON a.w1 = b.w1 AND a.nb = b.nb AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 12
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // URL twin: identical synthesis, identical extract-per-part
     // canonicalization (no regex group refs — Spark $1 vs DuckDB \1
     // would fork the semantics)

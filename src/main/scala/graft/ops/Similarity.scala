@@ -572,6 +572,58 @@ object Similarity {
         .orderBy("label")
     },
 
+    // embedding-space outlier audit: vectors whose distance to the GLOBAL
+    // corpus centroid z-scores above 2.0 — the encoder-glitch / mislabeled-
+    // input screen run before any vector index is built (the per-label
+    // twin is embedding_centroid_drift; this one flags individual rows).
+    // Same scale shape as the drift check: one O(d) centroid agg
+    // broadcast back as a 1-row array, per-vector residuals folded
+    // in-codegen, then an O(1) moment row broadcast for the z flags —
+    // nothing pairwise, nothing driver-side. Same determinism chain:
+    // rounded-decimal sums everywhere a reduction crosses rows.
+    "embedding_outlier_dist" -> { (s, d) =>
+      val vecs = t(s, d, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE), 6)" +
+            " AS DECIMAL(12,6)))").as("xv"))
+        .cache()
+      val carr = vecs
+        .select(posexplode(col("xv")).as(Seq("j", "x")))
+        .groupBy("j")
+        .agg(expr("CAST(round(CAST(sum(x) AS DOUBLE) / count(*), 6)" +
+          " AS DECIMAL(12,6))").as("c"))
+        .agg(expr("transform(array_sort(collect_list(struct(j, c))), " +
+          "s -> s.c)").as("carr"))
+      val dist = vecs.crossJoin(broadcast(carr))
+        .select(col("vec_id"), col("label"), expr(
+          """CAST(round(sqrt(CAST(aggregate(
+            |  zip_with(xv, carr,
+            |    (x, c) -> CAST(round(CAST(x - c AS DOUBLE)
+            |      * CAST(x - c AS DOUBLE), 9) AS DECIMAL(30,9))),
+            |  CAST(0 AS DECIMAL(30,9)),
+            |  (a, q) -> CAST(a + q AS DECIMAL(30,9))) AS DOUBLE)), 6)
+            |AS DECIMAL(12,6))""".stripMargin).as("dist"))
+        .cache()
+      val stats = dist
+        .agg(count(lit(1)).as("n"),
+          sum(col("dist")).cast("double").as("sd"),
+          sum(expr("CAST(dist * dist AS DECIMAL(30,12))")).cast("double")
+            .as("sdd"))
+        .select((col("sd") / col("n")).as("mu"),
+          sqrt(greatest(lit(0d), col("sdd") / col("n")
+            - (col("sd") / col("n")) * (col("sd") / col("n"))))
+            .as("sd_dist"))
+      dist.crossJoin(broadcast(stats))
+        .withColumn("z",
+          round((col("dist").cast("double") - col("mu")) / col("sd_dist"),
+            6))
+        .filter(col("z") > 2.0)
+        .select(col("vec_id"), col("label"),
+          col("dist").cast("double").as("dist"), col("z"))
+        .orderBy("vec_id")
+    },
+
     // per-dimension whitening (standardize each coordinate to mean 0 /
     // unit variance + ε) — the normalization pass before PCA/IVF
     // training, and the fix for the mean-shifted/dead dimensions
@@ -987,6 +1039,41 @@ object Similarity {
          |    / count(*), 6) AS avg_norm,
          |  min(norm) AS min_norm, max(norm) AS max_norm
          |FROM n GROUP BY label ORDER BY label""".stripMargin,
+    "embedding_outlier_dist" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS j,
+        |    unnest(list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(12,6)))) AS x
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT j, CAST(round(CAST(sum(x) AS DOUBLE) / count(*), 6)
+        |    AS DECIMAL(12,6)) AS c
+        |  FROM e GROUP BY j),
+        |sq AS (
+        |  SELECT e.vec_id, e.label,
+        |    CAST(round(CAST(e.x - c.c AS DOUBLE)
+        |      * CAST(e.x - c.c AS DOUBLE), 9) AS DECIMAL(30,9)) AS sq
+        |  FROM e JOIN c ON e.j = c.j),
+        |dist AS (
+        |  SELECT vec_id, label,
+        |    CAST(round(sqrt(CAST(sum(sq) AS DOUBLE)), 6)
+        |      AS DECIMAL(12,6)) AS dist
+        |  FROM sq GROUP BY 1, 2),
+        |st AS (
+        |  SELECT count(*) AS n, CAST(sum(dist) AS DOUBLE) AS sd,
+        |    CAST(sum(CAST(dist * dist AS DECIMAL(30,12))) AS DOUBLE)
+        |      AS sdd
+        |  FROM dist),
+        |sf AS (
+        |  SELECT sd / n AS mu,
+        |    sqrt(greatest(0, sdd / n - (sd / n) * (sd / n))) AS sd_dist
+        |  FROM st)
+        |SELECT vec_id, label, CAST(dist AS DOUBLE) AS dist,
+        |  round((CAST(dist AS DOUBLE) - mu) / sd_dist, 6) AS z
+        |FROM dist CROSS JOIN sf
+        |WHERE round((CAST(dist AS DOUBLE) - mu) / sd_dist, 6) > 2.0
+        |ORDER BY vec_id""".stripMargin,
     // the same exact-decimal chain as the Spark side: rounded coordinates
     // summed in decimal for the centroid, exact decimal residual cast to
     // double for the (IEEE-identical) square, decimal-summed per vector

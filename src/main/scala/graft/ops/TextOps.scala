@@ -661,6 +661,41 @@ object TextOps {
     // absorb), and the corpus-level type-token ratio in one row. Vocab
     // aggregates are Zipf-small; everything after the one corpus-linear
     // count is O(vocab).
+    // PMI collocation mining: the top-50 bigrams whose joint probability
+    // most exceeds independence (min count 5) — the classic multi-word-
+    // expression extractor ("new york"-style units a tokenizer should
+    // fuse). Both count tables are Zipf-small, so after the one
+    // corpus-linear bigram explode everything is broadcast-joined;
+    // PMI's ln runs once per surviving bigram and is rounded to 6 before
+    // the rank, so the top-50 cut is tie-broken deterministically.
+    "text_pmi_collocations" -> { (s, d) =>
+      val docs = toks(s, d)
+      val uni = docs.select(explode(col("toks")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c1"))
+      val nTok = uni.agg(sum(col("c1")).as("n_uni"))
+      val c2 = docs.filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(0, size(toks) - 2),
+            |  i -> concat(toks[i], ' ', toks[i + 1]))""".stripMargin))
+          .as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c12"))
+      val nBg = c2.agg(sum(col("c12")).as("n_bg"))
+      c2.filter(col("c12") >= 5)
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+        .join(broadcast(uni.select(col("word").as("w1"),
+          col("c1").as("ca"))), "w1")
+        .join(broadcast(uni.select(col("word").as("w2"),
+          col("c1").as("cb"))), "w2")
+        .crossJoin(broadcast(nBg)).crossJoin(broadcast(nTok))
+        .select(col("w1"), col("w2"), col("c12"),
+          round(expr("ln((CAST(c12 AS DOUBLE) / n_bg)" +
+            " / ((CAST(ca AS DOUBLE) / n_uni)" +
+            " * (CAST(cb AS DOUBLE) / n_uni)))"), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(50)
+    },
+
     "text_hapax_stats" -> { (s, d) =>
       wordCounts(s, d)
         .agg(count(lit(1)).as("n_vocab"),
@@ -1230,6 +1265,33 @@ object TextOps {
         |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rare_ratio
         |FROM words JOIN vocab USING (word) CROSS JOIN thr
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_pmi_collocations" ->
+      """WITH tk AS (
+        |  SELECT string_split(lower(trim(text)), ' ') AS w
+        |  FROM documents),
+        |uni AS (
+        |  SELECT word, count(*) AS c1
+        |  FROM (SELECT unnest(w) AS word FROM tk) GROUP BY word),
+        |nu AS (SELECT CAST(sum(c1) AS BIGINT) AS n_uni FROM uni),
+        |bgs AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i + 1])) AS bg
+        |  FROM tk WHERE len(w) >= 2),
+        |c2 AS (SELECT bg, count(*) AS c12 FROM bgs GROUP BY bg),
+        |nb AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bg FROM c2),
+        |sp AS (
+        |  SELECT string_split(bg, ' ')[1] AS w1,
+        |    string_split(bg, ' ')[2] AS w2, c12
+        |  FROM c2 WHERE c12 >= 5)
+        |SELECT w1, w2, c12,
+        |  round(ln((CAST(c12 AS DOUBLE) / n_bg)
+        |    / ((CAST(ca.c1 AS DOUBLE) / n_uni)
+        |      * (CAST(cb.c1 AS DOUBLE) / n_uni))), 6) AS pmi
+        |FROM sp
+        |JOIN uni ca ON sp.w1 = ca.word
+        |JOIN uni cb ON sp.w2 = cb.word
+        |CROSS JOIN nb CROSS JOIN nu
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
     "text_hapax_stats" ->
       """WITH wc AS (
         |  SELECT word, count(*) AS cnt

@@ -934,6 +934,87 @@ class OperatorSpec extends SparkSpec {
     assert(ttr > 0.0 && ttr <= 1.0)
   }
 
+  test("inventory_abc_class partitions all parts and shares sum to 1") {
+    val rows = SparkEntry.queries("inventory_abc_class")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("cls")).toSet.subsetOf(Set("A", "B", "C")))
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    assert(rows.map(_.getAs[Long]("n_parts")).sum ==
+      Tables.t(spark, sf, "lineitem").select("l_partkey").distinct().count())
+    // A-class heads must out-earn the C tail per part by construction
+    val byCls = rows.map(r => r.getAs[String]("cls") ->
+      (r.getAs[Double]("revenue") / r.getAs[Long]("n_parts"))).toMap
+    assert(byCls("A") > byCls("C"))
+  }
+
+  test("ship_delay_stats covers every line with ordered quantiles") {
+    val rows = SparkEntry.queries("ship_delay_stats")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_lines")).sum ==
+      Tables.t(spark, sf, "lineitem").count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_delay") <= r.getAs[Double]("p90_delay"))
+      assert(r.getAs[Double]("p90_delay") <= r.getAs[Long]("max_delay"))
+    }
+  }
+
+  test("orders_repeat_intervals conserves gaps and shares") {
+    val rows = SparkEntry.queries("orders_repeat_intervals")(spark, sf)
+      .collect()
+    val orders = Tables.t(spark, sf, "orders")
+    val expected = orders.count() -
+      orders.select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_gaps")).sum == expected)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+  }
+
+  test("price_index_monthly anchors the base month at 1.0") {
+    val rows = SparkEntry.queries("price_index_monthly")(spark, sf)
+      .orderBy("month").collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.head.getAs[Double]("price_index") - 1.0) < 1e-9)
+    rows.foreach(r => assert(r.getAs[Double]("price_index") > 0.0))
+  }
+
+  test("events_calendar_profile grid is bounded and conserves volume") {
+    val rows = SparkEntry.queries("events_calendar_profile")(spark, sf)
+      .collect()
+    assert(rows.length <= 168)
+    rows.foreach { r =>
+      val dow = r.getAs[Int]("dow"); val hr = r.getAs[Int]("hr")
+      assert(dow >= 0 && dow <= 6 && hr >= 0 && hr <= 23)
+    }
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sf).count())
+  }
+
+  test("text_pmi_collocations ranks at most 50 frequent pairs") {
+    val rows = SparkEntry.queries("text_pmi_collocations")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach(r => assert(r.getAs[Long]("c12") >= 5))
+    val pmis = rows.map(_.getAs[Double]("pmi"))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("dedup_editdist_blocked emits ordered in-budget pairs") {
+    val rows = SparkEntry.queries("dedup_editdist_blocked")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("head_dist") <= 12)
+    }
+  }
+
+  test("embedding_outlier_dist flags a strict, non-empty minority") {
+    val rows = SparkEntry.queries("embedding_outlier_dist")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("z") > 2.0))
+    assert(rows.length <
+      Tables.t(spark, sf, "embeddings").count() / 10)
+  }
+
   test("dedup_substring flags the near-dup region, not the background") {
     val flagged = SparkEntry.queries("dedup_substring")(spark, sf)
       .filter(col("flag_dup")).select("doc_id").collect()
