@@ -1269,6 +1269,70 @@ object Analytics {
         .orderBy("dow", "hr")
     },
 
+    // seasonally-adjusted anomaly ranking: each (event_type, hour-cell)'s
+    // volume z-scored against that type's SAME-HOUR-OF-DAY baseline
+    // (events_anomaly is the global per-type z; this removes the daily
+    // cycle first, so a busy-but-normal 9am can't mask a quiet-hour
+    // spike). Two keyed aggs — hour cells, then the O(types × 24)
+    // baseline broadcast back — and a top-20 rank on the rounded score,
+    // so the output is never threshold-vacuous.
+    "events_anomaly_seasonal" -> { (s, d) =>
+      val cells = events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("cell"))
+        .agg(count(lit(1)).as("n"))
+      val base = cells
+        .groupBy(col("event_type").as("et"), hour(col("cell")).as("hr"))
+        .agg(count(lit(1)).as("nc"),
+          sum(col("n")).cast("double").as("sn"),
+          sum(expr("CAST(n * n AS DECIMAL(38,0))")).cast("double")
+            .as("snn"))
+        .select(col("et"), col("hr"),
+          (col("sn") / col("nc")).as("mu"),
+          sqrt(greatest(lit(0d), col("snn") / col("nc")
+            - (col("sn") / col("nc")) * (col("sn") / col("nc"))))
+            .as("sd"))
+        .filter(col("sd") > 0)
+      cells.join(broadcast(base),
+          col("event_type") === col("et")
+            && hour(col("cell")) === col("hr"))
+        .select(col("event_type"), col("cell"), col("n"),
+          round((col("n").cast("double") - col("mu")) / col("sd"), 6)
+            .as("z"))
+        .orderBy(col("z").desc, col("event_type"), col("cell"))
+        .limit(20)
+    },
+
+    // customer value-segment migration matrix: quarterly spend banded
+    // LOW/MID/HIGH (fixed exact-decimal thresholds — no data-dependent
+    // tercile ties), then consecutive-quarter transitions counted per
+    // (from, to) cell with row-share. The lifecycle health table a CRM
+    // reads (events_markov is the event-type sibling; this is business-
+    // value state at calendar granularity). One exact-decimal keyed agg
+    // to O(customers × quarters), one lag window, one O(9)-out agg.
+    "customer_segment_migration" -> { (s, d) =>
+      val q = t(s, d, "orders")
+        .groupBy(col("o_custkey"),
+          to_date(date_trunc("quarter", col("o_orderdate"))).as("qtr"))
+        .agg(sum(money(col("o_totalprice"))).as("spend"))
+        .withColumn("seg",
+          when(col("spend") < 200000, "1_LOW")
+            .when(col("spend") < 400000, "2_MID").otherwise("3_HIGH"))
+      val w = Window.partitionBy("o_custkey").orderBy("qtr")
+      val trans = q
+        .withColumn("prev_seg", lag(col("seg"), 1).over(w))
+        .withColumn("prev_qtr", lag(col("qtr"), 1).over(w))
+        // only ADJACENT quarters count as a transition — a customer who
+        // skips a quarter re-enters the matrix fresh
+        .filter(col("prev_seg").isNotNull
+          && col("qtr") === add_months(col("prev_qtr"), 3))
+      trans.groupBy(col("prev_seg").as("seg_from"), col("seg").as("seg_to"))
+        .agg(count(lit(1)).as("n_moves"))
+        .withColumn("row_share",
+          round(col("n_moves").cast("double")
+            / sum(col("n_moves")).over(Window.partitionBy("seg_from")), 6))
+        .orderBy("seg_from", "seg_to")
+    },
+
     // market-basket association rules over order contents: support /
     // confidence / lift for brand pairs bought together (events_cooccur
     // is type-level per session; this is the true basket form with the
@@ -1815,6 +1879,57 @@ object Analytics {
         |  round(CAST(sum(nm) AS DOUBLE) / CAST(sum(dn) AS DOUBLE), 6)
         |    AS price_index
         |FROM j GROUP BY month ORDER BY month""".stripMargin,
+    "events_anomaly_seasonal" ->
+      """WITH cells AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS cell,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, CAST(hour(cell) AS INT) AS hr,
+        |    count(*) AS nc, CAST(sum(n) AS DOUBLE) AS sn,
+        |    CAST(sum(CAST(n * n AS DECIMAL(38,0))) AS DOUBLE) AS snn
+        |  FROM cells GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, hr, sn / nc AS mu,
+        |    sqrt(greatest(0, snn / nc - (sn / nc) * (sn / nc))) AS sd
+        |  FROM b),
+        |f AS (SELECT event_type, hr, mu, sd FROM s WHERE sd > 0)
+        |SELECT c.event_type, c.cell, c.n,
+        |  round((CAST(c.n AS DOUBLE) - f.mu) / f.sd, 6) AS z
+        |FROM cells c JOIN f ON c.event_type = f.event_type
+        |  AND CAST(hour(c.cell) AS INT) = f.hr
+        |ORDER BY z DESC, c.event_type, c.cell LIMIT 20""".stripMargin,
+    "customer_segment_migration" ->
+      """WITH q AS (
+        |  SELECT o_custkey,
+        |    CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1, 2),
+        |seg AS (
+        |  SELECT o_custkey, qtr,
+        |    CASE WHEN spend < 200000 THEN '1_LOW'
+        |         WHEN spend < 400000 THEN '2_MID'
+        |         ELSE '3_HIGH' END AS seg
+        |  FROM q),
+        |tr AS (
+        |  SELECT o_custkey, qtr, seg,
+        |    lag(seg) OVER (PARTITION BY o_custkey ORDER BY qtr)
+        |      AS prev_seg,
+        |    lag(qtr) OVER (PARTITION BY o_custkey ORDER BY qtr)
+        |      AS prev_qtr
+        |  FROM seg),
+        |mv AS (
+        |  SELECT prev_seg AS seg_from, seg AS seg_to
+        |  FROM tr
+        |  WHERE prev_seg IS NOT NULL
+        |    AND qtr = CAST(prev_qtr + INTERVAL 3 MONTH AS DATE)),
+        |ct AS (
+        |  SELECT seg_from, seg_to, count(*) AS n_moves
+        |  FROM mv GROUP BY 1, 2)
+        |SELECT seg_from, seg_to, n_moves,
+        |  round(CAST(n_moves AS DOUBLE)
+        |    / sum(n_moves) OVER (PARTITION BY seg_from), 6) AS row_share
+        |FROM ct ORDER BY seg_from, seg_to""".stripMargin,
     "events_calendar_profile" ->
       """WITH cells AS (
         |  SELECT CAST(isodow(ts) - 1 AS INT) AS dow,

@@ -164,7 +164,18 @@ object Dedup {
     * sharing a shingle. The LSH-free baseline behind `dedup_ngram_jaccard`
     * and the estimator check's pair universe.
     */
-  private def exactJaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private def exactJaccardPairs(s: SparkSession, d: String): DataFrame =
+    exactPairStats(s, d)
+      .withColumn("jac",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= JaccardThreshold)
+      .select("doc_a", "doc_b", "jac")
+
+  /** Raw exact-overlap pair statistics (doc_a < doc_b, |A∩B|, |A|, |B|)
+    * from the shingle inverted index — UNthresholded, so operating-curve
+    * consumers (dedup_threshold_sweep) see full recall at any cut.
+    */
+  private def exactPairStats(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d)
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
@@ -178,10 +189,6 @@ object Dedup {
         "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
         "doc_b")
-      .withColumn("jac",
-        col("c").cast("double") / (col("na") + col("nb") - col("c")))
-      .filter(col("jac") >= JaccardThreshold)
-      .select("doc_a", "doc_b", "jac")
   }
 
   /** Connected components by min-label propagation WITH pointer doubling,
@@ -450,6 +457,33 @@ object Dedup {
     // shape as dedup_minhash, but no candidate pruning step
     "dedup_ngram_jaccard" -> ((s, d) =>
       exactJaccardPairs(s, d).orderBy("doc_a", "doc_b")),
+
+    // dedup operating-curve sweep: near-dup pair and touched-doc counts
+    // at each candidate shingle-cosine threshold — the table that picks
+    // dedup_embedding's operating point (a threshold inside the
+    // background-noise knee admits ~N²/2 pairs; the curve makes the knee
+    // visible BEFORE a full run commits to it). Pairs come from the
+    // EXACT inverted index, not the LSH candidates — below the banding
+    // operating point LSH recall decays, and a tuning curve built on
+    // partial recall would bless the wrong threshold. Quadratic only in
+    // docs sharing a shingle (the dedup_ngram_jaccard bound); the sweep
+    // itself is a bounded 5× fan-out of the pair table.
+    "dedup_threshold_sweep" -> { (s, d) =>
+      val pairs = exactPairStats(s, d)
+        .withColumn("cos", expr(
+          "round(c / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)"))
+        .select("doc_a", "doc_b", "cos")
+      val ex = pairs
+        .select(explode(array(lit(0.5), lit(0.6), lit(0.7), lit(0.8),
+          lit(0.9))).as("thr"), col("doc_a"), col("doc_b"), col("cos"))
+        .filter(col("cos") >= col("thr"))
+        .cache()
+      val np = ex.groupBy("thr").agg(count(lit(1)).as("n_pairs"))
+      val nd = ex.select(col("thr"), col("doc_a").as("doc"))
+        .unionAll(ex.select(col("thr"), col("doc_b").as("doc")))
+        .groupBy("thr").agg(countDistinct(col("doc")).as("n_docs"))
+      np.join(nd, "thr").orderBy("thr")
+    },
 
     // blocked edit-distance near-dup: candidate pairs from a cheap
     // (first-token, token-count-bucket) blocking key, re-ranked by exact
@@ -760,6 +794,28 @@ object Dedup {
          |WHERE da.source <> db.source
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" -> exactJaccardSql,
+    "dedup_threshold_sweep" ->
+      s"""WITH $jaccardCtes,
+         |cp AS (
+         |  SELECT doc_a, doc_b,
+         |    round(c / sqrt(CAST(s1.n AS DOUBLE) * s2.n), 6) AS cos
+         |  FROM common
+         |  JOIN sizes s1 ON s1.doc_id = doc_a
+         |  JOIN sizes s2 ON s2.doc_id = doc_b),
+         |th AS (
+         |  SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+         |    AS thr),
+         |sel AS (
+         |  SELECT thr, doc_a, doc_b
+         |  FROM cp CROSS JOIN th WHERE cos >= thr),
+         |np AS (SELECT thr, count(*) AS n_pairs FROM sel GROUP BY thr),
+         |nd AS (
+         |  SELECT thr, count(DISTINCT doc) AS n_docs
+         |  FROM (SELECT thr, doc_a AS doc FROM sel
+         |        UNION ALL SELECT thr, doc_b FROM sel)
+         |  GROUP BY thr)
+         |SELECT np.thr, np.n_pairs, nd.n_docs
+         |FROM np JOIN nd ON np.thr = nd.thr ORDER BY np.thr""".stripMargin,
     "dedup_editdist_blocked" ->
       """WITH d AS (
         |  SELECT doc_id, lower(trim(text)) AS tx FROM documents),

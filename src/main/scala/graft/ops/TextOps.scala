@@ -661,6 +661,48 @@ object TextOps {
     // absorb), and the corpus-level type-token ratio in one row. Vocab
     // aggregates are Zipf-small; everything after the one corpus-linear
     // count is O(vocab).
+    // per-source distribution drift: Jensen-Shannon divergence between
+    // each source's unigram distribution and the corpus distribution —
+    // the domain-shift monitor a mixture pipeline re-checks every
+    // ingest (a source whose JSD jumps changed register/language/
+    // boilerplate). The (sources × vocab) grid is Zipf-small (vocab
+    // collapses first; sources are a handful), so after the one
+    // corpus-linear explode everything is dim-sized; per-cell terms are
+    // rounded then decimal-summed so partial-agg order can't move a
+    // score, mirroring the bigram-LM discipline.
+    "text_source_divergence" -> { (s, d) =>
+      val words = t(s, d, "documents")
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), " ")).as("word"))
+      val sc = words.groupBy("source", "word")
+        .agg(count(lit(1)).as("csw"))
+      val st = sc.groupBy("source").agg(sum(col("csw")).as("ns"))
+      val vc = sc.groupBy("word").agg(sum(col("csw")).as("cw"))
+      val nn = vc.agg(sum(col("cw")).as("nn"))
+      st.crossJoin(vc)
+        .join(sc, Seq("source", "word"), "left")
+        .crossJoin(broadcast(nn))
+        .select(col("source"), col("ns"),
+          coalesce(col("csw"), lit(0L)).as("csw"), col("cw"), col("nn"))
+        .withColumn("term", expr(
+          """CAST(round(
+            |  0.5 * (CASE WHEN csw > 0
+            |    THEN (CAST(csw AS DOUBLE) / ns)
+            |      * ln((CAST(csw AS DOUBLE) / ns)
+            |        / ((CAST(csw AS DOUBLE) / ns
+            |           + CAST(cw AS DOUBLE) / nn) / 2))
+            |    ELSE 0.0 END)
+            |  + 0.5 * ((CAST(cw AS DOUBLE) / nn)
+            |    * ln((CAST(cw AS DOUBLE) / nn)
+            |      / ((CAST(csw AS DOUBLE) / ns
+            |         + CAST(cw AS DOUBLE) / nn) / 2))),
+            |  9) AS DECIMAL(20,9))""".stripMargin))
+        .groupBy("source")
+        .agg(max(col("ns")).as("n_tokens"),
+          round(sum(col("term")).cast("double"), 6).as("jsd"))
+        .orderBy("source")
+    },
+
     // PMI collocation mining: the top-50 bigrams whose joint probability
     // most exceeds independence (min count 5) — the classic multi-word-
     // expression extractor ("new york"-style units a tokenizer should
@@ -1265,6 +1307,44 @@ object TextOps {
         |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rare_ratio
         |FROM words JOIN vocab USING (word) CROSS JOIN thr
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_source_divergence" ->
+      """WITH w AS (
+        |  SELECT source, unnest(string_split(lower(trim(text)), ' '))
+        |    AS word
+        |  FROM documents),
+        |sc AS (
+        |  SELECT source, word, count(*) AS csw FROM w GROUP BY 1, 2),
+        |st AS (
+        |  SELECT source, CAST(sum(csw) AS BIGINT) AS ns
+        |  FROM sc GROUP BY 1),
+        |vc AS (
+        |  SELECT word, CAST(sum(csw) AS BIGINT) AS cw
+        |  FROM sc GROUP BY 1),
+        |nn AS (SELECT CAST(sum(cw) AS BIGINT) AS nn FROM vc),
+        |grid AS (
+        |  SELECT st.source, st.ns, vc.cw,
+        |    coalesce(sc.csw, 0) AS csw, nn.nn
+        |  FROM st CROSS JOIN vc
+        |  LEFT JOIN sc ON sc.source = st.source AND sc.word = vc.word
+        |  CROSS JOIN nn),
+        |terms AS (
+        |  SELECT source, ns,
+        |    CAST(round(
+        |      0.5 * (CASE WHEN csw > 0
+        |        THEN (CAST(csw AS DOUBLE) / ns)
+        |          * ln((CAST(csw AS DOUBLE) / ns)
+        |            / ((CAST(csw AS DOUBLE) / ns
+        |               + CAST(cw AS DOUBLE) / nn) / 2))
+        |        ELSE 0.0 END)
+        |      + 0.5 * ((CAST(cw AS DOUBLE) / nn)
+        |        * ln((CAST(cw AS DOUBLE) / nn)
+        |          / ((CAST(csw AS DOUBLE) / ns
+        |             + CAST(cw AS DOUBLE) / nn) / 2))),
+        |      9) AS DECIMAL(20,9)) AS term
+        |  FROM grid)
+        |SELECT source, max(ns) AS n_tokens,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS jsd
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
     "text_pmi_collocations" ->
       """WITH tk AS (
         |  SELECT string_split(lower(trim(text)), ' ') AS w

@@ -100,6 +100,25 @@ object TrainPrep {
     // through the native TopKPerKey operator so the shuffle moves at most
     // K rows per (source, partition) instead of every row + a full
     // per-source sort (the window formulation's cost).
+    // class-balanced downsampling: cap every language at the minority
+    // class size, selecting deterministically by md5-of-id rank (the
+    // seedless uniform draw used by sample_hash). The imbalance fix for
+    // classifier training sets — sample_stratified keeps proportions,
+    // this one EQUALIZES them. One keyed count, a broadcast 1-row cap,
+    // and one per-class rank window over (lang)-partitioned rows.
+    "sample_balanced_class" -> { (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+      val nmin = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("n_min"))
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(nmin))
+        .filter(col("rn") <= col("n_min"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
     "sample_per_source_topk" -> { (s, d) =>
       graft.plans.TopKPerKey.topK(
           corpus(s, d).select(col("doc_id"), col("source"), col("n_chars")),
@@ -492,6 +511,17 @@ object TrainPrep {
         |SELECT doc_id, score, n_tok, cum_tok
         |FROM c, tot WHERE cum_tok <= total / 5
         |ORDER BY score DESC, doc_id""".stripMargin,
+    "sample_balanced_class" ->
+      """WITH cap AS (
+        |  SELECT min(n) AS n_min
+        |  FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang)),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r CROSS JOIN cap
+        |WHERE rn <= n_min ORDER BY doc_id""".stripMargin,
     "sample_per_source_topk" ->
       """SELECT doc_id, source, n_chars FROM (
         |  SELECT doc_id, source, n_chars,

@@ -1015,6 +1015,57 @@ class OperatorSpec extends SparkSpec {
       Tables.t(spark, sf, "embeddings").count() / 10)
   }
 
+  test("events_anomaly_seasonal ranks 20 cells by descending z") {
+    val rows = SparkEntry.queries("events_anomaly_seasonal")(spark, sf)
+      .collect()
+    assert(rows.length == 20)
+    val zs = rows.map(_.getAs[Double]("z"))
+    assert(zs.zip(zs.tail).forall { case (a, b) => a >= b })
+    assert(zs.head > 0)
+  }
+
+  test("customer_segment_migration row shares sum to 1 per origin") {
+    val rows = SparkEntry.queries("customer_segment_migration")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("seg_from")).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getAs[Double]("row_share")).sum - 1.0)
+        < 1e-4)
+    }
+  }
+
+  test("dedup_threshold_sweep counts are monotone in the threshold") {
+    val rows = SparkEntry.queries("dedup_threshold_sweep")(spark, sf)
+      .orderBy("thr").collect()
+    assert(rows.nonEmpty)
+    val np = rows.map(_.getAs[Long]("n_pairs"))
+    val nd = rows.map(_.getAs[Long]("n_docs"))
+    assert(np.zip(np.tail).forall { case (a, b) => a >= b })
+    assert(nd.zip(nd.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("sample_balanced_class equalizes every language") {
+    val rows = SparkEntry.queries("sample_balanced_class")(spark, sf)
+      .collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang")).map(_._2.length)
+    assert(byLang.toSet.size == 1)
+    val langs = Tables.t(spark, sf, "documents")
+      .select("lang").distinct().count()
+    assert(byLang.size.toLong == langs)
+  }
+
+  test("text_source_divergence is non-negative and per-source") {
+    val rows = SparkEntry.queries("text_source_divergence")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("jsd") >= 0.0)
+      // JSD is bounded by ln(2)
+      assert(r.getAs[Double]("jsd") <= 0.6932)
+      assert(r.getAs[Long]("n_tokens") > 0)
+    }
+  }
+
   test("dedup_substring flags the near-dup region, not the background") {
     val flagged = SparkEntry.queries("dedup_substring")(spark, sf)
       .filter(col("flag_dup")).select("doc_id").collect()
