@@ -1269,6 +1269,117 @@ object Analytics {
         .orderBy("dow", "hr")
     },
 
+    // substitute-SKU candidates: part pairs interchangeable by catalog
+    // attributes (same type + size, different brand) whose list prices
+    // sit within 0.2% — the assortment-rationalization table. The pair
+    // space is quadratic only WITHIN a (type, size) block of the
+    // dim-sized parts table; the price band is evaluated entirely in
+    // exact decimals so the cut is bit-identical across engines.
+    "part_substitutes" -> { (s, d) =>
+      val p = t(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size"), money(col("p_retailprice")).as("price"))
+      val a = p.select(col("p_partkey").as("pk_a"),
+        col("p_brand").as("brand_a"), col("p_type"), col("p_size"),
+        col("price").as("price_a"))
+      val b = p.select(col("p_partkey").as("pk_b"),
+        col("p_brand").as("brand_b"), col("p_type"), col("p_size"),
+        col("price").as("price_b"))
+      a.join(b, Seq("p_type", "p_size"))
+        .filter(col("brand_a") =!= col("brand_b")
+          && col("pk_a") < col("pk_b"))
+        .filter(expr("abs(price_a - price_b)" +
+          " <= CAST(0.002 AS DECIMAL(4,3)) * greatest(price_a, price_b)"))
+        .select(col("pk_a"), col("pk_b"), col("p_type"), col("p_size"),
+          col("price_a").cast("double").as("price_a"),
+          col("price_b").cast("double").as("price_b"))
+        .orderBy("pk_a", "pk_b")
+    },
+
+    // peak concurrency per day: the classic interval-stabbing sweep over
+    // 30-min sessions (+1 at session start, -1 just past session end,
+    // running sum, daily max) — the sizing number a capacity plan needs
+    // that avg-sessions-per-day hides. O(2 × sessions) sweep points; the
+    // global ordered cumsum runs over the SESSION-boundary table, not
+    // events (at cluster scale: range-partition the sweep by time and
+    // carry partition prefix sums). Daily max is order-invariant within
+    // equal (t, delta) ties, and the sort key is totalized anyway.
+    "events_concurrent_peak" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap_break",
+          when(col("ts").cast("long")
+            - lag(col("ts"), 1).over(w).cast("long") > 1800L, 1L)
+            .otherwise(lit(0L)))
+        .withColumn("session_n",
+          sum(col("gap_break")).over(w.rowsBetween(
+            Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_n")
+        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+      val pts = sess.select(col("user_id"), col("session_n"),
+          col("st").as("t"), lit(1L).as("delta"))
+        .unionAll(sess.select(col("user_id"), col("session_n"),
+          expr("en + INTERVAL 1 SECOND").as("t"), lit(-1L).as("delta")))
+      val sweep = Window
+        .orderBy(col("t"), col("delta"), col("user_id"), col("session_n"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pts.withColumn("cur", sum(col("delta")).over(sweep))
+        .groupBy(to_date(col("t")).as("day"))
+        .agg(max(col("cur")).as("peak_concurrent"))
+        .orderBy("day")
+    },
+
+    // activity-concentration Gini over users (the bot/power-user skew
+    // number; corpus_gini is the token-per-source sibling): exact
+    // integer rank-weighted sum in decimal, one O(users) window over the
+    // keyed counts.
+    "events_user_gini" -> { (s, d) =>
+      val per = events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("n"), col("user_id"))
+      per.withColumn("i", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n")).as("total_events"),
+          sum(expr("CAST(i AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))"))
+            .cast("double").as("iw"))
+        .select(col("n_users"), col("total_events"),
+          round((lit(2.0) * col("iw"))
+            / (col("n_users").cast("double")
+              * col("total_events").cast("double"))
+            - (col("n_users") + 1L).cast("double")
+              / col("n_users").cast("double"), 6).as("gini"))
+    },
+
+    // seasonal-naive forecast backtest: predict each (type, hour-cell)
+    // from the SAME HOUR YESTERDAY and score MAPE + mean bias per type —
+    // the baseline every real forecaster must beat (and the staleness
+    // monitor when the model IS seasonal-naive). The corpus collapses to
+    // hour cells first; the prediction is one self-equi-join on
+    // (type, cell − 24 h) — no window over sparse cells, which would
+    // silently compare non-adjacent hours. Per-cell errors are rounded
+    // then decimal-summed.
+    "events_forecast_baseline" -> { (s, d) =>
+      val cells = events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("cell"))
+        .agg(count(lit(1)).as("n"))
+      val pred = cells.select(col("event_type"),
+        expr("cell + INTERVAL 24 HOURS").as("cell"), col("n").as("np"))
+      cells.join(pred, Seq("event_type", "cell"))
+        .select(col("event_type"),
+          expr("CAST(round(abs(CAST(n - np AS DOUBLE)) / n, 9)" +
+            " AS DECIMAL(20,9))").as("ape"),
+          expr("CAST(round(CAST(np - n AS DOUBLE) / n, 9)" +
+            " AS DECIMAL(20,9))").as("err"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum(col("ape")).cast("double") / count(lit(1)), 6)
+            .as("mape"),
+          round(sum(col("err")).cast("double") / count(lit(1)), 6)
+            .as("mean_bias"))
+        .orderBy("event_type")
+    },
+
     // seasonally-adjusted anomaly ranking: each (event_type, hour-cell)'s
     // volume z-scored against that type's SAME-HOUR-OF-DAY baseline
     // (events_anomaly is the global per-type z; this removes the daily
@@ -1879,6 +1990,86 @@ object Analytics {
         |  round(CAST(sum(nm) AS DOUBLE) / CAST(sum(dn) AS DOUBLE), 6)
         |    AS price_index
         |FROM j GROUP BY month ORDER BY month""".stripMargin,
+    "part_substitutes" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand, p_type, p_size,
+        |    CAST(p_retailprice AS DECIMAL(18,2)) AS price
+        |  FROM part)
+        |SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+        |  a.p_type, a.p_size,
+        |  CAST(a.price AS DOUBLE) AS price_a,
+        |  CAST(b.price AS DOUBLE) AS price_b
+        |FROM p a JOIN p b
+        |  ON a.p_type = b.p_type AND a.p_size = b.p_size
+        |  AND a.p_brand <> b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE abs(a.price - b.price)
+        |  <= CAST(0.002 AS DECIMAL(4,3)) * greatest(a.price, b.price)
+        |ORDER BY pk_a, pk_b""".stripMargin,
+    "events_concurrent_peak" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN datediff('second',
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |        ts) > 1800
+        |      THEN 1 ELSE 0 END AS gap_break
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id,
+        |    sum(gap_break) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_n,
+        |    ts
+        |  FROM o),
+        |sp AS (
+        |  SELECT user_id, session_n, min(ts) AS st, max(ts) AS en
+        |  FROM sess GROUP BY 1, 2),
+        |pts AS (
+        |  SELECT user_id, session_n, st AS t, 1 AS delta FROM sp
+        |  UNION ALL
+        |  SELECT user_id, session_n, en + INTERVAL 1 SECOND AS t,
+        |    -1 AS delta
+        |  FROM sp),
+        |sw AS (
+        |  SELECT t, CAST(sum(delta) OVER (
+        |    ORDER BY t, delta, user_id, session_n
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cur
+        |  FROM pts)
+        |SELECT CAST(t AS DATE) AS day, max(cur) AS peak_concurrent
+        |FROM sw GROUP BY 1 ORDER BY day""".stripMargin,
+    "events_user_gini" ->
+      """WITH per AS (
+        |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT n, CAST(row_number() OVER (ORDER BY n, user_id)
+        |    AS BIGINT) AS i
+        |  FROM per)
+        |SELECT count(*) AS n_users, CAST(sum(n) AS BIGINT)
+        |    AS total_events,
+        |  round((2.0 * CAST(sum(CAST(i AS DECIMAL(19,0))
+        |      * CAST(n AS DECIMAL(19,0))) AS DOUBLE))
+        |    / (CAST(count(*) AS DOUBLE) * CAST(sum(n) AS DOUBLE))
+        |    - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
+        |FROM r""".stripMargin,
+    "events_forecast_baseline" ->
+      """WITH cells AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS cell,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT c.event_type,
+        |    CAST(round(abs(CAST(c.n - p.n AS DOUBLE)) / c.n, 9)
+        |      AS DECIMAL(20,9)) AS ape,
+        |    CAST(round(CAST(p.n - c.n AS DOUBLE) / c.n, 9)
+        |      AS DECIMAL(20,9)) AS err
+        |  FROM cells c JOIN cells p
+        |    ON c.event_type = p.event_type
+        |    AND c.cell = p.cell + INTERVAL 24 HOUR)
+        |SELECT event_type, count(*) AS n_cells,
+        |  round(CAST(sum(ape) AS DOUBLE) / count(*), 6) AS mape,
+        |  round(CAST(sum(err) AS DOUBLE) / count(*), 6) AS mean_bias
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_anomaly_seasonal" ->
       """WITH cells AS (
         |  SELECT event_type, date_trunc('hour', ts) AS cell,

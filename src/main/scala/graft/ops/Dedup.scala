@@ -248,7 +248,7 @@ object Dedup {
     * it the whole LSH pipeline executes once per branch — measured ~2× the
     * dominant cost of the query at sf0.1).
     */
-  private def connectedLabels(s: SparkSession, d: String): DataFrame = {
+  private[graft] def connectedLabels(s: SparkSession, d: String): DataFrame = {
     val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
       .cache()
     pairs.count()

@@ -230,6 +230,30 @@ object Graph {
     // one explode), same LSH-pruned pair graph, so the join never
     // touches the corpus. Arithmetic is integer-valued doubles + one
     // division + round — bit-stable.
+    // component-level density census: per connected component its node
+    // count, internal edge count, and density 2E/(N(N−1)) — the shape
+    // report that separates collapse-safe near-cliques (density → 1)
+    // from chain/star components a dedup decision must keep apart
+    // (dedup_cluster_stats counts sizes; this adds the edge structure).
+    // Labels ride the shared pointer-doubling components kernel; the
+    // edge census is ONE equi-join of the pair table onto labels (both
+    // endpoints of an LSH pair share a component by construction, so
+    // joining doc_a's label suffices).
+    "graph_component_density" -> { (s, d) =>
+      val labels = Dedup.connectedLabels(s, d)
+      val nodes = labels.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+      val edges = Dedup.minhashPairs(s, d)
+        .join(labels.select(col("id").as("doc_a"), col("label")), "doc_a")
+        .groupBy("label").agg(count(lit(1)).as("n_edges"))
+      nodes.join(edges, "label")
+        .select(col("label").as("component"), col("n_nodes"),
+          col("n_edges"),
+          round(lit(2.0) * col("n_edges").cast("double")
+            / (col("n_nodes") * (col("n_nodes") - 1L)).cast("double"), 6)
+            .as("density"))
+        .orderBy("component")
+    },
+
     "graph_clustering_coeff" -> { (s, d) =>
       val p = Dedup.minhashPairs(s, d).select("doc_a", "doc_b").cache()
       val e = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
@@ -355,6 +379,31 @@ object Graph {
   )
 
   def oracle: Map[String, String] = Map(
+    "graph_component_density" ->
+      s"""WITH RECURSIVE ${Dedup.jaccardCtes},
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |  UNION ALL
+         |  SELECT doc_b AS u, doc_a AS v FROM jpairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |  WHERE e.v <> r.u),
+         |labels AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS keeper
+         |  FROM reach GROUP BY u),
+         |nodes AS (SELECT keeper, count(*) AS n_nodes
+         |          FROM labels GROUP BY 1),
+         |ec AS (
+         |  SELECT l.keeper, count(*) AS n_edges
+         |  FROM jpairs j JOIN labels l ON j.doc_a = l.doc_id
+         |  GROUP BY 1)
+         |SELECT n.keeper AS component, n.n_nodes, ec.n_edges,
+         |  round(2.0 * CAST(ec.n_edges AS DOUBLE)
+         |    / CAST(n.n_nodes * (n.n_nodes - 1) AS DOUBLE), 6) AS density
+         |FROM nodes n JOIN ec ON n.keeper = ec.keeper
+         |ORDER BY component""".stripMargin,
     "graph_pagerank" -> {
       // one CTE per unrolled round, mirroring the Spark plan stage-for-stage
       val rounds = (1 to Iters).map { i =>

@@ -1066,6 +1066,65 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("part_substitutes pairs are cross-brand within the price band") {
+    val rows = SparkEntry.queries("part_substitutes")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pk_a") < r.getAs[Long]("pk_b"))
+      val (pa, pb) = (r.getAs[Double]("price_a"), r.getAs[Double]("price_b"))
+      assert(math.abs(pa - pb) <= 0.002 * math.max(pa, pb) + 1e-9)
+    }
+  }
+
+  test("events_concurrent_peak is positive and bounded by daily actives") {
+    val rows = SparkEntry.queries("events_concurrent_peak")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val dailyActives = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("actives"))
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString
+        -> r.getAs[Long]("actives")).toMap
+    rows.foreach { r =>
+      val peak = r.getAs[Long]("peak_concurrent")
+      assert(peak >= 1)
+      assert(peak <= dailyActives(r.getAs[java.sql.Date]("day").toString))
+    }
+  }
+
+  test("events_user_gini sits in [0, 1)") {
+    val r = SparkEntry.queries("events_user_gini")(spark, sf)
+      .collect().head
+    val g = r.getAs[Double]("gini")
+    assert(g >= 0.0 && g < 1.0)
+    assert(r.getAs[Long]("n_users") > 0)
+  }
+
+  test("events_forecast_baseline scores every type with finite errors") {
+    val rows = SparkEntry.queries("events_forecast_baseline")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cells") > 0)
+      assert(r.getAs[Double]("mape") >= 0.0)
+      assert(!r.getAs[Double]("mape").isNaN)
+    }
+  }
+
+  test("graph_component_density densities are in (0, 1]") {
+    val rows = SparkEntry.queries("graph_component_density")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_nodes"); val e = r.getAs[Long]("n_edges")
+      assert(n >= 2)
+      assert(e >= n - 1) // connected
+      assert(e <= n * (n - 1) / 2) // simple graph
+      val dN = r.getAs[Double]("density")
+      assert(dN > 0.0 && dN <= 1.0)
+    }
+  }
+
   test("dedup_substring flags the near-dup region, not the background") {
     val flagged = SparkEntry.queries("dedup_substring")(spark, sf)
       .filter(col("flag_dup")).select("doc_id").collect()
