@@ -1543,6 +1543,96 @@ object Analytics {
           coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
           coalesce(col("n_churned"), lit(0L)).as("n_churned"))
         .orderBy("wk")
+    },
+
+    // activity-concentration (Pareto) audit: how much of the event volume
+    // the top 1% / top 10% of users carry, and the smallest user count
+    // that covers half of all traffic. The companion to events_user_gini
+    // (a scalar) when the question is "where do I cap / downsample power
+    // users before training". Events collapse to O(users) counts first;
+    // the single global rank window runs over that aggregated table —
+    // orders of magnitude smaller than the event log at any SF (the
+    // events_user_gini justification). Cutoffs use integer ceil-division
+    // (no float boundary), shares are exact counts with one final
+    // rounded division.
+    "events_power_pareto" -> { (s, d) =>
+      val per = events(s, d).groupBy("user_id").agg(count(lit(1)).as("n"))
+      val tot = per.agg(sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_users"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("user_id"))
+      per
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cum", sum(col("n")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(tot))
+        .agg(
+          max(col("n_users")).as("n_users"),
+          max(col("n_events")).as("n_events"),
+          round(sum(when(col("rk") <= expr("(n_users + 99) div 100"),
+              col("n"))).cast("double") / max(col("n_events")), 6)
+            .as("top1pct_share"),
+          round(sum(when(col("rk") <= expr("(n_users + 9) div 10"),
+              col("n"))).cast("double") / max(col("n_events")), 6)
+            .as("top10pct_share"),
+          // row_number is int32 in Spark, BIGINT in DuckDB — widen
+          min(when(col("cum") * 2 >= col("n_events"), col("rk")))
+            .cast("long").as("pareto_k"))
+    },
+
+    // quantity uplift per discount level: the pricing-response curve
+    // (avg basket quantity at each discount percent vs the no-discount
+    // baseline). Output is O(#discount levels) — tiny at any SF; the
+    // heavy part is one keyed aggregate over lineitem with map-side
+    // combine. Discount levels are exact 2-decimal values, so the
+    // percent bucket is a lossless decimal*100 cast, and averages are
+    // exact decimal sums with one rounded division each.
+    "discount_uplift" -> { (s, d) =>
+      val per = t(s, d, "lineitem")
+        .withColumn("disc_pct",
+          (money(col("l_discount")) * 100).cast("int"))
+        .groupBy("disc_pct")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(money(col("l_quantity"))).as("sq"))
+      val base = per.filter(col("disc_pct") === 0)
+        .select(col("sq").as("sq0"), col("n_lines").as("n0"))
+      per.crossJoin(broadcast(base))
+        .select(col("disc_pct"), col("n_lines"),
+          round(col("sq").cast("double") / col("n_lines"), 6).as("avg_qty"),
+          round((col("sq").cast("double") / col("n_lines"))
+            / (col("sq0").cast("double") / col("n0")), 6).as("qty_uplift"))
+        .orderBy("disc_pct")
+    },
+
+    // per-nation trade balance: revenue flowing OUT of each nation's
+    // suppliers (exports) vs revenue its customers spend (imports), and
+    // the net. Two independent star aggregates over lineitem — each one
+    // shuffle on its join key with partial aggregation — full-outer
+    // merged on the 25-row nation dim (broadcast). Decimal-exact sums;
+    // the subtraction happens on the already-rounded doubles, identically
+    // ordered on both engines.
+    "nation_trade_balance" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val exp = li
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("exports"))
+      val imp = li
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("imports"))
+      exp.join(imp, Seq("nationkey"), "full_outer")
+        .join(broadcast(t(s, d, "nation")),
+          col("nationkey") === col("n_nationkey"))
+        .select(col("n_name"),
+          round(coalesce(col("exports"), lit(0.0)), 2).as("exports"),
+          round(coalesce(col("imports"), lit(0.0)), 2).as("imports"),
+          round(coalesce(col("exports"), lit(0.0))
+            - coalesce(col("imports"), lit(0.0)), 2).as("balance"))
+        .orderBy("n_name")
     }
   )
 
@@ -2561,6 +2651,64 @@ object Analytics {
          |JOIN nation   ON c_nationkey = n_nationkey
          |WHERE l_returnflag = 'R'
          |GROUP BY c_custkey, c_name, n_name
-         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "events_power_pareto" ->
+      """WITH per AS (
+        |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_events,
+        |    count(*) AS n_users FROM per),
+        |ranked AS (
+        |  SELECT n,
+        |    row_number() OVER (ORDER BY n DESC, user_id) AS rk,
+        |    sum(n) OVER (ORDER BY n DESC, user_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM per)
+        |SELECT max(t.n_users) AS n_users, max(t.n_events) AS n_events,
+        |  round(CAST(sum(CASE WHEN rk <= (t.n_users + 99) // 100
+        |      THEN n END) AS DOUBLE) / max(t.n_events), 6) AS top1pct_share,
+        |  round(CAST(sum(CASE WHEN rk <= (t.n_users + 9) // 10
+        |      THEN n END) AS DOUBLE) / max(t.n_events), 6) AS top10pct_share,
+        |  CAST(min(CASE WHEN cum * 2 >= t.n_events THEN rk END) AS BIGINT)
+        |    AS pareto_k
+        |FROM ranked CROSS JOIN tot t""".stripMargin,
+
+    "discount_uplift" ->
+      """WITH per AS (
+        |  SELECT CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS INTEGER)
+        |    AS disc_pct,
+        |  count(*) AS n_lines,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem GROUP BY 1),
+        |base AS (SELECT sq AS sq0, n_lines AS n0 FROM per
+        |  WHERE disc_pct = 0)
+        |SELECT disc_pct, n_lines,
+        |  round(CAST(sq AS DOUBLE) / n_lines, 6) AS avg_qty,
+        |  round((CAST(sq AS DOUBLE) / n_lines)
+        |    / (CAST(sq0 AS DOUBLE) / n0), 6) AS qty_uplift
+        |FROM per CROSS JOIN base ORDER BY disc_pct""".stripMargin,
+
+    "nation_trade_balance" -> {
+      val rev = s"CAST(sum(${sql.discPrice("l_extendedprice", "l_discount")}) AS DOUBLE)"
+      s"""WITH exp AS (
+         |  SELECT s_nationkey AS nationkey, $rev AS exports
+         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |  GROUP BY 1),
+         |imp AS (
+         |  SELECT c_nationkey AS nationkey, $rev AS imports
+         |  FROM lineitem
+         |  JOIN orders   ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1)
+         |SELECT n_name,
+         |  round(coalesce(exports, 0.0), 2) AS exports,
+         |  round(coalesce(imports, 0.0), 2) AS imports,
+         |  round(coalesce(exports, 0.0) - coalesce(imports, 0.0), 2)
+         |    AS balance
+         |FROM exp FULL OUTER JOIN imp USING (nationkey)
+         |JOIN nation ON nationkey = n_nationkey
+         |ORDER BY n_name""".stripMargin
+    }
   )
 }

@@ -375,6 +375,36 @@ object Graph {
                 - col("sx") * col("sx"))
               * (col("n_edges").cast("double") * col("syy")
                 - col("sy") * col("sy"))), 6).as("assortativity"))
+    },
+
+    // Adamic–Adar link prediction over the near-dup graph: for each pair
+    // (a,b) reachable through a shared neighbor, score
+    // Σ_{x ∈ N(a)∩N(b)} 1/ln(deg(x)) — a low-degree shared neighbor is
+    // strong evidence, a hub is weak. Runs on the SAME LSH-pruned verified
+    // pair graph as graph_common_neighbors, so wedge enumeration is
+    // bounded by the near-dup edge list (never corpus-quadratic); at
+    // 100 TB the standard extra guard is a super-node degree cap, which
+    // the LSH band width already enforces structurally. deg(x) >= 2 for
+    // every wedge center by construction (x has distinct neighbors a, b),
+    // so ln never sees 1. 1/ln terms use the round-to-9 decimal contract.
+    "graph_adamic_adar" -> { (s, d) =>
+      val p = Dedup.minhashPairs(s, d).select("doc_a", "doc_b").cache()
+      val e = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionAll(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+      e.select(col("u").as("a"), col("v").as("x"))
+        .join(e.select(col("u").as("xx"), col("v").as("b")),
+          col("x") === col("xx"))
+        .filter(col("a") < col("b"))
+        .join(deg.select(col("u").as("xd"), col("deg")),
+          col("x") === col("xd"))
+        .withColumn("w", expr(
+          "CAST(round(1.0 / ln(CAST(deg AS DOUBLE)), 9) AS DECIMAL(20,9))"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n_common"),
+          round(sum(col("w")).cast("double"), 6).as("aa_score"))
+        .orderBy(col("aa_score").desc, col("a"), col("b"))
+        .limit(30)
     }
   )
 
@@ -623,6 +653,26 @@ object Graph {
          |    / sqrt((CAST(n_edges AS DOUBLE) * sxx - sx * sx)
          |      * (CAST(n_edges AS DOUBLE) * syy - sy * sy)), 6)
          |    AS assortativity
-         |FROM m""".stripMargin
+         |FROM m""".stripMargin,
+
+    // exact-Jaccard pair graph (same >= 0.8 pairs the LSH path verifies),
+    // same wedge enumeration + 1/ln(deg) round-9 decimal sum
+    "graph_adamic_adar" ->
+      s"""WITH ${Dedup.jaccardCtes},
+         |e AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |  UNION ALL
+         |  SELECT doc_b AS u, doc_a AS v FROM jpairs),
+         |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+         |wedge AS (
+         |  SELECT e1.u AS a, e2.v AS b, e1.v AS x
+         |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+         |  WHERE e1.u < e2.v)
+         |SELECT a, b, count(*) AS n_common,
+         |  round(CAST(sum(CAST(round(1.0 / ln(CAST(d.deg AS DOUBLE)), 9)
+         |    AS DECIMAL(20,9))) AS DOUBLE), 6) AS aa_score
+         |FROM wedge JOIN deg d ON wedge.x = d.u
+         |GROUP BY a, b
+         |ORDER BY aa_score DESC, a, b LIMIT 30""".stripMargin
   )
 }

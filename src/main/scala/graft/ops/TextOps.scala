@@ -871,6 +871,37 @@ object TextOps {
         .select(col("decile"), col("n_tokens"), col("vocab"), col("beta"),
           col("ln_k"))
         .orderBy("decile")
+    },
+
+    // per-doc cross-entropy under the corpus add-1 unigram LM — the
+    // model-free curation signal that ranks gibberish/outlier docs (high
+    // average NLL) without shipping a trained LM (cf. reference-style
+    // quality scoring; the KenLM stage of public web-corpus pipelines).
+    // Shape: one corpus-linear token pass builds (doc, word, tf); the LM
+    // side is VOCAB-sized and joins tf on `word` as a shuffle equi-join —
+    // at 100 TB the vocabulary outgrows any broadcast and hot-word skew
+    // is exactly AQE's skew-join case, so no broadcast hint. The two
+    // corpus scalars (N, V) ride a 1-row broadcast. ln terms follow the
+    // round-to-9 + exact-decimal-sum contract (text_entropy precedent),
+    // so partial-agg merge order can never move a score.
+    "text_doc_perplexity" -> { (s, d) =>
+      val tf = toks(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val lm = wordCounts(s, d)
+      val tot = lm.agg(sum(col("cnt")).as("n_corpus"),
+        count(lit(1)).as("vocab"))
+      tf.join(lm, "word")
+        .crossJoin(broadcast(tot))
+        .withColumn("nll", expr(
+          """CAST(round(tf * -ln(CAST(cnt + 1 AS DOUBLE)
+            |  / (n_corpus + vocab)), 9) AS DECIMAL(20,9))""".stripMargin))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_toks"),
+          round(sum(col("nll")).cast("double") / sum(col("tf")), 6)
+            .as("avg_nll"))
+        .orderBy(col("avg_nll").desc, col("doc_id"))
+        .limit(20)
     }
   )
 
@@ -1504,6 +1535,24 @@ object TextOps {
         |      / n, 6) AS ln_k
         |  FROM mm)
         |SELECT decile, n_tokens, vocab, beta, ln_k
-        |FROM curve CROSS JOIN fit ORDER BY decile""".stripMargin
+        |FROM curve CROSS JOIN fit ORDER BY decile""".stripMargin,
+
+    "text_doc_perplexity" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |lm AS (SELECT word, count(*) AS cnt FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_corpus,
+        |  count(*) AS vocab FROM lm),
+        |terms AS (
+        |  SELECT tf.doc_id, tf.tf,
+        |    CAST(round(tf.tf * -ln(CAST(lm.cnt + 1 AS DOUBLE)
+        |      / (tot.n_corpus + tot.vocab)), 9) AS DECIMAL(20,9)) AS nll
+        |  FROM tf JOIN lm USING (word) CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+        |  round(CAST(sum(nll) AS DOUBLE) / sum(tf), 6) AS avg_nll
+        |FROM terms GROUP BY doc_id
+        |ORDER BY avg_nll DESC, doc_id LIMIT 20""".stripMargin
   )
 }

@@ -268,6 +268,50 @@ object Windows {
             + lit(0.0))
             .as("slope5"))
         .orderBy("event_id")
+    },
+
+    // trailing-10 Pearson correlation between quantity and extended price
+    // per supplier — the rolling co-movement monitor (win_rolling_slope's
+    // two-variable sibling). All five window moments are EXACT decimal
+    // sums (inputs are 2-decimal money values, products bounded well
+    // inside precision 38), so the zero-variance guard is an exact
+    // decimal comparison — never a float epsilon — and the only doubles
+    // are the final correctly-rounded formula both engines evaluate in
+    // the same parenthesization. Windows are per-supplier (bounded
+    // partitions). The fixture's (orderkey, linenumber) is NOT unique
+    // (duplicate keys with distinct payloads exist), so the window order
+    // includes x and y: any remaining ties are fully identical rows,
+    // interchangeable without moving a moment — and the output is keyed
+    // by (supplier, rn) so the result rows have a unique identity.
+    "win_rolling_corr" -> { (s, d) =>
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("x"), col("y"))
+      val wf = w.rowsBetween(-9, Window.currentRow)
+      t(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"),
+          expr("CAST(l_quantity AS DECIMAL(9,2))").as("x"),
+          expr("CAST(l_extendedprice AS DECIMAL(12,2))").as("y"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wf))
+        .withColumn("sx", sum(col("x")).over(wf))
+        .withColumn("sy", sum(col("y")).over(wf))
+        .withColumn("sxy", sum(expr("x * y")).over(wf))
+        .withColumn("sxx", sum(expr("x * x")).over(wf))
+        .withColumn("syy", sum(expr("y * y")).over(wf))
+        .filter(col("n") === 10)
+        .withColumn("varx", expr("n * sxx - sx * sx"))
+        .withColumn("vary", expr("n * syy - sy * sy"))
+        .withColumn("num", expr("n * sxy - sx * sy"))
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+          col("l_linenumber"),
+          when(col("varx") > 0 && col("vary") > 0,
+            round(col("num").cast("double")
+              / (sqrt(col("varx").cast("double"))
+                * sqrt(col("vary").cast("double"))), 6) + lit(0.0))
+            .as("corr10"))
+        .orderBy("l_suppkey", "rn")
     }
   )
 
@@ -444,6 +488,38 @@ object Windows {
         |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0
         |  END AS slope5
-        |FROM m ORDER BY event_id""".stripMargin
+        |FROM m ORDER BY event_id""".stripMargin,
+    "win_rolling_corr" ->
+      """WITH b AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |    CAST(l_quantity AS DECIMAL(9,2)) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    CAST(row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber, x, y)
+        |      AS BIGINT) AS rn,
+        |    count(*) OVER w AS n,
+        |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+        |    sum(x * y) OVER w AS sxy,
+        |    sum(x * x) OVER w AS sxx,
+        |    sum(y * y) OVER w AS syy
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, x, y
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+        |v AS (
+        |  SELECT l_suppkey, rn, l_orderkey, l_linenumber,
+        |    n * sxx - sx * sx AS varx, n * syy - sy * sy AS vary,
+        |    n * sxy - sx * sy AS num
+        |  FROM m WHERE n = 10)
+        |SELECT l_suppkey, rn, l_orderkey, l_linenumber,
+        |  CASE WHEN varx > 0 AND vary > 0 THEN
+        |    round(CAST(num AS DOUBLE)
+        |      / (sqrt(CAST(varx AS DOUBLE)) * sqrt(CAST(vary AS DOUBLE))),
+        |      6) + 0.0
+        |  END AS corr10
+        |FROM v ORDER BY l_suppkey, rn""".stripMargin
   )
 }

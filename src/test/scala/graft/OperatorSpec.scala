@@ -1138,4 +1138,69 @@ class OperatorSpec extends SparkSpec {
     assert(pairDocs.subsetOf(flagged),
       s"near-dup docs not flagged: ${(pairDocs -- flagged).take(5)}")
   }
+
+  test("events_power_pareto shares are ordered and pareto_k is sane") {
+    val r = SparkEntry.queries("events_power_pareto")(spark, sf)
+      .collect().head
+    val (t1, t10) = (r.getAs[Double]("top1pct_share"),
+      r.getAs[Double]("top10pct_share"))
+    assert(t1 > 0.0 && t1 <= t10 && t10 <= 1.0)
+    // top 10% of users must carry at least 10% of events (sorted desc)
+    assert(t10 >= 0.1 - 1e-9)
+    val k = r.getAs[Long]("pareto_k")
+    assert(k >= 1 && k <= r.getAs[Long]("n_users"))
+  }
+
+  test("discount_uplift baseline level has uplift exactly 1") {
+    val rows = SparkEntry.queries("discount_uplift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val zero = rows.find(_.getAs[Int]("disc_pct") == 0)
+    assert(zero.isDefined, "no zero-discount baseline level in fixtures")
+    assert(zero.get.getAs[Double]("qty_uplift") == 1.0)
+    rows.foreach(r => assert(r.getAs[Double]("avg_qty") > 0.0))
+  }
+
+  test("nation_trade_balance balances sum to ~zero corpus-wide") {
+    val rows = SparkEntry.queries("nation_trade_balance")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // every discounted lineitem dollar is exported by exactly one nation
+    // and imported by exactly one, so the global net must cancel
+    val net = rows.map(_.getAs[Double]("balance")).sum
+    val gross = rows.map(_.getAs[Double]("exports")).sum
+    assert(math.abs(net) < 1e-4 * gross + 0.01, s"net $net vs gross $gross")
+  }
+
+  test("win_rolling_corr values are valid correlations") {
+    val rows = SparkEntry.queries("win_rolling_corr")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("corr10"))) {
+        val c = r.getAs[Double]("corr10")
+        assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"corr $c")
+      }
+    }
+  }
+
+  test("text_doc_perplexity ranks docs by descending surprise") {
+    val rows = SparkEntry.queries("text_doc_perplexity")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val nlls = rows.map(_.getAs[Double]("avg_nll"))
+    assert(nlls.forall(_ > 0.0))
+    assert(nlls.zip(nlls.tail).forall { case (a, b) => a >= b },
+      "avg_nll not descending")
+  }
+
+  test("graph_adamic_adar scores are positive and bounded by n_common") {
+    val rows = SparkEntry.queries("graph_adamic_adar")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nc = r.getAs[Long]("n_common")
+      val aa = r.getAs[Double]("aa_score")
+      assert(nc >= 1)
+      // each witness contributes 1/ln(deg) with deg >= 2: term <= 1/ln 2
+      assert(aa > 0.0 && aa <= nc / math.log(2.0) + 1e-6)
+    }
+  }
 }
