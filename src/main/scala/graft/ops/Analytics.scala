@@ -1633,6 +1633,39 @@ object Analytics {
           round(coalesce(col("exports"), lit(0.0))
             - coalesce(col("imports"), lit(0.0)), 2).as("balance"))
         .orderBy("n_name")
+    },
+
+    // per-user ML feature assembly — the feature-store materialization
+    // pass that turns the raw event log into one model-ready row per
+    // user (recency/tenure/frequency/diversity/intensity/monetary) in a
+    // SINGLE keyed aggregate. The point at scale: every feature here is
+    // partial-aggregable, so the log is read once, combined map-side,
+    // and shuffled once on user_id — adding a feature costs zero extra
+    // passes (vs the one-query-per-feature antipattern). The corpus
+    // anchor timestamp rides a 1-row broadcast. Monetary sums are exact
+    // decimal; the two rate features are single rounded divisions.
+    "user_feature_matrix" -> { (s, d) =>
+      val ev = events(s, d)
+      val anchor = ev.agg(max(col("ts")).as("corpus_max"))
+      ev.crossJoin(broadcast(anchor))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          countDistinct(to_date(col("ts"))).as("active_days"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+          max(col("corpus_max")).as("cmax"),
+          sum(money(col("value"))).as("sv"))
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          col("active_days"),
+          datediff(to_date(col("cmax")), to_date(col("last_ts")))
+            .cast("long").as("recency_days"),
+          datediff(to_date(col("last_ts")), to_date(col("first_ts")))
+            .cast("long").as("tenure_days"),
+          round(col("sv").cast("double") / col("n_events"), 6)
+            .as("avg_value"),
+          round(col("n_events").cast("double") / col("active_days"), 6)
+            .as("events_per_active_day"))
+        .orderBy("user_id")
     }
   )
 
@@ -2709,6 +2742,27 @@ object Analytics {
          |FROM exp FULL OUTER JOIN imp USING (nationkey)
          |JOIN nation ON nationkey = n_nationkey
          |ORDER BY n_name""".stripMargin
-    }
+    },
+
+    "user_feature_matrix" ->
+      """WITH anchor AS (SELECT max(ts) AS cmax FROM events),
+        |f AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    count(DISTINCT event_type) AS n_types,
+        |    count(DISTINCT CAST(ts AS DATE)) AS active_days,
+        |    min(ts) AS first_ts, max(ts) AS last_ts,
+        |    max(a.cmax) AS cmax,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sv
+        |  FROM events CROSS JOIN anchor a
+        |  GROUP BY user_id)
+        |SELECT user_id, n_events, n_types, active_days,
+        |  CAST(date_diff('day', CAST(last_ts AS DATE), CAST(cmax AS DATE))
+        |    AS BIGINT) AS recency_days,
+        |  CAST(date_diff('day', CAST(first_ts AS DATE),
+        |    CAST(last_ts AS DATE)) AS BIGINT) AS tenure_days,
+        |  round(CAST(sv AS DOUBLE) / n_events, 6) AS avg_value,
+        |  round(CAST(n_events AS DOUBLE) / active_days, 6)
+        |    AS events_per_active_day
+        |FROM f ORDER BY user_id""".stripMargin
   )
 }

@@ -331,6 +331,30 @@ object Joins {
         .orderBy("event_id")
     },
 
+    // forward as-of: each purchase matched to the FIRST click at-or-after
+    // it (post-conversion engagement — the "forward" strategy of the
+    // standard as-of triple backward/forward/nearest; the other two keys
+    // cover backward and nearest). Same single per-user window pass as
+    // join_asof — still no range join, one shuffle on user_id — with the
+    // frame reversed. Tie order puts purchases BEFORE clicks at equal ts
+    // (is_purchase DESC) so a same-instant click is a valid match,
+    // mirroring ASOF >= / <= inclusivity on both engines.
+    "join_asof_forward" -> { (s, d) =>
+      val ev = events(s, d)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_purchase").desc, col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev.withColumn("is_purchase",
+          when(col("event_type") === "purchase", 1).otherwise(0))
+        .withColumn("click_ts",
+          when(col("event_type") === "click", col("ts")))
+        .withColumn("next_click_ts",
+          first("click_ts", ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "next_click_ts")
+        .orderBy("event_id")
+    },
+
     // as-of with a staleness bound (the feature-store read semantics: a
     // feature older than the tolerance must NOT be served — better null
     // than stale): same single window pass as join_asof, then the match is
@@ -632,6 +656,12 @@ object Joins {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "join_asof_forward" ->
+      """SELECT p.event_id, p.user_id, p.ts, c.ts AS next_click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts <= c.ts
         |ORDER BY p.event_id""".stripMargin,
     // the SCD2 segment build + a ranked PIT pick: among segments with
     // valid_from <= probe ts, latest valid_from wins, version DESC

@@ -720,6 +720,39 @@ object Similarity {
         .select(col("q_id"), col("rank"), col("s_id").as("vec_id"),
           col("rel"))
         .orderBy("q_id", "rank")
+    },
+
+    // sign-random-projection LSH (SimHash for dense vectors): 16
+    // deterministic ±1 hyperplanes drawn from an LCG over (plane, dim)
+    // — the agg_countmin hash-family pattern, bit 16 used for the sign
+    // because an LCG's low bit merely alternates — give each vector a
+    // 16-bit binary code; equal codes are the ANN candidate buckets.
+    // This is the third ANN path next to banded MinHash (sim_pairs_lsh)
+    // and IVF (sim_topk_ivf): O(N·planes·d) map-side work, ONE shuffle
+    // keyed by (vec, plane) partial sums, and bucket stats that stay
+    // O(#codes). Coordinates round-9 to decimal before any sum (exact,
+    // order-free); the dot-sign test is an exact decimal comparison.
+    "embedding_sign_lsh" -> { (s, d) =>
+      val ex = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(expr("transform(embedding, " +
+            "x -> CAST(round(CAST(x AS DOUBLE), 9) AS DECIMAL(20,9)))"))
+            .as(Seq("pos", "xd")))
+      ex.withColumn("p", explode(expr("sequence(0, 15)")))
+        .withColumn("sgn", expr(
+          """CASE WHEN (((CAST(1103515245 AS BIGINT) * (p * 1024 + pos)
+            |  + 12345) % 2147483647) div 65536) % 2 = 0
+            |THEN 1 ELSE -1 END""".stripMargin))
+        .groupBy("vec_id", "p")
+        .agg(sum(expr("sgn * xd")).as("dot"))
+        .withColumn("bitv", expr(
+          "CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT), p) " +
+            "ELSE CAST(0 AS BIGINT) END"))
+        .groupBy("vec_id").agg(sum(col("bitv")).as("code"))
+        .groupBy("code").agg(count(lit(1)).as("n_vecs"))
+        .withColumn("pairs", expr("(n_vecs * (n_vecs - 1)) div 2"))
+        .orderBy(col("n_vecs").desc, col("code"))
+        .limit(50)
     }
   )
 
@@ -1203,6 +1236,31 @@ object Similarity {
          |FROM sel4 p JOIN cands c
          |  ON c.q_id = p.q_id AND c.c_id = p.s_id
          |ORDER BY p.q_id, p.rank""".stripMargin
-    }
+    },
+
+    "embedding_sign_lsh" ->
+      """WITH ex AS (
+        |  SELECT vec_id,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE), 9)
+        |      AS DECIMAL(20,9)) AS xd
+        |  FROM embeddings),
+        |pl AS (SELECT unnest(generate_series(0, 15)) AS p),
+        |b AS (
+        |  SELECT vec_id, p,
+        |    sum(CASE WHEN (((CAST(1103515245 AS BIGINT) * (p * 1024 + pos)
+        |        + 12345) % 2147483647) // 65536) % 2 = 0
+        |      THEN xd ELSE -xd END) AS dot
+        |  FROM ex CROSS JOIN pl
+        |  GROUP BY vec_id, p),
+        |codes AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << p
+        |      ELSE 0 END) AS BIGINT) AS code
+        |  FROM b GROUP BY vec_id)
+        |SELECT code, count(*) AS n_vecs,
+        |  (count(*) * (count(*) - 1)) // 2 AS pairs
+        |FROM codes GROUP BY code
+        |ORDER BY n_vecs DESC, code LIMIT 50""".stripMargin
   )
 }

@@ -1192,6 +1192,45 @@ class OperatorSpec extends SparkSpec {
       "avg_nll not descending")
   }
 
+  test("embedding_sign_lsh codes partition the corpus into 16-bit buckets") {
+    val rows = SparkEntry.queries("embedding_sign_lsh")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var total = 0L
+    rows.foreach { r =>
+      val code = r.getAs[Long]("code"); val n = r.getAs[Long]("n_vecs")
+      assert(code >= 0 && code < 65536, s"code $code outside 16 bits")
+      assert(n >= 1)
+      assert(r.getAs[Long]("pairs") == n * (n - 1) / 2)
+      total += n
+    }
+    val nVecs = Tables.t(spark, sf, "embeddings").count()
+    assert(total <= nVecs)
+  }
+
+  test("user_feature_matrix features are internally consistent") {
+    val rows = SparkEntry.queries("user_feature_matrix")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_events") >= r.getAs[Long]("active_days"))
+      assert(r.getAs[Long]("active_days") >= 1)
+      assert(r.getAs[Long]("recency_days") >= 0)
+      assert(r.getAs[Long]("tenure_days") >= 0)
+      assert(r.getAs[Double]("events_per_active_day") >= 1.0)
+    }
+  }
+
+  test("join_asof_forward matches are at-or-after the purchase") {
+    val rows = SparkEntry.queries("join_asof_forward")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val matched = rows.filter(!_.isNullAt(3))
+    assert(matched.nonEmpty, "no forward click matches at all")
+    matched.foreach { r =>
+      assert(!r.getAs[java.sql.Timestamp]("next_click_ts")
+        .before(r.getAs[java.sql.Timestamp]("ts")))
+    }
+  }
+
   test("graph_adamic_adar scores are positive and bounded by n_common") {
     val rows = SparkEntry.queries("graph_adamic_adar")(spark, sf).collect()
     assert(rows.nonEmpty)
