@@ -378,6 +378,40 @@ object Aggregates {
           (col("cms_est") - col("exact")).as("overestimate"))
         .orderBy(col("exact").desc, col("word"))
         .limit(50)
+    },
+
+    // EXACT distinct counting via bitmap words — the ClickHouse/Druid
+    // groupBitmap pattern, the scale alternative between countDistinct
+    // (shuffles every distinct value) and HLL (approximate): pack ids
+    // into 63-bit words keyed by id div 63, OR the words map-side, and
+    // popcount at the end. The shuffle carries at most one word per 63
+    // ids per partition — for dense id spaces orders of magnitude less
+    // traffic than the values themselves, and perfectly mergeable (OR is
+    // idempotent + commutative, so partial aggregation is lossless).
+    // 63 bits, not 64: DuckDB's checked `<<` raises at 1<<63 where Spark
+    // wraps (the bloom_index_prune precedent). The same query carries
+    // countDistinct as the self-audit column.
+    "agg_bitmap_distinct" -> { (s, d) =>
+      val ev = events(s, d)
+      val bitmap = ev
+        .select(col("event_type"),
+          expr("user_id div 63").as("word_idx"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+            .as("bit"))
+        .groupBy("event_type", "word_idx")
+        .agg(expr("bit_or(bit)").as("word"))
+        .groupBy("event_type")
+        .agg(sum(expr("CAST(bit_count(word) AS BIGINT)"))
+          .as("n_distinct_bitmap"),
+          count(lit(1)).as("n_words"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_distinct_exact"))
+      bitmap.join(exact, "event_type")
+        .select(col("event_type"), col("n_distinct_bitmap"),
+          col("n_distinct_exact"), col("n_words"),
+          (col("n_distinct_bitmap") === col("n_distinct_exact"))
+            .as("bitmap_exact"))
+        .orderBy("event_type")
     }
   )
 
@@ -621,6 +655,26 @@ object Aggregates {
          |  FROM hs JOIN ctr USING (j, bucket)
          |  GROUP BY word)
          |SELECT word, exact, cms_est, cms_est - exact AS overestimate
-         |FROM est ORDER BY exact DESC, word LIMIT 50""".stripMargin
+         |FROM est ORDER BY exact DESC, word LIMIT 50""".stripMargin,
+
+    "agg_bitmap_distinct" ->
+      """WITH words AS (
+        |  SELECT event_type, user_id // 63 AS word_idx,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER))
+        |      AS word
+        |  FROM events GROUP BY 1, 2),
+        |bm AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(bit_count(word) AS BIGINT)) AS BIGINT)
+        |      AS n_distinct_bitmap,
+        |    count(*) AS n_words
+        |  FROM words GROUP BY 1),
+        |ex AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS n_distinct_exact
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n_distinct_bitmap, n_distinct_exact, n_words,
+        |  n_distinct_bitmap = n_distinct_exact AS bitmap_exact
+        |FROM bm JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin
   )
 }

@@ -1666,6 +1666,98 @@ object Analytics {
           round(col("n_events").cast("double") / col("active_days"), 6)
             .as("events_per_active_day"))
         .orderBy("user_id")
+    },
+
+    // click→purchase conversion latency profiled by purchase hour: the
+    // funnel-timing table (how long users deliberate, and whether
+    // late-night conversions are slower). Reuses join_asof's single
+    // backward window pass to find each purchase's preceding click —
+    // still no range join — then 24 output rows. Percentiles are exact
+    // (`percentile`, the agg_percentile precedent) over per-hour groups;
+    // at 100 TB the swap is approx_percentile per the agg_approx_quantile
+    // key — same plan shape, sketch instead of sort.
+    "events_conversion_latency" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts"), col("is_purchase"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      events(s, d)
+        .withColumn("is_purchase",
+          when(col("event_type") === "purchase", 1).otherwise(0))
+        .withColumn("click_ts",
+          when(col("event_type") === "click", col("ts")))
+        .withColumn("last_click_ts",
+          last("click_ts", ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase"
+          && col("last_click_ts").isNotNull)
+        .select(hour(col("ts")).as("purchase_hour"),
+          expr("(unix_micros(ts) - unix_micros(last_click_ts)) " +
+            "div 1000000").as("gap_s"))
+        .groupBy("purchase_hour")
+        .agg(count(lit(1)).as("n_conversions"),
+          round(expr("percentile(gap_s, 0.5)"), 4).as("p50_s"),
+          round(expr("percentile(gap_s, 0.9)"), 4).as("p90_s"),
+          round(sum(col("gap_s")).cast("double") / count(lit(1)), 6)
+            .as("mean_s"))
+        .orderBy("purchase_hour")
+    },
+
+    // interval-union coverage: overlapping 30-min activity intervals
+    // merged into maximal spans per user (classic gaps-and-islands over
+    // time — the "how long was the user actually present" measure that
+    // summing session lengths double-counts). Two window passes per
+    // user (running max-end, then span-id cumsum) — per-user bounded
+    // partitions, no self-join, no interval explosion; the merge is the
+    // textbook O(n log n) sweep expressed declaratively.
+    "events_coverage_spans" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("start_s", expr("unix_micros(ts) div 1000000"))
+        .withColumn("end_s", col("start_s") + 1800L)
+        .withColumn("max_prev_end", max(col("end_s")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)))
+        .withColumn("new_span",
+          when(col("max_prev_end").isNull
+            || col("start_s") > col("max_prev_end"), 1L).otherwise(0L))
+        .withColumn("span_id", sum(col("new_span")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .groupBy("user_id", "span_id")
+        .agg(min(col("start_s")).as("s0"), max(col("end_s")).as("s1"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("s1") - col("s0")).as("covered_s"),
+          max(col("s1") - col("s0")).as("max_span_s"))
+        .orderBy("user_id")
+    },
+
+    // supplier reliability ranking: mean order→ship delay per supplier,
+    // ranked best-first among suppliers above a volume floor (the
+    // minimum-sample guard that keeps one lucky line from topping the
+    // board). One equi-join + keyed agg collapses to the dim-sized
+    // supplier table before the single rank window; integer day sums
+    // are exact, one rounded division per supplier.
+    "supplier_delay_rank" -> { (s, d) =>
+      val per = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(datediff(to_date(col("l_shipdate")),
+            to_date(col("o_orderdate"))).cast("long")).as("sum_delay"))
+        .filter(col("n_lines") >= 20)
+        .withColumn("avg_delay_days",
+          round(col("sum_delay").cast("double") / col("n_lines"), 6))
+      per.withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("avg_delay_days"), col("l_suppkey"))).cast("long"))
+        .filter(col("rnk") <= 25)
+        .select(col("rnk"), col("l_suppkey"), col("n_lines"),
+          col("avg_delay_days"))
+        .orderBy("rnk")
     }
   )
 
@@ -2763,6 +2855,72 @@ object Analytics {
         |  round(CAST(sv AS DOUBLE) / n_events, 6) AS avg_value,
         |  round(CAST(n_events AS DOUBLE) / active_days, 6)
         |    AS events_per_active_day
-        |FROM f ORDER BY user_id""".stripMargin
+        |FROM f ORDER BY user_id""".stripMargin,
+
+    "events_conversion_latency" ->
+      """WITH p AS (
+        |  SELECT pp.ts, c.ts AS click_ts
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') pp
+        |  ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON pp.user_id = c.user_id AND pp.ts >= c.ts),
+        |g AS (
+        |  SELECT CAST(hour(ts) AS INTEGER) AS purchase_hour,
+        |    (epoch_us(ts) - epoch_us(click_ts)) // 1000000 AS gap_s
+        |  FROM p)
+        |SELECT purchase_hour, count(*) AS n_conversions,
+        |  round(quantile_cont(gap_s, 0.5), 4) AS p50_s,
+        |  round(quantile_cont(gap_s, 0.9), 4) AS p90_s,
+        |  round(CAST(sum(gap_s) AS DOUBLE) / count(*), 6) AS mean_s
+        |FROM g GROUP BY purchase_hour
+        |ORDER BY purchase_hour""".stripMargin,
+
+    "events_coverage_spans" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, event_id,
+        |    epoch_us(ts) // 1000000 AS start_s,
+        |    epoch_us(ts) // 1000000 + 1800 AS end_s
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, event_id, start_s, end_s,
+        |    max(end_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS max_prev_end
+        |  FROM b),
+        |sp AS (
+        |  SELECT user_id, start_s, end_s,
+        |    sum(CASE WHEN max_prev_end IS NULL OR start_s > max_prev_end
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS span_id
+        |  FROM m),
+        |agg AS (
+        |  SELECT user_id, span_id, min(start_s) AS s0, max(end_s) AS s1
+        |  FROM sp GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_spans,
+        |  CAST(sum(s1 - s0) AS BIGINT) AS covered_s,
+        |  max(s1 - s0) AS max_span_s
+        |FROM agg GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "supplier_delay_rank" ->
+      """WITH per AS (
+        |  SELECT l_suppkey, count(*) AS n_lines,
+        |    CAST(sum(date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE))) AS BIGINT) AS sum_delay
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY l_suppkey
+        |  HAVING count(*) >= 20),
+        |r AS (
+        |  SELECT l_suppkey, n_lines,
+        |    round(CAST(sum_delay AS DOUBLE) / n_lines, 6)
+        |      AS avg_delay_days
+        |  FROM per)
+        |SELECT * FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY avg_delay_days,
+        |      l_suppkey) AS BIGINT) AS rnk,
+        |    l_suppkey, n_lines, avg_delay_days
+        |  FROM r) t
+        |WHERE rnk <= 25
+        |ORDER BY rnk""".stripMargin
   )
 }

@@ -1231,6 +1231,58 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("agg_bitmap_distinct bitmap counts equal countDistinct everywhere") {
+    val rows = SparkEntry.queries("agg_bitmap_distinct")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("bitmap_exact"),
+        s"${r.getAs[String]("event_type")}: bitmap " +
+          s"${r.getAs[Long]("n_distinct_bitmap")} != exact " +
+          s"${r.getAs[Long]("n_distinct_exact")}")
+      assert(r.getAs[Long]("n_words") <= r.getAs[Long]("n_distinct_exact"))
+    }
+  }
+
+  test("events_conversion_latency percentiles are ordered") {
+    val rows = SparkEntry.queries("events_conversion_latency")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90) = (r.getAs[Double]("p50_s"), r.getAs[Double]("p90_s"))
+      assert(p50 >= 0.0 && p50 <= p90)
+      assert(r.getAs[Double]("mean_s") >= 0.0)
+      val h = r.getAs[Int]("purchase_hour")
+      assert(h >= 0 && h <= 23)
+    }
+  }
+
+  test("events_coverage_spans never exceeds naive session-sum time") {
+    val spans = SparkEntry.queries("events_coverage_spans")(spark, sf)
+      .collect()
+    assert(spans.nonEmpty)
+    val nEvents = Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spans.foreach { r =>
+      val covered = r.getAs[Long]("covered_s")
+      val n = nEvents(r.getAs[Long]("user_id"))
+      // each event contributes at most its full 1800 s interval
+      assert(covered >= 1800 && covered <= n * 1800L)
+      assert(r.getAs[Long]("max_span_s") <= covered)
+      assert(r.getAs[Long]("n_spans") <= n)
+    }
+  }
+
+  test("supplier_delay_rank is ascending with the volume floor applied") {
+    val rows = SparkEntry.queries("supplier_delay_rank")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    val delays = rows.map(_.getAs[Double]("avg_delay_days"))
+    assert(delays.zip(delays.tail).forall { case (a, b) => a <= b })
+    rows.foreach(r => assert(r.getAs[Long]("n_lines") >= 20))
+  }
+
   test("graph_adamic_adar scores are positive and bounded by n_common") {
     val rows = SparkEntry.queries("graph_adamic_adar")(spark, sf).collect()
     assert(rows.nonEmpty)
