@@ -1758,6 +1758,53 @@ object Analytics {
         .select(col("rnk"), col("l_suppkey"), col("n_lines"),
           col("avg_delay_days"))
         .orderBy("rnk")
+    },
+
+    // difference-in-differences on top of events_ab_lift's hash split:
+    // the 2×2 (arm × pre/post) conversion grid and the DiD estimate
+    // (post-pre delta in B minus the same delta in A) — the estimator
+    // that survives a launch-day trend that contaminates a naive
+    // post-only lift read. Same deterministic md5 arm assignment and
+    // high-value-purchase conversion definition as events_ab_lift; rates
+    // are per-period ACTIVE users (a user active in one period only
+    // counts only there). Integer cells, four one-shot divisions, one
+    // rounded combination.
+    "events_ab_did" -> { (s, d) =>
+      val split = to_timestamp(lit("2024-01-16 00:00:00"))
+      val u = events(s, d)
+        .withColumn("post", col("ts") >= split)
+        .groupBy("user_id", "post")
+        .agg(max(when(col("event_type") === "purchase"
+            && col("value") >= 180, 1L).otherwise(0L)).as("conv"))
+        .withColumn("in_b",
+          substring(md5(col("user_id").cast("string")), 1, 1) >= "8")
+      u.agg(
+          sum(when(!col("in_b") && !col("post"), 1L).otherwise(0L))
+            .as("n_a_pre"),
+          sum(when(!col("in_b") && col("post"), 1L).otherwise(0L))
+            .as("n_a_post"),
+          sum(when(col("in_b") && !col("post"), 1L).otherwise(0L))
+            .as("n_b_pre"),
+          sum(when(col("in_b") && col("post"), 1L).otherwise(0L))
+            .as("n_b_post"),
+          sum(when(!col("in_b") && !col("post"), col("conv"))
+            .otherwise(0L)).as("c_a_pre"),
+          sum(when(!col("in_b") && col("post"), col("conv"))
+            .otherwise(0L)).as("c_a_post"),
+          sum(when(col("in_b") && !col("post"), col("conv"))
+            .otherwise(0L)).as("c_b_pre"),
+          sum(when(col("in_b") && col("post"), col("conv"))
+            .otherwise(0L)).as("c_b_post"))
+        .select(col("n_a_pre"), col("n_a_post"), col("n_b_pre"),
+          col("n_b_post"),
+          round(col("c_a_pre") / col("n_a_pre"), 6).as("rate_a_pre"),
+          round(col("c_a_post") / col("n_a_post"), 6).as("rate_a_post"),
+          round(col("c_b_pre") / col("n_b_pre"), 6).as("rate_b_pre"),
+          round(col("c_b_post") / col("n_b_post"), 6).as("rate_b_post"),
+          round((col("c_b_post") / col("n_b_post")
+              - col("c_b_pre") / col("n_b_pre"))
+            - (col("c_a_post") / col("n_a_post")
+              - col("c_a_pre") / col("n_a_pre")), 6).as("did"))
     }
   )
 
@@ -2921,6 +2968,41 @@ object Analytics {
         |    l_suppkey, n_lines, avg_delay_days
         |  FROM r) t
         |WHERE rnk <= 25
-        |ORDER BY rnk""".stripMargin
+        |ORDER BY rnk""".stripMargin,
+
+    "events_ab_did" ->
+      """WITH u AS (
+        |  SELECT user_id, ts >= TIMESTAMP '2024-01-16 00:00:00' AS post,
+        |    max(CASE WHEN event_type = 'purchase' AND value >= 180
+        |      THEN 1 ELSE 0 END) AS conv,
+        |    substring(md5(CAST(user_id AS VARCHAR)), 1, 1) >= '8' AS in_b
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN NOT in_b AND NOT post THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a_pre,
+        |    CAST(sum(CASE WHEN NOT in_b AND post THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a_post,
+        |    CAST(sum(CASE WHEN in_b AND NOT post THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b_pre,
+        |    CAST(sum(CASE WHEN in_b AND post THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b_post,
+        |    sum(CASE WHEN NOT in_b AND NOT post THEN conv ELSE 0 END)
+        |      AS c_a_pre,
+        |    sum(CASE WHEN NOT in_b AND post THEN conv ELSE 0 END)
+        |      AS c_a_post,
+        |    sum(CASE WHEN in_b AND NOT post THEN conv ELSE 0 END)
+        |      AS c_b_pre,
+        |    sum(CASE WHEN in_b AND post THEN conv ELSE 0 END)
+        |      AS c_b_post
+        |  FROM u)
+        |SELECT n_a_pre, n_a_post, n_b_pre, n_b_post,
+        |  round(c_a_pre / n_a_pre, 6) AS rate_a_pre,
+        |  round(c_a_post / n_a_post, 6) AS rate_a_post,
+        |  round(c_b_pre / n_b_pre, 6) AS rate_b_pre,
+        |  round(c_b_post / n_b_post, 6) AS rate_b_post,
+        |  round((c_b_post / n_b_post - c_b_pre / n_b_pre)
+        |    - (c_a_post / n_a_post - c_a_pre / n_a_pre), 6) AS did
+        |FROM c""".stripMargin
   )
 }

@@ -75,6 +75,26 @@ object Graph {
       .cache()
   }
 
+  /** 2-round synchronous label propagation over the trade graph (modal
+    * neighbor label, ties to smallest) — shared by `graph_label_prop`
+    * (which emits the labels) and `graph_modularity` (which scores them).
+    * Per round: broadcast O(V) labels × cached edges + one (dst, label)
+    * count aggregate; arg-min over (-cnt, label) avoids a per-node sort.
+    */
+  private[graft] def lpaLabels(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val l0 = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    (1 to 2).foldLeft(l0) { (l, _) =>
+      e.join(broadcast(l), col("src") === col("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("dst")
+        .agg(expr("min_by(label, struct(-cnt, label))").as("label"))
+        .select(col("dst").as("node"), col("label"))
+    }
+  }
+
   /** (node, degree, n_nodes) — the second table every pagerank round
     * touches, cached for the same reason as the edge list (each round
     * would otherwise re-run the degree groupBy and the node count).
@@ -148,21 +168,42 @@ object Graph {
     // through one shuffle, the same shape as the pagerank rounds. Fixed
     // round budget = the SLA form (communities stabilize in a few rounds
     // on short-diameter graphs; dedup_connected covers converge-or-throw).
-    "graph_label_prop" -> { (s, d) =>
+    "graph_label_prop" -> ((s, d) => lpaLabels(s, d).orderBy("node")),
+
+    // community QUALITY for the LPA partition: Newman modularity
+    // Q = Σ_c (m_c/m − (d_c/2m)²) over the 2-round label_prop
+    // communities on the trade graph — the acceptance metric that says
+    // whether the partition beats random wiring (Q > 0) before anyone
+    // acts on it. Everything is integer counts until the per-community
+    // term: intra-community edges and degree sums come from TWO
+    // label-broadcast joins onto the cached edge list (labels are O(V),
+    // edges never re-shuffle), the scalar (m, 2m) rides a 1-row
+    // broadcast, and the term follows the round-9-decimal-sum contract.
+    "graph_modularity" -> { (s, d) =>
       val e = edges(s, d)
-      val l0 = e.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node"))
-      val l2 = (1 to 2).foldLeft(l0) { (l, _) =>
-        e.join(broadcast(l), col("src") === col("node"))
-          .groupBy(col("dst"), col("label"))
-          .agg(count(lit(1)).as("cnt"))
-          .groupBy("dst")
-          // modal neighbor label, ties to the smallest label — one
-          // aggregate, no per-node sort (arg-min over (-cnt, label))
-          .agg(expr("min_by(label, struct(-cnt, label))").as("label"))
-          .select(col("dst").as("node"), col("label"))
-      }
-      l2.orderBy("node")
+      val lab = lpaLabels(s, d)
+      val el = e
+        .join(broadcast(lab.select(col("node").as("src"),
+          col("label").as("lsrc"))), "src")
+        .join(broadcast(lab.select(col("node").as("dst"),
+          col("label").as("ldst"))), "dst")
+      // integer div: Spark double->long casts truncate where DuckDB
+      // rounds, so keep the halving integral on both sides
+      val tot = e.agg(expr("count(1) div 2").as("m"))
+      val per = el.groupBy(col("lsrc").as("community"))
+        .agg(count(lit(1)).as("deg_sum"),
+          sum(when(col("lsrc") === col("ldst"), 1L).otherwise(0L))
+            .as("intra_directed"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("term", expr(
+          """CAST(round(
+            |  CAST(intra_directed AS DOUBLE) / 2 / m
+            |  - (CAST(deg_sum AS DOUBLE) / (2 * m))
+            |    * (CAST(deg_sum AS DOUBLE) / (2 * m)), 9)
+            |AS DECIMAL(20,9))""".stripMargin))
+        .agg(count(lit(1)).as("n_communities"),
+          max(col("m")).as("m_edges"),
+          round(sum(col("term")).cast("double"), 6).as("modularity"))
     },
 
     // triangle enumeration over the near-dup pair graph (pairs are
@@ -673,6 +714,53 @@ object Graph {
          |    AS DECIMAL(20,9))) AS DOUBLE), 6) AS aa_score
          |FROM wedge JOIN deg d ON wedge.x = d.u
          |GROUP BY a, b
-         |ORDER BY aa_score DESC, a, b LIMIT 30""".stripMargin
+         |ORDER BY aa_score DESC, a, b LIMIT 30""".stripMargin,
+
+    // same two unrolled LPA rounds as graph_label_prop, then the Newman
+    // sum with the identical round-9 decimal term contract
+    "graph_modularity" -> {
+      val rounds = (1 to 2).map { i =>
+        val prev = if (i == 1) "l0" else s"l${i - 1}"
+        s"""l$i AS (
+           |  SELECT dst AS node, label FROM (
+           |    SELECT e.dst, p.label, count(*) AS cnt,
+           |      row_number() OVER (PARTITION BY e.dst
+           |        ORDER BY count(*) DESC, p.label) AS rn
+           |    FROM e JOIN $prev p ON e.src = p.node
+           |    GROUP BY e.dst, p.label)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS sp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (
+         |  SELECT c AS src, sp AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT sp AS src, c AS dst FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         |$rounds,
+         |el AS (
+         |  SELECT a.label AS lsrc, b.label AS ldst
+         |  FROM e JOIN l2 a ON e.src = a.node
+         |  JOIN l2 b ON e.dst = b.node),
+         |tot AS (SELECT count(*) // 2 AS m FROM e),
+         |per AS (
+         |  SELECT lsrc AS community, count(*) AS deg_sum,
+         |    sum(CASE WHEN lsrc = ldst THEN 1 ELSE 0 END)
+         |      AS intra_directed
+         |  FROM el GROUP BY 1),
+         |terms AS (
+         |  SELECT community,
+         |    CAST(round(
+         |      CAST(intra_directed AS DOUBLE) / 2 / m
+         |      - (CAST(deg_sum AS DOUBLE) / (2 * m))
+         |        * (CAST(deg_sum AS DOUBLE) / (2 * m)), 9)
+         |    AS DECIMAL(20,9)) AS term, m
+         |  FROM per CROSS JOIN tot)
+         |SELECT count(*) AS n_communities, CAST(max(m) AS BIGINT)
+         |    AS m_edges,
+         |  round(CAST(sum(term) AS DOUBLE), 6) AS modularity
+         |FROM terms""".stripMargin
+    }
   )
 }

@@ -268,6 +268,50 @@ object TrainPrep {
         .orderBy("rnk")
     },
 
+    // the SECOND BPE iteration: apply the winning merge from
+    // tokenizer_bpe_pairs and recount adjacent-symbol pairs over the
+    // merged sequences — the loop body tokenizer training repeats 30k
+    // times. Words become double-spaced symbol strings (" a  b  c "):
+    // each merge match consumes one boundary space per side, so BACK-TO-
+    // BACK occurrences still match (single-space joining misses every
+    // second one — the classic greedy-replace bug) while multi-char
+    // symbols can never false-match across boundaries. The merge itself
+    // is ONE broadcast of the 1-row winner + a map-only replace; both
+    // keyed aggregates collapse to vocabulary size before shuffling.
+    "tokenizer_bpe_merge" -> { (s, d) =>
+      val wf = toks(s, d)
+        .select(explode(col("toks")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("wf"))
+        .cache()
+      val top = wf.select(col("wf"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("mpair"))
+        .groupBy("mpair").agg(sum(col("wf")).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("mpair")).limit(1)
+        .select(col("mpair"))
+      val w20 = Window.orderBy(col("n_occ").desc, col("pair"))
+      wf.crossJoin(broadcast(top))
+        .withColumn("seq2", expr(
+          """replace(
+            |  ' ' || array_join(transform(sequence(1, length(w)),
+            |    i -> substring(w, i, 1)), '  ') || ' ',
+            |  ' ' || substring(mpair, 1, 1) || '  '
+            |    || substring(mpair, 2, 1) || ' ',
+            |  ' ' || mpair || ' ')""".stripMargin))
+        .withColumn("syms", expr("filter(split(seq2, ' '), x -> x != '')"))
+        .filter(expr("size(syms) >= 2"))
+        .select(col("wf"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> concat(element_at(syms, i), ' ',
+            |    element_at(syms, i + 1)))""".stripMargin)).as("pair"))
+        .groupBy("pair").agg(sum(col("wf")).as("n_occ"))
+        .withColumn("rnk", row_number().over(w20).cast("long"))
+        .filter(col("rnk") <= 20)
+        .select("rnk", "pair", "n_occ")
+        .orderBy("rnk")
+    },
+
     // token-balanced shard assignment: docs rank by size (desc) inside
     // PackShards independent hash buckets and snake across BalanceShards
     // output shards (block 0 deals 0..7, block 1 deals 7..0, ...) — the
@@ -588,6 +632,47 @@ object TrainPrep {
         |  FROM a)
         |SELECT CAST(rnk AS BIGINT) AS rnk, pair, n_occ
         |FROM r WHERE rnk <= 50 ORDER BY rnk""".stripMargin,
+
+    // same double-spaced merge trick, mirrored operation for operation
+    "tokenizer_bpe_merge" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+        |  FROM documents),
+        |wf AS (
+        |  SELECT w, count(*) AS wf FROM tok WHERE len(w) >= 2 GROUP BY 1),
+        |p AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> substring(w, i, 2))) AS pair, wf
+        |  FROM wf),
+        |a AS (SELECT pair, sum(wf) AS n_occ FROM p GROUP BY 1),
+        |top AS (SELECT pair AS mpair FROM a
+        |  ORDER BY n_occ DESC, pair LIMIT 1),
+        |sq AS (
+        |  SELECT wf.wf,
+        |    replace(
+        |      ' ' || array_to_string(list_transform(
+        |        generate_series(1, len(w)), i -> substring(w, i, 1)),
+        |        '  ') || ' ',
+        |      ' ' || substring(t.mpair, 1, 1) || '  '
+        |        || substring(t.mpair, 2, 1) || ' ',
+        |      ' ' || t.mpair || ' ') AS seq2
+        |  FROM wf CROSS JOIN top t),
+        |sy AS (
+        |  SELECT wf, list_filter(string_split(seq2, ' '), x -> x <> '')
+        |    AS syms
+        |  FROM sq),
+        |p2 AS (
+        |  SELECT wf, unnest(list_transform(
+        |    generate_series(1, len(syms) - 1),
+        |    i -> syms[i] || ' ' || syms[i + 1])) AS pair
+        |  FROM sy WHERE len(syms) >= 2),
+        |a2 AS (
+        |  SELECT pair, CAST(sum(wf) AS BIGINT) AS n_occ
+        |  FROM p2 GROUP BY 1),
+        |r AS (SELECT pair, n_occ,
+        |  row_number() OVER (ORDER BY n_occ DESC, pair) AS rnk FROM a2)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, pair, n_occ
+        |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
     // same two-level snake: per-bucket size rank, explicit block parity
     "shard_balance" ->
       s"""WITH tk AS (

@@ -1283,6 +1283,43 @@ class OperatorSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("n_lines") >= 20))
   }
 
+  test("tokenizer_bpe_merge retires the merged pair from the pair table") {
+    val topBefore = SparkEntry.queries("tokenizer_bpe_pairs")(spark, sf)
+      .collect().head.getAs[String]("pair")
+    val after = SparkEntry.queries("tokenizer_bpe_merge")(spark, sf)
+      .collect()
+    assert(after.nonEmpty && after.length <= 20)
+    val retired = topBefore.substring(0, 1) + " " + topBefore.substring(1)
+    after.foreach { r =>
+      assert(r.getAs[String]("pair") != retired,
+        s"merged pair '$retired' still counted post-merge")
+      assert(r.getAs[Long]("n_occ") > 0)
+    }
+    // the merged symbol must now participate in at least one new pair
+    assert(after.exists(_.getAs[String]("pair").split(" ")
+      .contains(topBefore)),
+      s"merged symbol '$topBefore' absent from all post-merge pairs")
+  }
+
+  test("events_ab_did grid is consistent with its DiD estimate") {
+    val r = SparkEntry.queries("events_ab_did")(spark, sf).collect().head
+    Seq("n_a_pre", "n_a_post", "n_b_pre", "n_b_post")
+      .foreach(c => assert(r.getAs[Long](c) > 0, s"$c empty cell"))
+    val did = (r.getAs[Double]("rate_b_post") - r.getAs[Double]("rate_b_pre")) -
+      (r.getAs[Double]("rate_a_post") - r.getAs[Double]("rate_a_pre"))
+    assert(math.abs(did - r.getAs[Double]("did")) < 1e-5)
+  }
+
+  test("graph_modularity is a valid Newman score") {
+    val r = SparkEntry.queries("graph_modularity")(spark, sf)
+      .collect().head
+    val q = r.getAs[Double]("modularity")
+    // Newman bounds: -0.5 <= Q < 1
+    assert(q >= -0.5 && q < 1.0, s"Q=$q")
+    assert(r.getAs[Long]("n_communities") >= 1)
+    assert(r.getAs[Long]("m_edges") > 0)
+  }
+
   test("graph_adamic_adar scores are positive and bounded by n_common") {
     val rows = SparkEntry.queries("graph_adamic_adar")(spark, sf).collect()
     assert(rows.nonEmpty)
