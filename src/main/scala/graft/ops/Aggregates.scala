@@ -412,6 +412,60 @@ object Aggregates {
           (col("n_distinct_bitmap") === col("n_distinct_exact"))
             .as("bitmap_exact"))
         .orderBy("event_type")
+    },
+
+    // K-minimum-values (theta-sketch) set intersection: estimate
+    // |purchasers ∩ clickers| from each set's K smallest member hashes —
+    // the mergeable-sketch answer to "overlap of two huge audiences"
+    // where exact intersection would shuffle both full sets. θ =
+    // min(θ_A, θ_B); common members hashing below θ scale up by M/θ.
+    // When a set holds fewer than K members its θ degrades to the full
+    // hash space and the estimate IS the exact count (the standard KMV
+    // fallback), so the op is well-defined at every fixture SF. Hashes
+    // are 60-bit md5 prefixes (exactly mirrorable in SQL); the only
+    // doubles are the final scale-ups. Exact counts ride along as the
+    // in-query audit.
+    "agg_kmv_intersect" -> { (s, d) =>
+      val K = 8
+      val M = 1152921504606846976L // 16^15 = 2^60 hash space
+      val uh = events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_type").as("set_id"), col("user_id")).distinct()
+        .withColumn("h", expr("CAST(conv(substring(md5(" +
+          "CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+        .cache()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("set_id").orderBy("h", "user_id")
+      val stats = uh.withColumn("rn", row_number().over(w))
+        .groupBy("set_id")
+        .agg(count(lit(1)).as("n_exact"),
+          max(when(col("rn") === K, col("h"))).as("theta_k"))
+        .withColumn("theta", coalesce(col("theta_k"), lit(M)))
+      val a = stats.filter(col("set_id") === "purchase")
+        .select(col("n_exact").as("n_a"), col("theta").as("theta_a"))
+      val b = stats.filter(col("set_id") === "click")
+        .select(col("n_exact").as("n_b"), col("theta").as("theta_b"))
+      val pur = uh.filter(col("set_id") === "purchase")
+        .select(col("user_id"), col("h"))
+      val clk = uh.filter(col("set_id") === "click")
+        .select(col("user_id"))
+      pur.join(clk, "user_id")
+        .crossJoin(broadcast(a.crossJoin(b)))
+        .withColumn("theta", least(col("theta_a"), col("theta_b")))
+        .agg(max(col("n_a")).as("n_a_exact"),
+          max(col("n_b")).as("n_b_exact"),
+          round(when(max(col("n_a")) < K,
+              max(col("n_a")).cast("double"))
+            .otherwise(lit((K - 1).toDouble) * lit(M.toDouble)
+              / max(col("theta_a")).cast("double")), 4).as("est_a"),
+          round(when(max(col("n_b")) < K,
+              max(col("n_b")).cast("double"))
+            .otherwise(lit((K - 1).toDouble) * lit(M.toDouble)
+              / max(col("theta_b")).cast("double")), 4).as("est_b"),
+          count(lit(1)).as("n_common_exact"),
+          round(sum(when(col("h") < col("theta"), 1L).otherwise(0L))
+              .cast("double") * lit(M.toDouble)
+            / max(col("theta")).cast("double"), 4).as("est_common"))
     }
   )
 
@@ -675,6 +729,48 @@ object Aggregates {
         |SELECT event_type, n_distinct_bitmap, n_distinct_exact, n_words,
         |  n_distinct_bitmap = n_distinct_exact AS bitmap_exact
         |FROM bm JOIN ex USING (event_type)
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    "agg_kmv_intersect" ->
+      """WITH uh AS (
+        |  SELECT DISTINCT event_type AS set_id, user_id
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |uh2 AS (
+        |  SELECT set_id, user_id,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM uh),
+        |r AS (
+        |  SELECT set_id, user_id, h, row_number() OVER (
+        |    PARTITION BY set_id ORDER BY h, user_id) AS rn FROM uh2),
+        |st AS (
+        |  SELECT set_id, count(*) AS n_exact,
+        |    coalesce(max(CASE WHEN rn = 8 THEN h END),
+        |      1152921504606846976) AS theta
+        |  FROM r GROUP BY set_id),
+        |ab AS (
+        |  SELECT a.n_exact AS n_a, a.theta AS theta_a,
+        |    b.n_exact AS n_b, b.theta AS theta_b,
+        |    least(a.theta, b.theta) AS theta
+        |  FROM (SELECT * FROM st WHERE set_id = 'purchase') a
+        |  CROSS JOIN (SELECT * FROM st WHERE set_id = 'click') b),
+        |common AS (
+        |  SELECT p.user_id, p.h FROM uh2 p JOIN uh2 c
+        |    ON p.user_id = c.user_id
+        |  WHERE p.set_id = 'purchase' AND c.set_id = 'click')
+        |SELECT CAST(max(n_a) AS BIGINT) AS n_a_exact,
+        |  CAST(max(n_b) AS BIGINT) AS n_b_exact,
+        |  round(CASE WHEN max(n_a) < 8 THEN CAST(max(n_a) AS DOUBLE)
+        |    ELSE 7.0 * CAST(1152921504606846976 AS DOUBLE)
+        |      / CAST(max(theta_a) AS DOUBLE) END, 4) AS est_a,
+        |  round(CASE WHEN max(n_b) < 8 THEN CAST(max(n_b) AS DOUBLE)
+        |    ELSE 7.0 * CAST(1152921504606846976 AS DOUBLE)
+        |      / CAST(max(theta_b) AS DOUBLE) END, 4) AS est_b,
+        |  count(*) AS n_common_exact,
+        |  round(CAST(sum(CASE WHEN h < theta THEN 1 ELSE 0 END)
+        |      AS DOUBLE)
+        |    * CAST(1152921504606846976 AS DOUBLE)
+        |    / CAST(max(theta) AS DOUBLE), 4) AS est_common
+        |FROM common CROSS JOIN ab""".stripMargin
   )
 }

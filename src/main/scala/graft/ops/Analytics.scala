@@ -1805,6 +1805,39 @@ object Analytics {
               - col("c_b_pre") / col("n_b_pre"))
             - (col("c_a_post") / col("n_a_post")
               - col("c_a_pre") / col("n_a_pre")), 6).as("did"))
+    },
+
+    // bot/automation scoring — the traffic-cleaning gate a training
+    // pipeline runs before any behavioral signal is trusted: per user,
+    // the burst ceiling (max events inside any rolling 60 s window, the
+    // rate-limit signature) and sustained intensity (events per active
+    // day), flagged against an absolute burst rule OR a corpus-relative
+    // intensity rule (3× the mean — fixed thresholds go stale as traffic
+    // grows; relative ones travel with the corpus). One RANGE window per
+    // user on epoch seconds + one keyed agg; the corpus mean is a 1-row
+    // broadcast. ALL users are emitted with their scores (the audit
+    // table), not just the flagged tail.
+    "events_bot_filter" -> { (s, d) =>
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_s").rangeBetween(-59, 0)
+      val per = events(s, d)
+        .withColumn("ts_s", expr("unix_micros(ts) div 1000000"))
+        .withColumn("in_burst", count(lit(1)).over(wr))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max(col("in_burst")).as("burst_max"),
+          countDistinct(to_date(col("ts"))).as("active_days"))
+        .withColumn("epd",
+          round(col("n_events").cast("double") / col("active_days"), 6))
+      val mean = per.agg(
+        round(sum(col("n_events")).cast("double")
+          / sum(col("active_days")), 6).as("mean_epd"))
+      per.crossJoin(broadcast(mean))
+        .select(col("user_id"), col("n_events"), col("burst_max"),
+          col("epd").as("events_per_active_day"), col("mean_epd"),
+          (col("burst_max") >= 5
+            || col("epd") > col("mean_epd") * 3).as("is_bot"))
+        .orderBy("user_id")
     }
   )
 
@@ -3003,6 +3036,32 @@ object Analytics {
         |  round(c_b_post / n_b_post, 6) AS rate_b_post,
         |  round((c_b_post / n_b_post - c_b_pre / n_b_pre)
         |    - (c_a_post / n_a_post - c_a_pre / n_a_pre), 6) AS did
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    "events_bot_filter" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, epoch_us(ts) // 1000000 AS ts_s
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, ts,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY ts_s
+        |      RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS in_burst
+        |  FROM b),
+        |per AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    max(in_burst) AS burst_max,
+        |    count(DISTINCT CAST(ts AS DATE)) AS active_days
+        |  FROM w GROUP BY user_id),
+        |p2 AS (
+        |  SELECT user_id, n_events, burst_max, active_days,
+        |    round(CAST(n_events AS DOUBLE) / active_days, 6) AS epd
+        |  FROM per),
+        |m AS (
+        |  SELECT round(CAST(sum(n_events) AS DOUBLE)
+        |    / sum(active_days), 6) AS mean_epd FROM p2)
+        |SELECT user_id, n_events, burst_max,
+        |  epd AS events_per_active_day, mean_epd,
+        |  burst_max >= 5 OR epd > mean_epd * 3 AS is_bot
+        |FROM p2 CROSS JOIN m ORDER BY user_id""".stripMargin
   )
 }

@@ -181,7 +181,10 @@ object Graph {
     // broadcast, and the term follows the round-9-decimal-sum contract.
     "graph_modularity" -> { (s, d) =>
       val e = edges(s, d)
-      val lab = lpaLabels(s, d)
+      // cached: the O(V) label table feeds BOTH endpoint joins —
+      // uncached, Catalyst re-runs the full 2-round LPA (two edge-joins
+      // each) per subtree (measured 5.0 -> ~2.5 s at sf0.1)
+      val lab = lpaLabels(s, d).cache()
       val el = e
         .join(broadcast(lab.select(col("node").as("src"),
           col("label").as("lsrc"))), "src")

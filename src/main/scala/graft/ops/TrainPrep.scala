@@ -312,6 +312,34 @@ object TrainPrep {
         .orderBy("rnk")
     },
 
+    // paired-modality training manifest (the CLIP-style caption↔vector
+    // set): align documents to their embeddings on id, gate on language,
+    // caption length, and embedding normalization (norm² within 2% of
+    // 1 — an unnormalized vector poisons cosine training), and assign a
+    // deterministic ~87.5/12.5 hash split. The id equi-join is the
+    // co-partitionable kind (both sides keyed by the same id space — at
+    // 100 TB this is a bucketed join with zero shuffle); the norm² gate
+    // is an exact decimal comparison on round-9 per-dim squares, never a
+    // float epsilon.
+    "train_pair_manifest" -> { (s, d) =>
+      val n2 = t(s, d, "embeddings")
+        .select(col("vec_id"), explode(expr(
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) " +
+            "* CAST(x AS DOUBLE), 9) AS DECIMAL(20,9)))")).as("sq"))
+        .groupBy("vec_id").agg(sum(col("sq")).as("norm2"))
+      t(s, d, "documents")
+        .join(n2, col("doc_id") === col("vec_id"))
+        .filter(col("lang") === "en"
+          && col("n_chars").between(100, 500)
+          && col("norm2") >= expr("CAST(0.98 AS DECIMAL(20,9))")
+          && col("norm2") <= expr("CAST(1.02 AS DECIMAL(20,9))"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("norm2").cast("double"), 6).as("norm2"),
+          when(substring(md5(col("doc_id").cast("string")), 1, 1) < "e",
+            lit("train")).otherwise(lit("val")).as("split"))
+        .orderBy("doc_id")
+    },
+
     // token-balanced shard assignment: docs rank by size (desc) inside
     // PackShards independent hash buckets and snake across BalanceShards
     // output shards (block 0 deals 0..7, block 1 deals 7..0, ...) — the
@@ -673,6 +701,23 @@ object TrainPrep {
         |  row_number() OVER (ORDER BY n_occ DESC, pair) AS rnk FROM a2)
         |SELECT CAST(rnk AS BIGINT) AS rnk, pair, n_occ
         |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    "train_pair_manifest" ->
+      """WITH n2 AS (
+        |  SELECT vec_id,
+        |    sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9)
+        |      AS DECIMAL(20,9))) AS norm2
+        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+        |  GROUP BY vec_id)
+        |SELECT doc_id, lang, n_chars,
+        |  round(CAST(norm2 AS DOUBLE), 6) AS norm2,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+        |    THEN 'train' ELSE 'val' END AS split
+        |FROM documents JOIN n2 ON doc_id = vec_id
+        |WHERE lang = 'en' AND n_chars BETWEEN 100 AND 500
+        |  AND norm2 >= CAST(0.98 AS DECIMAL(20,9))
+        |  AND norm2 <= CAST(1.02 AS DECIMAL(20,9))
+        |ORDER BY doc_id""".stripMargin,
     // same two-level snake: per-bucket size rank, explicit block parity
     "shard_balance" ->
       s"""WITH tk AS (

@@ -1320,6 +1320,52 @@ class OperatorSpec extends SparkSpec {
     assert(r.getAs[Long]("m_edges") > 0)
   }
 
+  test("agg_kmv_intersect estimates bracket the exact counts sanely") {
+    val r = SparkEntry.queries("agg_kmv_intersect")(spark, sf)
+      .collect().head
+    val (na, nb) = (r.getAs[Long]("n_a_exact"), r.getAs[Long]("n_b_exact"))
+    val nc = r.getAs[Long]("n_common_exact")
+    assert(na > 0 && nb > 0)
+    assert(nc <= math.min(na, nb))
+    // KMV with K=8 is coarse; assert the estimates are positive and
+    // within an order of magnitude (exactness is the oracle's job)
+    Seq("est_a" -> na, "est_b" -> nb).foreach { case (c, exact) =>
+      val est = r.getAs[Double](c)
+      assert(est > 0 && est < exact * 10.0 + 10, s"$c=$est vs $exact")
+    }
+    assert(r.getAs[Double]("est_common") >= 0.0)
+  }
+
+  test("events_bot_filter emits every user and flags a strict subset") {
+    val rows = SparkEntry.queries("events_bot_filter")(spark, sf).collect()
+    val nUsers = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.length == nUsers)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("burst_max") >= 1)
+      assert(r.getAs[Long]("burst_max") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Double]("events_per_active_day") >= 1.0)
+    }
+    assert(rows.count(_.getAs[Boolean]("is_bot")) < rows.length,
+      "every user flagged as bot — thresholds degenerate")
+  }
+
+  test("train_pair_manifest enforces every gate it claims") {
+    val rows = SparkEntry.queries("train_pair_manifest")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("lang") == "en")
+      val n = r.getAs[Long]("n_chars")
+      assert(n >= 100 && n <= 500)
+      val norm2 = r.getAs[Double]("norm2")
+      assert(norm2 >= 0.98 && norm2 <= 1.02)
+      assert(Set("train", "val").contains(r.getAs[String]("split")))
+    }
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits.contains("train"), "empty train split")
+  }
+
   test("graph_adamic_adar scores are positive and bounded by n_common") {
     val rows = SparkEntry.queries("graph_adamic_adar")(spark, sf).collect()
     assert(rows.nonEmpty)
