@@ -466,6 +466,31 @@ object Aggregates {
           round(sum(when(col("h") < col("theta"), 1L).otherwise(0L))
               .cast("double") * lit(M.toDouble)
             / max(col("theta")).cast("double"), 4).as("est_common"))
+    },
+
+    // equi-DEPTH histogram: 16 quantile buckets of order value — the
+    // boundary-planning pass behind range partitioning and sort-merge
+    // balancing (equi-WIDTH is agg_hist; depth answers "where do I cut
+    // so every partition holds the same row count"). The 15 boundaries
+    // come from ONE percentile aggregate (no global sort window — the
+    // RangePartitioner discipline: boundaries from a bounded summary,
+    // assignment map-side), rounded to the cent grid so the bucket test
+    // is an exact money comparison, then broadcast; each row buckets via
+    // an in-row fold over the 15-element array.
+    "agg_equidepth_hist" -> { (s, d) =>
+      val fracs = (1 to 15).map(i => (i / 16.0).toString).mkString(", ")
+      val bs = t(s, d, "orders").agg(expr(
+        s"transform(percentile(o_totalprice, array($fracs)), " +
+          "x -> round(x, 2))").as("bs"))
+      t(s, d, "orders").crossJoin(broadcast(bs))
+        .withColumn("bucket", expr("aggregate(bs, 0, (acc, x) -> " +
+          "acc + CASE WHEN o_totalprice > x THEN 1 ELSE 0 END)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("bucket")
     }
   )
 
@@ -771,6 +796,25 @@ object Aggregates {
         |      AS DOUBLE)
         |    * CAST(1152921504606846976 AS DOUBLE)
         |    / CAST(max(theta) AS DOUBLE), 4) AS est_common
-        |FROM common CROSS JOIN ab""".stripMargin
+        |FROM common CROSS JOIN ab""".stripMargin,
+
+    "agg_equidepth_hist" -> {
+      val fracs = (1 to 15).map(i => (i / 16.0).toString).mkString(", ")
+      s"""WITH bs AS (
+         |  SELECT list_transform(quantile_cont(o_totalprice,
+         |    [$fracs]), x -> round(x, 2)) AS bs
+         |  FROM orders),
+         |assigned AS (
+         |  SELECT o_totalprice,
+         |    CAST(len(list_filter(bs, x -> o_totalprice > x))
+         |      AS INTEGER) AS bucket
+         |  FROM orders CROSS JOIN bs)
+         |SELECT bucket, count(*) AS n_orders,
+         |  round(min(o_totalprice), 2) AS lo,
+         |  round(max(o_totalprice), 2) AS hi,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_price
+         |FROM assigned GROUP BY bucket ORDER BY bucket""".stripMargin
+    }
   )
 }

@@ -1838,6 +1838,46 @@ object Analytics {
           (col("burst_max") >= 5
             || col("epd") > col("mean_epd") * 3).as("is_bot"))
         .orderBy("user_id")
+    },
+
+    // stationary distribution of the event-type Markov chain: three
+    // unrolled power-iteration rounds π ← πP on events_markov's
+    // transition matrix — "where does a user's session settle" (the
+    // long-run type mix), the chain-level summary the per-edge matrix
+    // doesn't give. The state space is O(#types), so after the one
+    // corpus-scale lag+count pass EVERYTHING is broadcast-sized: each
+    // round is a tiny broadcast join + keyed sum. π·P terms follow the
+    // round-9 decimal contract so the per-state sums are order-free.
+    "events_markov_stationary" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val wDenom = org.apache.spark.sql.expressions.Window
+        .partitionBy("prev")
+      val pm = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("cur"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          col("n").cast("double") / sum(col("n")).over(wDenom))
+        .select("prev", "cur", "p")
+        .cache()
+      val states = pm.select(col("prev").as("state")).distinct()
+      val nStates = states.agg(count(lit(1)).as("t"))
+      val pi0 = states.crossJoin(broadcast(nStates))
+        .select(col("state"), (lit(1.0) / col("t")).as("pi"))
+      val pi3 = (1 to 3).foldLeft(pi0) { (pi, _) =>
+        pm.join(broadcast(pi), col("prev") === col("state"))
+          .withColumn("term",
+            expr("CAST(round(pi * p, 9) AS DECIMAL(20,9))"))
+          .groupBy(col("cur"))
+          .agg(sum(col("term")).cast("double").as("pi"))
+          .select(col("cur").as("state"), col("pi"))
+      }
+      pi3.select(col("state"), round(col("pi"), 6).as("stationary_p"))
+        .orderBy("state")
     }
   )
 
@@ -3062,6 +3102,37 @@ object Analytics {
         |SELECT user_id, n_events, burst_max,
         |  epd AS events_per_active_day, mean_epd,
         |  burst_max >= 5 OR epd > mean_epd * 3 AS is_bot
-        |FROM p2 CROSS JOIN m ORDER BY user_id""".stripMargin
+        |FROM p2 CROSS JOIN m ORDER BY user_id""".stripMargin,
+
+    "events_markov_stationary" -> {
+      val rounds = (1 to 3).map { i =>
+        val prev = s"pi${i - 1}"
+        s"""pi$i AS (
+           |  SELECT cur AS state,
+           |    CAST(sum(CAST(round(pi * p, 9) AS DECIMAL(20,9)))
+           |      AS DOUBLE) AS pi
+           |  FROM pm JOIN $prev ON prev = state GROUP BY cur)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev
+         |  FROM events),
+         |tr AS (
+         |  SELECT prev, event_type AS cur, count(*) AS n
+         |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |pm AS (
+         |  SELECT prev, cur,
+         |    CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev) AS p
+         |  FROM tr),
+         |st AS (SELECT DISTINCT prev AS state FROM pm),
+         |tc AS (SELECT count(*) AS t FROM st),
+         |pi0 AS (
+         |  SELECT state, CAST(1.0 AS DOUBLE) / t AS pi
+         |  FROM st CROSS JOIN tc),
+         |$rounds
+         |SELECT state, round(pi, 6) AS stationary_p
+         |FROM pi3 ORDER BY state""".stripMargin
+    }
   )
 }

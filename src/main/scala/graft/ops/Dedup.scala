@@ -631,6 +631,23 @@ object Dedup {
           (col("n_clusters") * (col("csize") - 1L)).as("n_docs_removable"))
         .orderBy("cluster_size")),
 
+    // the dedup ACTION table: one canonical keeper per near-dup cluster
+    // (longest document wins, ties to smallest id — the web-pipeline
+    // convention that keeps the most complete variant) plus the member
+    // census a delete manifest is cut from. One arg-min aggregate over
+    // the labeled docs joined to the dim columns — no window, no sort;
+    // cluster count is corpus-sublinear by the LSH pruning invariant.
+    "dedup_canonical_pick" -> ((s, d) =>
+      connectedLabels(s, d)
+        .join(t(s, d, "documents")
+          .select(col("doc_id").as("id"), col("n_chars")), "id")
+        .groupBy(col("label").as("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          expr("min_by(id, struct(-n_chars, id))").as("keeper_id"),
+          max(col("n_chars")).as("keeper_chars"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("cluster")),
+
     // embedding-cosine near-dup dedup, run where embedding dedup actually
     // operates: near-duplicate documents with a wide similarity margin. The
     // embedding is the doc's binary shingle-indicator vector (the exact
@@ -953,6 +970,39 @@ object Dedup {
          |  WHERE e.v <> r.u)
          |SELECT u AS doc_id, least(u, min(v)) AS keeper
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    // same transitive closure, then the longest-doc arg-pick per cluster
+    "dedup_canonical_pick" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |  UNION ALL
+         |  SELECT doc_b AS u, doc_a AS v FROM jpairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |  WHERE e.v <> r.u),
+         |labels AS (
+         |  SELECT u AS id, least(u, min(v)) AS label
+         |  FROM reach GROUP BY u),
+         |j AS (
+         |  SELECT l.label AS cluster, l.id, d.n_chars
+         |  FROM labels l JOIN documents d ON l.id = d.doc_id),
+         |pick AS (
+         |  SELECT cluster, id,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY n_chars DESC, id) AS rn
+         |  FROM j),
+         |ag AS (
+         |  SELECT cluster, count(*) AS n_members,
+         |    CAST(max(n_chars) AS BIGINT) AS keeper_chars,
+         |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |  FROM j GROUP BY 1),
+         |k AS (SELECT cluster, id AS keeper_id FROM pick WHERE rn = 1)
+         |SELECT ag.cluster, n_members, keeper_id, keeper_chars,
+         |  total_chars
+         |FROM ag JOIN k USING (cluster) ORDER BY ag.cluster""".stripMargin,
     // same transitive closure, reduced to the size histogram
     "dedup_cluster_stats" ->
       s"""WITH RECURSIVE $jaccardCtes,

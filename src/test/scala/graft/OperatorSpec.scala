@@ -1366,6 +1366,46 @@ class OperatorSpec extends SparkSpec {
     assert(splits.contains("train"), "empty train split")
   }
 
+  test("agg_equidepth_hist buckets tile the value range in order") {
+    val rows = SparkEntry.queries("agg_equidepth_hist")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 16)
+    val total = rows.map(_.getAs[Long]("n_orders")).sum
+    assert(total == Tables.t(spark, sf, "orders").count())
+    rows.foreach(r => assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi")))
+    // consecutive buckets must not overlap
+    rows.sortBy(_.getAs[Int]("bucket")).sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo") + 0.011)
+      case _ =>
+    }
+  }
+
+  test("events_markov_stationary is a near-probability-vector") {
+    val rows = SparkEntry.queries("events_markov_stationary")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val ps = rows.map(_.getAs[Double]("stationary_p"))
+    assert(ps.forall(p => p >= 0.0 && p <= 1.0))
+    // mass is preserved up to rounding of the 9-decimal terms
+    assert(math.abs(ps.sum - 1.0) < 1e-3, s"sum=${ps.sum}")
+  }
+
+  test("dedup_canonical_pick keepers are real members with max length") {
+    val rows = SparkEntry.queries("dedup_canonical_pick")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val chars = Tables.t(spark, sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") >= 2) // clusters come from pairs
+      val keeper = r.getAs[Long]("keeper_id")
+      assert(chars(keeper) == r.getAs[Long]("keeper_chars"))
+      assert(r.getAs[Long]("total_chars") >= r.getAs[Long]("keeper_chars"))
+    }
+  }
+
   test("graph_adamic_adar scores are positive and bounded by n_common") {
     val rows = SparkEntry.queries("graph_adamic_adar")(spark, sf).collect()
     assert(rows.nonEmpty)
