@@ -1878,6 +1878,87 @@ object Analytics {
       }
       pi3.select(col("state"), round(col("pi"), 6).as("stationary_p"))
         .orderBy("state")
+    },
+
+    // retention half-life: pool the events_retention cohort grid into one
+    // decay curve R(w) (only cohorts OLD enough to reach offset w count
+    // in its denominator — the right-censoring correction naive pooling
+    // gets wrong), then fit ln R(w) = a + b·w and report halflife
+    // = −ln2/b. The curve is O(#week-offsets) rows before any float
+    // touches it; the fit is the agg_regression five-moment discipline
+    // on round-9 decimal terms.
+    "events_retention_halflife" -> { (s, d) =>
+      val e = events(s, d).select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+      val first = e.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+      val grid = e.join(first, "user_id")
+        .groupBy(col("cohort_week"),
+          (datediff(col("wk"), col("cohort_week")) / 7).cast("long")
+            .as("week_n"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .cache()
+      val sizes = grid.filter(col("week_n") === 0)
+        .select(col("cohort_week"), col("n_active").as("cohort_size"))
+      val maxWk = e.agg(max(col("wk")).as("max_wk"))
+      val curve = grid.filter(col("week_n") >= 1)
+        .join(sizes, "cohort_week")
+        .crossJoin(broadcast(maxWk))
+        .filter((datediff(col("max_wk"), col("cohort_week")) / 7)
+          .cast("long") >= col("week_n"))
+        .groupBy("week_n")
+        .agg(sum(col("n_active")).as("active"),
+          sum(col("cohort_size")).as("eligible"))
+        .withColumn("r", col("active").cast("double") / col("eligible"))
+        .filter(col("r") > 0)
+      val fit = curve
+        .select(col("week_n"), col("r"),
+          expr("CAST(week_n AS DECIMAL(19,0))").as("x"),
+          expr("CAST(round(ln(r), 9) AS DECIMAL(20,9))").as("y"),
+          expr("CAST(round(week_n * ln(r), 9) AS DECIMAL(20,9))").as("xy"),
+          expr("CAST(week_n * week_n AS DECIMAL(19,0))").as("xx"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("xy")).cast("double").as("sxy"),
+          sum(col("xx")).cast("double").as("sxx"))
+      fit.select(col("n_points"),
+          round((col("n_points").cast("double") * col("sxy")
+              - col("sx") * col("sy"))
+            / (col("n_points").cast("double") * col("sxx")
+              - col("sx") * col("sx")), 6).as("slope"))
+        .select(col("n_points"), col("slope"),
+          when(col("slope") < 0,
+            round(lit(-math.log(2.0)) / col("slope"), 4))
+            .as("halflife_weeks"))
+    },
+
+    // lifecycle census as of corpus end: every user staged
+    // active / cooling / lapsed / churned by elapsed-hour recency
+    // windows (<6h / <12h / <24h / ≥24h — hour granularity because the
+    // health split must move on the same clock the product does) — the
+    // top-of-dashboard retention read. One per-user keyed agg, the
+    // anchor broadcast, integer microsecond arithmetic, O(4) output.
+    "events_lifecycle_stage" -> { (s, d) =>
+      val ev = events(s, d)
+      val anchor = ev.agg(max(col("ts")).as("ts_max"))
+      val staged = ev.groupBy("user_id")
+        .agg(max(col("ts")).as("last_ts"))
+        .crossJoin(broadcast(anchor))
+        .select(col("user_id"),
+          expr("(unix_micros(ts_max) - unix_micros(last_ts)) " +
+            "div 3600000000").as("rec_h"))
+        .select(col("user_id"),
+          when(col("rec_h") < 6, lit("active"))
+            .when(col("rec_h") < 12, lit("cooling"))
+            .when(col("rec_h") < 24, lit("lapsed"))
+            .otherwise(lit("churned")).as("stage"))
+      val tot = staged.agg(count(lit(1)).as("n_total"))
+      staged.groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(tot))
+        .select(col("stage"), col("n_users"),
+          round(col("n_users").cast("double") / col("n_total"), 6)
+            .as("share"))
+        .orderBy("stage")
     }
   )
 
@@ -3133,6 +3214,72 @@ object Analytics {
          |$rounds
          |SELECT state, round(pi, 6) AS stationary_p
          |FROM pi3 ORDER BY state""".stripMargin
-    }
+    },
+
+    "events_retention_halflife" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1),
+        |grid AS (
+        |  SELECT cohort_week,
+        |    CAST(datediff('day', cohort_week, wk) / 7 AS BIGINT)
+        |      AS week_n,
+        |    count(DISTINCT e.user_id) AS n_active
+        |  FROM e JOIN f USING (user_id) GROUP BY 1, 2),
+        |sizes AS (SELECT cohort_week, n_active AS cohort_size
+        |  FROM grid WHERE week_n = 0),
+        |mx AS (SELECT max(wk) AS max_wk FROM e),
+        |curve AS (
+        |  SELECT week_n,
+        |    CAST(sum(n_active) AS BIGINT) AS active,
+        |    CAST(sum(cohort_size) AS BIGINT) AS eligible
+        |  FROM grid JOIN sizes USING (cohort_week) CROSS JOIN mx
+        |  WHERE week_n >= 1
+        |    AND CAST(datediff('day', cohort_week, max_wk) / 7 AS BIGINT)
+        |      >= week_n
+        |  GROUP BY 1),
+        |rr AS (
+        |  SELECT week_n, CAST(active AS DOUBLE) / eligible AS r
+        |  FROM curve WHERE active > 0),
+        |m AS (
+        |  SELECT count(*) AS n_points,
+        |    CAST(sum(CAST(week_n AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(round(ln(r), 9) AS DECIMAL(20,9))) AS DOUBLE)
+        |      AS sy,
+        |    CAST(sum(CAST(round(week_n * ln(r), 9) AS DECIMAL(20,9)))
+        |      AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(week_n * week_n AS DECIMAL(19,0))) AS DOUBLE)
+        |      AS sxx
+        |  FROM rr),
+        |s AS (
+        |  SELECT n_points,
+        |    round((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(n_points AS DOUBLE) * sxx - sx * sx), 6) AS slope
+        |  FROM m)
+        |SELECT n_points, slope,
+        |  CASE WHEN slope < 0
+        |    THEN round(-0.6931471805599453 / slope, 4) END
+        |    AS halflife_weeks
+        |FROM s""".stripMargin,
+
+    "events_lifecycle_stage" ->
+      """WITH anchor AS (SELECT max(ts) AS ts_max FROM events),
+        |per AS (
+        |  SELECT user_id, max(ts) AS last_ts FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT user_id,
+        |    CASE WHEN (epoch_us(ts_max) - epoch_us(last_ts))
+        |        // 3600000000 < 6 THEN 'active'
+        |      WHEN (epoch_us(ts_max) - epoch_us(last_ts))
+        |        // 3600000000 < 12 THEN 'cooling'
+        |      WHEN (epoch_us(ts_max) - epoch_us(last_ts))
+        |        // 3600000000 < 24 THEN 'lapsed'
+        |      ELSE 'churned' END AS stage
+        |  FROM per CROSS JOIN anchor),
+        |tot AS (SELECT count(*) AS n_total FROM st)
+        |SELECT stage, count(*) AS n_users,
+        |  round(CAST(count(*) AS DOUBLE) / max(n_total), 6) AS share
+        |FROM st CROSS JOIN tot GROUP BY stage ORDER BY stage""".stripMargin
   )
 }

@@ -631,6 +631,26 @@ object Dedup {
           (col("n_clusters") * (col("csize") - 1L)).as("n_docs_removable"))
         .orderBy("cluster_size")),
 
+    // cross-source duplication provenance matrix: which source PAIRS
+    // share near-duplicate documents — the contamination map that tells
+    // a corpus owner "src3 is mostly re-crawled src0" before mixing
+    // weights are chosen (dedup_cross_source counts victims; this names
+    // the offending pair). Two dim-sized source joins onto the
+    // LSH-pruned verified pair list; output is O(#source²) at most.
+    "dedup_source_matrix" -> { (s, d) =>
+      val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+      minhashPairs(s, d).select("doc_a", "doc_b")
+        .join(src.select(col("doc_id").as("doc_a"),
+          col("source").as("src_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"),
+          col("source").as("src_b")), "doc_b")
+        .select(least(col("src_a"), col("src_b")).as("source_x"),
+          greatest(col("src_a"), col("src_b")).as("source_y"))
+        .groupBy("source_x", "source_y")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_x", "source_y")
+    },
+
     // the dedup ACTION table: one canonical keeper per near-dup cluster
     // (longest document wins, ties to smallest id — the web-pipeline
     // convention that keeps the most complete variant) plus the member
@@ -970,6 +990,19 @@ object Dedup {
          |  WHERE e.v <> r.u)
          |SELECT u AS doc_id, least(u, min(v)) AS keeper
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    // exact-Jaccard pair graph + two source joins, same ordered pair key
+    "dedup_source_matrix" ->
+      s"""WITH $jaccardCtes,
+         |sp AS (
+         |  SELECT least(da.source, db.source) AS source_x,
+         |    greatest(da.source, db.source) AS source_y
+         |  FROM jpairs j
+         |  JOIN documents da ON j.doc_a = da.doc_id
+         |  JOIN documents db ON j.doc_b = db.doc_id)
+         |SELECT source_x, source_y, count(*) AS n_pairs
+         |FROM sp GROUP BY 1, 2
+         |ORDER BY source_x, source_y""".stripMargin,
 
     // same transitive closure, then the longest-doc arg-pick per cluster
     "dedup_canonical_pick" ->

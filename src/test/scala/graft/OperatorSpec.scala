@@ -1406,6 +1406,41 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("dedup_source_matrix pair totals equal the near-dup pair count") {
+    val rows = SparkEntry.queries("dedup_source_matrix")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    val nPairs = SparkEntry.queries("dedup_minhash")(spark, sf).count()
+    assert(total == nPairs, s"matrix total $total != pair count $nPairs")
+    rows.foreach(r => assert(r.getAs[String]("source_x")
+      <= r.getAs[String]("source_y")))
+  }
+
+  test("events_retention_halflife reports a usable decay fit") {
+    val r = SparkEntry.queries("events_retention_halflife")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n_points") >= 2, "not enough curve points")
+    val slope = r.getAs[Double]("slope")
+    if (slope < 0) {
+      val hl = r.getAs[Double]("halflife_weeks")
+      assert(hl > 0, s"negative slope $slope must yield positive hl, got $hl")
+    } else assert(r.isNullAt(r.fieldIndex("halflife_weeks")))
+  }
+
+  test("events_lifecycle_stage shares partition the user base") {
+    val rows = SparkEntry.queries("events_lifecycle_stage")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val nUsers = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers)
+    val validStages = Set("active", "cooling", "lapsed", "churned")
+    rows.foreach(r => assert(validStages(r.getAs[String]("stage"))))
+    assert(rows.length >= 2, "hour windows failed to split the user base")
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+  }
+
   test("graph_adamic_adar scores are positive and bounded by n_common") {
     val rows = SparkEntry.queries("graph_adamic_adar")(spark, sf).collect()
     assert(rows.nonEmpty)
