@@ -1959,6 +1959,50 @@ object Analytics {
           round(col("n_users").cast("double") / col("n_total"), 6)
             .as("share"))
         .orderBy("stage")
+    },
+
+    // SRE error-budget ledger: daily error share vs a 25% SLO with the
+    // period-to-date cumulative burn — the table a reliability review
+    // reads top-down (daily burn says "bad day", cumulative burn says
+    // "bad month"). Events collapse to O(#days) in one keyed agg before
+    // the single calendar-bounded running window; integer counts, two
+    // rounded divisions per row.
+    "events_error_budget" -> { (s, d) =>
+      val Slo = 0.25
+      val wc = org.apache.spark.sql.expressions.Window.orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_errors"))
+        .withColumn("cum_errors", sum(col("n_errors")).over(wc))
+        .withColumn("cum_total", sum(col("n_total")).over(wc))
+        .select(col("day"), col("n_total"), col("n_errors"),
+          round(col("n_errors").cast("double") / col("n_total"), 6)
+            .as("err_rate"),
+          round(col("n_errors").cast("double") / col("n_total") / Slo, 4)
+            .as("burn"),
+          round(col("cum_errors").cast("double") / col("cum_total") / Slo,
+            4).as("cum_burn"))
+        .orderBy("day")
+    },
+
+    // catalog assortment gaps: (brand, type, size) grid cells with NO
+    // product — the merchandising coverage report (and the generated-dim
+    // + anti-join shape: build the full combination grid from the three
+    // distinct dims, subtract what exists). Everything is dim-sized; the
+    // grid is bounded by #brands × #types × #sizes and every side
+    // broadcasts at any scale.
+    "part_assortment_gaps" -> { (s, d) =>
+      val p = t(s, d, "part")
+      val grid = p.select("p_brand").distinct()
+        .crossJoin(p.select("p_type").distinct())
+        .crossJoin(p.select("p_size").distinct())
+      grid.join(p.select("p_brand", "p_type", "p_size").distinct(),
+          Seq("p_brand", "p_type", "p_size"), "left_anti")
+        .orderBy("p_brand", "p_type", "p_size")
     }
   )
 
@@ -3280,6 +3324,41 @@ object Analytics {
         |tot AS (SELECT count(*) AS n_total FROM st)
         |SELECT stage, count(*) AS n_users,
         |  round(CAST(count(*) AS DOUBLE) / max(n_total), 6) AS share
-        |FROM st CROSS JOIN tot GROUP BY stage ORDER BY stage""".stripMargin
+        |FROM st CROSS JOIN tot GROUP BY stage ORDER BY stage""".stripMargin,
+
+    "events_error_budget" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_total,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS n_errors
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT day, n_total, n_errors,
+        |    sum(n_errors) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_errors,
+        |    sum(n_total) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_total
+        |  FROM daily)
+        |SELECT day, n_total, CAST(n_errors AS BIGINT) AS n_errors,
+        |  round(CAST(n_errors AS DOUBLE) / n_total, 6) AS err_rate,
+        |  round(CAST(n_errors AS DOUBLE) / n_total / 0.25, 4) AS burn,
+        |  round(CAST(cum_errors AS DOUBLE) / cum_total / 0.25, 4)
+        |    AS cum_burn
+        |FROM c ORDER BY day""".stripMargin,
+
+    "part_assortment_gaps" ->
+      """WITH grid AS (
+        |  SELECT b.p_brand, t.p_type, z.p_size
+        |  FROM (SELECT DISTINCT p_brand FROM part) b
+        |  CROSS JOIN (SELECT DISTINCT p_type FROM part) t
+        |  CROSS JOIN (SELECT DISTINCT p_size FROM part) z)
+        |SELECT p_brand, p_type, p_size FROM grid
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part p
+        |  WHERE p.p_brand = grid.p_brand AND p.p_type = grid.p_type
+        |    AND p.p_size = grid.p_size)
+        |ORDER BY p_brand, p_type, p_size""".stripMargin
   )
 }

@@ -69,7 +69,8 @@ object Similarity {
     * those clusters, rank the survivors. Returns (q_id, n_id, cos, rnk)
     * with rnk <= TopK, unordered.
     */
-  private def ivfTopK(s: SparkSession, d: String): DataFrame = {
+  private def ivfTopK(s: SparkSession, d: String,
+      nprobe: Int = 4): DataFrame = {
     val e = vectors(s, d)
     val cent = broadcast(e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("c_id"), col("v").as("cv")))
@@ -81,7 +82,7 @@ object Similarity {
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
-    // queries probe their nprobe=4 nearest centroids
+    // queries probe their nprobe nearest centroids
     val q = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val wProbe = Window.partitionBy("q_id")
@@ -89,7 +90,7 @@ object Similarity {
     val probes = q.crossJoin(cent)
       .withColumn("qcos", expr("round(cosine_sim(qv, cv), 6)"))
       .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= 4)
+      .filter(col("prn") <= nprobe)
       .select("q_id", "qv", "c_id")
     // search only the probed clusters
     val wTop = Window.partitionBy("q_id")
@@ -753,6 +754,37 @@ object Similarity {
         .withColumn("pairs", expr("(n_vecs * (n_vecs - 1)) div 2"))
         .orderBy(col("n_vecs").desc, col("code"))
         .limit(50)
+    },
+
+    // the ANN tuning table: recall@k of the IVF index at nprobe ∈
+    // {1, 2, 4} against one shared brute-force exact pass — the sweep an
+    // index owner runs to pick the accuracy/cost point before deploying
+    // (sim_recall_eval scores ONE config; this draws the curve). The
+    // exact side is computed once and cached (it is the expensive
+    // branch); each sweep point re-probes only the centroid table, and
+    // the hit joins are O(q·k) regardless of corpus size.
+    "sim_ivf_nprobe_sweep" -> { (s, d) =>
+      val e = vectors(s, d)
+      val q = broadcast(e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")))
+      val scored = q.join(e, col("vec_id") =!= col("q_id"))
+        .withColumn("cos", expr("round(cosine_sim(qv, v), 6)"))
+        .select(col("q_id"), col("vec_id").as("n_id"), col("cos"))
+      val exact = graft.plans.TopKPerKey.topK(scored, Seq(col("q_id")),
+          Seq(col("cos").desc, col("n_id")), TopK)
+        .select("q_id", "n_id").cache()
+      val hits = Seq(1, 2, 4).map { np =>
+        exact.join(ivfTopK(s, d, np).select("q_id", "n_id"),
+            Seq("q_id", "n_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(np).as("nprobe"), col("n_hits"))
+      }.reduce(_ unionAll _)
+      val tot = exact.agg(count(lit(1)).as("n_exact"))
+      hits.crossJoin(broadcast(tot))
+        .select(col("nprobe"), col("n_hits"), col("n_exact"),
+          round(col("n_hits").cast("double") / col("n_exact"), 6)
+            .as("recall"))
+        .orderBy("nprobe")
     }
   )
 
@@ -1261,6 +1293,59 @@ object Similarity {
         |SELECT code, count(*) AS n_vecs,
         |  (count(*) * (count(*) - 1)) // 2 AS pairs
         |FROM codes GROUP BY code
-        |ORDER BY n_vecs DESC, code LIMIT 50""".stripMargin
+        |ORDER BY n_vecs DESC, code LIMIT 50""".stripMargin,
+
+    // shared assign/exact CTEs + one probes/rank/hit chain per nprobe
+    "sim_ivf_nprobe_sweep" -> {
+      val per = Seq(1, 2, 4).map { np =>
+        s"""probes$np AS (
+           |  SELECT q_id, qv, c_id FROM (
+           |    SELECT q.q_id, q.qv, cent.c_id,
+           |      row_number() OVER (PARTITION BY q.q_id
+           |        ORDER BY ${duckCos("q.qv", "cent.cv")} DESC,
+           |          cent.c_id) AS prn
+           |    FROM q CROSS JOIN cent) WHERE prn <= $np),
+           |r$np AS (
+           |  SELECT q_id, a.vec_id AS n_id,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY ${duckCos("p.qv", "a.v")} DESC, a.vec_id)
+           |      AS rnk
+           |  FROM probes$np p JOIN assign a ON p.c_id = a.cluster
+           |  WHERE a.vec_id <> p.q_id),
+           |h$np AS (
+           |  SELECT CAST($np AS INTEGER) AS nprobe, count(*) AS n_hits
+           |  FROM x JOIN (SELECT q_id, n_id FROM r$np
+           |      WHERE rnk <= $TopK) ann
+           |    ON ann.q_id = x.q_id AND ann.n_id = x.n_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS ($duckVectors),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM e
+         |  WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, v, c_id AS cluster FROM (
+         |    SELECT e.vec_id, e.v, cent.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.v", "cent.cv")} DESC, cent.c_id)
+         |        AS arn
+         |    FROM e CROSS JOIN cent) WHERE arn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |      WHERE vec_id >= 10 AND vec_id < 20),
+         |x AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.q_id, b.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${duckCos("q.qv", "b.v")} DESC, b.vec_id)
+         |        AS xrn
+         |    FROM q CROSS JOIN e b WHERE b.vec_id <> q.q_id)
+         |  WHERE xrn <= $TopK),
+         |$per,
+         |hh AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2
+         |       UNION ALL SELECT * FROM h4),
+         |nx AS (SELECT count(*) AS n_exact FROM x)
+         |SELECT nprobe, CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST(n_exact AS BIGINT) AS n_exact,
+         |  round(CAST(n_hits AS DOUBLE) / n_exact, 6) AS recall
+         |FROM hh CROSS JOIN nx ORDER BY nprobe""".stripMargin
+    }
   )
 }

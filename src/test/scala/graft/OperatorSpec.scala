@@ -1441,6 +1441,50 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
   }
 
+  test("sim_ivf_nprobe_sweep recall is monotone in nprobe") {
+    val rows = SparkEntry.queries("sim_ivf_nprobe_sweep")(spark, sf)
+      .collect().sortBy(_.getAs[Int]("nprobe"))
+    assert(rows.map(_.getAs[Int]("nprobe")).toSeq == Seq(1, 2, 4))
+    val recalls = rows.map(_.getAs[Double]("recall"))
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+    // probing more clusters can only add candidates
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone: ${recalls.mkString(",")}")
+  }
+
+  test("events_error_budget cumulative burn is a running blend") {
+    val rows = SparkEntry.queries("events_error_budget")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("err_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(r.getAs[Double]("burn") - rate / 0.25) < 1e-3)
+      assert(r.getAs[Long]("n_errors") <= r.getAs[Long]("n_total"))
+    }
+    // final cumulative burn equals the corpus-wide rate over the SLO
+    val totE = rows.map(_.getAs[Long]("n_errors")).sum.toDouble
+    val totN = rows.map(_.getAs[Long]("n_total")).sum.toDouble
+    assert(math.abs(rows.last.getAs[Double]("cum_burn")
+      - totE / totN / 0.25) < 1e-3)
+  }
+
+  test("part_assortment_gaps lists exactly the absent grid cells") {
+    val gaps = SparkEntry.queries("part_assortment_gaps")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val p = Tables.t(spark, sf, "part")
+    val nBrands = p.select("p_brand").distinct().count()
+    val nTypes = p.select("p_type").distinct().count()
+    val nSizes = p.select("p_size").distinct().count()
+    val existing = p.select("p_brand", "p_type", "p_size").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    assert(gaps.nonEmpty, "no gaps — grid degenerate at this SF")
+    assert(gaps.size == nBrands * nTypes * nSizes - existing.size)
+    assert(gaps.intersect(existing).isEmpty)
+  }
+
   test("graph_adamic_adar scores are positive and bounded by n_common") {
     val rows = SparkEntry.queries("graph_adamic_adar")(spark, sf).collect()
     assert(rows.nonEmpty)
