@@ -2003,6 +2003,51 @@ object Analytics {
       grid.join(p.select("p_brand", "p_type", "p_size").distinct(),
           Seq("p_brand", "p_type", "p_size"), "left_anti")
         .orderBy("p_brand", "p_type", "p_size")
+    },
+
+    // running drawdown of daily revenue: peak-to-date and the worst
+    // peak-to-trough fall so far — the finance-style risk read on a
+    // revenue series (a 40% drawdown means a 67% rally just to get
+    // back). The corpus collapses to O(#days) in one exact-decimal
+    // keyed agg BEFORE the two running windows (the trend_revenue
+    // discipline: calendar-bounded windows only).
+    "trend_revenue_drawdown" -> { (s, d) =>
+      val wc = org.apache.spark.sql.expressions.Window.orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+        .withColumn("peak", max(col("revenue")).over(wc))
+        .withColumn("drawdown",
+          round((col("peak") - col("revenue")) / col("peak"), 6))
+        .withColumn("max_drawdown", max(col("drawdown")).over(wc))
+        // revenue/peak stay UNROUNDED: they are exact scale-4 decimal
+        // sums cast to double, and round(x, 2) on a value ending .xx50
+        // is the classic double-vs-decimal HALF_UP divergence (caught by
+        // the oracle at 2400 rows where 25-row reports get lucky)
+        .select(col("day"), col("revenue"), col("peak"), col("drawdown"),
+          col("max_drawdown"))
+        .orderBy("day")
+    },
+
+    // order-status mix by month (the backlog/fulfillment trend the
+    // status columns exist for): per (month, status) counts, value, and
+    // within-month share. One keyed agg to O(#months × 3) rows; the
+    // share window runs over that rollup, never the orders.
+    "orders_status_trend" -> { (s, d) =>
+      val wm = org.apache.spark.sql.expressions.Window
+        .partitionBy("month")
+      t(s, d, "orders")
+        .groupBy(to_date(date_trunc("month", col("o_orderdate")))
+          .as("month"), col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("total_value"))
+        .withColumn("share", round(col("n_orders").cast("double")
+          / sum(col("n_orders")).over(wm), 6))
+        .orderBy("month", "status")
     }
   )
 
@@ -3359,6 +3404,40 @@ object Analytics {
         |  SELECT 1 FROM part p
         |  WHERE p.p_brand = grid.p_brand AND p.p_type = grid.p_type
         |    AND p.p_size = grid.p_size)
-        |ORDER BY p_brand, p_type, p_size""".stripMargin
+        |ORDER BY p_brand, p_type, p_size""".stripMargin,
+
+    "trend_revenue_drawdown" -> {
+      val rev = s"CAST(sum(${sql.discPrice("l_extendedprice", "l_discount")}) AS DOUBLE)"
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day, $rev AS revenue
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1),
+         |p AS (
+         |  SELECT day, revenue,
+         |    max(revenue) OVER (ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+         |  FROM daily),
+         |dd AS (
+         |  SELECT day, revenue, peak,
+         |    round((peak - revenue) / peak, 6) AS drawdown
+         |  FROM p)
+         |SELECT day, revenue, peak, drawdown,
+         |  max(drawdown) OVER (ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS max_drawdown
+         |FROM dd ORDER BY day""".stripMargin
+    },
+
+    "orders_status_trend" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    o_orderstatus AS status, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_value
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT month, status, n_orders, total_value,
+        |  round(CAST(n_orders AS DOUBLE)
+        |    / sum(n_orders) OVER (PARTITION BY month), 6) AS share
+        |FROM m ORDER BY month, status""".stripMargin
   )
 }

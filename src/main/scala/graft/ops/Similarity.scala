@@ -103,6 +103,39 @@ object Similarity {
       .filter(col("rnk") <= TopK)
   }
 
+  /** The `embedding_knn_graph` candidate pipeline, shared with
+    * `embedding_hubness`: IVF assign (nearest of 16 centroids), probe 2
+    * nearest centroids per query, search only those clusters, keep the
+    * top [[KnnK]] per query through the bounded-heap TopKPerKey operator.
+    * Returns (q_id, n_id, cos), unranked.
+    */
+  private def knnEdges(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(s, d)
+    val cent = broadcast(e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("v").as("cv")))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("c_id"))
+    val assign = e.crossJoin(cent)
+      .withColumn("ccos", expr("round(cosine_sim(v, cv), 6)"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("qcos").desc, col("c_id"))
+    val probes = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .crossJoin(cent)
+      .withColumn("qcos", expr("round(cosine_sim(qv, cv), 6)"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= 2)
+      .select("q_id", "qv", "c_id")
+    val scored = probes.join(assign, col("c_id") === col("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr("round(cosine_sim(qv, v), 6)"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cos"))
+    graft.plans.TopKPerKey.topK(scored, Seq(col("q_id")),
+      Seq(col("cos").desc, col("n_id")), KnnK)
+  }
+
   /** doc_id + 512-dim signed hashing-trick vector over the doc's 3-word
     * shingle set ([[graft.functions.HashTfVec]]) — the featurization feeding
     * `sim_pairs_lsh`. Shingle-less (short) docs are dropped: a zero vector
@@ -249,34 +282,29 @@ object Similarity {
     // construction (a vector lives in exactly one cluster), so no
     // dedup step is needed before the heap.
     "embedding_knn_graph" -> { (s, d) =>
-      val e = vectors(s, d)
-      val cent = broadcast(e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("v").as("cv")))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("ccos").desc, col("c_id"))
-      val assign = e.crossJoin(cent)
-        .withColumn("ccos", expr("round(cosine_sim(v, cv), 6)"))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
-      val wProbe = Window.partitionBy("q_id")
-        .orderBy(col("qcos").desc, col("c_id"))
-      val probes = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
-        .crossJoin(cent)
-        .withColumn("qcos", expr("round(cosine_sim(qv, cv), 6)"))
-        .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= 2)
-        .select("q_id", "qv", "c_id")
-      val scored = probes.join(assign, col("c_id") === col("cluster"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", expr("round(cosine_sim(qv, v), 6)"))
-        .select(col("q_id"), col("vec_id").as("n_id"), col("cos"))
       val w = Window.partitionBy("q_id")
         .orderBy(col("cos").desc, col("n_id"))
-      graft.plans.TopKPerKey.topK(scored, Seq(col("q_id")),
-          Seq(col("cos").desc, col("n_id")), KnnK)
+      knnEdges(s, d)
         .withColumn("rnk", row_number().over(w).cast("long"))
         .orderBy("q_id", "rnk")
+    },
+
+    // hubness audit over the k-NN graph: the k-occurrence (in-degree)
+    // histogram — how often each vector is someone ELSE's neighbor. The
+    // known high-dimensional ANN pathology: a few hub vectors appear in
+    // everyone's neighbor lists (dominating retrieval) while antihubs
+    // (k-occ 0) are unreachable; the histogram's spread is the health
+    // metric an index owner tracks across encoder versions. One keyed
+    // count over the shared knn edge list + a left join back to ALL
+    // vectors so antihubs are counted, then an O(#degrees) rollup.
+    "embedding_hubness" -> { (s, d) =>
+      val indeg = knnEdges(s, d).groupBy("n_id")
+        .agg(count(lit(1)).as("k_occ"))
+      t(s, d, "embeddings").select(col("vec_id"))
+        .join(indeg, col("vec_id") === col("n_id"), "left")
+        .select(coalesce(col("k_occ"), lit(0L)).as("k_occ"))
+        .groupBy("k_occ").agg(count(lit(1)).as("n_vectors"))
+        .orderBy("k_occ")
     },
 
     // two Lloyd iterations of k-means (k=8, deterministic seed centroids =
@@ -959,6 +987,42 @@ object Similarity {
          |  WHERE a.vec_id <> p.q_id)
          |SELECT q_id, n_id, cos, rnk FROM r WHERE rnk <= $KnnK
          |ORDER BY q_id, rnk""".stripMargin
+    },
+
+    // same knn CTE chain, reduced to the in-degree histogram (LEFT join
+    // keeps antihubs at k-occ 0)
+    "embedding_hubness" -> {
+      def cos(a: String, b: String) =
+        s"""round(list_dot_product($a, $b) /
+           |    (sqrt(list_dot_product($a, $a))
+           |     * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+      s"""WITH e AS ($duckVectors),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, v, c_id AS cluster FROM (
+         |    SELECT e.vec_id, e.v, cent.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.v", "cent.cv")} DESC, cent.c_id) AS arn
+         |    FROM e CROSS JOIN cent) WHERE arn = 1),
+         |probes AS (
+         |  SELECT q_id, qv, c_id FROM (
+         |    SELECT e.vec_id AS q_id, e.v AS qv, cent.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.v", "cent.cv")} DESC, cent.c_id) AS prn
+         |    FROM e CROSS JOIN cent) WHERE prn <= 2),
+         |r AS (
+         |  SELECT q_id, a.vec_id AS n_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ${cos("p.qv", "a.v")} DESC, a.vec_id) AS rnk
+         |  FROM probes p JOIN assign a ON p.c_id = a.cluster
+         |  WHERE a.vec_id <> p.q_id),
+         |knn AS (SELECT q_id, n_id FROM r WHERE rnk <= $KnnK),
+         |ind AS (SELECT n_id, count(*) AS k_occ FROM knn GROUP BY 1),
+         |allv AS (
+         |  SELECT COALESCE(ind.k_occ, 0) AS k_occ
+         |  FROM e LEFT JOIN ind ON e.vec_id = ind.n_id)
+         |SELECT CAST(k_occ AS BIGINT) AS k_occ, count(*) AS n_vectors
+         |FROM allv GROUP BY 1 ORDER BY k_occ""".stripMargin
     },
 
     // PQ twin: same seed-slice codebook, same exact-decimal squared

@@ -1485,6 +1485,46 @@ class OperatorSpec extends SparkSpec {
     assert(gaps.intersect(existing).isEmpty)
   }
 
+  test("embedding_hubness histogram covers every vector once") {
+    val rows = SparkEntry.queries("embedding_hubness")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val nVecs = Tables.t(spark, sf, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == nVecs)
+    // total in-degree equals total out-degree (≤ K per query)
+    val totalIn = rows
+      .map(r => r.getAs[Long]("k_occ") * r.getAs[Long]("n_vectors")).sum
+    val edges = SparkEntry.queries("embedding_knn_graph")(spark, sf)
+      .count()
+    assert(totalIn == edges)
+  }
+
+  test("trend_revenue_drawdown peak and drawdown are consistent") {
+    val rows = SparkEntry.queries("trend_revenue_drawdown")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    var runningPeak = Double.MinValue
+    rows.foreach { r =>
+      val (rev, peak) = (r.getAs[Double]("revenue"), r.getAs[Double]("peak"))
+      runningPeak = math.max(runningPeak, rev)
+      assert(math.abs(peak - runningPeak) < 0.02, s"peak $peak vs $runningPeak")
+      val dd = r.getAs[Double]("drawdown")
+      assert(dd >= 0.0 && dd <= 1.0)
+      assert(r.getAs[Double]("max_drawdown") >= dd - 1e-9)
+    }
+  }
+
+  test("orders_status_trend shares sum to 1 within each month") {
+    val rows = SparkEntry.queries("orders_status_trend")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[java.sql.Date]("month").toString)
+      .foreach { case (m, rs) =>
+        val s = rs.map(_.getAs[Double]("share")).sum
+        assert(math.abs(s - 1.0) < 1e-4, s"month $m shares sum $s")
+      }
+  }
+
   test("graph_adamic_adar scores are positive and bounded by n_common") {
     val rows = SparkEntry.queries("graph_adamic_adar")(spark, sf).collect()
     assert(rows.nonEmpty)
