@@ -33,6 +33,18 @@ object StreamTwin {
           col("cnt"), col("sum_val"))
         .orderBy("wstart", "event_type")),
 
+    // twin of Streams.burstAlerts (same 1-minute window + threshold
+    // expressions, minus the watermark): per-user burst windows — the
+    // streaming rate-limit/bot alert. Only alert rows leave the stream.
+    "stream_burst_alert" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 minute"), col("user_id"))
+        .agg(count(lit(1)).as("n_in_window"))
+        .filter(col("n_in_window") >= 2)
+        .select(col("window.start").as("wstart"), col("user_id"),
+          col("n_in_window"))
+        .orderBy("wstart", "user_id")),
+
     "stream_sliding" -> ((s, d) =>
       events(s, d)
         .groupBy(window(col("ts"), "1 hour", "15 minutes"))
@@ -204,6 +216,11 @@ object StreamTwin {
       s"""SELECT date_trunc('hour', ts) AS wstart, event_type,
          |count(*) AS cnt, ${sql.moneySum("value")} AS sum_val
          |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    "stream_burst_alert" ->
+      """SELECT date_trunc('minute', ts) AS wstart, user_id,
+        |count(*) AS n_in_window
+        |FROM events GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY wstart, user_id""".stripMargin,
     "stream_sliding" ->
       s"""SELECT time_bucket(INTERVAL '15 minutes', ts)
          |    - k * INTERVAL '15 minutes' AS wstart,

@@ -902,6 +902,28 @@ object TextOps {
             .as("avg_nll"))
         .orderBy(col("avg_nll").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // robust length-outlier ranking: per-doc |length − median| / (MAD ·
+    // 1.4826) — the events_outlier_mad discipline applied to the
+    // curation axis where truncation/explosion bugs show first (a 10×
+    // z_mad doc is a concatenation accident or an empty shell). Ranked
+    // top-20, not thresholded: the fixture corpus is near-uniform so an
+    // absolute 3σ cut would be vacuous, and a ranking is what a triage
+    // queue consumes anyway. Two percentile scalars broadcast; at 100 TB
+    // both swap to approx_percentile with the same plan shape.
+    "text_length_outliers" -> { (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      val med = docs.agg(expr("percentile(n_chars, 0.5)").as("med"))
+      val withDev = docs.crossJoin(broadcast(med))
+        .withColumn("dev", abs(col("n_chars") - col("med")))
+      val mad = withDev.agg(expr("percentile(dev, 0.5)").as("mad"))
+      withDev.crossJoin(broadcast(mad))
+        .select(col("doc_id"), col("n_chars"),
+          round(col("med"), 1).as("median_chars"),
+          round(col("dev") / (col("mad") * 1.4826), 4).as("z_mad"))
+        .orderBy(col("z_mad").desc, col("doc_id"))
+        .limit(20)
     }
   )
 
@@ -1553,6 +1575,18 @@ object TextOps {
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
         |  round(CAST(sum(nll) AS DOUBLE) / sum(tf), 6) AS avg_nll
         |FROM terms GROUP BY doc_id
-        |ORDER BY avg_nll DESC, doc_id LIMIT 20""".stripMargin
+        |ORDER BY avg_nll DESC, doc_id LIMIT 20""".stripMargin,
+
+    "text_length_outliers" ->
+      """WITH med AS (
+        |  SELECT quantile_cont(n_chars, 0.5) AS med FROM documents),
+        |dv AS (
+        |  SELECT doc_id, n_chars, med, abs(n_chars - med) AS dev
+        |  FROM documents CROSS JOIN med),
+        |md AS (SELECT quantile_cont(dev, 0.5) AS mad FROM dv)
+        |SELECT doc_id, n_chars, round(med, 1) AS median_chars,
+        |  round(dev / (mad * 1.4826), 4) AS z_mad
+        |FROM dv CROSS JOIN md
+        |ORDER BY z_mad DESC, doc_id LIMIT 20""".stripMargin
   )
 }

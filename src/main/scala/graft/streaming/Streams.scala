@@ -47,6 +47,21 @@ object Streams {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("wstart"), col("event_type"), col("cnt"))
 
+  /** Per-user 1-minute burst alerts: tumbling windows whose event count
+    * reaches the threshold — the streaming twin of events_bot_filter's
+    * rate rule, emitting ONLY alert rows (the scale point: threshold
+    * filtering happens inside the stream, so state stays bounded by the
+    * watermark and non-bursty traffic never leaves the aggregation).
+    */
+  def burstAlerts(events: DataFrame, threshold: Long = 2): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("user_id"))
+      .agg(count(lit(1)).as("n_in_window"))
+      .filter(col("n_in_window") >= threshold)
+      .select(col("window.start").as("wstart"), col("user_id"),
+        col("n_in_window"))
+
   /** Sliding 1-hour/15-minute windows. */
   def slidingCounts(events: DataFrame): DataFrame =
     events

@@ -42,6 +42,27 @@ class StreamingSpec extends SparkSpec {
     assert(out(ts(60)) == 2L) // ev(3), ev(5)
   }
 
+  test("burstAlerts emits only windows at or above the threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.toMemorySink(
+      Streams.burstAlerts(in.toDF(), threshold = 3), "burst_t",
+      OutputMode.Append())
+    // user 1 bursts in minute 5 (3 events); user 2 stays under threshold
+    in.addData(ev(1, 5), ev(2, 5), ev(3, 5), ev(4, 5, user = 2),
+      ev(5, 6, user = 2))
+    q.processAllAvailable()
+    // advance the watermark past minute 5's window so Append flushes it
+    in.addData(ev(6, 30))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("burst_t")
+      .select("wstart", "user_id", "n_in_window")
+      .as[(Timestamp, Long, Long)].collect()
+    assert(out.toSet == Set((ts(5), 1L, 3L)),
+      s"expected exactly user 1's minute-5 burst, got ${out.mkString(",")}")
+  }
+
   test("dropDuplicatesWithinWatermark dedups per (user, type)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
