@@ -45,6 +45,8 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val bandCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val labelsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Entries hold strong refs to their SparkSession, so a long-lived JVM
     * cycling sessions (test suites, notebook servers) would otherwise grow
@@ -249,15 +251,27 @@ object Dedup {
     * dominant cost of the query at sf0.1).
     */
   private[graft] def connectedLabels(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
-      .cache()
-    pairs.count()
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
-      .cache()
-    try connectedComponents(s, edges)
-    finally { edges.unpersist(); pairs.unpersist() }
+    // Memoized per (session, sf) like the shingle/band tables: FOUR query
+    // keys consume the same label table (dedup_connected, cluster_stats,
+    // canonical_pick, and the component census), and the iterative CC run
+    // underneath is the single most expensive kernel in the dedup family
+    // (~4 s/run at sf0.1) — without memoization each consumer pays it
+    // again. The result is O(#labeled-docs), tiny to pin.
+    purgeStopped(labelsCache)
+    labelsCache.computeIfAbsent((s, d), _ => {
+      val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+        .cache()
+      pairs.count()
+      val edges = pairs
+        .union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst")
+        .cache()
+      try {
+        val labels = connectedComponents(s, edges).cache()
+        labels.count() // materialize before the inputs unpersist
+        labels
+      } finally { edges.unpersist(); pairs.unpersist() }
+    })
   }
 
   private[graft] def connectedComponents(s: SparkSession,
