@@ -645,6 +645,27 @@ object Dedup {
           (col("n_clusters") * (col("csize") - 1L)).as("n_docs_removable"))
         .orderBy("cluster_size")),
 
+    // the similarity-distribution histogram behind threshold choice:
+    // bucket EVERY shingle-sharing pair's exact Jaccard into 0.05-wide
+    // bins — the bimodality plot (background-similarity mass vs the
+    // near-dup spike) that justifies where `JaccardThreshold` sits.
+    // Rides the unthresholded pair-stats kernel dedup_threshold_sweep
+    // uses; output is O(20) buckets.
+    "dedup_pair_similarity_hist" -> { (s, d) =>
+      exactPairStats(s, d)
+        .withColumn("jac",
+          col("c").cast("double") / (col("na") + col("nb") - col("c")))
+        .withColumn("bucket", floor(col("jac") * 20).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(min(col("jac")), 6).as("min_jac"),
+          round(max(col("jac")), 6).as("max_jac"))
+        .select(col("bucket"),
+          round(col("bucket").cast("double") / 20.0, 2).as("bucket_lo"),
+          col("n_pairs"), col("min_jac"), col("max_jac"))
+        .orderBy("bucket")
+    },
+
     // cross-source duplication provenance matrix: which source PAIRS
     // share near-duplicate documents — the contamination map that tells
     // a corpus owner "src3 is mostly re-crawled src0" before mixing
@@ -1004,6 +1025,23 @@ object Dedup {
          |  WHERE e.v <> r.u)
          |SELECT u AS doc_id, least(u, min(v)) AS keeper
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    // unthresholded pair stats -> exact-Jaccard bins, same kernel as the
+    // threshold sweep
+    "dedup_pair_similarity_hist" ->
+      s"""WITH $jaccardCtes,
+         |jp AS (
+         |  SELECT CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jac
+         |  FROM common
+         |  JOIN sizes s1 ON s1.doc_id = doc_a
+         |  JOIN sizes s2 ON s2.doc_id = doc_b),
+         |b AS (SELECT CAST(floor(jac * 20) AS BIGINT) AS bucket, jac
+         |      FROM jp)
+         |SELECT bucket, round(CAST(bucket AS DOUBLE) / 20.0, 2)
+         |    AS bucket_lo,
+         |  count(*) AS n_pairs, round(min(jac), 6) AS min_jac,
+         |  round(max(jac), 6) AS max_jac
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // exact-Jaccard pair graph + two source joins, same ordered pair key
     "dedup_source_matrix" ->

@@ -421,6 +421,33 @@ object Graph {
                 - col("sy") * col("sy"))), 6).as("assortativity"))
     },
 
+    // rich-club coefficient φ(k): edge density among nodes of degree > k
+    // for k ∈ {4, 8, 16} — do the best-connected trade participants form
+    // a club (φ → 1) or avoid each other (φ → 0)? The structural metric
+    // behind hub-centric routing/caching decisions. The degree table is
+    // dim-sized; per k the rich set is a broadcastable filter of it and
+    // the edge count is two semi-join-shaped equi-joins onto the cached
+    // edge list. Integer counts; one rounded division per k.
+    "graph_rich_club" -> { (s, d) =>
+      val e = edges(s, d)
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      Seq(4L, 8L, 16L).map { k =>
+        val rich = deg.filter(col("deg") > k)
+          .select(col("src").as("node"))
+        val nn = rich.agg(count(lit(1)).as("n_rich"))
+        val ee = e
+          .join(broadcast(rich.select(col("node").as("src"))), "src")
+          .join(broadcast(rich.select(col("node").as("dst"))), "dst")
+          .agg(expr("count(1) div 2").as("m_rich"))
+        nn.crossJoin(ee).select(lit(k).as("k"), col("n_rich"),
+          col("m_rich"),
+          when(col("n_rich") >= 2,
+            round(col("m_rich").cast("double") * 2
+              / (col("n_rich") * (col("n_rich") - 1)).cast("double"), 6))
+            .as("phi"))
+      }.reduce(_ unionAll _).orderBy("k")
+    },
+
     // Adamic–Adar link prediction over the near-dup graph: for each pair
     // (a,b) reachable through a shared neighbor, score
     // Σ_{x ∈ N(a)∩N(b)} 1/ln(deg(x)) — a low-degree shared neighbor is
@@ -698,6 +725,40 @@ object Graph {
          |      * (CAST(n_edges AS DOUBLE) * syy - sy * sy)), 6)
          |    AS assortativity
          |FROM m""".stripMargin,
+
+    // same trade-graph degree table; per-k rich sets via LEFT JOIN from
+    // the k list so an empty club still emits its (k, 0, 0, null) row
+    "graph_rich_club" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS sp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (
+         |  SELECT c AS src, sp AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT sp AS src, c AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |ks AS (SELECT CAST(unnest([4, 8, 16]) AS BIGINT) AS k),
+         |rich AS (
+         |  SELECT ks.k, deg.src AS node
+         |  FROM deg CROSS JOIN ks WHERE deg.deg > ks.k),
+         |nn AS (
+         |  SELECT ks.k, count(rich.node) AS n_rich
+         |  FROM ks LEFT JOIN rich ON ks.k = rich.k
+         |  GROUP BY ks.k),
+         |ee AS (
+         |  SELECT r1.k, count(*) // 2 AS m_rich
+         |  FROM e
+         |  JOIN rich r1 ON e.src = r1.node
+         |  JOIN rich r2 ON e.dst = r2.node AND r2.k = r1.k
+         |  GROUP BY r1.k)
+         |SELECT nn.k, nn.n_rich,
+         |  CAST(COALESCE(ee.m_rich, 0) AS BIGINT) AS m_rich,
+         |  CASE WHEN nn.n_rich >= 2 THEN
+         |    round(CAST(COALESCE(ee.m_rich, 0) AS DOUBLE) * 2
+         |      / CAST(nn.n_rich * (nn.n_rich - 1) AS DOUBLE), 6)
+         |  END AS phi
+         |FROM nn LEFT JOIN ee ON nn.k = ee.k
+         |ORDER BY nn.k""".stripMargin,
 
     // exact-Jaccard pair graph (same >= 0.8 pairs the LSH path verifies),
     // same wedge enumeration + 1/ln(deg) round-9 decimal sum

@@ -312,6 +312,27 @@ object TrainPrep {
         .orderBy("rnk")
     },
 
+    // soft dedup: instead of deleting near-duplicates, weight each doc
+    // 1/cluster_size so every near-dup CLUSTER contributes one unit of
+    // training signal (the "count once" alternative when deletion is too
+    // aggressive — e.g. templated-but-distinct pages). Rides the
+    // memoized connected-component label table; unlabeled docs keep
+    // weight 1. One dim-sized join; output is corpus-rows of
+    // (id, size, weight).
+    "sample_dedup_weight" -> { (s, d) =>
+      val labels = Dedup.connectedLabels(s, d)
+      val csize = labels.groupBy("label").agg(count(lit(1)).as("csize"))
+      t(s, d, "documents").select(col("doc_id"))
+        .join(labels.join(csize, "label")
+          .select(col("id").as("doc_id"), col("csize")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("csize"), lit(1L)).as("cluster_size"),
+          round(lit(1.0) / coalesce(col("csize"), lit(1L)), 6)
+            .as("weight"))
+        .orderBy("doc_id")
+    },
+
     // paired-modality training manifest (the CLIP-style caption↔vector
     // set): align documents to their embeddings on id, gate on language,
     // caption length, and embedding normalization (norm² within 2% of
@@ -701,6 +722,31 @@ object TrainPrep {
         |  row_number() OVER (ORDER BY n_occ DESC, pair) AS rnk FROM a2)
         |SELECT CAST(rnk AS BIGINT) AS rnk, pair, n_occ
         |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    "sample_dedup_weight" ->
+      s"""WITH RECURSIVE ${Dedup.jaccardCtes},
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |  UNION ALL
+         |  SELECT doc_b AS u, doc_a AS v FROM jpairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |  WHERE e.v <> r.u),
+         |labels AS (
+         |  SELECT u AS id, least(u, min(v)) AS label
+         |  FROM reach GROUP BY u),
+         |cs AS (SELECT label, count(*) AS csize FROM labels GROUP BY 1),
+         |lj AS (
+         |  SELECT l.id AS doc_id, cs.csize
+         |  FROM labels l JOIN cs ON l.label = cs.label)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(lj.csize, 1) AS BIGINT) AS cluster_size,
+         |  round(CAST(1.0 AS DOUBLE) / COALESCE(lj.csize, 1), 6)
+         |    AS weight
+         |FROM documents d LEFT JOIN lj ON d.doc_id = lj.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "train_pair_manifest" ->
       """WITH n2 AS (

@@ -1525,6 +1525,54 @@ class OperatorSpec extends SparkSpec {
       }
   }
 
+  test("dedup_pair_similarity_hist buckets are disjoint and ordered") {
+    val rows = SparkEntry.queries("dedup_pair_similarity_hist")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lo = r.getAs[Double]("bucket_lo")
+      assert(r.getAs[Double]("min_jac") >= lo - 1e-9)
+      assert(r.getAs[Double]("max_jac") < lo + 0.05 + 1e-9)
+      assert(r.getAs[Long]("n_pairs") >= 1)
+    }
+    // the >= 0.8 near-dup pairs must appear in the top bins
+    val nearDup = rows.filter(_.getAs[Double]("bucket_lo") >= 0.8 - 1e-9)
+      .map(_.getAs[Long]("n_pairs")).sum
+    val verified = SparkEntry.queries("dedup_minhash")(spark, sf).count()
+    assert(nearDup >= verified)
+  }
+
+  test("sample_dedup_weight clusters contribute exactly one unit each") {
+    val rows = SparkEntry.queries("sample_dedup_weight")(spark, sf)
+      .collect()
+    val n = Tables.t(spark, sf, "documents").count()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val cs = r.getAs[Long]("cluster_size")
+      assert(cs >= 1)
+      assert(math.abs(r.getAs[Double]("weight") - 1.0 / cs) < 1e-5)
+    }
+    // total weight = #clusters + #singletons (each cluster sums to ~1)
+    val clustered = rows.filter(_.getAs[Long]("cluster_size") > 1)
+    assert(clustered.nonEmpty, "no near-dup clusters weighted")
+  }
+
+  test("graph_rich_club density is a valid fraction at every k") {
+    val rows = SparkEntry.queries("graph_rich_club")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(4L, 8L, 16L))
+    rows.foreach { r =>
+      val (n, m) = (r.getAs[Long]("n_rich"), r.getAs[Long]("m_rich"))
+      assert(m <= n * (n - 1) / 2 + 1)
+      if (n >= 2) {
+        val phi = r.getAs[Double]("phi")
+        assert(phi >= 0.0 && phi <= 1.0 + 1e-9, s"phi $phi at k=$n")
+      } else assert(r.isNullAt(r.fieldIndex("phi")))
+    }
+    // richer clubs are no larger
+    val sizes = rows.map(_.getAs[Long]("n_rich"))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b })
+  }
+
   test("graph_adamic_adar scores are positive and bounded by n_common") {
     val rows = SparkEntry.queries("graph_adamic_adar")(spark, sf).collect()
     assert(rows.nonEmpty)
