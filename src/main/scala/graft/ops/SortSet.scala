@@ -68,6 +68,31 @@ object SortSet {
       val positive = t(s, d, "customer").filter(col("c_acctbal") > 0)
         .select(col("c_custkey").as("ck"))
       ordered.except(positive).orderBy("ck")
+    },
+
+    // EXCEPT ALL — bag semantics: each of a customer's order rows is
+    // cancelled by at most one matching row from the other side, so the
+    // multiplicity delta survives (the form reconciliation queries need;
+    // plain EXCEPT collapses it). Both bag ops plan as one shuffle on
+    // the value with per-key multiplicity arithmetic — no join blowup.
+    "set_except_all" -> { (s, d) =>
+      val o = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("ck"))
+      val p = t(s, d, "orders").filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("ck"))
+      o.exceptAll(p).groupBy("ck").agg(count(lit(1)).as("surplus"))
+        .orderBy("ck")
+    },
+
+    // INTERSECT ALL — min-multiplicity per value: how many of each
+    // customer's F-orders are matched one-for-one by O-orders
+    "set_intersect_all" -> { (s, d) =>
+      val o = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("ck"))
+      val p = t(s, d, "orders").filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("ck"))
+      o.intersectAll(p).groupBy("ck").agg(count(lit(1)).as("matched"))
+        .orderBy("ck")
     }
   )
 
@@ -107,6 +132,20 @@ object SortSet {
       """SELECT o_custkey AS ck FROM orders
         |EXCEPT
         |SELECT c_custkey AS ck FROM customer WHERE c_acctbal > 0
+        |ORDER BY ck""".stripMargin,
+    "set_except_all" ->
+      """WITH x AS (
+        |  SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT ALL
+        |  SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'O')
+        |SELECT ck, count(*) AS surplus FROM x GROUP BY ck
+        |ORDER BY ck""".stripMargin,
+    "set_intersect_all" ->
+      """WITH x AS (
+        |  SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT ALL
+        |  SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'O')
+        |SELECT ck, count(*) AS matched FROM x GROUP BY ck
         |ORDER BY ck""".stripMargin
   )
 }

@@ -1573,6 +1573,25 @@ class OperatorSpec extends SparkSpec {
     assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b })
   }
 
+  test("set bag ops satisfy the multiplicity identity |F| = kept + matched") {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val surplus = SparkEntry.queries("set_except_all")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("surplus")).toMap
+    val matched = SparkEntry.queries("set_intersect_all")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("matched")).toMap
+    val f = Tables.t(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_custkey").agg(cnt(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n")).toMap
+    assert(surplus.nonEmpty && matched.nonEmpty)
+    // for every customer with F-orders: F-count = surplus + matched
+    f.foreach { case (ck, nf) =>
+      assert(surplus.getOrElse(ck, 0L) + matched.getOrElse(ck, 0L) == nf,
+        s"customer $ck: $nf != ${surplus.getOrElse(ck, 0L)} + " +
+          s"${matched.getOrElse(ck, 0L)}")
+    }
+  }
+
   test("graph_adamic_adar scores are positive and bounded by n_common") {
     val rows = SparkEntry.queries("graph_adamic_adar")(spark, sf).collect()
     assert(rows.nonEmpty)
