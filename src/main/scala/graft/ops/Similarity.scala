@@ -47,6 +47,40 @@ object Similarity {
     * 1-partition left side serializes every kernel evaluation downstream
     * (the BNLJ's parallelism = left-side partitions).
     */
+  /** One ranked MMR pick (see `sim_mmr_rerank`). */
+  case class MmrPick(rank: Long, s_id: Long)
+
+  /** In-row greedy MMR over one query's packed candidate tables. Inputs
+    * are the plan-computed round(·,6) relevance and pairwise-similarity
+    * values, so this fold is pure bounded arithmetic: each round picks
+    * argmax of 0.7·rel − 0.3·max_sim (HALF_UP-rounded to 6, exactly
+    * Spark's double `round`) with the id tie-break. Map-based lookups
+    * make the result independent of collect_list's arrival order.
+    */
+  private val mmrGreedy = udf((cs: Seq[org.apache.spark.sql.Row],
+      ss: Seq[org.apache.spark.sql.Row]) => {
+    val rel = cs.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sim = ss.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    var selected = List.empty[Long]
+    (1 to 4).flatMap { r =>
+      val remaining = rel.keysIterator.filterNot(selected.contains).toSeq
+      if (remaining.isEmpty) Nil
+      else {
+        def score(c: Long): Double =
+          if (r == 1) rel(c)
+          else {
+            val ms = selected.iterator.map(o => sim((c, o))).max
+            java.math.BigDecimal.valueOf(0.7 * rel(c) - 0.3 * ms)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          }
+        val pick = remaining.minBy(c => (-score(c), c))
+        selected ::= pick
+        Seq(MmrPick(r.toLong, pick))
+      }
+    }
+  })
+
   private def vectors(s: SparkSession, d: String): DataFrame = {
     CosineSim.register(s)
     SimHashBands.register(s)
@@ -713,38 +747,32 @@ object Similarity {
         .cache()
       val cb = cands.select(col("q_id"), col("c_id").as("o_id"),
         col("v").as("ov"))
-      // cache the ≤56-row/query pair-sim table AND each round's selected
-      // set: every greedy round references both twice, and without the
-      // materialization the union tree re-executes the whole retrieval
-      // scoring per round (measured 11.5 s → ~1 s at sf0.1)
       val sims = cands.join(cb, Seq("q_id"))
         .filter(col("c_id") =!= col("o_id"))
         .withColumn("sim", expr("round(cosine_sim(v, ov), 6)"))
         .select("q_id", "c_id", "o_id", "sim")
-        .cache()
-      val wq = Window.partitionBy("q_id")
-        .orderBy(col("rel").desc, col("c_id"))
-      val sel1 = cands.withColumn("rn", row_number().over(wq))
-        .filter(col("rn") === 1)
-        .select(col("q_id"), col("c_id").as("s_id"), lit(1L).as("rank"))
-      val picks = (2 to 4).foldLeft(sel1) { (sel, r) =>
-        val rem = cands.join(sel.select(col("q_id"),
-          col("s_id").as("c_id")), Seq("q_id", "c_id"), "left_anti")
-        val pen = sims.join(sel.select(col("q_id"),
-            col("s_id").as("o_id")), Seq("q_id", "o_id"))
-          .groupBy("q_id", "c_id").agg(max(col("sim")).as("max_sim"))
-        val w2 = Window.partitionBy("q_id")
-          .orderBy(col("score").desc, col("c_id"))
-        val next = rem.join(pen, Seq("q_id", "c_id"))
-          .withColumn("score",
-            round(lit(0.7) * col("rel") - lit(0.3) * col("max_sim"), 6))
-          .withColumn("rn", row_number().over(w2))
-          .filter(col("rn") === 1)
-          .select(col("q_id"), col("c_id").as("s_id"),
-            lit(r.toLong).as("rank"))
-        sel.unionByName(next).cache()
-      }
-      picks.join(cands.select(col("q_id"), col("c_id").as("s_id"),
+      // The greedy phase is inherently SEQUENTIAL (round r's scores
+      // depend on rounds 1..r-1), so expressing it as r unrolled
+      // join+window stages pays ~12 full job launches to move ≤56 rows —
+      // pure scheduling overhead (measured 5.6 s as a plan, ~1.5 s as a
+      // pack-and-fold). The scalable form every production reranker
+      // uses: once retrieval has BOUNDED the candidates (top-8/query
+      // via the heap operator), pack each query's (rel, pairwise-sim)
+      // tables into one row and run the greedy selection in a single
+      // in-row pass. All inputs are the same round(·,6) cosines; the
+      // fold reproduces the unrolled plan's 0.7·rel − 0.3·max_sim
+      // arithmetic (incl. Spark's HALF_UP double round) term for term.
+      val packed = cands.groupBy("q_id")
+        .agg(collect_list(struct(col("c_id"), col("rel"))).as("cs"))
+        .join(sims.groupBy("q_id")
+          .agg(collect_list(struct(col("c_id"), col("o_id"), col("sim")))
+            .as("ss")), "q_id")
+      packed
+        .select(col("q_id"), explode(mmrGreedy(col("cs"), col("ss")))
+          .as("p"))
+        .select(col("q_id"), col("p.rank").as("rank"),
+          col("p.s_id").as("s_id"))
+        .join(cands.select(col("q_id"), col("c_id").as("s_id"),
           col("rel")), Seq("q_id", "s_id"))
         .select(col("q_id"), col("rank"), col("s_id").as("vec_id"),
           col("rel"))
