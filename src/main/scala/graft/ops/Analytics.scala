@@ -1961,6 +1961,73 @@ object Analytics {
         .orderBy("stage")
     },
 
+    // capacity load factor per event type: peak hourly volume over mean
+    // hourly volume (how bursty is this traffic class → how much
+    // headroom its consumers must reserve). Events collapse to
+    // O(types × hours) cells in one keyed agg; peak/mean fold to one
+    // row per type. Integer counts, one rounded division.
+    "events_load_factor" -> { (s, d) =>
+      events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("n")).as("n_events"),
+          max(col("n")).as("peak_hourly"))
+        .select(col("event_type"), col("n_hours"), col("n_events"),
+          col("peak_hourly"),
+          round(col("peak_hourly").cast("double")
+            / (col("n_events").cast("double") / col("n_hours")), 4)
+            .as("load_factor"))
+        .orderBy("event_type")
+    },
+
+    // new-vs-returning traffic mix per day: the share of each day's
+    // events from users first seen that day — the acquisition/retention
+    // composition read. One per-user first-seen agg broadcast back as a
+    // dim join (users ≪ events), then an O(#days) rollup.
+    "events_new_vs_returning" -> { (s, d) =>
+      val ev = events(s, d)
+      val firstDay = ev.groupBy("user_id")
+        .agg(to_date(min(col("ts"))).as("first_day"))
+      ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .join(firstDay, "user_id")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("n_new_user_events"))
+        .select(col("day"), col("n_events"), col("n_new_user_events"),
+          round(col("n_new_user_events").cast("double")
+            / col("n_events"), 6).as("new_share"))
+        .orderBy("day")
+    },
+
+    // price dispersion per part type: spread and coefficient of
+    // variation of list prices (the assortment-pricing health check —
+    // a CV near zero means no price laddering). Dim-sized keyed agg;
+    // exact-decimal moment sums, doubles only in the final CV formula.
+    "part_price_dispersion" -> { (s, d) =>
+      t(s, d, "part")
+        .groupBy(col("p_type"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(money(col("p_retailprice"))).as("sp"),
+          sum(expr("CAST(p_retailprice AS DECIMAL(18,2)) " +
+            "* CAST(p_retailprice AS DECIMAL(18,2))")).as("spp"),
+          round(min(col("p_retailprice")), 2).as("min_price"),
+          round(max(col("p_retailprice")), 2).as("max_price"))
+        .select(col("p_type"), col("n_parts"),
+          round(col("sp").cast("double") / col("n_parts"), 6)
+            .as("mean_price"),
+          round(sqrt(greatest(lit(0d),
+              col("spp").cast("double") / col("n_parts")
+                - (col("sp").cast("double") / col("n_parts"))
+                * (col("sp").cast("double") / col("n_parts"))))
+            / (col("sp").cast("double") / col("n_parts")), 6).as("cv"),
+          col("min_price"), col("max_price"))
+        .orderBy("p_type")
+    },
+
     // SRE error-budget ledger: daily error share vs a 25% SLO with the
     // period-to-date cumulative burn — the table a reliability review
     // reads top-down (daily burn says "bad day", cumulative burn says
@@ -3370,6 +3437,54 @@ object Analytics {
         |SELECT stage, count(*) AS n_users,
         |  round(CAST(count(*) AS DOUBLE) / max(n_total), 6) AS share
         |FROM st CROSS JOIN tot GROUP BY stage ORDER BY stage""".stripMargin,
+
+    "events_load_factor" ->
+      """WITH cells AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type, count(*) AS n_hours,
+        |    CAST(sum(n) AS BIGINT) AS n_events,
+        |    max(n) AS peak_hourly
+        |  FROM cells GROUP BY 1)
+        |SELECT event_type, n_hours, n_events, peak_hourly,
+        |  round(CAST(peak_hourly AS DOUBLE)
+        |    / (CAST(n_events AS DOUBLE) / n_hours), 4) AS load_factor
+        |FROM agg ORDER BY event_type""".stripMargin,
+
+    "events_new_vs_returning" ->
+      """WITH fd AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+        |  FROM events GROUP BY 1),
+        |j AS (
+        |  SELECT CAST(e.ts AS DATE) AS day, fd.first_day
+        |  FROM events e JOIN fd ON e.user_id = fd.user_id)
+        |SELECT day, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new_user_events,
+        |  round(CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS new_share
+        |FROM j GROUP BY day ORDER BY day""".stripMargin,
+
+    "part_price_dispersion" ->
+      """WITH a AS (
+        |  SELECT p_type, count(*) AS n_parts,
+        |    sum(CAST(p_retailprice AS DECIMAL(18,2))) AS sp,
+        |    sum(CAST(p_retailprice AS DECIMAL(18,2))
+        |      * CAST(p_retailprice AS DECIMAL(18,2))) AS spp,
+        |    round(min(p_retailprice), 2) AS min_price,
+        |    round(max(p_retailprice), 2) AS max_price
+        |  FROM part GROUP BY 1)
+        |SELECT p_type, n_parts,
+        |  round(CAST(sp AS DOUBLE) / n_parts, 6) AS mean_price,
+        |  round(sqrt(greatest(CAST(0 AS DOUBLE),
+        |      CAST(spp AS DOUBLE) / n_parts
+        |      - (CAST(sp AS DOUBLE) / n_parts)
+        |        * (CAST(sp AS DOUBLE) / n_parts)))
+        |    / (CAST(sp AS DOUBLE) / n_parts), 6) AS cv,
+        |  min_price, max_price
+        |FROM a ORDER BY p_type""".stripMargin,
 
     "events_error_budget" ->
       """WITH daily AS (

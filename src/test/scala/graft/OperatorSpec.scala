@@ -1592,6 +1592,43 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("events_load_factor is at least 1 and peak bounds the mean") {
+    val rows = SparkEntry.queries("events_load_factor")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("load_factor") >= 1.0 - 1e-9)
+      assert(r.getAs[Long]("peak_hourly") * r.getAs[Long]("n_hours")
+        >= r.getAs[Long]("n_events"))
+    }
+  }
+
+  test("events_new_vs_returning starts all-new and total matches corpus") {
+    val rows = SparkEntry.queries("events_new_vs_returning")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // day 1: every active user is by definition first seen that day
+    assert(rows.head.getAs[Double]("new_share") == 1.0)
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val s = r.getAs[Double]("new_share")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+
+  test("part_price_dispersion stats are internally consistent") {
+    val rows = SparkEntry.queries("part_price_dispersion")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[Double]("min_price"), r.getAs[Double]("max_price"))
+      val mean = r.getAs[Double]("mean_price")
+      assert(lo <= mean + 1e-6 && mean <= hi + 1e-6)
+      assert(r.getAs[Double]("cv") >= 0.0)
+    }
+  }
+
   test("graph_adamic_adar scores are positive and bounded by n_common") {
     val rows = SparkEntry.queries("graph_adamic_adar")(spark, sf).collect()
     assert(rows.nonEmpty)
