@@ -2115,6 +2115,49 @@ object Analytics {
         .withColumn("share", round(col("n_orders").cast("double")
           / sum(col("n_orders")).over(wm), 6))
         .orderBy("month", "status")
+    },
+
+    // level-shift changepoint scan over the daily revenue series: for
+    // every candidate split day (≥ 30 days each side) the gap between
+    // the before-mean and the after-mean, top-5 by |gap| — the "did the
+    // metric step?" screen a release/incident review runs before eyeing
+    // charts (drawdown reads falls; this localizes WHERE the level
+    // moved). The corpus collapses to O(#days) in one exact-decimal
+    // keyed agg; prefix sums ride ONE running window and the series
+    // total ONE unbounded frame over those rows — every candidate split
+    // is then a pure per-row projection, so the scan is O(#days), not
+    // O(#days²). Means divide exact decimals in IEEE double, rounded
+    // before the |gap| ranking; ties break on day.
+    "trend_changepoint" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+      val wall = W.orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+      val daily = t(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(money(col("o_totalprice"))).cast("decimal(18,2)")
+          .as("rev"))
+      daily
+        .withColumn("cum_n", count(lit(1)).over(wc))
+        .withColumn("cum_s", sum(col("rev")).over(wc))
+        .withColumn("tot_n", count(lit(1)).over(wall))
+        .withColumn("tot_s", sum(col("rev")).over(wall))
+        .filter(col("cum_n") >= 30 && col("tot_n") - col("cum_n") >= 30)
+        .withColumn("mean_before",
+          round(col("cum_s").cast("double") / col("cum_n"), 6))
+        .withColumn("mean_after",
+          round((col("tot_s") - col("cum_s")).cast("double")
+            / (col("tot_n") - col("cum_n")), 6))
+        .withColumn("shift",
+          round(col("mean_after") - col("mean_before"), 6))
+        .withColumn("rank", row_number().over(
+          W.orderBy(abs(col("shift")).desc, col("day"))).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("rank"), col("day").as("split_day"),
+          col("cum_n").as("n_before"),
+          (col("tot_n") - col("cum_n")).as("n_after"),
+          col("mean_before"), col("mean_after"), col("shift"))
+        .orderBy("rank")
     }
   )
 
@@ -3553,6 +3596,39 @@ object Analytics {
         |SELECT month, status, n_orders, total_value,
         |  round(CAST(n_orders AS DOUBLE)
         |    / sum(n_orders) OVER (PARTITION BY month), 6) AS share
-        |FROM m ORDER BY month, status""".stripMargin
+        |FROM m ORDER BY month, status""".stripMargin,
+
+    "trend_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS rev
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT day,
+        |    count(*) OVER wc AS cum_n, sum(rev) OVER wc AS cum_s,
+        |    count(*) OVER wa AS tot_n, sum(rev) OVER wa AS tot_s
+        |  FROM daily
+        |  WINDOW wc AS (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wa AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND UNBOUNDED FOLLOWING)),
+        |c AS (
+        |  SELECT day, cum_n, tot_n,
+        |    round(CAST(cum_s AS DOUBLE) / cum_n, 6) AS mean_before,
+        |    round(CAST(tot_s - cum_s AS DOUBLE) / (tot_n - cum_n), 6)
+        |      AS mean_after
+        |  FROM p WHERE cum_n >= 30 AND tot_n - cum_n >= 30),
+        |g AS (
+        |  SELECT day, cum_n, tot_n, mean_before, mean_after,
+        |    round(mean_after - mean_before, 6) AS shift
+        |  FROM c),
+        |r AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY abs(shift) DESC, day)
+        |      AS BIGINT) AS rank,
+        |    day AS split_day, cum_n AS n_before, tot_n - cum_n AS n_after,
+        |    mean_before, mean_after, shift
+        |  FROM g)
+        |SELECT * FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin
   )
 }

@@ -193,6 +193,64 @@ object Dedup {
         "doc_b")
   }
 
+  /** Both-direction shingle-containment pairs at the operating threshold
+    * — the `dedup_containment` kernel, factored so method-comparison
+    * consumers (`dedup_method_overlap`) share the one inverted-index
+    * join. Same plan as dedup_ngram_jaccard: quadratic only in docs
+    * sharing a shingle.
+    */
+  private[graft] def containmentPairs(s: SparkSession,
+      d: String): DataFrame =
+    exactPairStats(s, d)
+      .withColumn("contain_ab",
+        round(col("c").cast("double") / col("na"), 6))
+      .withColumn("contain_ba",
+        round(col("c").cast("double") / col("nb"), 6))
+      .filter(greatest(col("contain_ab"), col("contain_ba"))
+        >= ContainmentThreshold)
+      .select("doc_a", "doc_b", "contain_ab", "contain_ba")
+
+  /** Charikar SimHash near-dup pairs: one 64-bit signature per doc
+    * (native expression), banded 8x8 bits for candidates, Hamming verify
+    * via bit_count(xor). The `dedup_simhash` kernel, factored for the
+    * method-overlap consumer. Oracle-checked: DuckDB rebuilds the
+    * identical signatures (FNV-1a recursive CTE) and applies the same
+    * banded predicate.
+    */
+  private[graft] def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CharikarSimHash.register(s)
+    // corpus(), not the raw table: the one-row-group fixture scans as a
+    // single partition, serializing the 64-bit sketch on one core while
+    // 31 idle (the Tables.corpus rationale; the sketch is the CPU cost
+    // here, consumers order the result themselves)
+    val sig = corpus(s, d)
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .select(col("doc_id"), expr("charikar_simhash(toks)").as("sig"))
+    val banded = sig.select(col("doc_id"), col("sig"),
+      explode(expr(
+        """transform(sequence(0, 7),
+          |  b -> struct(b AS band, shiftright(sig, b * 8) & 255 AS bh))"""
+          .stripMargin)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band").as("band"),
+        col("bk.bh").as("bh"))
+    val right = banded.select(col("doc_id").as("doc_b"),
+      col("sig").as("sig_b"), col("band").as("band2"), col("bh").as("bh2"))
+    // Hamming verify BEFORE the candidate distinct: the popcount is a
+    // per-row projection on rows the band join already materialized,
+    // while distinct is a shuffle — filtering first shrinks that
+    // exchange from every band collision (~N * bucket size rows; a
+    // random pair colliding in one 8-bit band still has expected
+    // Hamming ~28 over the other 56 bits) down to the true near-dup
+    // survivors. Same result set: hamming is a function of the pair.
+    banded.join(right,
+        col("band") === col("band2") && col("bh") === col("bh2")
+          && col("doc_id") < col("doc_b"))
+      .withColumn("hamming", expr("bit_count(sig ^ sig_b)").cast("long"))
+      .filter(col("hamming") <= HammingMax)
+      .select(col("doc_id").as("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
+  }
+
   /** Connected components by min-label propagation WITH pointer doubling,
     * over a symmetric, cached (src, dst) edge table. Returns one
     * materialized (id, label) row per node, label = smallest node id in
@@ -559,69 +617,16 @@ object Dedup {
     // pipelines screen on max directional containment. Same inverted-index
     // plan as dedup_ngram_jaccard — quadratic only in docs sharing a
     // shingle; both directions come from the one common-count table.
-    "dedup_containment" -> { (s, d) =>
-      val sh = shingled(s, d)
-      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-      val common = ex
-        .join(ex.select(col("doc_id").as("db"), col("sh").as("sh_b")),
-          col("sh") === col("sh_b") && col("doc_id") < col("db"))
-        .groupBy(col("doc_id").as("doc_a"), col("db").as("doc_b"))
-        .agg(count(lit(1)).as("c"))
-      common
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
-          "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
-          "doc_b")
-        .withColumn("contain_ab",
-          round(col("c").cast("double") / col("na"), 6))
-        .withColumn("contain_ba",
-          round(col("c").cast("double") / col("nb"), 6))
-        .filter(greatest(col("contain_ab"), col("contain_ba"))
-          >= ContainmentThreshold)
-        .select("doc_a", "doc_b", "contain_ab", "contain_ba")
-        .orderBy("doc_a", "doc_b")
-    },
+    "dedup_containment" -> ((s, d) =>
+      containmentPairs(s, d).orderBy("doc_a", "doc_b")),
 
     // Charikar SimHash near-dup: one 64-bit signature per doc (native
     // expression), banded 8x8 bits for candidates, Hamming verify via
     // bit_count(xor). Oracle-checked: DuckDB rebuilds the identical
     // signatures (FNV-1a recursive CTE) and applies the same banded
     // predicate; DedupSpec additionally cross-checks the minhash pair set.
-    "dedup_simhash" -> { (s, d) =>
-      graft.functions.CharikarSimHash.register(s)
-      // corpus(), not the raw table: the one-row-group fixture scans as a
-      // single partition, serializing the 64-bit sketch on one core while
-      // 31 idle (the Tables.corpus rationale; the sketch is the CPU cost
-      // here, the orderBy at the end makes the result order-insensitive)
-      val sig = corpus(s, d)
-        .withColumn("toks", split(lower(trim(col("text"))), " "))
-        .select(col("doc_id"), expr("charikar_simhash(toks)").as("sig"))
-      val banded = sig.select(col("doc_id"), col("sig"),
-        explode(expr(
-          """transform(sequence(0, 7),
-            |  b -> struct(b AS band, shiftright(sig, b * 8) & 255 AS bh))"""
-            .stripMargin)).as("bk"))
-        .select(col("doc_id"), col("sig"), col("bk.band").as("band"),
-          col("bk.bh").as("bh"))
-      val right = banded.select(col("doc_id").as("doc_b"),
-        col("sig").as("sig_b"), col("band").as("band2"), col("bh").as("bh2"))
-      // Hamming verify BEFORE the candidate distinct: the popcount is a
-      // per-row projection on rows the band join already materialized,
-      // while distinct is a shuffle — filtering first shrinks that
-      // exchange from every band collision (~N * bucket size rows; a
-      // random pair colliding in one 8-bit band still has expected
-      // Hamming ~28 over the other 56 bits) down to the true near-dup
-      // survivors. Same result set: hamming is a function of the pair.
-      banded.join(right,
-          col("band") === col("band2") && col("bh") === col("bh2")
-            && col("doc_id") < col("doc_b"))
-        .withColumn("hamming", expr("bit_count(sig ^ sig_b)").cast("long"))
-        .filter(col("hamming") <= HammingMax)
-        .select(col("doc_id").as("doc_a"), col("doc_b"), col("hamming"))
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    },
+    "dedup_simhash" -> ((s, d) =>
+      simhashPairs(s, d).orderBy("doc_a", "doc_b")),
 
     // transitive dedup: near-dup is not transitive pair-wise (A~B, B~C but
     // A!~C), so production keeper assignment runs on CONNECTED COMPONENTS
@@ -777,6 +782,70 @@ object Dedup {
           (col("n_dup").cast("double") / col("n_grams") >= 0.5)
             .as("flag_dup"))
         .orderBy("doc_id")
+    },
+
+    // token-sort canonical dedup: docs equal as BAGS of words — word
+    // order shuffled, multiplicities kept — collapse to one canonical
+    // fingerprint (sort the tokens, rejoin, hash). Catches the
+    // reorder-paraphrase class exact dedup misses (template engines and
+    // scrapers emit the same fields in different orders) while staying
+    // strictly linear: one map-side canonicalization per doc + one keyed
+    // agg on the 32-byte hash — no pairwise work anywhere, the same
+    // scale shape as `dedup_exact`. Per-doc sort cost is O(len·log len)
+    // inside codegen. Every exact-dup cluster is token-sort-equal by
+    // construction, so this partitions COARSER than `dedup_exact` —
+    // `n_exact_forms` counts the distinct exact fingerprints each
+    // cluster merged (>1 = a pure-reorder dup exact dedup missed;
+    // OperatorSpec pins n_docs >= n_exact_forms >= 1 and the coarsening
+    // row-count relation against dedup_exact). ASCII-only corpus
+    // contract (FixtureContractSpec) makes lower() and byte-order
+    // sorting agree across engines.
+    // which near-dup detector catches what: per candidate pair the three
+    // method verdicts (MinHash-LSH Jaccard >= 0.8, SimHash banded
+    // Hamming <= 8, directional containment >= threshold) rolled up to
+    // the count of pairs per verdict combination — the methods-audit
+    // Venn a dedup rollout reads before picking its production detector
+    // (all-three cells build confidence; single-method cells are where
+    // the precision/recall review happens). All three pair kernels are
+    // the SHARED factored ones their own keys run — nothing recomputed,
+    // and the memoized shingle/band caches make the union three cheap
+    // reads. Output is O(7) rows.
+    "dedup_method_overlap" -> { (s, d) =>
+      val m = minhashPairs(s, d)
+        .select(col("doc_a"), col("doc_b"), lit("m").as("meth"))
+      val sh = simhashPairs(s, d)
+        .select(col("doc_a"), col("doc_b"), lit("s").as("meth"))
+      val c = containmentPairs(s, d)
+        .select(col("doc_a"), col("doc_b"), lit("c").as("meth"))
+      m.unionAll(sh).unionAll(c)
+        .groupBy("doc_a", "doc_b")
+        .agg(max(when(col("meth") === "m", 1).otherwise(0)).as("im"),
+          max(when(col("meth") === "s", 1).otherwise(0)).as("isim"),
+          max(when(col("meth") === "c", 1).otherwise(0)).as("ic"))
+        .select((col("im") === 1).as("by_minhash"),
+          (col("isim") === 1).as("by_simhash"),
+          (col("ic") === 1).as("by_containment"))
+        .groupBy("by_minhash", "by_simhash", "by_containment")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("by_minhash", "by_simhash", "by_containment")
+    },
+
+    "dedup_token_sort" -> { (s, d) =>
+      val canon = sha2(concat_ws(" ",
+        array_sort(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          t => t =!= ""))), 256)
+      val exact = sha2(regexp_replace(lower(trim(col("text"))),
+        "\\s+", " "), 256)
+      t(s, d, "documents")
+        .select(col("doc_id"), canon.as("fingerprint"),
+          exact.as("exact_fp"))
+        .groupBy("fingerprint")
+        .agg(min(col("doc_id")).as("keeper"),
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("exact_fp")).as("n_exact_forms"))
+        .select(col("keeper"), col("n_docs"), col("n_exact_forms"),
+          col("fingerprint"))
+        .orderBy("keeper")
     }
   )
 
@@ -804,6 +873,57 @@ object Dedup {
       |  JOIN sizes s1 ON s1.doc_id = doc_a
       |  JOIN sizes s2 ON s2.doc_id = doc_b
       |  WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8)""".stripMargin
+
+  /** SimHash signature + banded-pair CTE chain in DuckDB (FNV-1a over
+    * UTF-8/ASCII codepoints, majority-vote signature, banded Hamming
+    * predicate) — ends in `spairs(doc_a, doc_b, hamming)`. Requires WITH
+    * RECURSIVE. Shared by `dedup_simhash` and `dedup_method_overlap`; CTE
+    * names are disjoint from [[jaccardCtes]] so the two chains compose.
+    * The pair predicate replicates the BANDED semantics, not plain
+    * hamming<=8: pigeonhole only guarantees a shared 8-bit band at
+    * hamming<=7, so a distance-8 pair with one flipped bit per band is
+    * (correctly) absent from both engines — hence the any-zero-xor-byte
+    * conjunct.
+    */
+  private val simhashCtes =
+    """tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS s
+      |  FROM documents),
+      |dtok AS (SELECT DISTINCT s FROM tok),
+      |fnv AS (
+      |  SELECT s, 1 AS i, CAST(14695981039346656037 AS UBIGINT) AS h
+      |  FROM dtok
+      |  UNION ALL
+      |  SELECT s, i + 1,
+      |    CAST(CAST((CAST(xor(h, CAST(ord(substr(s, i, 1)) AS UBIGINT))
+      |      AS HUGEINT) * 1099511628211) % 18446744073709551616
+      |      AS HUGEINT) AS UBIGINT)
+      |  FROM fnv WHERE i <= len(s)),
+      |hfin AS (SELECT s, h FROM fnv WHERE i = len(s) + 1),
+      |occ AS (SELECT t.doc_id, f.h FROM tok t JOIN hfin f ON t.s = f.s),
+      |votes AS (
+      |  SELECT doc_id, b,
+      |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM occ CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+      |  GROUP BY doc_id, b),
+      |sig AS (
+      |  SELECT doc_id,
+      |    bit_or(CASE WHEN v >= 0 THEN CAST(1 AS UBIGINT) << b
+      |           ELSE CAST(0 AS UBIGINT) END) AS usig
+      |  FROM votes GROUP BY doc_id),
+      |px AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    xor(a.usig, b.usig) AS x
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+      |spairs AS (
+      |  SELECT doc_a, doc_b, CAST(bit_count(x) AS BIGINT) AS hamming
+      |  FROM px
+      |  WHERE bit_count(x) <= 8
+      |    AND ((x & 255) = 0 OR ((x >> 8) & 255) = 0
+      |      OR ((x >> 16) & 255) = 0 OR ((x >> 24) & 255) = 0
+      |      OR ((x >> 32) & 255) = 0 OR ((x >> 40) & 255) = 0
+      |      OR ((x >> 48) & 255) = 0 OR ((x >> 56) & 255) = 0))"""
+      .stripMargin
 
   /** Exact shingle-set Jaccard in DuckDB — oracle for both the LSH and the
     * inverted-index Spark implementations (they must agree with it and so
@@ -951,44 +1071,9 @@ object Dedup {
     // pair with one flipped bit per band is (correctly) absent from both
     // engines — hence the explicit any-zero-xor-byte conjunct.
     "dedup_simhash" ->
-      """WITH RECURSIVE
-        |tok AS (
-        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS s
-        |  FROM documents),
-        |dtok AS (SELECT DISTINCT s FROM tok),
-        |fnv AS (
-        |  SELECT s, 1 AS i, CAST(14695981039346656037 AS UBIGINT) AS h
-        |  FROM dtok
-        |  UNION ALL
-        |  SELECT s, i + 1,
-        |    CAST(CAST((CAST(xor(h, CAST(ord(substr(s, i, 1)) AS UBIGINT))
-        |      AS HUGEINT) * 1099511628211) % 18446744073709551616
-        |      AS HUGEINT) AS UBIGINT)
-        |  FROM fnv WHERE i <= len(s)),
-        |hfin AS (SELECT s, h FROM fnv WHERE i = len(s) + 1),
-        |occ AS (SELECT t.doc_id, f.h FROM tok t JOIN hfin f ON t.s = f.s),
-        |votes AS (
-        |  SELECT doc_id, b,
-        |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        |  FROM occ CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
-        |  GROUP BY doc_id, b),
-        |sig AS (
-        |  SELECT doc_id,
-        |    bit_or(CASE WHEN v >= 0 THEN CAST(1 AS UBIGINT) << b
-        |           ELSE CAST(0 AS UBIGINT) END) AS usig
-        |  FROM votes GROUP BY doc_id),
-        |px AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    xor(a.usig, b.usig) AS x
-        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, CAST(bit_count(x) AS BIGINT) AS hamming
-        |FROM px
-        |WHERE bit_count(x) <= 8
-        |  AND ((x & 255) = 0 OR ((x >> 8) & 255) = 0 OR ((x >> 16) & 255) = 0
-        |    OR ((x >> 24) & 255) = 0 OR ((x >> 32) & 255) = 0
-        |    OR ((x >> 40) & 255) = 0 OR ((x >> 48) & 255) = 0
-        |    OR ((x >> 56) & 255) = 0)
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH RECURSIVE $simhashCtes
+         |SELECT doc_a, doc_b, hamming FROM spairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // exact pairs + the bound boolean pinned true (DuckDB cannot rebuild
     // the native signatures; the agg_approx_distinct within_bound pattern)
     "dedup_minhash_estimate" ->
@@ -1140,6 +1225,43 @@ object Dedup {
         |  (CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*)) >= 0.5 AS flag_dup
         |FROM g JOIN nd USING (gram)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_method_overlap" ->
+      s"""WITH RECURSIVE $jaccardCtes, $simhashCtes,
+         |cpairs AS (
+         |  SELECT doc_a, doc_b FROM common
+         |  JOIN sizes s1 ON s1.doc_id = doc_a
+         |  JOIN sizes s2 ON s2.doc_id = doc_b
+         |  WHERE greatest(round(CAST(c AS DOUBLE) / s1.n, 6),
+         |                 round(CAST(c AS DOUBLE) / s2.n, 6))
+         |    >= $ContainmentThreshold),
+         |u AS (
+         |  SELECT doc_a, doc_b, 'm' AS meth FROM jpairs
+         |  UNION ALL SELECT doc_a, doc_b, 's' FROM spairs
+         |  UNION ALL SELECT doc_a, doc_b, 'c' FROM cpairs),
+         |fl AS (
+         |  SELECT doc_a, doc_b,
+         |    max(CASE WHEN meth = 'm' THEN 1 ELSE 0 END) AS im,
+         |    max(CASE WHEN meth = 's' THEN 1 ELSE 0 END) AS isim,
+         |    max(CASE WHEN meth = 'c' THEN 1 ELSE 0 END) AS ic
+         |  FROM u GROUP BY 1, 2)
+         |SELECT im = 1 AS by_minhash, isim = 1 AS by_simhash,
+         |  ic = 1 AS by_containment, count(*) AS n_pairs
+         |FROM fl GROUP BY 1, 2, 3
+         |ORDER BY by_minhash, by_simhash, by_containment""".stripMargin,
+
+    "dedup_token_sort" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    sha256(array_to_string(list_sort(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')), ' ')) AS fingerprint,
+        |    sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      AS exact_fp
+        |  FROM documents)
+        |SELECT min(doc_id) AS keeper, count(*) AS n_docs,
+        |  count(DISTINCT exact_fp) AS n_exact_forms, fingerprint
+        |FROM c GROUP BY fingerprint ORDER BY keeper""".stripMargin
   )
 }

@@ -252,6 +252,41 @@ object Multimodal {
         .agg(count(lit(1)).as("n_files"),
           sum(col("n_bytes")).as("shard_bytes"))
         .orderBy("bucket", "shard")
+    },
+
+    // block-mean perceptual hash over binary payloads: split the payload
+    // into 64 equal blocks, bit b = "block b's mean byte > global mean",
+    // emit the 64-bit fingerprint — the aHash family every image/audio
+    // near-dup pipeline runs before anything expensive (byte-identical
+    // is multimodal_dedup_bytes; this survives re-encodes that preserve
+    // coarse structure). The mean comparison is EXACT integer
+    // cross-multiplication (block_sum·64 > total_sum — no division, no
+    // float, so no rounding to diverge engines); the whole hash is one
+    // in-row fold, map-only, no shuffle until the O(1)-width collision
+    // count. Trailing n mod 64 bytes are outside every block (the
+    // fixed-grid semantics of a real aHash resize).
+    "multimodal_phash" -> { (s, d) =>
+      val wh = Window.partitionBy("phash")
+      t(s, d, "documents")
+        .withColumn("n", octet_length(col("text")).cast("int"))
+        .filter(col("n") >= 64)
+        .withColumn("bl", (col("n") / 64).cast("int"))
+        .withColumn("sums", expr("""
+          transform(sequence(0, 63), b ->
+            aggregate(
+              transform(sequence(1, bl),
+                i -> CAST(ascii(substring(text, b * bl + i, 1)) AS BIGINT)),
+              CAST(0 AS BIGINT), (a, x) -> a + x))"""))
+        .withColumn("tot", expr(
+          "aggregate(sums, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("phash", expr("""
+          array_join(
+            transform(sequence(0, 63), b ->
+              CASE WHEN element_at(sums, b + 1) * 64 > tot
+                   THEN '1' ELSE '0' END), '')"""))
+        .withColumn("n_same_hash", count(lit(1)).over(wh))
+        .select(col("doc_id"), col("phash"), col("n_same_hash"))
+        .orderBy("doc_id")
     }
   )
 
@@ -366,6 +401,31 @@ object Multimodal {
         |  byte_rate, block_align, CAST(16 AS INTEGER) AS bits_per_sample,
         |  data_bytes,
         |  CAST(data_bytes * 1000000 // byte_rate AS BIGINT) AS duration_us
-        |FROM q ORDER BY doc_id""".stripMargin
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    // ASCII fixture contract: byte offsets == char offsets, ascii() ==
+    // byte value — the same contract every byte-slicing oracle here uses
+    "multimodal_phash" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS n
+        |  FROM documents WHERE octet_length(encode(text)) >= 64),
+        |p AS (
+        |  SELECT doc_id, text, CAST(n // 64 AS INT) AS bl FROM d),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 63), b ->
+        |      CAST(list_sum(list_transform(generate_series(1, bl),
+        |        i -> ascii(substring(text, CAST(b * bl + i AS INT), 1))))
+        |        AS BIGINT)) AS sums
+        |  FROM p),
+        |ph AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(generate_series(0, 63), b ->
+        |      CASE WHEN sums[b + 1] * 64 > list_sum(sums)
+        |           THEN '1' ELSE '0' END), '') AS phash
+        |  FROM s)
+        |SELECT doc_id, phash,
+        |  count(*) OVER (PARTITION BY phash) AS n_same_hash
+        |FROM ph ORDER BY doc_id""".stripMargin
   )
 }

@@ -841,6 +841,92 @@ object Similarity {
           round(col("n_hits").cast("double") / col("n_exact"), 6)
             .as("recall"))
         .orderBy("nprobe")
+    },
+
+    // hard-negative triplet mining over the labeled embedding table —
+    // the contrastive-training batch builder: per anchor, its most
+    // similar SAME-label vector (the hardest positive to keep close)
+    // and most similar DIFFERENT-label vector (the hardest negative to
+    // push away), plus the margin and its difficulty class (the FaceNet
+    // taxonomy: hard = negative beats the positive, semi-hard = within
+    // the 0.2 margin band, easy otherwise). Scoring is brute-force
+    // exact at fixture scale — the same N² bound sim_pairs_threshold
+    // documents; at corpus scale the candidate set rides the IVF kernel
+    // ([[ivfTopK]]) exactly as embedding_knn_graph does, mining inside
+    // probed clusters only. Both per-anchor argmaxes ship through the
+    // bounded-heap operator (1 row per anchor per partition moves, not
+    // the scored N² table); round(·,6) cosines + id tiebreaks keep the
+    // pick deterministic. Every fixture label has ≥2 members, so the
+    // inner joins keep all anchors (singleton-label anchors would have
+    // no positive and drop — the correct mining semantics).
+    "embedding_triplet_mining" -> { (s, d) =>
+      val e = vectors(s, d)
+      val lab = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+      val withLab = e.join(lab, "vec_id")
+      val a = withLab.select(col("vec_id").as("a_id"), col("v").as("av"),
+        col("label").as("a_label"))
+      val b = withLab.select(col("vec_id").as("b_id"), col("v").as("bv"),
+        col("label").as("b_label"))
+      val scored = a.join(b, col("a_id") =!= col("b_id"))
+        .withColumn("cos", expr("round(cosine_sim(av, bv), 6)"))
+        .select(col("a_id"), col("a_label"), col("b_id"),
+          col("b_label"), col("cos"))
+      def best(same: Boolean, idAs: String, cosAs: String) = {
+        val f = if (same) col("a_label") === col("b_label")
+        else col("a_label") =!= col("b_label")
+        graft.plans.TopKPerKey.topK(scored.filter(f), Seq(col("a_id")),
+            Seq(col("cos").desc, col("b_id")), 1)
+          .select(col("a_id"), col("b_id").as(idAs), col("cos").as(cosAs))
+      }
+      best(same = true, "pos_id", "pos_cos")
+        .join(best(same = false, "neg_id", "neg_cos"), "a_id")
+        .join(lab.select(col("vec_id").as("a_id"), col("label")), "a_id")
+        .select(col("a_id").as("anchor"), col("label"),
+          col("pos_id"), col("pos_cos"), col("neg_id"), col("neg_cos"),
+          round(col("pos_cos") - col("neg_cos"), 6).as("margin"),
+          when(col("neg_cos") >= col("pos_cos"), "hard")
+            .when(col("neg_cos") >= col("pos_cos") - 0.2, "semi_hard")
+            .otherwise("easy").as("difficulty"))
+        .orderBy("anchor")
+    },
+
+    // Matryoshka truncation sweep: recall@5 of cosine search over the
+    // first {32, 16, 8} of 64 embedding dimensions vs the full-dim
+    // exact top-5 — the dimension-budget curve that tells a serving
+    // stack how short it can cut vectors before recall pays (the
+    // storage/latency knob MRL-trained encoders expose). Same harness
+    // shape as sim_ivf_nprobe_sweep: queries broadcast, every sweep
+    // point re-scores only sliced vectors, hits are O(q·k) joins, and
+    // the full-dim baseline is computed once and cached. Truncated
+    // scores are round(·,6) cosines with id tiebreaks — the vector
+    // determinism discipline.
+    "embedding_matryoshka_eval" -> { (s, d) =>
+      val e = vectors(s, d)
+      val q = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")))
+      val pairs = q.join(e, col("vec_id") =!= col("q_id"))
+      def topkAt(p: Int): DataFrame = {
+        val cosExpr =
+          if (p >= 64) "round(cosine_sim(qv, v), 6)"
+          else s"round(cosine_sim(slice(qv, 1, $p), slice(v, 1, $p)), 6)"
+        graft.plans.TopKPerKey.topK(
+          pairs.withColumn("cos", expr(cosExpr))
+            .select(col("q_id"), col("vec_id").as("n_id"), col("cos")),
+          Seq(col("q_id")), Seq(col("cos").desc, col("n_id")), TopK)
+          .select("q_id", "n_id")
+      }
+      val exact = topkAt(64).cache()
+      val evals = Seq(8, 16, 32).map { p =>
+        exact.join(topkAt(p), Seq("q_id", "n_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(p.toLong).as("prefix_dim"), col("n_hits"))
+      }.reduce(_ unionAll _)
+      val tot = exact.agg(count(lit(1)).as("n_exact"))
+      evals.crossJoin(broadcast(tot))
+        .select(col("prefix_dim"), col("n_hits"), col("n_exact"),
+          round(col("n_hits").cast("double") / col("n_exact"), 6)
+            .as("recall"))
+        .orderBy("prefix_dim")
     }
   )
 
@@ -1438,6 +1524,71 @@ object Similarity {
          |  CAST(n_exact AS BIGINT) AS n_exact,
          |  round(CAST(n_hits AS DOUBLE) / n_exact, 6) AS recall
          |FROM hh CROSS JOIN nx ORDER BY nprobe""".stripMargin
+    },
+
+    "embedding_triplet_mining" ->
+      s"""WITH e AS ($duckVectors),
+         |l AS (SELECT vec_id, label FROM embeddings),
+         |s AS (
+         |  SELECT a.vec_id AS a_id, la.label AS a_label,
+         |    b.vec_id AS b_id, lb.label AS b_label,
+         |    ${duckCos("a.v", "b.v")} AS cos
+         |  FROM e a JOIN l la ON la.vec_id = a.vec_id
+         |    JOIN e b ON b.vec_id <> a.vec_id
+         |    JOIN l lb ON lb.vec_id = b.vec_id),
+         |p AS (
+         |  SELECT a_id, b_id AS pos_id, cos AS pos_cos FROM (
+         |    SELECT a_id, b_id, cos, row_number() OVER (
+         |      PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+         |    FROM s WHERE a_label = b_label) t WHERE rn = 1),
+         |n AS (
+         |  SELECT a_id, b_id AS neg_id, cos AS neg_cos FROM (
+         |    SELECT a_id, b_id, cos, row_number() OVER (
+         |      PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+         |    FROM s WHERE a_label <> b_label) t WHERE rn = 1)
+         |SELECT p.a_id AS anchor, l.label, pos_id, pos_cos,
+         |  neg_id, neg_cos,
+         |  round(pos_cos - neg_cos, 6) AS margin,
+         |  CASE WHEN neg_cos >= pos_cos THEN 'hard'
+         |       WHEN neg_cos >= pos_cos - 0.2 THEN 'semi_hard'
+         |       ELSE 'easy' END AS difficulty
+         |FROM p JOIN n ON n.a_id = p.a_id
+         |  JOIN l ON l.vec_id = p.a_id
+         |ORDER BY anchor""".stripMargin,
+
+    "embedding_matryoshka_eval" -> {
+      def cosAt(p: Int) =
+        duckCos(s"list_slice(q.qv, 1, $p)", s"list_slice(b.v, 1, $p)")
+      val per = Seq(8, 16, 32).map { p =>
+        s"""t$p AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT q.q_id, b.vec_id AS n_id,
+           |      row_number() OVER (PARTITION BY q.q_id
+           |        ORDER BY ${cosAt(p)} DESC, b.vec_id) AS rn
+           |    FROM q CROSS JOIN e b WHERE b.vec_id <> q.q_id) z
+           |  WHERE rn <= $TopK),
+           |h$p AS (
+           |  SELECT CAST($p AS BIGINT) AS prefix_dim, count(*) AS n_hits
+           |  FROM x JOIN t$p ON t$p.q_id = x.q_id AND t$p.n_id = x.n_id)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS ($duckVectors),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |x AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.q_id, b.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${duckCos("q.qv", "b.v")} DESC, b.vec_id) AS rn
+         |    FROM q CROSS JOIN e b WHERE b.vec_id <> q.q_id) z
+         |  WHERE rn <= $TopK),
+         |$per,
+         |hh AS (SELECT * FROM h8 UNION ALL SELECT * FROM h16
+         |       UNION ALL SELECT * FROM h32),
+         |nx AS (SELECT count(*) AS n_exact FROM x)
+         |SELECT prefix_dim, CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST(n_exact AS BIGINT) AS n_exact,
+         |  round(CAST(n_hits AS DOUBLE) / n_exact, 6) AS recall
+         |FROM hh CROSS JOIN nx ORDER BY prefix_dim""".stripMargin
     }
   )
 }

@@ -492,6 +492,80 @@ object TrainPrep {
         .filter(col("rn") <= col("k_src"))
         .select("source", "rn", "doc_id", "n_src", "k_src")
         .orderBy("source", "rn")
+    },
+
+    // systematic (stride) sampling: every 50th row of the corpus in a
+    // deterministic hash order — the sampling design that guarantees
+    // EXACT even spacing and exact ⌈N/50⌉ size (Bernoulli samplers like
+    // sample_hash only hit the rate in expectation). The global index is
+    // built the distributed-zipWithIndex way, NOT with a single global
+    // row_number window (that plan funnels the corpus through ONE
+    // partition): per-bucket ranks run in parallel over 256 hash-prefix
+    // buckets, the O(256) bucket-offset table rides one tiny window and
+    // broadcasts back, and global position = bucket offset + local rank.
+    // The hash order makes bucket order == global order by construction,
+    // and the oracle states the SAME result as one global row_number —
+    // an independent formulation checking the offset arithmetic.
+    "sample_systematic" -> { (s, d) =>
+      val stride = 50
+      val hashed = t(s, d, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("sys:"), col("doc_id").cast("string")))
+            .as("hk"))
+        .withColumn("bucket", substring(col("hk"), 1, 2))
+      val offsets = hashed.groupBy("bucket")
+        .agg(count(lit(1)).as("n_bucket"))
+        .withColumn("offset",
+          coalesce(sum(col("n_bucket")).over(
+            Window.orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bucket", "offset")
+      val wb = Window.partitionBy("bucket").orderBy("hk", "doc_id")
+      hashed
+        .withColumn("lrn", row_number().over(wb).cast("long"))
+        .join(broadcast(offsets), "bucket")
+        .withColumn("pos", col("offset") + col("lrn"))
+        .filter((col("pos") - 1) % stride === 0)
+        .select(col("pos"), col("doc_id"), col("hk"))
+        .orderBy("pos")
+    },
+
+    // leakage-safe temporal split: train before the cutoff, test after a
+    // 30-day embargo gap, the gap itself quarantined — the time-series
+    // holdout design that prevents look-ahead leakage (a gapless split
+    // leaks label-window information across the boundary). Reports per
+    // split the volume, span, revenue, AND the entity-leakage count
+    // (customers also present in train): entity overlap across a
+    // temporal split is expected but must be MEASURED before anyone
+    // reads the eval as out-of-distribution. The split is a map-side
+    // projection; the leakage column is one semi-join against the
+    // distinct train-customer dim (broadcast at any corpus scale —
+    // customers ≪ orders).
+    "sample_time_stratified" -> { (s, d) =>
+      val o = t(s, d, "orders")
+        .withColumn("day", to_date(col("o_orderdate")))
+        .withColumn("split",
+          when(col("day") < lit("1997-10-01").cast("date"), "train")
+            .when(col("day") >= lit("1997-10-31").cast("date"), "test")
+            .otherwise("embargo"))
+      val trainCust = o.filter(col("split") === "train")
+        .select(col("o_custkey").as("tc")).distinct()
+      o.groupBy("split")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          min(col("day")).as("first_day"),
+          max(col("day")).as("last_day"),
+          moneySum(col("o_totalprice")).as("revenue"))
+        .join(
+          o.select("split", "o_custkey").distinct()
+            .join(broadcast(trainCust), col("o_custkey") === col("tc"),
+              "left_semi")
+            .groupBy("split").agg(count(lit(1)).as("n_seen_in_train")),
+          Seq("split"), "left")
+        .select(col("split"), col("n_orders"), col("n_customers"),
+          col("first_day"), col("last_day"), col("revenue"),
+          coalesce(col("n_seen_in_train"), lit(0L)).as("n_seen_in_train"))
+        .orderBy("split")
     }
   )
 
@@ -873,6 +947,49 @@ object TrainPrep {
         |SELECT r.source, r.rn, r.doc_id, a.n_src, a.k_src
         |FROM ranked r JOIN alloc a ON r.source = a.source
         |WHERE r.rn <= a.k_src
-        |ORDER BY r.source, r.rn""".stripMargin
+        |ORDER BY r.source, r.rn""".stripMargin,
+
+    // independent formulation: ONE global row_number — must equal the
+    // engine's bucket-offset zipWithIndex exactly
+    "sample_systematic" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('sys:' || CAST(doc_id AS VARCHAR)) AS hk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, hk,
+        |    CAST(row_number() OVER (ORDER BY hk, doc_id) AS BIGINT)
+        |      AS pos
+        |  FROM h)
+        |SELECT pos, doc_id, hk FROM r
+        |WHERE (pos - 1) % 50 = 0 ORDER BY pos""".stripMargin,
+
+    "sample_time_stratified" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey, o_totalprice,
+         |    CAST(o_orderdate AS DATE) AS day,
+         |    CASE WHEN CAST(o_orderdate AS DATE) < DATE '1997-10-01'
+         |           THEN 'train'
+         |         WHEN CAST(o_orderdate AS DATE) >= DATE '1997-10-31'
+         |           THEN 'test'
+         |         ELSE 'embargo' END AS split
+         |  FROM orders),
+         |tc AS (
+         |  SELECT DISTINCT o_custkey FROM o WHERE split = 'train'),
+         |base AS (
+         |  SELECT split, count(*) AS n_orders,
+         |    count(DISTINCT o_custkey) AS n_customers,
+         |    min(day) AS first_day, max(day) AS last_day,
+         |    ${sql.moneySum("o_totalprice")} AS revenue
+         |  FROM o GROUP BY 1),
+         |seen AS (
+         |  SELECT split, count(*) AS n_seen_in_train FROM (
+         |    SELECT DISTINCT split, o_custkey FROM o) z
+         |  WHERE o_custkey IN (SELECT o_custkey FROM tc)
+         |  GROUP BY 1)
+         |SELECT b.split, b.n_orders, b.n_customers, b.first_day,
+         |  b.last_day, b.revenue,
+         |  COALESCE(s.n_seen_in_train, 0) AS n_seen_in_train
+         |FROM base b LEFT JOIN seen s ON s.split = b.split
+         |ORDER BY b.split""".stripMargin
   )
 }

@@ -312,6 +312,203 @@ object Windows {
                 * sqrt(col("vary").cast("double"))), 6) + lit(0.0))
             .as("corr10"))
         .orderBy("l_suppkey", "rn")
+    },
+
+    // Bollinger bands over the daily revenue series: 20-day rolling mean
+    // ± 2σ envelope plus the breakout flag — the volatility-aware anomaly
+    // view (a fixed threshold fires on every seasonal swing; the band
+    // adapts to local variance). Orders collapse to O(#days) in ONE keyed
+    // agg before the single ordered window (the events_error_budget
+    // discipline), so the window runs over thousands of rows regardless
+    // of corpus size. Rolling moments come from exact-decimal frame sums
+    // — and every moment lives in INTEGER (scale-0) decimals: the band
+    // math needs whole-dollar resolution, and scale-0 decimal→double
+    // casts are a single correctly-rounded conversion on BOTH engines as
+    // long as the unscaled value stays under 2^63 (a scale-4
+    // sum-of-squares at this magnitude is int128-backed in DuckDB, whose
+    // two-step cast to double double-rounds differently from the JVM's
+    // correctly-rounded BigDecimal path — measured divergence, 13th
+    // significant digit). Window sums are re-tightened to (19,0) so the
+    // squares land in DuckDB's int128 class (a (16,0)·(16,0) product
+    // stays int64-class there and overflow-RAISES at runtime) while
+    // Spark's p≤38 cap still binds; headroom is ~sf1 daily-revenue — at
+    // larger scale rescale the unit (dollars → k$) to keep var < 2^63.
+    // Bands are emitted UNROUNDED (the
+    // trend_revenue_drawdown lesson: round(x, n) at a decimal tie is the
+    // double-vs-decimal HALF_UP divergence; raw IEEE arithmetic over
+    // identical inputs is bit-identical), and the flag then compares
+    // identical bits too.
+    "win_bollinger" -> { (s, d) =>
+      val w = Window.orderBy("day")
+      val wf = w.rowsBetween(-19, Window.currentRow)
+      t(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(money(col("o_totalprice"))).cast("decimal(18,2)")
+          .as("rev"))
+        // explicit round: DuckDB's decimal downscale CAST truncates while
+        // Spark's rounds — round(…, 0) is HALF_UP-for-positives on both
+        .withColumn("ri", round(col("rev"), 0).cast("decimal(13,0)"))
+        .withColumn("n", count(lit(1)).over(wf))
+        .withColumn("sr", sum(col("ri")).over(wf).cast("decimal(19,0)"))
+        .withColumn("srr",
+          sum(expr("ri * ri")).over(wf).cast("decimal(19,0)"))
+        .filter(col("n") === 20)
+        .withColumn("vari",
+          (lit(20).cast("decimal(3,0)") * col("srr")
+            - col("sr") * col("sr")).cast("double"))
+        .withColumn("mid", col("sr").cast("double") / 20d)
+        .withColumn("sd", sqrt(greatest(lit(0d), col("vari"))) / 20d)
+        .withColumn("upper", col("mid") + lit(2d) * col("sd"))
+        .withColumn("lower", col("mid") - lit(2d) * col("sd"))
+        .select(col("day"), col("rev").cast("double").as("revenue"),
+          col("mid"), col("upper"), col("lower"),
+          when(col("rev").cast("double") > col("upper"), "high")
+            .when(col("rev").cast("double") < col("lower"), "low")
+            .otherwise("in").as("band_flag"))
+        .orderBy("day")
+    },
+
+    // Holt's linear (double-exponential) smoothing of daily revenue:
+    // level + trend state per day and the one-step-ahead forecast —
+    // the trend-aware upgrade of win_ewma (EWMA lags a trending series
+    // by a constant offset; Holt's trend term closes it). The recursion
+    // l_t = α·y + (1−α)(l+b), b_t = β(l_t−l_{t−1}) + (1−β)b is
+    // inherently sequential, so it runs as ONE in-row fold over the
+    // packed day-ordered series (the sim_mmr_rerank pack-and-fold
+    // discipline): the corpus collapses to O(#days) in one keyed agg,
+    // the fold touches each day once, and the result explodes back to
+    // rows. α=0.5, β=0.25 are binary-exact doubles and every fold step
+    // mirrors the oracle's recursive CTE op-for-op, so the state stays
+    // BIT-identical across engines with no rounding anywhere (the
+    // win_bollinger lesson). Init: l₁=y₁, b₁=0.
+    "win_holt" -> { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(money(col("o_totalprice"))).cast("decimal(18,2)")
+          .cast("double").as("y"))
+        .agg(sort_array(collect_list(struct(col("day"), col("y"))))
+          .as("pts"))
+        .select(expr("""
+          aggregate(
+            slice(pts, 2, size(pts) - 1),
+            array(named_struct(
+              'day', element_at(pts, 1).day,
+              'y', element_at(pts, 1).y,
+              'level', element_at(pts, 1).y,
+              'trend', CAST(0.0 AS DOUBLE))),
+            (acc, p) -> array_append(acc, named_struct(
+              'day', p.day,
+              'y', p.y,
+              'level', 0.5 * p.y
+                + 0.5 * (element_at(acc, -1).level
+                         + element_at(acc, -1).trend),
+              'trend', 0.25 * ((0.5 * p.y
+                  + 0.5 * (element_at(acc, -1).level
+                           + element_at(acc, -1).trend))
+                  - element_at(acc, -1).level)
+                + 0.75 * element_at(acc, -1).trend)))
+          """).as("hist"))
+        .select(explode(col("hist")).as("h"))
+        .select(col("h.day").as("day"), col("h.y").as("revenue"),
+          col("h.level").as("level"), col("h.trend").as("trend"),
+          (col("h.level") + col("h.trend")).as("forecast_next"))
+        .orderBy("day")
+    },
+
+    // classical seasonal decomposition of daily revenue (additive):
+    // trend = centered 7-day moving average, seasonal = per-weekday mean
+    // of the detrended series, residual = the rest — the series triage
+    // that separates "weekend dip" from "real anomaly" before any alert
+    // fires. All cross-row SUMS stay in exact decimal (frame sum sr7,
+    // then per-weekday sums of rev AND of sr7 — avg(detrended) =
+    // (Σrev − Σsr7/7)/n, so no double is ever re-aggregated); doubles
+    // appear only in the final fixed-order division chain, emitted
+    // UNROUNDED (bit-identical, the win_bollinger discipline). Weekday
+    // comes from epoch-day arithmetic ((day − 1970-01-05) % 7, Mon=0) —
+    // engine dayofweek() conventions differ, date subtraction doesn't.
+    // O(#days) rows end-to-end after the one keyed agg.
+    "win_seasonal_decompose" -> { (s, d) =>
+      val wf7 = Window.orderBy("day").rowsBetween(-3, 3)
+      val wDow = Window.partitionBy("dow")
+      t(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(money(col("o_totalprice"))).cast("decimal(18,2)")
+          .as("rev"))
+        .withColumn("dow",
+          expr("CAST(datediff(day, DATE'1970-01-05') % 7 AS BIGINT)"))
+        .withColumn("n7", count(lit(1)).over(wf7))
+        .withColumn("sr7", sum(col("rev")).over(wf7))
+        .filter(col("n7") === 7)
+        .withColumn("s1", sum(col("rev")).over(wDow))
+        .withColumn("s2", sum(col("sr7")).over(wDow))
+        .withColumn("ndow", count(lit(1)).over(wDow))
+        .withColumn("trend", col("sr7").cast("double") / 7d)
+        .withColumn("seasonal",
+          (col("s1").cast("double") - col("s2").cast("double") / 7d)
+            / col("ndow"))
+        .select(col("day"), col("dow"),
+          col("rev").cast("double").as("revenue"),
+          col("trend"), col("seasonal"),
+          (col("rev").cast("double") - col("trend") - col("seasonal"))
+            .as("residual"))
+        .orderBy("day")
+    },
+
+    // CUSUM control chart on daily revenue: two-sided cumulative sums of
+    // deviations from the series mean with reset-at-zero, alarm when
+    // either side crosses 4σ — the ONLINE changepoint detector
+    // (trend_changepoint scans offline; CUSUM is what a monitor runs as
+    // days arrive, catching small persistent shifts a fixed threshold
+    // misses). Mean/σ come from the integer-dollar decimal moments (the
+    // win_bollinger discipline: scale-0 casts are single-rounding on
+    // both engines); the reset recursion max(0, prev + (y−μ)) is
+    // inherently sequential → ONE in-row fold over the packed series
+    // (the win_holt shape), op-for-op identical to the recursive-CTE
+    // oracle, so the state stays bit-identical with no rounding.
+    "win_cusum" -> { (s, d) =>
+      val daily = t(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(money(col("o_totalprice"))).cast("decimal(18,2)")
+          .as("rev"))
+        .withColumn("ri", round(col("rev"), 0).cast("decimal(13,0)"))
+        .withColumn("y", col("rev").cast("double"))
+      val stats = daily.agg(
+          count(lit(1)).cast("decimal(7,0)").as("n"),
+          sum(col("ri")).cast("decimal(19,0)").as("sr"),
+          sum(expr("ri * ri")).cast("decimal(19,0)").as("srr"))
+        .select(
+          (col("sr").cast("double") / col("n").cast("double")).as("mu"),
+          (sqrt(greatest(lit(0d),
+            (col("n") * col("srr") - col("sr") * col("sr"))
+              .cast("double"))) / col("n").cast("double")).as("sd"))
+      daily
+        .agg(sort_array(collect_list(struct(col("day"), col("y"))))
+          .as("pts"))
+        .crossJoin(stats)
+        .select(col("sd"), explode(expr("""
+          aggregate(
+            slice(pts, 2, size(pts) - 1),
+            array(named_struct(
+              'day', element_at(pts, 1).day,
+              'y', element_at(pts, 1).y,
+              'cpos', greatest(CAST(0.0 AS DOUBLE),
+                element_at(pts, 1).y - mu),
+              'cneg', greatest(CAST(0.0 AS DOUBLE),
+                mu - element_at(pts, 1).y))),
+            (acc, p) -> array_append(acc, named_struct(
+              'day', p.day,
+              'y', p.y,
+              'cpos', greatest(CAST(0.0 AS DOUBLE),
+                element_at(acc, -1).cpos + (p.y - mu)),
+              'cneg', greatest(CAST(0.0 AS DOUBLE),
+                element_at(acc, -1).cneg + (mu - p.y)))))
+          """)).as("h"))
+        .select(col("h.day").as("day"), col("h.y").as("revenue"),
+          col("h.cpos").as("cusum_pos"), col("h.cneg").as("cusum_neg"),
+          when(col("h.cpos") > lit(4d) * col("sd"), "up")
+            .when(col("h.cneg") > lit(4d) * col("sd"), "down")
+            .otherwise("ok").as("alarm"))
+        .orderBy("day")
     }
   )
 
@@ -520,6 +717,131 @@ object Windows {
         |      / (sqrt(CAST(varx AS DOUBLE)) * sqrt(CAST(vary AS DOUBLE))),
         |      6) + 0.0
         |  END AS corr10
-        |FROM v ORDER BY l_suppkey, rn""".stripMargin
+        |FROM v ORDER BY l_suppkey, rn""".stripMargin,
+
+    "win_bollinger" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS rev
+        |  FROM orders GROUP BY 1),
+        |m AS (
+        |  SELECT day, rev, count(*) OVER w AS n,
+        |    CAST(sum(CAST(round(rev, 0) AS DECIMAL(13,0))) OVER w
+        |      AS DECIMAL(19,0)) AS sr,
+        |    CAST(sum(CAST(round(rev, 0) AS DECIMAL(13,0))
+        |        * CAST(round(rev, 0) AS DECIMAL(13,0))) OVER w
+        |      AS DECIMAL(19,0)) AS srr
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |b AS (
+        |  SELECT day, rev,
+        |    CAST(sr AS DOUBLE) / 20 AS mid,
+        |    sqrt(greatest(CAST(0 AS DOUBLE),
+        |      CAST(CAST(20 AS DECIMAL(3,0)) * srr - sr * sr AS DOUBLE)))
+        |      / 20 AS sd
+        |  FROM m WHERE n = 20),
+        |e AS (
+        |  SELECT day, rev, mid,
+        |    mid + 2 * sd AS upper,
+        |    mid - 2 * sd AS lower
+        |  FROM b)
+        |SELECT day, CAST(rev AS DOUBLE) AS revenue, mid, upper, lower,
+        |  CASE WHEN CAST(rev AS DOUBLE) > upper THEN 'high'
+        |       WHEN CAST(rev AS DOUBLE) < lower THEN 'low'
+        |       ELSE 'in' END AS band_flag
+        |FROM e ORDER BY day""".stripMargin,
+
+    "win_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS DOUBLE) AS y
+        |  FROM orders GROUP BY 1),
+        |dd AS (
+        |  SELECT day, y, row_number() OVER (ORDER BY day) AS rn
+        |  FROM daily),
+        |h AS (
+        |  SELECT rn, day, y, y AS level, CAST(0 AS DOUBLE) AS trend
+        |  FROM dd WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.rn, d.day, d.y,
+        |    0.5 * d.y + 0.5 * (h.level + h.trend) AS level,
+        |    0.25 * ((0.5 * d.y + 0.5 * (h.level + h.trend)) - h.level)
+        |      + 0.75 * h.trend AS trend
+        |  FROM h JOIN dd d ON d.rn = h.rn + 1)
+        |SELECT day, y AS revenue, level, trend,
+        |  level + trend AS forecast_next
+        |FROM h ORDER BY day""".stripMargin,
+
+    "win_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS rev
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT day, rev,
+        |    CAST(date_diff('day', DATE '1970-01-05', day) % 7
+        |      AS BIGINT) AS dow,
+        |    count(*) OVER wf AS n7, sum(rev) OVER wf AS sr7
+        |  FROM daily
+        |  WINDOW wf AS (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |f AS (SELECT * FROM w WHERE n7 = 7),
+        |g AS (
+        |  SELECT day, dow, rev, sr7,
+        |    sum(rev) OVER (PARTITION BY dow) AS s1,
+        |    sum(sr7) OVER (PARTITION BY dow) AS s2,
+        |    count(*) OVER (PARTITION BY dow) AS ndow
+        |  FROM f)
+        |SELECT day, dow, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(sr7 AS DOUBLE) / 7 AS trend,
+        |  (CAST(s1 AS DOUBLE) - CAST(s2 AS DOUBLE) / 7) / ndow
+        |    AS seasonal,
+        |  CAST(rev AS DOUBLE) - CAST(sr7 AS DOUBLE) / 7
+        |    - (CAST(s1 AS DOUBLE) - CAST(s2 AS DOUBLE) / 7) / ndow
+        |    AS residual
+        |FROM g ORDER BY day""".stripMargin,
+
+    "win_cusum" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS rev
+        |  FROM orders GROUP BY 1),
+        |di AS (
+        |  SELECT day, CAST(rev AS DOUBLE) AS y,
+        |    CAST(round(rev, 0) AS DECIMAL(13,0)) AS ri
+        |  FROM daily),
+        |st AS (
+        |  SELECT CAST(count(*) AS DECIMAL(7,0)) AS n,
+        |    CAST(sum(ri) AS DECIMAL(19,0)) AS sr,
+        |    CAST(sum(ri * ri) AS DECIMAL(19,0)) AS srr
+        |  FROM di),
+        |ms AS (
+        |  SELECT CAST(sr AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    sqrt(greatest(CAST(0 AS DOUBLE),
+        |      CAST(n * srr - sr * sr AS DOUBLE)))
+        |      / CAST(n AS DOUBLE) AS sd
+        |  FROM st),
+        |dd AS (
+        |  SELECT day, y, row_number() OVER (ORDER BY day) AS rn FROM di),
+        |h AS (
+        |  SELECT rn, day, y,
+        |    greatest(CAST(0.0 AS DOUBLE), y - mu) AS cpos,
+        |    greatest(CAST(0.0 AS DOUBLE), mu - y) AS cneg
+        |  FROM dd CROSS JOIN ms WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.rn, d.day, d.y,
+        |    greatest(CAST(0.0 AS DOUBLE), h.cpos + (d.y - m.mu)) AS cpos,
+        |    greatest(CAST(0.0 AS DOUBLE), h.cneg + (m.mu - d.y)) AS cneg
+        |  FROM h JOIN dd d ON d.rn = h.rn + 1 CROSS JOIN ms m)
+        |SELECT day, y AS revenue, cpos AS cusum_pos, cneg AS cusum_neg,
+        |  CASE WHEN cpos > 4 * sd THEN 'up'
+        |       WHEN cneg > 4 * sd THEN 'down'
+        |       ELSE 'ok' END AS alarm
+        |FROM h CROSS JOIN ms ORDER BY day""".stripMargin
   )
 }

@@ -1640,4 +1640,183 @@ class OperatorSpec extends SparkSpec {
       assert(aa > 0.0 && aa <= nc / math.log(2.0) + 1e-6)
     }
   }
+
+  test("win_bollinger bands bracket the mid and the flag agrees") {
+    val rows = SparkEntry.queries("win_bollinger")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, mid, hi) = (r.getAs[Double]("lower"),
+        r.getAs[Double]("mid"), r.getAs[Double]("upper"))
+      val rev = r.getAs[Double]("revenue")
+      assert(lo <= mid && mid <= hi)
+      val expected =
+        if (rev > hi) "high" else if (rev < lo) "low" else "in"
+      assert(r.getAs[String]("band_flag") == expected)
+    }
+  }
+
+  test("trend_changepoint reports 5 ranked splits partitioning the series") {
+    val rows = SparkEntry.queries("trend_changepoint")(spark, sf)
+      .orderBy("rank").collect()
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 5L))
+    val nDays = rows.head.getAs[Long]("n_before") +
+      rows.head.getAs[Long]("n_after")
+    var prevAbs = Double.MaxValue
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_before") >= 30 &&
+        r.getAs[Long]("n_after") >= 30)
+      assert(r.getAs[Long]("n_before") + r.getAs[Long]("n_after") == nDays)
+      val shift = r.getAs[Double]("shift")
+      assert(math.abs(shift - (r.getAs[Double]("mean_after")
+        - r.getAs[Double]("mean_before"))) < 1e-6)
+      assert(math.abs(shift) <= prevAbs + 1e-9) // rank order = |shift| desc
+      prevAbs = math.abs(shift)
+    }
+  }
+
+  test("dedup_token_sort partitions coarser than dedup_exact") {
+    val ts = SparkEntry.queries("dedup_token_sort")(spark, sf).collect()
+    assert(ts.nonEmpty)
+    val docCount = Tables.t(spark, sf, "documents").count()
+    assert(ts.map(_.getAs[Long]("n_docs")).sum == docCount)
+    ts.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= r.getAs[Long]("n_exact_forms"))
+      assert(r.getAs[Long]("n_exact_forms") >= 1L)
+    }
+    // bag-equality merges exact clusters, never splits them
+    val exactClusters = Dedup.exactKeepers(
+      Tables.t(spark, sf, "documents"), "doc_id", "text").count()
+    assert(ts.length <= exactClusters)
+  }
+
+  test("embedding_triplet_mining covers every anchor with consistent flags") {
+    val rows = SparkEntry.queries("embedding_triplet_mining")(spark, sf)
+      .collect()
+    val nVecs = Tables.t(spark, sf, "embeddings").count()
+    assert(rows.length == nVecs) // every label has >= 2 members
+    rows.foreach { r =>
+      val a = r.getAs[Long]("anchor")
+      assert(r.getAs[Long]("pos_id") != a && r.getAs[Long]("neg_id") != a)
+      val (p, n) = (r.getAs[Double]("pos_cos"), r.getAs[Double]("neg_cos"))
+      assert(math.abs(r.getAs[Double]("margin") - (p - n)) < 2e-6)
+      val expected =
+        if (n >= p) "hard" else if (n >= p - 0.2) "semi_hard" else "easy"
+      assert(r.getAs[String]("difficulty") == expected)
+    }
+  }
+
+  test("win_holt state recursion initializes and forecasts consistently") {
+    val rows = SparkEntry.queries("win_holt")(spark, sf)
+      .orderBy("day").collect()
+    val nDays = SparkEntry.queries("win_holt")(spark, sf)
+      .select("day").distinct().count()
+    assert(rows.length == nDays && rows.nonEmpty)
+    val h = rows.head
+    assert(h.getAs[Double]("level") == h.getAs[Double]("revenue"))
+    assert(h.getAs[Double]("trend") == 0.0)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("forecast_next") ==
+        r.getAs[Double]("level") + r.getAs[Double]("trend"))
+    }
+  }
+
+  test("win_seasonal_decompose components sum back to the series") {
+    val rows = SparkEntry.queries("win_seasonal_decompose")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dow = r.getAs[Long]("dow")
+      assert(dow >= 0 && dow <= 6)
+      // residual is defined as revenue - trend - seasonal (re-adding in a
+      // different association can move an ulp — tolerance, not equality)
+      assert(math.abs(r.getAs[Double]("revenue")
+        - (r.getAs[Double]("trend") + r.getAs[Double]("seasonal")
+          + r.getAs[Double]("residual"))) < 1e-5)
+    }
+  }
+
+  test("embedding_matryoshka_eval reports a recall per prefix") {
+    val rows = SparkEntry.queries("embedding_matryoshka_eval")(spark, sf)
+      .orderBy("prefix_dim").collect()
+    assert(rows.map(_.getAs[Long]("prefix_dim")).toSeq == Seq(8L, 16L, 32L))
+    rows.foreach { r =>
+      val (h, x) = (r.getAs[Long]("n_hits"), r.getAs[Long]("n_exact"))
+      assert(h >= 0 && h <= x && x == 50L) // 10 queries x top-5
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
+  test("multimodal_phash emits 64-bit fingerprints with sane collisions") {
+    val rows = SparkEntry.queries("multimodal_phash")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[String]("phash")
+      assert(p.length == 64 && p.forall(c => c == '0' || c == '1'))
+      assert(p.contains('0')) // not every block can exceed the mean
+      assert(r.getAs[Long]("n_same_hash") >= 1L)
+    }
+  }
+
+  test("dedup_method_overlap cells cover every method's own pair count") {
+    val cells = SparkEntry.queries("dedup_method_overlap")(spark, sf)
+      .collect()
+    assert(cells.nonEmpty)
+    def tot(flag: String): Long = cells
+      .filter(_.getAs[Boolean](flag)).map(_.getAs[Long]("n_pairs")).sum
+    // each method's marginal equals its own operator's pair count
+    assert(tot("by_minhash") ==
+      SparkEntry.queries("dedup_minhash")(spark, sf).count())
+    assert(tot("by_simhash") ==
+      SparkEntry.queries("dedup_simhash")(spark, sf).count())
+    assert(tot("by_containment") ==
+      SparkEntry.queries("dedup_containment")(spark, sf).count())
+    // the all-false cell cannot exist: every pair came from some method
+    assert(cells.forall(r => r.getAs[Boolean]("by_minhash")
+      || r.getAs[Boolean]("by_simhash")
+      || r.getAs[Boolean]("by_containment")))
+  }
+
+  test("win_cusum resets at zero and alarms consistently") {
+    val rows = SparkEntry.queries("win_cusum")(spark, sf)
+      .orderBy("day").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cusum_pos") >= 0.0)
+      assert(r.getAs[Double]("cusum_neg") >= 0.0)
+      assert(Set("up", "down", "ok")(r.getAs[String]("alarm")))
+    }
+    // init: day 1 deviates one way, so one side starts at exactly zero
+    val h = rows.head
+    assert(math.min(h.getAs[Double]("cusum_pos"),
+      h.getAs[Double]("cusum_neg")) == 0.0)
+    // the detector must actually fire somewhere on a 6.5-year series
+    assert(rows.exists(_.getAs[String]("alarm") != "ok"))
+  }
+
+  test("sample_time_stratified embargo separates train and test spans") {
+    val rows = SparkEntry.queries("sample_time_stratified")(spark, sf)
+      .collect().map(r => r.getAs[String]("split") -> r).toMap
+    assert(rows.keySet == Set("train", "embargo", "test"))
+    val train = rows("train")
+    val test = rows("test")
+    assert(train.getAs[java.sql.Date]("last_day")
+      .before(test.getAs[java.sql.Date]("first_day")))
+    // train customers all count as seen-in-train; test leakage bounded
+    assert(train.getAs[Long]("n_seen_in_train") ==
+      train.getAs[Long]("n_customers"))
+    assert(test.getAs[Long]("n_seen_in_train") <=
+      test.getAs[Long]("n_customers"))
+  }
+
+  test("sample_systematic strides exactly every 50th position") {
+    val rows = SparkEntry.queries("sample_systematic")(spark, sf)
+      .orderBy("pos").collect()
+    val n = Tables.t(spark, sf, "documents").count()
+    assert(rows.length == ((n + 49) / 50))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("pos") == i * 50L + 1L) // exact even spacing
+    }
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+  }
 }
