@@ -491,6 +491,47 @@ object Aggregates {
           round(max(col("o_totalprice")), 2).as("hi"),
           moneySum(col("o_totalprice")).as("sum_price"))
         .orderBy("bucket")
+    },
+
+    // third/fourth-moment shape statistics per return flag: population
+    // skewness and excess kurtosis of quantity — the distribution-shape
+    // audit second moments can't see (agg_stats reads spread; this
+    // reads asymmetry and tail weight, the pair a sampling design
+    // checks before trusting a mean). All four power sums are EXACT
+    // integers (quantity is integral ≤ 50, q⁴ ≤ 6.25e6 — sums < 2^53
+    // at any fixture sf and partial-agg-order-proof), so the only
+    // doubles are the closed-form moment formulas, mirrored term by
+    // term in the oracle (m2^1.5 is m2·sqrt(m2), never libm pow —
+    // sqrt is IEEE-correctly-rounded, pow is not). One fully
+    // partial-aggregable pass.
+    "agg_moments_skew_kurt" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .withColumn("q", col("l_quantity").cast("long"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+          sum(expr("q * q")).as("s2"),
+          sum(expr("q * q * q")).as("s3"),
+          sum(expr("q * q * q * q")).as("s4"))
+        .withColumn("m1", col("s1").cast("double") / col("n"))
+        .withColumn("m2",
+          col("s2").cast("double") / col("n") - col("m1") * col("m1"))
+        .withColumn("m3",
+          col("s3").cast("double") / col("n")
+            - lit(3d) * col("m1") * (col("s2").cast("double") / col("n"))
+            + lit(2d) * col("m1") * col("m1") * col("m1"))
+        .withColumn("m4",
+          col("s4").cast("double") / col("n")
+            - lit(4d) * col("m1") * (col("s3").cast("double") / col("n"))
+            + lit(6d) * col("m1") * col("m1")
+              * (col("s2").cast("double") / col("n"))
+            - lit(3d) * col("m1") * col("m1") * col("m1") * col("m1"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("m1"), 6).as("mean_qty"),
+          round(col("m3") / (col("m2") * sqrt(col("m2"))), 6)
+            .as("skewness"),
+          round(col("m4") / (col("m2") * col("m2")) - lit(3d), 6)
+            .as("excess_kurtosis"))
+        .orderBy("l_returnflag")
     }
   )
 
@@ -815,6 +856,35 @@ object Aggregates {
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
          |    AS sum_price
          |FROM assigned GROUP BY bucket ORDER BY bucket""".stripMargin
-    }
+    },
+
+    "agg_moments_skew_kurt" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(q) AS BIGINT) AS s1,
+        |    CAST(sum(q * q) AS BIGINT) AS s2,
+        |    CAST(sum(q * q * q) AS BIGINT) AS s3,
+        |    CAST(sum(q * q * q * q) AS BIGINT) AS s4
+        |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+        |        FROM lineitem) z
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(s1 AS DOUBLE) / n AS m1,
+        |    CAST(s2 AS DOUBLE) / n AS r2,
+        |    CAST(s3 AS DOUBLE) / n AS r3,
+        |    CAST(s4 AS DOUBLE) / n AS r4
+        |  FROM s),
+        |mm AS (
+        |  SELECT l_returnflag, n, m1,
+        |    r2 - m1 * m1 AS m2,
+        |    r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1 AS m3,
+        |    r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2
+        |      - 3 * m1 * m1 * m1 * m1 AS m4
+        |  FROM m)
+        |SELECT l_returnflag, n, round(m1, 6) AS mean_qty,
+        |  round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+        |  round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis
+        |FROM mm ORDER BY l_returnflag""".stripMargin
   )
 }

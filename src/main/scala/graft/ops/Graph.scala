@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the customer–supplier trade graph (an edge per
@@ -476,6 +477,52 @@ object Graph {
           round(sum(col("w")).cast("double"), 6).as("aa_score"))
         .orderBy(col("aa_score").desc, col("a"), col("b"))
         .limit(30)
+    },
+
+    // HITS hubs & authorities over the DIRECTED purchase graph (customer
+    // → supplier): 3 unrolled mutual-reinforcement rounds from the
+    // all-ones start, UNNORMALIZED — under a fixed round budget the
+    // per-round normalizer is a positive scalar that cancels in the
+    // final shares, and skipping it keeps every score an exact INTEGER
+    // (a count of alternating paths), so the iteration is bit-exact on
+    // any engine with no decimal plumbing at all (pagerank needs
+    // round(·,14) decimal terms precisely because damping makes its
+    // ranks fractional). Magnitude grows ~ degree^rounds — ~1e11 at
+    // sf0.1; for much larger graphs switch the accumulators to
+    // DECIMAL(38,0), same plan. Same broadcast-scores-against-cached-
+    // edges round shape as pagerank: only O(V) score rows move per
+    // round; top-25 per side ships through the bounded-heap operator.
+    "graph_hits" -> { (s, d) =>
+      val ce = edges(s, d).filter(col("src") < SuppOffset)
+      val h0 = ce.select(col("src").as("node")).distinct()
+        .withColumn("score", lit(1L))
+      val (h3, a3) = (1 to 3)
+        .foldLeft((h0, h0)) { case ((h, _), _) =>
+          val a = ce.join(broadcast(h), col("src") === col("node"))
+            .groupBy("dst").agg(sum(col("score")).as("score"))
+            .select(col("dst").as("node"), col("score"))
+          val h2 = ce.join(broadcast(
+              a.select(col("node").as("an"), col("score").as("as_"))),
+              col("dst") === col("an"))
+            .groupBy("src").agg(sum(col("as_")).as("score"))
+            .select(col("src").as("node"), col("score"))
+          (h2, a)
+        }
+      def side(df: DataFrame, kind: String): DataFrame = {
+        val tot = df.agg(sum(col("score")).as("total"))
+        df.crossJoin(broadcast(tot))
+          .select(lit(kind).as("kind"), col("node"), col("score"),
+            round(col("score").cast("double")
+              / col("total").cast("double") * 1e6, 6).as("share_ppm"))
+      }
+      val u = side(a3, "authority").unionAll(side(h3, "hub"))
+      val w = Window.partitionBy("kind")
+        .orderBy(col("score").desc, col("node"))
+      graft.plans.TopKPerKey.topK(u, Seq(col("kind")),
+          Seq(col("score").desc, col("node")), 25)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select("kind", "rnk", "node", "score", "share_ppm")
+        .orderBy("kind", "rnk")
     }
   )
 
@@ -825,6 +872,47 @@ object Graph {
          |    AS m_edges,
          |  round(CAST(sum(term) AS DOUBLE), 6) AS modularity
          |FROM terms""".stripMargin
+    },
+
+    "graph_hits" -> {
+      // 3 unrolled integer rounds: a_i from h_{i-1}, h_i from a_i
+      val rounds = (1 to 3).map { i =>
+        val prevH = if (i == 1) "h0" else s"h${i - 1}"
+        s"""a$i AS (
+           |  SELECT ce.dst AS node, CAST(sum(p.score) AS BIGINT) AS score
+           |  FROM ce JOIN $prevH p ON ce.src = p.node GROUP BY 1),
+           |h$i AS (
+           |  SELECT ce.src AS node, CAST(sum(a.score) AS BIGINT) AS score
+           |  FROM ce JOIN a$i a ON ce.dst = a.node GROUP BY 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS sp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |ce AS (SELECT c AS src, sp AS dst FROM pairs),
+         |h0 AS (
+         |  SELECT DISTINCT src AS node, CAST(1 AS BIGINT) AS score
+         |  FROM ce),
+         |$rounds,
+         |att AS (SELECT CAST(sum(score) AS BIGINT) AS total FROM a3),
+         |htt AS (SELECT CAST(sum(score) AS BIGINT) AS total FROM h3),
+         |u AS (
+         |  SELECT 'authority' AS kind, node, score,
+         |    round(CAST(score AS DOUBLE) / CAST(total AS DOUBLE) * 1e6,
+         |      6) AS share_ppm
+         |  FROM a3 CROSS JOIN att
+         |  UNION ALL
+         |  SELECT 'hub', node, score,
+         |    round(CAST(score AS DOUBLE) / CAST(total AS DOUBLE) * 1e6,
+         |      6)
+         |  FROM h3 CROSS JOIN htt),
+         |r AS (
+         |  SELECT kind, node, score, share_ppm,
+         |    CAST(row_number() OVER (PARTITION BY kind
+         |      ORDER BY score DESC, node) AS BIGINT) AS rnk
+         |  FROM u)
+         |SELECT kind, rnk, node, score, share_ppm FROM r
+         |WHERE rnk <= 25 ORDER BY kind, rnk""".stripMargin
     }
   )
 }

@@ -498,7 +498,48 @@ object Joins {
         .agg(count(lit(1)).as("cnt"),
           sum(discPrice(col("l_extendedprice"), col("l_discount")))
             .cast("double").as("revenue"))
-        .orderBy("r_name", "n_name"))
+        .orderBy("r_name", "n_name")),
+
+    // grid-bucketed nearest-neighbor join over the 2-D (custkey, day)
+    // Z-grid: each query point probes only its 3×3 neighborhood of
+    // 4096-wide grid cells — the geohash/S2 spatial-join pattern
+    // (candidates from hash-local cells, exact argmin on that bounded
+    // set) that replaces the quadratic cross join at any scale: the
+    // probe side explodes to 9 cell keys and the join is a plain
+    // equi-join on cell id, so candidates per query are O(density·9
+    // cells), never O(N). Distances are exact INTEGER squared Euclidean
+    // on the 16-bit grid — no float anywhere — and the argmin ships
+    // through the bounded-heap operator with an id tiebreak. Boundary
+    // approximation (true NN >1 cell away) is the documented grid
+    // tradeoff; the spec pins grid-dist ≥ brute-force-dist.
+    "join_spatial_grid" -> { (s, d) =>
+      val pts = Lakehouse.zInputs(s, d)
+        .withColumn("cx", expr("CAST(ck DIV 4096 AS BIGINT)"))
+        .withColumn("cy", expr("CAST(dy DIV 4096 AS BIGINT)"))
+      val q = pts.filter(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey").as("qk"), col("ck").as("qx"),
+          col("dy").as("qy"), col("cx").as("qcx"), col("cy").as("qcy"))
+        .withColumn("nb", explode(expr(
+          """flatten(transform(sequence(-1, 1), ox ->
+            |  transform(sequence(-1, 1), oy ->
+            |    struct(qcx + ox AS ncx, qcy + oy AS ncy))))"""
+            .stripMargin)))
+        .select(col("qk"), col("qx"), col("qy"),
+          col("nb.ncx").as("cx"), col("nb.ncy").as("cy"))
+      val cands = broadcast(q).join(pts, Seq("cx", "cy"))
+        .filter(col("o_orderkey") =!= col("qk"))
+        .withColumn("dist2", expr(
+          "(ck - qx) * (ck - qx) + (dy - qy) * (dy - qy)"))
+        .select(col("qk"), col("o_orderkey").as("nn"), col("dist2"))
+        .cache()
+      graft.plans.TopKPerKey.topK(cands, Seq(col("qk")),
+          Seq(col("dist2"), col("nn")), 1)
+        .join(cands.groupBy("qk").agg(count(lit(1)).as("n_candidates")),
+          "qk")
+        .select(col("qk").as("query_key"), col("nn").as("nn_key"),
+          col("dist2"), col("n_candidates"))
+        .orderBy("query_key")
+    }
   )
 
   /** Create (once per warehouse) the bucketed+sorted lineitem/orders tables
@@ -746,6 +787,53 @@ object Joins {
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation   ON c_nationkey = n_nationkey
          |JOIN region   ON n_regionkey = r_regionkey
-         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "join_spatial_grid" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_custkey AS ckr,
+        |    CAST(datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS dyr
+        |  FROM orders),
+        |st AS (SELECT min(ckr) AS ck0, max(ckr) AS ck1,
+        |       min(dyr) AS dy0, max(dyr) AS dy1 FROM b),
+        |pts AS (
+        |  SELECT o_orderkey,
+        |    CAST(floor((ckr - ck0) * 65535.0 / (ck1 - ck0)) AS BIGINT)
+        |      AS ck,
+        |    CAST(floor((dyr - dy0) * 65535.0 / (dy1 - dy0)) AS BIGINT)
+        |      AS dy
+        |  FROM b CROSS JOIN st),
+        |cells AS (
+        |  SELECT o_orderkey, ck, dy,
+        |    CAST(ck // 4096 AS BIGINT) AS cx,
+        |    CAST(dy // 4096 AS BIGINT) AS cy
+        |  FROM pts),
+        |q AS (
+        |  SELECT o_orderkey AS qk, ck AS qx, dy AS qy, cx AS qcx,
+        |    cy AS qcy
+        |  FROM cells WHERE o_orderkey % 997 = 0),
+        |nbr AS (
+        |  SELECT qk, qx, qy, qcx + ox.v AS cx, qcy + oy.v AS cy
+        |  FROM q
+        |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS v) ox
+        |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS v) oy),
+        |cands AS (
+        |  SELECT n.qk, p.o_orderkey AS nn,
+        |    (p.ck - n.qx) * (p.ck - n.qx)
+        |      + (p.dy - n.qy) * (p.dy - n.qy) AS dist2
+        |  FROM nbr n JOIN cells p ON p.cx = n.cx AND p.cy = n.cy
+        |    AND p.o_orderkey <> n.qk),
+        |best AS (
+        |  SELECT qk, nn, dist2 FROM (
+        |    SELECT qk, nn, dist2, row_number() OVER (
+        |      PARTITION BY qk ORDER BY dist2, nn) AS rn
+        |    FROM cands) z WHERE rn = 1),
+        |cnt AS (SELECT qk, count(*) AS n_candidates FROM cands
+        |        GROUP BY 1)
+        |SELECT b2.qk AS query_key, b2.nn AS nn_key,
+        |  CAST(b2.dist2 AS BIGINT) AS dist2, cnt.n_candidates
+        |FROM best b2 JOIN cnt ON cnt.qk = b2.qk
+        |ORDER BY query_key""".stripMargin
   )
 }

@@ -593,7 +593,60 @@ object Lakehouse {
         .withColumn("zval", expr(mortonSpark))
         .select("o_orderkey", "ck", "dy", "zval")
         .orderBy("zval", "o_orderkey")
-        .limit(2000))
+        .limit(2000)),
+
+    // clustering-depth audit: the metadata-level proof that Z-ordering
+    // tightens zone maps, read the way OPTIMIZE reports it. Both
+    // candidate layouts assign rows to 16 "files" by RANGE-chunking
+    // their own sort key (how a sorted writer splits; fully parallel —
+    // no global row_number anywhere): naive chunks on o_orderkey, the
+    // z-layout on the morton code. Per (layout, dimension) the report
+    // then reads ONLY file-level min/max metadata: total zone width,
+    // mean width, point-depth = Σwidth/65536 (expected #files a point
+    // lookup on that dimension must open), and the overlapping file-pair
+    // count (16² cells, O(1)). All integer arithmetic except the two
+    // rounded divisions; the quality spec pins z beating naive on the
+    // date dimension without giving up the key dimension entirely.
+    "lakehouse_clustering_depth" -> { (s, d) =>
+      val z = zInputs(s, d).withColumn("zval", expr(mortonSpark))
+      val stats = z.agg(min("o_orderkey").as("k0"),
+        max("o_orderkey").as("k1"))
+      val filed = z.crossJoin(broadcast(stats))
+        .withColumn("f_naive", expr(
+          "CAST((o_orderkey - k0) * 16 DIV (k1 - k0 + 1) AS BIGINT)"))
+        .withColumn("f_z", expr("CAST(zval DIV 268435456 AS BIGINT)"))
+      def zones(fileCol: String, name: String): DataFrame = {
+        val fb = filed.groupBy(col(fileCol).as("file"))
+          .agg(min("ck").as("ck_lo"), max("ck").as("ck_hi"),
+            min("dy").as("dy_lo"), max("dy").as("dy_hi"))
+        fb.select(lit(name).as("layout"), lit("ck").as("dim"),
+            col("file"), col("ck_lo").as("lo"), col("ck_hi").as("hi"))
+          .unionAll(fb.select(lit(name).as("layout"), lit("dy").as("dim"),
+            col("file"), col("dy_lo").as("lo"), col("dy_hi").as("hi")))
+      }
+      val zn = zones("f_naive", "naive").unionAll(zones("f_z", "zorder"))
+        .cache()
+      val agg = zn.groupBy("layout", "dim")
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("hi") - col("lo") + 1L).as("sum_width"))
+      val ov = zn.join(zn.select(col("layout"), col("dim"),
+            col("file").as("file2"), col("lo").as("lo2"),
+            col("hi").as("hi2")), Seq("layout", "dim"))
+        .filter(col("file") < col("file2")
+          && col("lo") <= col("hi2") && col("lo2") <= col("hi"))
+        .groupBy("layout", "dim")
+        .agg(count(lit(1)).as("n_overlap_pairs"))
+      agg.join(ov, Seq("layout", "dim"), "left")
+        .select(col("layout"), col("dim"), col("n_files"),
+          col("sum_width"),
+          round(col("sum_width").cast("double") / col("n_files"), 6)
+            .as("avg_width"),
+          round(col("sum_width").cast("double") / 65536d, 6)
+            .as("point_depth"),
+          coalesce(col("n_overlap_pairs"), lit(0L))
+            .as("n_overlap_pairs"))
+        .orderBy("layout", "dim")
+    }
   )
 
   def oracle: Map[String, String] = Map(
@@ -926,6 +979,61 @@ object Lakehouse {
          |      AS dy
          |  FROM b CROSS JOIN st)
          |SELECT o_orderkey, ck, dy, $mortonDuck AS zval
-         |FROM z ORDER BY zval, o_orderkey LIMIT 2000""".stripMargin
+         |FROM z ORDER BY zval, o_orderkey LIMIT 2000""".stripMargin,
+
+    "lakehouse_clustering_depth" ->
+      s"""WITH b AS (
+         |  SELECT o_orderkey, o_custkey AS ckr,
+         |    CAST(datediff('day', DATE '1970-01-01',
+         |      CAST(o_orderdate AS DATE)) AS BIGINT) AS dyr
+         |  FROM orders),
+         |st AS (SELECT min(ckr) AS ck0, max(ckr) AS ck1,
+         |       min(dyr) AS dy0, max(dyr) AS dy1 FROM b),
+         |zin AS (
+         |  SELECT o_orderkey,
+         |    CAST(floor((ckr - ck0) * 65535.0 / (ck1 - ck0)) AS BIGINT)
+         |      AS ck,
+         |    CAST(floor((dyr - dy0) * 65535.0 / (dy1 - dy0)) AS BIGINT)
+         |      AS dy
+         |  FROM b CROSS JOIN st),
+         |z AS (SELECT o_orderkey, ck, dy, $mortonDuck AS zval FROM zin),
+         |ks AS (SELECT min(o_orderkey) AS k0, max(o_orderkey) AS k1
+         |       FROM z),
+         |filed AS (
+         |  SELECT ck, dy,
+         |    CAST((o_orderkey - k0) * 16 // (k1 - k0 + 1) AS BIGINT)
+         |      AS f_naive,
+         |    CAST(zval // 268435456 AS BIGINT) AS f_z
+         |  FROM z CROSS JOIN ks),
+         |zn AS (
+         |  SELECT layout, dim, file, lo, hi FROM (
+         |    SELECT 'naive' AS layout, 'ck' AS dim, f_naive AS file,
+         |      min(ck) AS lo, max(ck) AS hi FROM filed GROUP BY 3
+         |    UNION ALL
+         |    SELECT 'naive', 'dy', f_naive, min(dy), max(dy)
+         |    FROM filed GROUP BY 3
+         |    UNION ALL
+         |    SELECT 'zorder', 'ck', f_z, min(ck), max(ck)
+         |    FROM filed GROUP BY 3
+         |    UNION ALL
+         |    SELECT 'zorder', 'dy', f_z, min(dy), max(dy)
+         |    FROM filed GROUP BY 3) u),
+         |agg AS (
+         |  SELECT layout, dim, count(*) AS n_files,
+         |    CAST(sum(hi - lo + 1) AS BIGINT) AS sum_width
+         |  FROM zn GROUP BY 1, 2),
+         |ov AS (
+         |  SELECT a.layout, a.dim, count(*) AS n_overlap_pairs
+         |  FROM zn a JOIN zn b
+         |    ON a.layout = b.layout AND a.dim = b.dim
+         |    AND a.file < b.file AND a.lo <= b.hi AND b.lo <= a.hi
+         |  GROUP BY 1, 2)
+         |SELECT g.layout, g.dim, g.n_files, g.sum_width,
+         |  round(CAST(g.sum_width AS DOUBLE) / g.n_files, 6) AS avg_width,
+         |  round(CAST(g.sum_width AS DOUBLE) / 65536, 6) AS point_depth,
+         |  COALESCE(o.n_overlap_pairs, 0) AS n_overlap_pairs
+         |FROM agg g LEFT JOIN ov o
+         |  ON o.layout = g.layout AND o.dim = g.dim
+         |ORDER BY g.layout, g.dim""".stripMargin
   )
 }

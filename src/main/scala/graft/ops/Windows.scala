@@ -509,6 +509,56 @@ object Windows {
             .when(col("h.cneg") > lit(4d) * col("sd"), "down")
             .otherwise("ok").as("alarm"))
         .orderBy("day")
+    },
+
+    // Theil–Sen robust trend of daily revenue: the median of ALL
+    // pairwise day-slopes plus the median-of-residuals intercept — the
+    // estimator whose 29% breakdown point survives the outlier days
+    // that drag OLS around (win_rolling_slope is the OLS sibling).
+    // Pairs are O(#days²) — CALENDAR-bounded (~3M rows here and at ANY
+    // corpus size: days don't grow with volume), so the pair join and
+    // its ranked median pass are scale-constant after the corpus
+    // collapses to O(#days) in one keyed agg. Slopes divide exact
+    // decimal-cast revenue deltas by exact integer day gaps in IEEE
+    // double; both medians are LOWER-median row_number picks with full
+    // tiebreaks, emitted unrounded — every value is a picked raw
+    // double, identical bits on both engines.
+    "win_theil_sen" -> { (s, d) =>
+      val daily = t(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(money(col("o_totalprice"))).cast("decimal(18,2)")
+          .cast("double").as("y"))
+        .withColumn("x",
+          datediff(col("day"), lit("1970-01-01").cast("date"))
+            .cast("long"))
+        .cache()
+      val pairs = daily.join(
+          daily.select(col("day").as("day2"), col("y").as("y2"),
+            col("x").as("x2")),
+          col("day") < col("day2"))
+        .select(((col("y2") - col("y"))
+          / (col("x2") - col("x")).cast("double")).as("slope"),
+          col("day"), col("day2"))
+      val np = pairs.agg(count(lit(1)).as("np"))
+      val ws = Window.orderBy("slope", "day", "day2")
+      val med = pairs
+        .withColumn("rn", row_number().over(ws).cast("long"))
+        .crossJoin(broadcast(np))
+        .filter(expr("rn = (np + 1) DIV 2"))
+        .select(col("slope"), col("np"))
+      val nd = daily.agg(count(lit(1)).as("nd"))
+      val wr = Window.orderBy("r", "day")
+      val intercept = daily
+        .crossJoin(broadcast(med.select(col("slope").as("m"))))
+        .select((col("y") - col("m") * col("x").cast("double")).as("r"),
+          col("day"))
+        .withColumn("rn", row_number().over(wr).cast("long"))
+        .crossJoin(broadcast(nd))
+        .filter(expr("rn = (nd + 1) DIV 2"))
+        .select(col("r").as("intercept"), col("nd"))
+      med.crossJoin(broadcast(intercept))
+        .select(col("nd").as("n_days"), col("np").as("n_pairs"),
+          col("slope").as("slope_per_day"), col("intercept"))
     }
   )
 
@@ -842,6 +892,39 @@ object Windows {
         |  CASE WHEN cpos > 4 * sd THEN 'up'
         |       WHEN cneg > 4 * sd THEN 'down'
         |       ELSE 'ok' END AS alarm
-        |FROM h CROSS JOIN ms ORDER BY day""".stripMargin
+        |FROM h CROSS JOIN ms ORDER BY day""".stripMargin,
+
+    "win_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS DOUBLE) AS y,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1, 3),
+        |pairs AS (
+        |  SELECT (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope,
+        |    a.day AS day, b.day AS day2
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |np AS (SELECT count(*) AS np FROM pairs),
+        |med AS (
+        |  SELECT slope, np FROM (
+        |    SELECT slope,
+        |      row_number() OVER (ORDER BY slope, day, day2) AS rn
+        |    FROM pairs) r CROSS JOIN np
+        |  WHERE rn = (np + 1) // 2),
+        |nd AS (SELECT count(*) AS nd FROM daily),
+        |res AS (
+        |  SELECT d.y - m.slope * CAST(d.x AS DOUBLE) AS r, d.day
+        |  FROM daily d CROSS JOIN med m),
+        |ic AS (
+        |  SELECT r AS intercept, nd FROM (
+        |    SELECT r, row_number() OVER (ORDER BY r, day) AS rn
+        |    FROM res) z CROSS JOIN nd
+        |  WHERE rn = (nd + 1) // 2)
+        |SELECT CAST(ic.nd AS BIGINT) AS n_days,
+        |  CAST(med.np AS BIGINT) AS n_pairs,
+        |  med.slope AS slope_per_day, ic.intercept
+        |FROM med CROSS JOIN ic""".stripMargin
   )
 }

@@ -1809,6 +1809,97 @@ class OperatorSpec extends SparkSpec {
       test.getAs[Long]("n_customers"))
   }
 
+  test("graph_hits separates sides and orders by integer score") {
+    val rows = SparkEntry.queries("graph_hits")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val (auth, hub) = rows.partition(_.getAs[String]("kind") == "authority")
+    assert(auth.nonEmpty && hub.nonEmpty)
+    // authorities are suppliers (offset ids), hubs are customers
+    auth.foreach(r => assert(r.getAs[Long]("node") >= Graph.SuppOffset))
+    hub.foreach(r => assert(r.getAs[Long]("node") < Graph.SuppOffset))
+    Seq(auth, hub).foreach { side =>
+      val byRank = side.sortBy(_.getAs[Long]("rnk"))
+      assert(byRank.map(_.getAs[Long]("rnk")).toSeq ==
+        (1L to byRank.length))
+      val scores = byRank.map(_.getAs[Long]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      side.foreach(r => assert(r.getAs[Double]("share_ppm") > 0.0))
+    }
+  }
+
+  test("lakehouse_clustering_depth shows z-order tightening the date dim") {
+    val rows = SparkEntry.queries("lakehouse_clustering_depth")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("layout"), r.getAs[String]("dim")) -> r)
+      .toMap
+    assert(rows.keySet ==
+      Set(("naive", "ck"), ("naive", "dy"), ("zorder", "ck"),
+        ("zorder", "dy")))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_files") >= 2 &&
+        r.getAs[Long]("n_files") <= 16)
+      assert(r.getAs[Long]("sum_width") >= r.getAs[Long]("n_files"))
+    }
+    // the whole point of z-ordering: the date dimension's zones tighten
+    // vs the key-ordered layout (which scatters dates across every file)
+    assert(rows(("zorder", "dy")).getAs[Long]("sum_width") <
+      rows(("naive", "dy")).getAs[Long]("sum_width"))
+  }
+
+  test("win_theil_sen picks medians with consistent counts") {
+    val r = SparkEntry.queries("win_theil_sen")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val nd = row.getAs[Long]("n_days")
+    assert(row.getAs[Long]("n_pairs") == nd * (nd - 1) / 2)
+    assert(!row.getAs[Double]("slope_per_day").isNaN)
+    assert(!row.getAs[Double]("intercept").isNaN)
+  }
+
+  test("agg_moments_skew_kurt matches the uniform-quantity shape") {
+    val rows = SparkEntry.queries("agg_moments_skew_kurt")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val total = Tables.t(spark, sf, "lineitem").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      val (sk, ku) = (r.getAs[Double]("skewness"),
+        r.getAs[Double]("excess_kurtosis"))
+      // quantity is ~uniform(1..50): near-zero skew, platykurtic
+      // (uniform's excess kurtosis is -1.2)
+      assert(math.abs(sk) < 0.5, s"skew $sk")
+      assert(ku > -2.0 && ku < 0.0, s"kurtosis $ku")
+      val m = r.getAs[Double]("mean_qty")
+      assert(m > 1.0 && m < 50.0)
+    }
+  }
+
+  test("join_spatial_grid never beats brute force and usually matches it") {
+    val grid = SparkEntry.queries("join_spatial_grid")(spark, sf)
+      .collect().map(r => r.getAs[Long]("query_key") -> r).toMap
+    assert(grid.nonEmpty)
+    val pts = Lakehouse.zInputs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("ck"),
+        r.getAs[Long]("dy")))
+    val exact = pts.filter(_._1 % 997 == 0).map { case (qk, qx, qy) =>
+      qk -> pts.filter(_._1 != qk).map { case (_, x, y) =>
+        (x - qx) * (x - qx) + (y - qy) * (y - qy)
+      }.min
+    }.toMap
+    assert(grid.keySet == exact.keySet)
+    grid.foreach { case (qk, r) =>
+      assert(r.getAs[Long]("nn_key") != qk)
+      assert(r.getAs[Long]("n_candidates") >= 1L)
+      // grid probe is approximate at cell borders but never better than
+      // the true NN distance
+      assert(r.getAs[Long]("dist2") >= exact(qk))
+    }
+    // the 3x3 probe should find the true NN for most queries
+    val hit = grid.count { case (qk, r) =>
+      r.getAs[Long]("dist2") == exact(qk) }
+    assert(hit * 2 > grid.size, s"grid found true NN for only $hit")
+  }
+
   test("sample_systematic strides exactly every 50th position") {
     val rows = SparkEntry.queries("sample_systematic")(spark, sf)
       .orderBy("pos").collect()
