@@ -2158,6 +2158,81 @@ object Analytics {
           (col("tot_n") - col("cum_n")).as("n_after"),
           col("mean_before"), col("mean_after"), col("shift"))
         .orderBy("rank")
+    },
+
+    // Markov removal-effect attribution: the data-driven alternative to
+    // first/last-touch credit — each channel's worth is how much the
+    // 4-step conversion probability DROPS when paths through it die
+    // (the removal-effect formulation practitioners run over
+    // clickstream Markov chains). Transition matrix = events_markov's
+    // rounded probabilities; start distribution = each user's first
+    // event type; conversion = reaching absorbing 'purchase' within 4
+    // transitions, unrolled as 4 joins. The corpus collapses in TWO
+    // aggs (transitions, starts); everything after is O(types² ×
+    // scenarios) ≤ ~125 rows, so the unrolled chain is free at any
+    // scale and scenario fan-out rides one broadcast dim, not 5
+    // separate plans. Every cross-row sum runs in exact decimal over
+    // round(·,12) products — partial-agg order can't move a
+    // probability by an ulp.
+    "events_markov_attribution" -> { (s, d) =>
+      import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("user_id").orderBy("ts", "event_id")
+      val wDenom = W.partitionBy("prev")
+      val ev = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+      val trans = ev
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("cur"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast("double")
+          / sum(col("n")).over(wDenom), 6))
+        .select("prev", "cur", "p").cache()
+      val starts = ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("event_type").as("state"))
+        .agg(count(lit(1)).as("n")).cache()
+      val startsP = starts
+        .crossJoin(broadcast(starts.agg(sum(col("n")).as("tot"))))
+        .select(col("state"),
+          round(col("n").cast("double") / col("tot"), 6).as("sp"))
+      val scenarios = broadcast(Seq(("base", ""), ("no_click", "click"),
+        ("no_view", "view"), ("no_error", "error"),
+        ("no_signup", "signup")).toDF("scenario", "removed"))
+      val states = ev.select(col("event_type").as("state")).distinct()
+      val grid = states.crossJoin(scenarios)
+        .filter(col("state") =!= col("removed")).cache()
+      val strans = trans.crossJoin(scenarios)
+        .filter(col("prev") =!= col("removed")
+          && col("cur") =!= col("removed"))
+        .select("scenario", "prev", "cur", "p").cache()
+      val r0 = grid.select(col("scenario"), col("state"),
+        when(col("state") === "purchase", 1d).otherwise(0d).as("r"))
+      val r4 = (1 to 4).foldLeft(r0) { (r, _) =>
+        val acc = strans
+          .join(r.select(col("scenario"), col("state").as("cur"),
+            col("r")), Seq("scenario", "cur"))
+          .groupBy(col("scenario"), col("prev").as("state"))
+          .agg(sum(expr("CAST(round(p * r, 12) AS DECIMAL(16,12))"))
+            .cast("double").as("acc"))
+        grid.join(acc, Seq("scenario", "state"), "left")
+          .select(col("scenario"), col("state"),
+            when(col("state") === "purchase", 1d)
+              .otherwise(coalesce(col("acc"), lit(0d))).as("r"))
+      }
+      val conv = r4.join(startsP, "state")
+        .groupBy("scenario")
+        .agg(sum(expr("CAST(round(sp * r, 12) AS DECIMAL(16,12))"))
+          .cast("double").as("conversion"))
+      val base = conv.filter(col("scenario") === "base")
+        .select(col("conversion").as("base_conv"))
+      conv.crossJoin(broadcast(base))
+        .select(col("scenario"), col("conversion"),
+          round((col("base_conv") - col("conversion"))
+            / col("base_conv"), 6).as("removal_effect"))
+        .orderBy("scenario")
     }
   )
 
@@ -3629,6 +3704,71 @@ object Analytics {
         |    day AS split_day, cum_n AS n_before, tot_n - cum_n AS n_after,
         |    mean_before, mean_after, shift
         |  FROM g)
-        |SELECT * FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin
+        |SELECT * FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin,
+
+    "events_markov_attribution" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""r$i AS (
+           |  SELECT g.scenario, g.state,
+           |    CASE WHEN g.state = 'purchase' THEN CAST(1 AS DOUBLE)
+           |         ELSE COALESCE(a.acc, CAST(0 AS DOUBLE)) END AS r
+           |  FROM grid g LEFT JOIN (
+           |    SELECT t.scenario, t.prev AS state,
+           |      CAST(sum(CAST(round(t.p * r.r, 12) AS DECIMAL(16,12)))
+           |        AS DOUBLE) AS acc
+           |    FROM strans t JOIN r${i - 1} r
+           |      ON r.scenario = t.scenario AND r.state = t.cur
+           |    GROUP BY 1, 2) a
+           |  ON a.scenario = g.scenario AND a.state = g.state)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |trans AS (
+         |  SELECT prev, cur,
+         |    round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev),
+         |      6) AS p
+         |  FROM (SELECT prev, event_type AS cur, count(*) AS n
+         |        FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2) m),
+         |sn AS (SELECT event_type AS state, count(*) AS n
+         |       FROM seq WHERE rn = 1 GROUP BY 1),
+         |startsp AS (
+         |  SELECT state,
+         |    round(CAST(n AS DOUBLE) / (SELECT sum(n) FROM sn), 6) AS sp
+         |  FROM sn),
+         |scen(scenario, removed) AS (VALUES
+         |  ('base', ''), ('no_click', 'click'), ('no_view', 'view'),
+         |  ('no_error', 'error'), ('no_signup', 'signup')),
+         |states AS (SELECT DISTINCT event_type AS state FROM events),
+         |grid AS (
+         |  SELECT s.scenario, st.state FROM states st CROSS JOIN scen s
+         |  WHERE st.state <> s.removed),
+         |strans AS (
+         |  SELECT s.scenario, t.prev, t.cur, t.p
+         |  FROM trans t CROSS JOIN scen s
+         |  WHERE t.prev <> s.removed AND t.cur <> s.removed),
+         |r0 AS (
+         |  SELECT scenario, state,
+         |    CASE WHEN state = 'purchase' THEN CAST(1 AS DOUBLE)
+         |         ELSE CAST(0 AS DOUBLE) END AS r
+         |  FROM grid),
+         |$rounds,
+         |conv AS (
+         |  SELECT r.scenario,
+         |    CAST(sum(CAST(round(sp.sp * r.r, 12) AS DECIMAL(16,12)))
+         |      AS DOUBLE) AS conversion
+         |  FROM r4 r JOIN startsp sp ON sp.state = r.state GROUP BY 1),
+         |b AS (SELECT conversion AS base_conv FROM conv
+         |      WHERE scenario = 'base')
+         |SELECT scenario, conversion,
+         |  round((base_conv - conversion) / base_conv, 6)
+         |    AS removal_effect
+         |FROM conv CROSS JOIN b ORDER BY scenario""".stripMargin
+    }
   )
 }

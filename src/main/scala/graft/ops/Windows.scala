@@ -390,11 +390,11 @@ object Windows {
           .as("pts"))
         .select(expr("""
           aggregate(
-            slice(pts, 2, size(pts) - 1),
+            slice(pts, 2, greatest(0, size(pts) - 1)),
             array(named_struct(
-              'day', element_at(pts, 1).day,
-              'y', element_at(pts, 1).y,
-              'level', element_at(pts, 1).y,
+              'day', try_element_at(pts, 1).day,
+              'y', try_element_at(pts, 1).y,
+              'level', try_element_at(pts, 1).y,
               'trend', CAST(0.0 AS DOUBLE))),
             (acc, p) -> array_append(acc, named_struct(
               'day', p.day,
@@ -412,6 +412,9 @@ object Windows {
         .select(col("h.day").as("day"), col("h.y").as("revenue"),
           col("h.level").as("level"), col("h.trend").as("trend"),
           (col("h.level") + col("h.trend")).as("forecast_next"))
+        // empty input leaves only the all-null init struct: drop it so
+        // the empty case yields zero rows like the oracle's CTE anchor
+        .filter(col("day").isNotNull)
         .orderBy("day")
     },
 
@@ -487,14 +490,14 @@ object Windows {
         .crossJoin(stats)
         .select(col("sd"), explode(expr("""
           aggregate(
-            slice(pts, 2, size(pts) - 1),
+            slice(pts, 2, greatest(0, size(pts) - 1)),
             array(named_struct(
-              'day', element_at(pts, 1).day,
-              'y', element_at(pts, 1).y,
+              'day', try_element_at(pts, 1).day,
+              'y', try_element_at(pts, 1).y,
               'cpos', greatest(CAST(0.0 AS DOUBLE),
-                element_at(pts, 1).y - mu),
+                try_element_at(pts, 1).y - mu),
               'cneg', greatest(CAST(0.0 AS DOUBLE),
-                mu - element_at(pts, 1).y))),
+                mu - try_element_at(pts, 1).y))),
             (acc, p) -> array_append(acc, named_struct(
               'day', p.day,
               'y', p.y,
@@ -508,6 +511,7 @@ object Windows {
           when(col("h.cpos") > lit(4d) * col("sd"), "up")
             .when(col("h.cneg") > lit(4d) * col("sd"), "down")
             .otherwise("ok").as("alarm"))
+        .filter(col("day").isNotNull) // empty-input init struct guard
         .orderBy("day")
     },
 
@@ -559,6 +563,60 @@ object Windows {
       med.crossJoin(broadcast(intercept))
         .select(col("nd").as("n_days"), col("np").as("n_pairs"),
           col("slope").as("slope_per_day"), col("intercept"))
+    },
+
+    // 1-D Kalman filter (random-walk state + observation noise) over
+    // daily revenue: adaptive-gain smoothing — win_ewma's α is fixed
+    // forever, Kalman's gain k = p/(p+R) follows the state uncertainty
+    // p (high after shocks, low in steady state), which is why trackers
+    // use it over EWMA. Q/R are binary-exact powers of two (2^32, 2^36
+    // — chosen at the series' variance scale) so the predict/update
+    // recursion pp = p+Q; k = pp/(pp+R); l' = l + k·(y−l);
+    // p' = (1−k)·pp is pure IEEE with no literal-parsing skew; it runs
+    // as ONE in-row fold (the win_holt shape) mirroring the
+    // recursive-CTE oracle op-for-op — state stays bit-identical, all
+    // columns emitted unrounded. Init: l₁ = y₁, p₁ = R, gain 1.
+    "win_kalman" -> { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(money(col("o_totalprice"))).cast("decimal(18,2)")
+          .cast("double").as("y"))
+        .agg(sort_array(collect_list(struct(col("day"), col("y"))))
+          .as("pts"))
+        .select(explode(expr("""
+          aggregate(
+            slice(pts, 2, greatest(0, size(pts) - 1)),
+            array(named_struct(
+              'day', try_element_at(pts, 1).day,
+              'y', try_element_at(pts, 1).y,
+              'level', try_element_at(pts, 1).y,
+              'gain', CAST(1.0 AS DOUBLE),
+              'p', CAST(68719476736 AS DOUBLE))),
+            (acc, o) -> array_append(acc, named_struct(
+              'day', o.day,
+              'y', o.y,
+              'level', element_at(acc, -1).level
+                + ((element_at(acc, -1).p + CAST(4294967296 AS DOUBLE))
+                   / ((element_at(acc, -1).p
+                       + CAST(4294967296 AS DOUBLE))
+                      + CAST(68719476736 AS DOUBLE)))
+                  * (o.y - element_at(acc, -1).level),
+              'gain', (element_at(acc, -1).p
+                  + CAST(4294967296 AS DOUBLE))
+                / ((element_at(acc, -1).p + CAST(4294967296 AS DOUBLE))
+                   + CAST(68719476736 AS DOUBLE)),
+              'p', (CAST(1.0 AS DOUBLE)
+                  - (element_at(acc, -1).p + CAST(4294967296 AS DOUBLE))
+                    / ((element_at(acc, -1).p
+                        + CAST(4294967296 AS DOUBLE))
+                       + CAST(68719476736 AS DOUBLE)))
+                * (element_at(acc, -1).p
+                   + CAST(4294967296 AS DOUBLE)))))
+          """)).as("h"))
+        .select(col("h.day").as("day"), col("h.y").as("revenue"),
+          col("h.level").as("level"), col("h.gain").as("gain"))
+        .filter(col("day").isNotNull) // empty-input init struct guard
+        .orderBy("day")
     }
   )
 
@@ -925,6 +983,37 @@ object Windows {
         |SELECT CAST(ic.nd AS BIGINT) AS n_days,
         |  CAST(med.np AS BIGINT) AS n_pairs,
         |  med.slope AS slope_per_day, ic.intercept
-        |FROM med CROSS JOIN ic""".stripMargin
+        |FROM med CROSS JOIN ic""".stripMargin,
+
+    "win_kalman" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS DOUBLE) AS y
+        |  FROM orders GROUP BY 1),
+        |dd AS (
+        |  SELECT day, y, row_number() OVER (ORDER BY day) AS rn
+        |  FROM daily),
+        |h AS (
+        |  SELECT rn, day, y, y AS level, CAST(1.0 AS DOUBLE) AS gain,
+        |    CAST(68719476736 AS DOUBLE) AS p
+        |  FROM dd WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.rn, d.day, d.y,
+        |    h.level + ((h.p + CAST(4294967296 AS DOUBLE))
+        |        / ((h.p + CAST(4294967296 AS DOUBLE))
+        |           + CAST(68719476736 AS DOUBLE)))
+        |      * (d.y - h.level) AS level,
+        |    (h.p + CAST(4294967296 AS DOUBLE))
+        |      / ((h.p + CAST(4294967296 AS DOUBLE))
+        |         + CAST(68719476736 AS DOUBLE)) AS gain,
+        |    (CAST(1.0 AS DOUBLE)
+        |        - (h.p + CAST(4294967296 AS DOUBLE))
+        |          / ((h.p + CAST(4294967296 AS DOUBLE))
+        |             + CAST(68719476736 AS DOUBLE)))
+        |      * (h.p + CAST(4294967296 AS DOUBLE)) AS p
+        |  FROM h JOIN dd d ON d.rn = h.rn + 1)
+        |SELECT day, y AS revenue, level, gain
+        |FROM h ORDER BY day""".stripMargin
   )
 }

@@ -1900,6 +1900,43 @@ class OperatorSpec extends SparkSpec {
     assert(hit * 2 > grid.size, s"grid found true NN for only $hit")
   }
 
+  test("events_markov_attribution removal effects are sane") {
+    val rows = SparkEntry.queries("events_markov_attribution")(spark, sf)
+      .collect().map(r => r.getAs[String]("scenario") -> r).toMap
+    assert(rows.keySet == Set("base", "no_click", "no_view", "no_error",
+      "no_signup"))
+    val base = rows("base").getAs[Double]("conversion")
+    assert(base > 0.0 && base <= 1.0)
+    assert(rows("base").getAs[Double]("removal_effect") == 0.0)
+    rows.foreach { case (scen, r) =>
+      val c = r.getAs[Double]("conversion")
+      assert(c >= 0.0 && c <= 1.0)
+      if (scen != "base") {
+        // removing a channel can only lose paths to purchase
+        assert(c <= base + 1e-9)
+        assert(r.getAs[Double]("removal_effect") >= 0.0)
+      }
+    }
+  }
+
+  test("win_kalman gain stays in (0,1] and settles") {
+    val rows = SparkEntry.queries("win_kalman")(spark, sf)
+      .orderBy("day").collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[Double]("gain") == 1.0)
+    assert(rows.head.getAs[Double]("level") ==
+      rows.head.getAs[Double]("revenue"))
+    rows.tail.foreach { r =>
+      val g = r.getAs[Double]("gain")
+      assert(g > 0.0 && g < 1.0)
+    }
+    // steady-state: gain converges (last two rounds differ negligibly)
+    if (rows.length > 10) {
+      val g = rows.takeRight(2).map(_.getAs[Double]("gain"))
+      assert(math.abs(g(0) - g(1)) < 1e-6)
+    }
+  }
+
   test("sample_systematic strides exactly every 50th position") {
     val rows = SparkEntry.queries("sample_systematic")(spark, sf)
       .orderBy("pos").collect()
