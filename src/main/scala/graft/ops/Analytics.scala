@@ -2233,6 +2233,97 @@ object Analytics {
           round((col("base_conv") - col("conversion"))
             / col("base_conv"), 6).as("removal_effect"))
         .orderBy("scenario")
+    },
+
+    // CUPED variance reduction over the hash-split experiment: adjust
+    // each user's post-period spend by their pre-period spend
+    // (y' = y − θ(x − x̄), θ = cov(x,y)/var(x)) — the experimentation-
+    // platform technique that cuts metric variance by ρ² (so required
+    // sample sizes shrink) without moving the estimand, since
+    // assignment ⊥ pre-period. The corpus collapses to ONE user table;
+    // θ and the variance-reduction ratio come from five exact-decimal
+    // moment sums — var(y') uses the closed form var(y) − cov²/var(x),
+    // so no per-user double is ever re-aggregated — and per-arm
+    // adjusted means run the same mirrored double formula over per-arm
+    // decimal sums. Fully partial-aggregable, one shuffle on user_id.
+    "events_uplift_cuped" -> { (s, d) =>
+      val split = to_timestamp(lit("2024-01-16 00:00:00"))
+      val u = events(s, d).groupBy("user_id")
+        .agg(
+          coalesce(sum(when(col("ts") < split, money(col("value")))),
+            lit(0).cast("decimal(18,2)")).cast("decimal(14,2)").as("x"),
+          coalesce(sum(when(col("ts") >= split, money(col("value")))),
+            lit(0).cast("decimal(18,2)")).cast("decimal(14,2)").as("y"))
+        .withColumn("arm",
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+            "control").otherwise("treatment"))
+        .cache()
+      val g = broadcast(u.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"),
+        sum(expr("y * y")).as("syy")))
+      val arms = u.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x")).as("sxa"), sum(col("y")).as("sya"))
+      arms.crossJoin(g)
+        .withColumn("covn",
+          col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+        .withColumn("varxn",
+          col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+        .withColumn("varyn",
+          col("n").cast("double") * col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double"))
+        .withColumn("theta", col("covn") / col("varxn"))
+        .select(col("arm"), col("n_users"),
+          round(col("sxa").cast("double") / col("n_users"), 6)
+            .as("mean_pre"),
+          round(col("sya").cast("double") / col("n_users"), 6)
+            .as("mean_post"),
+          round(col("sya").cast("double") / col("n_users")
+            - col("theta") * (col("sxa").cast("double") / col("n_users")
+              - col("sx").cast("double") / col("n")), 6)
+            .as("mean_adjusted"),
+          round(col("theta"), 6).as("theta"),
+          round(col("covn") * col("covn")
+            / (col("varxn") * col("varyn")), 6).as("var_reduction"))
+        .orderBy("arm")
+    },
+
+    // a-priori sample-size planner: users per arm needed to detect an
+    // MDE of {1, 2, 5, 10}% of the mean at α=0.05 / 80% power — the
+    // "how long must this test run" table every experimentation review
+    // starts from, n = 2σ²(z_{α/2}+z_β)²/δ². σ² comes from the same
+    // exact-decimal per-user moment sums as CUPED (never re-aggregated
+    // doubles); z quantiles are fixed literals (1.959964, 0.841621),
+    // NOT a libm erf⁻¹ call (not correctly rounded, engine-divergent).
+    // O(1) output from one corpus-collapsing agg.
+    "events_sample_size_power" -> { (s, d) =>
+      val u = events(s, d).groupBy("user_id")
+        .agg(sum(money(col("value"))).cast("decimal(14,2)").as("y"))
+      val g = u.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(expr("y * y")).as("syy"))
+      val mdes = broadcast(g.sparkSession.range(1)
+        .select(explode(lit(Array(1, 2, 5, 10))).as("mde_pct")))
+      g.crossJoin(mdes)
+        .withColumn("mean_y",
+          col("sy").cast("double") / col("n").cast("double"))
+        .withColumn("var_y",
+          (col("n").cast("double") * col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double"))
+            / (col("n").cast("double") * col("n").cast("double")))
+        .withColumn("delta",
+          col("mde_pct").cast("double") / 100d * col("mean_y"))
+        .select(col("mde_pct").cast("long").as("mde_pct"),
+          round(col("mean_y"), 6).as("mean_metric"),
+          round(col("delta"), 6).as("delta"),
+          ceil(lit(2d) * col("var_y")
+            * ((lit(1.959964d) + lit(0.841621d))
+              * (lit(1.959964d) + lit(0.841621d)))
+            / (col("delta") * col("delta"))).cast("long")
+            .as("n_per_arm"))
+        .orderBy("mde_pct")
     }
   )
 
@@ -3769,6 +3860,74 @@ object Analytics {
          |  round((base_conv - conversion) / base_conv, 6)
          |    AS removal_effect
          |FROM conv CROSS JOIN b ORDER BY scenario""".stripMargin
-    }
+    },
+
+    "events_uplift_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(COALESCE(sum(CASE
+        |        WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |        THEN CAST(value AS DECIMAL(18,2)) END),
+        |      CAST(0 AS DECIMAL(18,2))) AS DECIMAL(14,2)) AS x,
+        |    CAST(COALESCE(sum(CASE
+        |        WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |        THEN CAST(value AS DECIMAL(18,2)) END),
+        |      CAST(0 AS DECIMAL(18,2))) AS DECIMAL(14,2)) AS y,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |      < '8' THEN 'control' ELSE 'treatment' END AS arm
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+        |  FROM u),
+        |arms AS (
+        |  SELECT arm, count(*) AS n_users, sum(x) AS sxa, sum(y) AS sya
+        |  FROM u GROUP BY 1),
+        |j AS (
+        |  SELECT arm, n_users, sxa, sya, n, sx, sy,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varxn,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS varyn
+        |  FROM arms CROSS JOIN g)
+        |SELECT arm, n_users,
+        |  round(CAST(sxa AS DOUBLE) / n_users, 6) AS mean_pre,
+        |  round(CAST(sya AS DOUBLE) / n_users, 6) AS mean_post,
+        |  round(CAST(sya AS DOUBLE) / n_users
+        |    - (covn / varxn) * (CAST(sxa AS DOUBLE) / n_users
+        |      - CAST(sx AS DOUBLE) / n), 6) AS mean_adjusted,
+        |  round(covn / varxn, 6) AS theta,
+        |  round(covn * covn / (varxn * varyn), 6) AS var_reduction
+        |FROM j ORDER BY arm""".stripMargin,
+
+    "events_sample_size_power" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(14,2))
+        |      AS y
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT count(*) AS n, sum(y) AS sy, sum(y * y) AS syy FROM u),
+        |m AS (SELECT unnest([1, 2, 5, 10]) AS mde_pct),
+        |j AS (
+        |  SELECT mde_pct,
+        |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+        |    (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_y
+        |  FROM g CROSS JOIN m),
+        |k AS (
+        |  SELECT mde_pct, mean_y, var_y,
+        |    CAST(mde_pct AS DOUBLE) / 100 * mean_y AS delta
+        |  FROM j)
+        |SELECT CAST(mde_pct AS BIGINT) AS mde_pct,
+        |  round(mean_y, 6) AS mean_metric,
+        |  round(delta, 6) AS delta,
+        |  CAST(ceil(2 * var_y
+        |    * ((1.959964 + 0.841621) * (1.959964 + 0.841621))
+        |    / (delta * delta)) AS BIGINT) AS n_per_arm
+        |FROM k ORDER BY mde_pct""".stripMargin
   )
 }

@@ -830,6 +830,54 @@ object Dedup {
         .orderBy("by_minhash", "by_simhash", "by_containment")
     },
 
+    // MinHash-LSH parameter planner: the detection S-curve
+    // P(J) = 1 − (1 − J^r)^b for every power-of-two split of the
+    // 64-hash signature — the banding-choice table read before any
+    // dedup run (steep curve at the operating threshold = sharp
+    // candidate filter; the production 16×4 split is one row of it).
+    // The grid is restricted to power-of-two (b, r) so every power is
+    // REPEATED SQUARING — deterministic IEEE multiplication on both
+    // engines, where libm pow() is not correctly rounded and can
+    // diverge by an ulp. Pure O(95)-row closed-form table, no corpus
+    // scan at all.
+    "dedup_minhash_param_planner" -> { (s, d) =>
+      import s.implicits._
+      val grid = s.range(1)
+        .select(explode(lit((1 to 19).map(_ * 5).toArray)).as("j_pct"))
+        .crossJoin(broadcast(
+          Seq((32, 2), (16, 4), (8, 8), (4, 16), (2, 32))
+            .toDF("bands", "rows_per_band")))
+      grid
+        .withColumn("j", col("j_pct").cast("double") / 100d)
+        .withColumn("s1", col("j") * col("j"))
+        .withColumn("s2", col("s1") * col("s1"))
+        .withColumn("s3", col("s2") * col("s2"))
+        .withColumn("s4", col("s3") * col("s3"))
+        .withColumn("s5", col("s4") * col("s4"))
+        .withColumn("jr",
+          when(col("rows_per_band") === 2, col("s1"))
+            .when(col("rows_per_band") === 4, col("s2"))
+            .when(col("rows_per_band") === 8, col("s3"))
+            .when(col("rows_per_band") === 16, col("s4"))
+            .otherwise(col("s5")))
+        .withColumn("q", lit(1d) - col("jr"))
+        .withColumn("q1", col("q") * col("q"))
+        .withColumn("q2", col("q1") * col("q1"))
+        .withColumn("q3", col("q2") * col("q2"))
+        .withColumn("q4", col("q3") * col("q3"))
+        .withColumn("qb",
+          when(col("bands") === 2, col("q1"))
+            .when(col("bands") === 4, col("q2"))
+            .when(col("bands") === 8, col("q3"))
+            .when(col("bands") === 16, col("q4"))
+            .otherwise(col("q4") * col("q4")))
+        .select(col("bands").cast("long").as("bands"),
+          col("rows_per_band").cast("long").as("rows_per_band"),
+          col("j_pct").cast("long").as("j_pct"),
+          round(lit(1d) - col("qb"), 6).as("p_detect"))
+        .orderBy("bands", "j_pct")
+    },
+
     "dedup_token_sort" -> { (s, d) =>
       val canon = sha2(concat_ws(" ",
         array_sort(filter(split(lower(col("text")), "[^a-z0-9]+"),
@@ -1250,6 +1298,38 @@ object Dedup {
          |  ic = 1 AS by_containment, count(*) AS n_pairs
          |FROM fl GROUP BY 1, 2, 3
          |ORDER BY by_minhash, by_simhash, by_containment""".stripMargin,
+
+    // lateral column aliases keep the squaring chain in ONE select —
+    // the arithmetic order mirrors the Spark withColumn chain exactly
+    "dedup_minhash_param_planner" ->
+      """WITH jg AS (SELECT unnest(generate_series(5, 95, 5)) AS j_pct),
+        |cfg(bands, rows_per_band) AS (VALUES
+        |  (32, 2), (16, 4), (8, 8), (4, 16), (2, 32)),
+        |c AS (
+        |  SELECT bands, rows_per_band, j_pct,
+        |    CAST(j_pct AS DOUBLE) / 100 AS j
+        |  FROM jg CROSS JOIN cfg),
+        |p AS (
+        |  SELECT bands, rows_per_band, j_pct,
+        |    j * j AS s1, s1 * s1 AS s2, s2 * s2 AS s3,
+        |    s3 * s3 AS s4, s4 * s4 AS s5
+        |  FROM c),
+        |q AS (
+        |  SELECT bands, rows_per_band, j_pct,
+        |    1 - (CASE rows_per_band WHEN 2 THEN s1 WHEN 4 THEN s2
+        |         WHEN 8 THEN s3 WHEN 16 THEN s4 ELSE s5 END) AS qq
+        |  FROM p),
+        |qb AS (
+        |  SELECT bands, rows_per_band, j_pct,
+        |    qq * qq AS q1, q1 * q1 AS q2, q2 * q2 AS q3, q3 * q3 AS q4
+        |  FROM q)
+        |SELECT CAST(bands AS BIGINT) AS bands,
+        |  CAST(rows_per_band AS BIGINT) AS rows_per_band,
+        |  CAST(j_pct AS BIGINT) AS j_pct,
+        |  round(1 - (CASE bands WHEN 2 THEN q1 WHEN 4 THEN q2
+        |    WHEN 8 THEN q3 WHEN 16 THEN q4 ELSE q4 * q4 END), 6)
+        |    AS p_detect
+        |FROM qb ORDER BY bands, j_pct""".stripMargin,
 
     "dedup_token_sort" ->
       """WITH c AS (
