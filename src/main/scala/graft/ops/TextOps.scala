@@ -924,6 +924,39 @@ object TextOps {
           round(col("dev") / (col("mad") * 1.4826), 4).as("z_mad"))
         .orderBy(col("z_mad").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // word burstiness (the Church–Gale observation): content words
+    // CLUMP — one occurrence makes more likely — while function words
+    // spread evenly. The Fano factor var/mean of the per-doc count
+    // (zeros included) separates them: ≈1 Poisson-like filler, ≫1
+    // bursty content term — the signal behind stopword lists, keyword
+    // scoring, and repetition-quality filters. One corpus-linear
+    // (word, doc) agg, then exact-integer moments for the df-top-50
+    // words only (everything after the first agg is vocab-sized; the
+    // top-50 cut is TakeOrderedAndProject, no global sort survives).
+    // Mean/var run in mirrored IEEE doubles over those integer sums.
+    "text_burstiness" -> { (s, d) =>
+      val perDoc = toks(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("w"))
+        .groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
+      val nDocs = broadcast(
+        t(s, d, "documents").agg(count(lit(1)).as("n_docs")))
+      perDoc.groupBy("w")
+        .agg(count(lit(1)).as("df"), sum(col("c")).as("tot"),
+          sum(expr("c * c")).as("totsq"))
+        .orderBy(col("df").desc, col("w")).limit(50)
+        .crossJoin(nDocs)
+        .withColumn("mean_c", col("tot").cast("double") / col("n_docs"))
+        .withColumn("var_c",
+          (col("totsq").cast("double")
+            - col("n_docs") * col("mean_c") * col("mean_c"))
+            / col("n_docs"))
+        .select(col("w").as("word"), col("df"),
+          col("tot").as("total_count"),
+          round(col("mean_c"), 6).as("mean_per_doc"),
+          round(col("var_c") / col("mean_c"), 6).as("fano"))
+        .orderBy(col("df").desc, col("word"))
     }
   )
 
@@ -1587,6 +1620,32 @@ object TextOps {
         |SELECT doc_id, n_chars, round(med, 1) AS median_chars,
         |  round(dev / (mad * 1.4826), 4) AS z_mad
         |FROM dv CROSS JOIN md
-        |ORDER BY z_mad DESC, doc_id LIMIT 20""".stripMargin
+        |ORDER BY z_mad DESC, doc_id LIMIT 20""".stripMargin,
+
+    "text_burstiness" ->
+      """WITH pd AS (
+        |  SELECT w, doc_id, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(lower(trim(text)), ' ')) AS w
+        |    FROM documents) z
+        |  GROUP BY 1, 2),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |top AS (
+        |  SELECT w, count(*) AS df, CAST(sum(c) AS BIGINT) AS tot,
+        |    CAST(sum(c * c) AS BIGINT) AS totsq
+        |  FROM pd GROUP BY 1 ORDER BY df DESC, w LIMIT 50),
+        |m AS (
+        |  SELECT w, df, tot, totsq, n_docs,
+        |    CAST(tot AS DOUBLE) / n_docs AS mean_c
+        |  FROM top CROSS JOIN nd),
+        |v AS (
+        |  SELECT w, df, tot, mean_c,
+        |    (CAST(totsq AS DOUBLE) - n_docs * mean_c * mean_c) / n_docs
+        |      AS var_c
+        |  FROM m)
+        |SELECT w AS word, df, tot AS total_count,
+        |  round(mean_c, 6) AS mean_per_doc,
+        |  round(var_c / mean_c, 6) AS fano
+        |FROM v ORDER BY df DESC, word""".stripMargin
   )
 }

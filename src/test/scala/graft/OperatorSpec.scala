@@ -1985,6 +1985,87 @@ class OperatorSpec extends SparkSpec {
     assert(at50(32) > at50(16) && at50(16) > at50(4) && at50(4) > at50(2))
   }
 
+  test("win_mann_kendall verdict is consistent with its own z") {
+    val r = SparkEntry.queries("win_mann_kendall")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val n = row.getAs[Long]("n_days")
+    val sStat = row.getAs[Long]("s_stat")
+    assert(math.abs(sStat) <= n * (n - 1) / 2)
+    assert(row.getAs[Double]("var_s") > 0.0)
+    val z = row.getAs[Double]("z")
+    val expected = if (z > 1.959964) "increasing"
+      else if (z < -1.959964) "decreasing" else "no_trend"
+    assert(row.getAs[String]("trend") == expected)
+  }
+
+  test("events_autocorrelation stays bounded with shrinking overlap") {
+    val rows = SparkEntry.queries("events_autocorrelation")(spark, sf)
+      .orderBy("lag_hours").collect()
+    assert(rows.map(_.getAs[Long]("lag_hours")).toSeq ==
+      Seq(1L, 2L, 3L, 6L, 12L, 24L, 48L, 168L))
+    val pairs = rows.map(_.getAs[Long]("n_pairs"))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a > b })
+    rows.foreach { r =>
+      val a = r.getAs[Double]("acf")
+      assert(a >= -1.0 && a <= 1.0)
+    }
+  }
+
+  test("text_burstiness computes Fano factors over the whole corpus") {
+    val rows = SparkEntry.queries("text_burstiness")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val nDocs = Tables.t(spark, sf, "documents").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df") <= nDocs)
+      assert(r.getAs[Long]("total_count") >= r.getAs[Long]("df"))
+      // near-uniform synthetic vocabulary: Fano stays O(1), never the
+      // pathological >>1 of a real bursty corpus, never negative
+      val f = r.getAs[Double]("fano")
+      assert(f > 0.0 && f < 10.0)
+    }
+  }
+
+  test("agg_winsorized_mean robust means order sensibly") {
+    val rows = SparkEntry.queries("agg_winsorized_mean")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (raw, win, trim) = (r.getAs[Double]("mean_raw"),
+        r.getAs[Double]("mean_winsorized"), r.getAs[Double]("mean_trimmed"))
+      assert(win > 0 && trim > 0 && raw > 0)
+      // clamping/trimming symmetric tails of a near-symmetric
+      // distribution keeps all three in the same ballpark
+      assert(math.abs(win - raw) < 0.2 * raw)
+      assert(math.abs(trim - raw) < 0.2 * raw)
+    }
+  }
+
+  test("supplier_cr4 shares stay in (0,1] and need >=4 suppliers to dip") {
+    val rows = SparkEntry.queries("supplier_cr4")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cr4 = r.getAs[Double]("cr4")
+      assert(cr4 > 0.0 && cr4 <= 1.0 + 1e-9)
+      if (r.getAs[Long]("n_suppliers") <= 4) assert(cr4 > 1.0 - 1e-6)
+    }
+  }
+
+  test("trend_price_volume_bridge effects reconcile to the delta") {
+    val rows = SparkEntry.queries("trend_price_volume_bridge")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Double]("delta")
+      val pe = r.getAs[Double]("price_effect")
+      val ve = r.getAs[Double]("volume_effect")
+      // exact two-factor identity: delta = price + volume effect
+      assert(math.abs(d - (pe + ve)) < 1e-4 * (math.abs(d) + 1))
+      assert(math.abs(d - (r.getAs[Double]("rev_1998")
+        - r.getAs[Double]("rev_1997"))) < 1e-6)
+    }
+  }
+
   test("sample_systematic strides exactly every 50th position") {
     val rows = SparkEntry.queries("sample_systematic")(spark, sf)
       .orderBy("pos").collect()

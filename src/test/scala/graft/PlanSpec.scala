@@ -498,6 +498,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("join_spatial_grid probes cells via a hash join on the cell keys") {
+    val p = plan(SparkEntry.queries("join_spatial_grid")(spark, sf))
+    // the 3x3 neighborhood probe must be an EQUI-join keyed on (cx, cy):
+    // a probe that degenerates to a loop join over the points would be
+    // the O(N * q) disaster the grid exists to avoid. (zInputs' 1-row
+    // stats broadcasts legitimately plan as Cross BNLJ — only the cell
+    // join is pinned here.)
+    assert(p.matches(
+      "(?s).*(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cx#.*"),
+      p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("win_theil_sen medians are aggregates, not global-sort windows") {
+    val p = plan(SparkEntry.queries("win_theil_sen")(spark, sf))
+    // the 3M-pair median must ride the percentile AGGREGATE (partial
+    // merge), not a row_number over one partition of all pairs
+    assert(p.contains("percentile"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("sample_systematic builds its global index without a global window") {
+    val p = plan(SparkEntry.queries("sample_systematic")(spark, sf))
+    // per-bucket ranks are fine (partitionBy bucket); an empty
+    // partitionBy would funnel the corpus through one partition
+    assert(!p.contains("Window [") ||
+      !p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"), p)
+    assert(p.contains("hashpartitioning(bucket"), p)
+  }
+
+  test("agg_moments_skew_kurt partially aggregates its power sums") {
+    val p = plan(SparkEntry.queries("agg_moments_skew_kurt")(spark, sf))
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
