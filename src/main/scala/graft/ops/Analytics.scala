@@ -2372,6 +2372,99 @@ object Analytics {
         .orderBy("lag_hours")
     },
 
+    // next-event prediction eval — the Markov model's TEST set: fit the
+    // argmax-next-type predictor on pre-split transitions (the
+    // sample_time_stratified discipline: fit and eval never share a
+    // row), score top-1 accuracy on post-split transitions per
+    // predicting state. This is the eval loop every sequence model
+    // ships with, in miniature: the corpus collapses to transition
+    // pairs in one per-user window pass, the fitted table is
+    // O(types) and broadcasts, accuracy is integer counting.
+    "events_next_event_eval" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val split = to_timestamp(lit("2024-01-16 00:00:00"))
+      val seq = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next", lead("event_type", 1).over(w))
+        .filter(col("next").isNotNull)
+      val fit = seq.filter(col("ts") < split)
+        .groupBy(col("event_type").as("prev"), col("next"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("prev")
+        .agg(expr("min_by(next, struct(-cnt, next))").as("predicted"))
+      seq.filter(col("ts") >= split)
+        .join(broadcast(fit), col("event_type") === col("prev"))
+        .groupBy("prev", "predicted")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("next") === col("predicted"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("prev"), col("predicted"), col("n_eval"),
+          col("n_correct"),
+          round(col("n_correct").cast("double") / col("n_eval"), 6)
+            .as("accuracy"))
+        .orderBy("prev")
+    },
+
+    // per-feature relevance screen: mutual information (bits) between
+    // "user did event type t" and "user converted" — the model-free
+    // feature ranking a training pipeline runs before spending GPU time
+    // on low-signal columns (correlation misses non-linear relations;
+    // MI doesn't). One user-collapse pass; the 2×2 contingency counts
+    // per type are exact integers and the only doubles are the final
+    // p·log₂ terms (log2 parity with DuckDB is pinned by the
+    // text_entropy precedent), zero cells contributing zero by guard.
+    "events_feature_mi" -> { (s, d) =>
+      val u = events(s, d).groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase"
+            && col("value") >= 180, 1L).otherwise(0L)).as("conv"),
+          collect_set(col("event_type")).as("types"))
+        .cache()
+      val n = broadcast(u.agg(count(lit(1)).as("n"),
+        sum(col("conv")).as("n_conv")))
+      val cells = u
+        .select(col("conv"), explode(lit(Array("click", "view",
+          "signup", "error"))).as("t"),
+          col("types"))
+        .withColumn("has", array_contains(col("types"), col("t")))
+        .groupBy("t")
+        .agg(sum(when(col("has") && col("conv") === 1, 1L)
+          .otherwise(0L)).as("a"),
+          sum(when(col("has") && col("conv") === 0, 1L).otherwise(0L))
+            .as("b"),
+          sum(when(!col("has") && col("conv") === 1, 1L).otherwise(0L))
+            .as("c"),
+          sum(when(!col("has") && col("conv") === 0, 1L).otherwise(0L))
+            .as("d"))
+      def term(cell: org.apache.spark.sql.Column,
+          px: org.apache.spark.sql.Column,
+          py: org.apache.spark.sql.Column,
+          nn: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(cell > 0,
+          cell.cast("double") / nn
+            * log2(cell.cast("double") * nn / (px * py)))
+          .otherwise(lit(0d))
+      cells.crossJoin(n)
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("mi",
+          term(col("a"), (col("a") + col("b")).cast("double"),
+            (col("a") + col("c")).cast("double"), col("nd"))
+            + term(col("b"), (col("a") + col("b")).cast("double"),
+              (col("b") + col("d")).cast("double"), col("nd"))
+            + term(col("c"), (col("c") + col("d")).cast("double"),
+              (col("a") + col("c")).cast("double"), col("nd"))
+            + term(col("d"), (col("c") + col("d")).cast("double"),
+              (col("b") + col("d")).cast("double"), col("nd")))
+        .select(col("t").as("event_type"),
+          (col("a") + col("b")).as("n_users_with"),
+          round(col("mi"), 6).as("mi_bits"),
+          round((col("a").cast("double") / (col("a") + col("b")))
+            / (col("n_conv").cast("double") / col("n")), 6)
+            .as("conversion_lift"))
+        .orderBy("event_type")
+    },
+
     // CR4 concentration per part type — the antitrust/sourcing-risk
     // ratio regulators and procurement both quote (supplier_hhi is the
     // squared-share integral; CR4 is the "top four own X%" headline):
@@ -4081,6 +4174,80 @@ object Analytics {
         |    / (CAST(s2 AS DOUBLE)
         |      - CAST(n AS DOUBLE) * ybar * ybar), 6) AS acf
         |FROM j ORDER BY lag_hours""".stripMargin,
+
+    "events_next_event_eval" ->
+      """WITH seq AS (
+        |  SELECT user_id, ts, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next
+        |  FROM events),
+        |tr AS (SELECT * FROM seq WHERE next IS NOT NULL),
+        |fitc AS (
+        |  SELECT event_type AS prev, next, count(*) AS cnt
+        |  FROM tr WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        |  GROUP BY 1, 2),
+        |fit AS (
+        |  SELECT prev, next AS predicted FROM (
+        |    SELECT prev, next, row_number() OVER (PARTITION BY prev
+        |      ORDER BY cnt DESC, next) AS rn
+        |    FROM fitc) z WHERE rn = 1)
+        |SELECT f.prev, f.predicted, count(*) AS n_eval,
+        |  CAST(sum(CASE WHEN t.next = f.predicted THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  round(CAST(sum(CASE WHEN t.next = f.predicted THEN 1 ELSE 0
+        |    END) AS DOUBLE) / count(*), 6) AS accuracy
+        |FROM tr t JOIN fit f ON f.prev = t.event_type
+        |WHERE t.ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |GROUP BY 1, 2 ORDER BY f.prev""".stripMargin,
+
+    "events_feature_mi" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value >= 180
+        |      THEN 1 ELSE 0 END) AS conv,
+        |    list(DISTINCT event_type) AS types
+        |  FROM events GROUP BY 1),
+        |nn AS (SELECT count(*) AS n,
+        |       CAST(sum(conv) AS BIGINT) AS n_conv FROM u),
+        |cells AS (
+        |  SELECT t,
+        |    CAST(sum(CASE WHEN has AND conv = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN has AND conv = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT has AND conv = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT has AND conv = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM (
+        |    SELECT conv, tt.t, list_contains(types, tt.t) AS has
+        |    FROM u CROSS JOIN (SELECT unnest(
+        |      ['click', 'view', 'signup', 'error']) AS t) tt) z
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT t, a, b, c, d, CAST(n AS DOUBLE) AS nd, n, n_conv
+        |  FROM cells CROSS JOIN nn)
+        |SELECT t AS event_type, a + b AS n_users_with,
+        |  round(
+        |    (CASE WHEN a > 0 THEN CAST(a AS DOUBLE) / nd
+        |      * log2(CAST(a AS DOUBLE) * nd
+        |        / (CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)))
+        |      ELSE CAST(0 AS DOUBLE) END)
+        |    + (CASE WHEN b > 0 THEN CAST(b AS DOUBLE) / nd
+        |      * log2(CAST(b AS DOUBLE) * nd
+        |        / (CAST(a + b AS DOUBLE) * CAST(b + d AS DOUBLE)))
+        |      ELSE CAST(0 AS DOUBLE) END)
+        |    + (CASE WHEN c > 0 THEN CAST(c AS DOUBLE) / nd
+        |      * log2(CAST(c AS DOUBLE) * nd
+        |        / (CAST(c + d AS DOUBLE) * CAST(a + c AS DOUBLE)))
+        |      ELSE CAST(0 AS DOUBLE) END)
+        |    + (CASE WHEN d > 0 THEN CAST(d AS DOUBLE) / nd
+        |      * log2(CAST(d AS DOUBLE) * nd
+        |        / (CAST(c + d AS DOUBLE) * CAST(b + d AS DOUBLE)))
+        |      ELSE CAST(0 AS DOUBLE) END), 6) AS mi_bits,
+        |  round((CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
+        |    / (CAST(n_conv AS DOUBLE) / n), 6) AS conversion_lift
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "supplier_cr4" -> {
       val rev = s"sum(${sql.discPrice("l_extendedprice", "l_discount")})"

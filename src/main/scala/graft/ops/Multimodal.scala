@@ -287,6 +287,44 @@ object Multimodal {
         .withColumn("n_same_hash", count(lit(1)).over(wh))
         .select(col("doc_id"), col("phash"), col("n_same_hash"))
         .orderBy("doc_id")
+    },
+
+    // 2-D tile decomposition: treat the payload as a 16-byte-wide
+    // raster and cut 4×4-byte tiles — the image-patch access pattern
+    // (ViT-style patching, tile-level dedup, progressive loading) as a
+    // pure projection + stepped generator: per tile one digest and one
+    // integer energy sum, no shuffle until the final order. Tile (r,c)
+    // gathers four 4-byte row slices by offset arithmetic — the same
+    // byte-slicing contract as multimodal_framesample (ASCII fixture:
+    // byte offsets == char offsets on the oracle side). Partial tiles
+    // at the bottom edge are dropped (fixed-grid semantics).
+    "multimodal_image_tiles" -> { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("n", octet_length(col("text")))
+        .withColumn("trows", expr("CAST((n DIV 16) DIV 4 AS INT)"))
+        .filter(col("trows") >= 1)
+        .select(col("doc_id"), col("text"),
+          explode(expr(
+            """flatten(transform(sequence(0, trows - 1), tr ->
+              |  transform(sequence(0, 3), tc ->
+              |    struct(tr AS tr, tc AS tc))))""".stripMargin))
+            .as("tl"))
+        .withColumn("tile", expr(
+          """concat(
+            |  substring(text, (tl.tr * 4 + 0) * 16 + tl.tc * 4 + 1, 4),
+            |  substring(text, (tl.tr * 4 + 1) * 16 + tl.tc * 4 + 1, 4),
+            |  substring(text, (tl.tr * 4 + 2) * 16 + tl.tc * 4 + 1, 4),
+            |  substring(text, (tl.tr * 4 + 3) * 16 + tl.tc * 4 + 1, 4))"""
+            .stripMargin))
+        .select(col("doc_id"), col("tl.tr").cast("long").as("tile_row"),
+          col("tl.tc").cast("long").as("tile_col"),
+          md5(col("tile").cast("binary")).as("digest"),
+          expr("""aggregate(
+            |  transform(sequence(1, 16),
+            |    i -> CAST(ascii(substring(tile, i, 1)) AS BIGINT)),
+            |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
+            .as("energy"))
+        .orderBy("doc_id", "tile_row", "tile_col")
     }
   )
 
@@ -426,6 +464,37 @@ object Multimodal {
         |  FROM s)
         |SELECT doc_id, phash,
         |  count(*) OVER (PARTITION BY phash) AS n_same_hash
-        |FROM ph ORDER BY doc_id""".stripMargin
+        |FROM ph ORDER BY doc_id""".stripMargin,
+
+    "multimodal_image_tiles" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST((octet_length(encode(text)) // 16) // 4 AS INT)
+        |      AS trows
+        |  FROM documents
+        |  WHERE CAST((octet_length(encode(text)) // 16) // 4 AS INT)
+        |    >= 1),
+        |g AS (
+        |  SELECT doc_id, text, tr.v AS tr, tc.v AS tc
+        |  FROM d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 1000)) AS v) tr
+        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS v) tc
+        |  WHERE tr.v < trows),
+        |tl AS (
+        |  SELECT doc_id, tr, tc,
+        |    substring(text, CAST((tr * 4 + 0) * 16 + tc * 4 + 1 AS INT),
+        |      4)
+        |    || substring(text,
+        |      CAST((tr * 4 + 1) * 16 + tc * 4 + 1 AS INT), 4)
+        |    || substring(text,
+        |      CAST((tr * 4 + 2) * 16 + tc * 4 + 1 AS INT), 4)
+        |    || substring(text,
+        |      CAST((tr * 4 + 3) * 16 + tc * 4 + 1 AS INT), 4) AS tile
+        |  FROM g)
+        |SELECT doc_id, CAST(tr AS BIGINT) AS tile_row,
+        |  CAST(tc AS BIGINT) AS tile_col, md5(tile) AS digest,
+        |  CAST(list_sum(list_transform(generate_series(1, 16),
+        |    i -> ascii(substring(tile, i, 1)))) AS BIGINT) AS energy
+        |FROM tl ORDER BY doc_id, tile_row, tile_col""".stripMargin
   )
 }

@@ -79,6 +79,21 @@ object SqlOps {
     // SQL-standard UNPIVOT (wide metrics -> long (metric, val) rows) —
     // both engines parse the identical clause; every metric is cast to
     // DOUBLE pre-unpivot so the stacked value column has one type
+    // the ANSI aggregate FILTER clause — conditional aggregation without
+    // the CASE-WHEN contortion, parsed identically by both engines;
+    // empty filtered groups yield NULL sums on both (pinned by the hash)
+    "sql_filter_clause" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_orders,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+        |    AS finished_value,
+        |  count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000)
+        |    AS n_big_customers
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "sql_unpivot" ->
       """WITH m AS (
         |  SELECT o_orderstatus,

@@ -208,7 +208,47 @@ object StreamTwin {
         .agg(count(lit(1)).as("cnt"),
           countDistinct(col("user_id")).as("n_users"))
         .select(col("window.start").as("wstart"), col("cnt"), col("n_users"))
-        .orderBy("wstart"))
+        .orderBy("wstart")),
+
+    // out-of-orderness audit — the table a stream owner reads to SET
+    // the watermark delay (`withWatermark` too tight drops data, too
+    // loose bloats state; this measures the actual lateness tail).
+    // Arrival order = event_id (the ingest sequence); per user the
+    // event-time regression vs the running max is the lateness, rolled
+    // into minute buckets with the cumulative share — "p99 of late
+    // events are within N minutes" reads straight off the table.
+    // Per-user windows only (the watermark state key), one shuffle; the
+    // histogram is O(max lateness in minutes).
+    "stream_lateness_audit" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val wc = org.apache.spark.sql.expressions.Window
+        .orderBy("late_min")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_max", max(col("us")).over(w))
+        .filter(col("prev_max").isNotNull)
+        .withColumn("late_min",
+          (greatest(lit(0L), col("prev_max") - col("us"))
+            / 60000000L).cast("long"))
+        .groupBy("late_min")
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("cum", sum(col("n_events")).over(wc))
+        .crossJoin(broadcast(events(s, d)
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("user_id").orderBy("event_id")))
+          .filter(col("rn") > 1)
+          .agg(count(lit(1)).as("tot"))))
+        .select(col("late_min"), col("n_events"),
+          round(col("cum").cast("double") / col("tot"), 6)
+            .as("cum_share"))
+        .orderBy("late_min")
+    }
   )
 
   def oracle: Map[String, String] = Map(
@@ -360,6 +400,27 @@ object StreamTwin {
         |SELECT count(v.t_view) AS n_view, count(t_click) AS n_click,
         |  count(t_purchase) AS n_purchase
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
-        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+
+    "stream_lateness_audit" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    max(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_max
+        |  FROM events),
+        |l AS (
+        |  SELECT CAST(greatest(0, prev_max - us) // 60000000 AS BIGINT)
+        |    AS late_min
+        |  FROM seq WHERE prev_max IS NOT NULL),
+        |h AS (
+        |  SELECT late_min, count(*) AS n_events FROM l GROUP BY 1),
+        |t AS (SELECT count(*) AS tot FROM l)
+        |SELECT late_min, n_events,
+        |  round(CAST(sum(n_events) OVER (ORDER BY late_min
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / tot, 6) AS cum_share
+        |FROM h CROSS JOIN t ORDER BY late_min""".stripMargin
   )
 }

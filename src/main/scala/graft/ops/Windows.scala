@@ -556,6 +556,35 @@ object Windows {
           col("slope").as("slope_per_day"), col("intercept"))
     },
 
+    // the BI delta table every weekly business review opens with:
+    // weekly revenue with week-over-week AND year-over-year (52-week
+    // lag) percentage change side by side — WoW reads momentum, YoY
+    // reads through seasonality, and disagreement between them is the
+    // signal (WoW down + YoY up = a seasonal dip, not a problem).
+    // Orders collapse to O(#weeks) in one exact-decimal keyed agg
+    // (ISO-Monday date_trunc on both engines); the fixture calendar is
+    // gapless so ROW lags are week lags; ratios are mirrored IEEE
+    // divisions over exact-decimal-cast sums, null until the lag
+    // exists.
+    "win_wow_yoy" -> { (s, d) =>
+      val w = Window.orderBy("week")
+      t(s, d, "orders")
+        .groupBy(to_date(date_trunc("week", col("o_orderdate")))
+          .as("week"))
+        .agg(sum(money(col("o_totalprice"))).cast("decimal(18,2)")
+          .as("rev"))
+        .withColumn("prev_w", lag(col("rev"), 1).over(w))
+        .withColumn("prev_y", lag(col("rev"), 52).over(w))
+        .select(col("week"), col("rev").cast("double").as("revenue"),
+          round((col("rev").cast("double")
+            - col("prev_w").cast("double"))
+            / col("prev_w").cast("double") * 100d, 6).as("wow_pct"),
+          round((col("rev").cast("double")
+            - col("prev_y").cast("double"))
+            / col("prev_y").cast("double") * 100d, 6).as("yoy_pct"))
+        .orderBy("week")
+    },
+
     // Mann–Kendall trend test on daily revenue — Theil–Sen's canonical
     // companion: S = Σ sign(y_j − y_i) over ordered pairs is a pure
     // INTEGER statistic (no magnitudes, so one outlier day moves S by
@@ -1009,6 +1038,24 @@ object Windows {
         |  CAST(med.np AS BIGINT) AS n_pairs,
         |  med.slope AS slope_per_day, ic.intercept
         |FROM med CROSS JOIN ic CROSS JOIN nd""".stripMargin,
+
+    "win_wow_yoy" ->
+      """WITH weekly AS (
+        |  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS rev
+        |  FROM orders GROUP BY 1),
+        |l AS (
+        |  SELECT week, rev,
+        |    lag(rev, 1) OVER (ORDER BY week) AS prev_w,
+        |    lag(rev, 52) OVER (ORDER BY week) AS prev_y
+        |  FROM weekly)
+        |SELECT week, CAST(rev AS DOUBLE) AS revenue,
+        |  round((CAST(rev AS DOUBLE) - CAST(prev_w AS DOUBLE))
+        |    / CAST(prev_w AS DOUBLE) * 100, 6) AS wow_pct,
+        |  round((CAST(rev AS DOUBLE) - CAST(prev_y AS DOUBLE))
+        |    / CAST(prev_y AS DOUBLE) * 100, 6) AS yoy_pct
+        |FROM l ORDER BY week""".stripMargin,
 
     "win_mann_kendall" ->
       """WITH daily AS (

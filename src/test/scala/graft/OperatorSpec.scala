@@ -2066,6 +2066,84 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("stream_lateness_audit cumulative share reaches exactly 1") {
+    val rows = SparkEntry.queries("stream_lateness_audit")(spark, sf)
+      .orderBy("late_min").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("late_min") >= 0L)
+      assert(r.getAs[Long]("n_events") > 0L)
+    }
+    val shares = rows.map(_.getAs[Double]("cum_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a < b })
+    assert(math.abs(shares.last - 1.0) < 1e-9)
+    // the fixture stream is (by generator construction) near-in-order:
+    // the p50 lateness must sit in the 0-minute bucket
+    assert(rows.head.getAs[Long]("late_min") == 0L &&
+      shares.head > 0.5)
+  }
+
+  test("multimodal_image_tiles covers full tiles exactly once") {
+    val rows = SparkEntry.queries("multimodal_image_tiles")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.values.foreach { tiles =>
+      val cols = tiles.map(_.getAs[Long]("tile_col")).distinct.sorted
+      assert(cols.toSeq == Seq(0L, 1L, 2L, 3L)) // full 4-wide grid
+      val n = tiles.length
+      assert(n % 4 == 0)
+      tiles.foreach { t =>
+        val e = t.getAs[Long]("energy")
+        assert(e >= 16L * 32 && e <= 16L * 127) // 16 printable bytes
+        assert(t.getAs[String]("digest").length == 32)
+      }
+    }
+  }
+
+  test("sql_filter_clause filtered aggregates bound the plain ones") {
+    val rows = SparkEntry.queries("sql_filter_clause")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_finished") <= r.getAs[Long]("n_orders"))
+    }
+  }
+
+  test("events_next_event_eval accuracy beats nothing and is bounded") {
+    val rows = SparkEntry.queries("events_next_event_eval")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_eval"))
+      assert(r.getAs[String]("predicted").nonEmpty)
+    }
+  }
+
+  test("events_feature_mi is non-negative and lift centers near 1") {
+    val rows = SparkEntry.queries("events_feature_mi")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[String]("event_type")).sorted.toSeq ==
+      Seq("click", "error", "signup", "view"))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mi_bits") >= -1e-12) // MI >= 0 by theory
+      val lift = r.getAs[Double]("conversion_lift")
+      assert(lift > 0.0 && lift < 5.0)
+    }
+  }
+
+  test("win_wow_yoy lags populate exactly when history exists") {
+    val rows = SparkEntry.queries("win_wow_yoy")(spark, sf)
+      .orderBy("week").collect()
+    assert(rows.length > 53)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("wow_pct")))
+    assert(rows(51).isNullAt(rows(51).fieldIndex("yoy_pct")))
+    assert(!rows(52).isNullAt(rows(52).fieldIndex("yoy_pct")))
+    rows.tail.foreach(r => assert(!r.isNullAt(r.fieldIndex("wow_pct"))))
+  }
+
   test("sample_systematic strides exactly every 50th position") {
     val rows = SparkEntry.queries("sample_systematic")(spark, sf)
       .orderBy("pos").collect()
