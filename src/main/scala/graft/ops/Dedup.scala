@@ -878,6 +878,38 @@ object Dedup {
         .orderBy("bands", "j_pct")
     },
 
+    // dedup survivorship by source — the "who loses data" report read
+    // before a dedup run ships: per source the docs and tokens that a
+    // connected-component collapse would remove (non-keeper members of
+    // near-dup clusters). Sources are not interchangeable — a crawl
+    // source losing 40% of its tokens changes the corpus mix — so this
+    // table gates the run next to dedup_cluster_stats' size histogram.
+    // Rides the memoized CC labels (docs outside the pair graph are
+    // singleton keepers via the left join); one keyed rollup after.
+    "corpus_dedup_survivorship" -> { (s, d) =>
+      val labels = connectedLabels(s, d)
+        .select(col("id").as("doc_id"), col("label"))
+      t(s, d, "documents")
+        .withColumn("n_tokens",
+          size(split(lower(trim(col("text"))), " ")).cast("long"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("removed",
+          col("label").isNotNull && col("label") =!= col("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+          sum(col("n_tokens")).as("tokens_total"),
+          sum(when(col("removed"), col("n_tokens")).otherwise(0L))
+            .as("tokens_removed"))
+        .select(col("source"), col("n_docs"),
+          col("n_removed"),
+          (col("n_docs") - col("n_removed")).as("n_kept"),
+          col("tokens_total"), col("tokens_removed"),
+          round(col("tokens_removed").cast("double")
+            / col("tokens_total"), 6).as("token_loss_share"))
+        .orderBy("source")
+    },
+
     "dedup_token_sort" -> { (s, d) =>
       val canon = sha2(concat_ws(" ",
         array_sort(filter(split(lower(col("text")), "[^a-z0-9]+"),
@@ -1158,6 +1190,39 @@ object Dedup {
          |  WHERE e.v <> r.u)
          |SELECT u AS doc_id, least(u, min(v)) AS keeper
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    "corpus_dedup_survivorship" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |  UNION ALL
+         |  SELECT doc_b AS u, doc_a AS v FROM jpairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |  WHERE e.v <> r.u),
+         |lbl AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS label
+         |  FROM reach GROUP BY u),
+         |dt AS (
+         |  SELECT d.doc_id, d.source,
+         |    CAST(len(string_split(lower(trim(d.text)), ' '))
+         |      AS BIGINT) AS n_tokens,
+         |    (l.label IS NOT NULL AND l.label <> d.doc_id) AS removed
+         |  FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_removed,
+         |  count(*) - CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+         |  CAST(sum(CASE WHEN removed THEN n_tokens ELSE 0 END)
+         |    AS BIGINT) AS tokens_removed,
+         |  round(CAST(sum(CASE WHEN removed THEN n_tokens ELSE 0 END)
+         |    AS DOUBLE) / CAST(sum(n_tokens) AS BIGINT), 6)
+         |    AS token_loss_share
+         |FROM dt GROUP BY source ORDER BY source""".stripMargin,
 
     // unthresholded pair stats -> exact-Jaccard bins, same kernel as the
     // threshold sweep

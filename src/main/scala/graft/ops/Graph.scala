@@ -527,6 +527,45 @@ object Graph {
         .withColumn("rnk", row_number().over(w).cast("long"))
         .select("kind", "rnk", "node", "score", "share_ppm")
         .orderBy("kind", "rnk")
+    },
+
+    // degree-distribution power-law fit: log-log OLS over the degree
+    // histogram — the scale-free-ness read (α ≈ 2–3 on real entity
+    // graphs) that decides whether hub-aware plans (salting, hub caps)
+    // are needed before the graph ops run at full size. The corpus
+    // collapses to the O(#distinct degrees) histogram via the cached
+    // node table; ln values are round(·,9)-decimalized before ANY
+    // cross-row sum (the adamic_adar ln discipline — engine libm ln
+    // agrees well inside 9 decimals, and decimal sums make merge order
+    // irrelevant), products re-rounded the same way; the closed-form
+    // slope runs in mirrored doubles at the end.
+    "graph_powerlaw_fit" -> { (s, d) =>
+      val pts = nodeTable(s, d).groupBy("deg")
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          expr("CAST(round(ln(CAST(deg AS DOUBLE)), 9)" +
+            " AS DECIMAL(20,9))").as("x"),
+          expr("CAST(round(ln(CAST(cnt AS DOUBLE)), 9)" +
+            " AS DECIMAL(20,9))").as("y"))
+        .withColumn("xd", col("x").cast("double"))
+        .withColumn("yd", col("y").cast("double"))
+      pts.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("CAST(round(xd * yd, 9) AS DECIMAL(20,9))"))
+            .as("sxy"),
+          sum(expr("CAST(round(xd * xd, 9) AS DECIMAL(20,9))"))
+            .as("sxx"))
+        .withColumn("slope",
+          (col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / (col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")))
+        .select(col("n").as("n_degrees"),
+          round(col("slope"), 6).as("slope"),
+          round(-col("slope"), 6).as("alpha"),
+          round((col("sy").cast("double")
+            - col("slope") * col("sx").cast("double"))
+            / col("n").cast("double"), 6).as("intercept"))
     }
   )
 
@@ -917,6 +956,44 @@ object Graph {
          |  FROM u)
          |SELECT kind, rnk, node, score, share_ppm FROM r
          |WHERE rnk <= 25 ORDER BY kind, rnk""".stripMargin
-    }
+    },
+
+    "graph_powerlaw_fit" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS sp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (
+         |  SELECT c AS src, sp AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT sp AS src, c AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |hist AS (SELECT deg, count(*) AS cnt FROM deg GROUP BY 1),
+         |pts AS (
+         |  SELECT
+         |    CAST(round(ln(CAST(deg AS DOUBLE)), 9) AS DECIMAL(20,9))
+         |      AS x,
+         |    CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(20,9))
+         |      AS y
+         |  FROM hist),
+         |pd AS (
+         |  SELECT x, y, CAST(x AS DOUBLE) AS xd, CAST(y AS DOUBLE) AS yd
+         |  FROM pts),
+         |m AS (
+         |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |    sum(CAST(round(xd * yd, 9) AS DECIMAL(20,9))) AS sxy,
+         |    sum(CAST(round(xd * xd, 9) AS DECIMAL(20,9))) AS sxx
+         |  FROM pd),
+         |sl AS (
+         |  SELECT n, sx, sy,
+         |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+         |  FROM m)
+         |SELECT CAST(n AS BIGINT) AS n_degrees,
+         |  round(slope, 6) AS slope, round(-slope, 6) AS alpha,
+         |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+         |    / CAST(n AS DOUBLE), 6) AS intercept
+         |FROM sl""".stripMargin
   )
 }

@@ -595,6 +595,46 @@ object Lakehouse {
         .orderBy("zval", "o_orderkey")
         .limit(2000)),
 
+    // incremental-refresh planner: map the CDC change set onto the
+    // downstream table's partition grid (order month) and decide per
+    // partition whether to MERGE (few changed rows dribble in) or
+    // REBUILD (changes exceed 10% of the partition — rewriting wins
+    // over per-row merges) — the little planner every incremental
+    // materialization runs before touching storage. Inputs are the
+    // SAME synthetic change feed `cdc_apply`/`snapshot_diff` use
+    // (single definition, can't drift); everything after the one
+    // changed-keys join is O(#months): counts, a threshold CASE, and
+    // the estimated rewrite volume the scheduler budgets against.
+    // Inserted keys (no month yet) plan into their own 'new-partition'
+    // append row.
+    "lakehouse_incremental_plan" -> { (s, d) =>
+      val base = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice")
+      val months = t(s, d, "orders")
+        .select(to_date(date_trunc("month", col("o_orderdate")))
+          .as("month"), col("o_orderkey"))
+      val changed = changes(base).select(col("o_orderkey"))
+      val perMonth = months.groupBy("month")
+        .agg(count(lit(1)).as("n_rows"))
+      val hits = changed.join(months, Seq("o_orderkey"), "left")
+        .groupBy(coalesce(col("month"),
+          lit("9999-01-01").cast("date")).as("month"))
+        .agg(count(lit(1)).as("n_changed"))
+      hits.join(perMonth, Seq("month"), "left")
+        .select(col("month"), col("n_changed"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+          when(col("n_rows").isNull, "append_new_partition")
+            .when(col("n_changed").cast("double")
+              > col("n_rows").cast("double") * 0.1, "rebuild")
+            .otherwise("merge").as("action"),
+          when(col("n_rows").isNotNull
+              && col("n_changed").cast("double")
+                > col("n_rows").cast("double") * 0.1, col("n_rows"))
+            .otherwise(col("n_changed")).as("rows_to_write"))
+        .orderBy("month")
+    },
+
     // clustering-depth audit: the metadata-level proof that Z-ordering
     // tightens zone maps, read the way OPTIMIZE reports it. Both
     // candidate layouts assign rows to 16 "files" by RANGE-chunking
@@ -980,6 +1020,38 @@ object Lakehouse {
          |  FROM b CROSS JOIN st)
          |SELECT o_orderkey, ck, dy, $mortonDuck AS zval
          |FROM z ORDER BY zval, o_orderkey LIMIT 2000""".stripMargin,
+
+    // the change feed is restated inline (updates: every 7th key;
+    // inserts: every 97th key offset by 10M) — the same definition the
+    // cdc_apply/snapshot_diff oracles use
+    "lakehouse_incremental_plan" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 FROM orders
+        |  WHERE o_orderkey % 97 = 0),
+        |mo AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+        |    AS month, o_orderkey
+        |  FROM orders),
+        |pm AS (SELECT month, count(*) AS n_rows FROM mo GROUP BY 1),
+        |h AS (
+        |  SELECT COALESCE(mo.month, DATE '9999-01-01') AS month,
+        |    count(*) AS n_changed
+        |  FROM ch LEFT JOIN mo ON mo.o_orderkey = ch.o_orderkey
+        |  GROUP BY 1)
+        |SELECT h.month, h.n_changed,
+        |  COALESCE(pm.n_rows, 0) AS n_rows,
+        |  CASE WHEN pm.n_rows IS NULL THEN 'append_new_partition'
+        |       WHEN CAST(h.n_changed AS DOUBLE)
+        |         > CAST(pm.n_rows AS DOUBLE) * 0.1 THEN 'rebuild'
+        |       ELSE 'merge' END AS action,
+        |  CASE WHEN pm.n_rows IS NOT NULL
+        |      AND CAST(h.n_changed AS DOUBLE)
+        |        > CAST(pm.n_rows AS DOUBLE) * 0.1 THEN pm.n_rows
+        |    ELSE h.n_changed END AS rows_to_write
+        |FROM h LEFT JOIN pm ON pm.month = h.month
+        |ORDER BY h.month""".stripMargin,
 
     "lakehouse_clustering_depth" ->
       s"""WITH b AS (

@@ -2144,6 +2144,52 @@ class OperatorSpec extends SparkSpec {
     rows.tail.foreach(r => assert(!r.isNullAt(r.fieldIndex("wow_pct"))))
   }
 
+  test("lakehouse_incremental_plan actions match their own thresholds") {
+    val rows = SparkEntry.queries("lakehouse_incremental_plan")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    var sawAppend = false
+    rows.foreach { r =>
+      val (ch, n) = (r.getAs[Long]("n_changed"), r.getAs[Long]("n_rows"))
+      val action = r.getAs[String]("action")
+      val expected =
+        if (n == 0L) "append_new_partition"
+        else if (ch.toDouble > n.toDouble * 0.1) "rebuild" else "merge"
+      assert(action == expected, s"$action vs $expected ($ch/$n)")
+      val w = r.getAs[Long]("rows_to_write")
+      assert(w == (if (action == "rebuild") n else ch))
+      if (action == "append_new_partition") sawAppend = true
+    }
+    assert(sawAppend) // the insert feed always creates new keys
+  }
+
+  test("graph_powerlaw_fit recovers a negative log-log slope") {
+    val r = SparkEntry.queries("graph_powerlaw_fit")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_degrees") >= 3)
+    assert(row.getAs[Double]("alpha") == -row.getAs[Double]("slope"))
+    assert(!row.getAs[Double]("intercept").isNaN)
+  }
+
+  test("corpus_dedup_survivorship accounting closes per source") {
+    val rows = SparkEntry.queries("corpus_dedup_survivorship")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val total = Tables.t(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed") ==
+        r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("tokens_removed") <=
+        r.getAs[Long]("tokens_total"))
+      val share = r.getAs[Double]("token_loss_share")
+      assert(share >= 0.0 && share < 1.0)
+    }
+    // the fixture plants near-dup clusters: something must be removable
+    assert(rows.map(_.getAs[Long]("n_removed")).sum > 0)
+  }
+
   test("sample_systematic strides exactly every 50th position") {
     val rows = SparkEntry.queries("sample_systematic")(spark, sf)
       .orderBy("pos").collect()
