@@ -575,6 +575,47 @@ object Aggregates {
             / (col("n") - col("n_low") - col("n_high")), 6)
             .as("mean_trimmed"))
         .orderBy("o_orderpriority")
+    },
+
+    // Benford first-digit audit on order totals — the forensic screen
+    // auditors run on financial columns (fabricated or range-capped
+    // amounts flunk it; a synthetic bounded-range total SHOULD flunk,
+    // and the table says so with a χ² that both engines reproduce
+    // bit-for-bit). Expected shares are the nine log₁₀(1+1/d) values
+    // as LITERALS — never a runtime log call — and the χ² fold is a
+    // decimal sum of round(·,9) per-digit terms (cross-row double sums
+    // are the one thing this file never does). First digit comes off
+    // the exact DECIMAL's string form, identical on both engines.
+    "agg_benford_audit" -> { (s, d) =>
+      val expArr = "array(0.301029995663981, 0.176091259055681," +
+        " 0.124938736608299, 0.096910013008056, 0.079181246047625," +
+        " 0.066946789630613, 0.057991946977687, 0.051152522447381," +
+        " 0.045757490560675)"
+      val wAll = org.apache.spark.sql.expressions.Window.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select(expr("CAST(substring(CAST(CAST(o_totalprice" +
+          " AS DECIMAL(18,2)) AS STRING), 1, 1) AS INT)").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        .withColumn("n", sum(col("n_obs")).over(wAll))
+        .withColumn("exp_share",
+          expr(s"element_at($expArr, digit)"))
+        .withColumn("term", expr(
+          """CAST(round(
+            |  (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * exp_share)
+            |  * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * exp_share)
+            |  / (CAST(n AS DOUBLE) * exp_share), 9)
+            |AS DECIMAL(20,9))""".stripMargin))
+        .withColumn("chi2",
+          sum(col("term")).over(wAll).cast("double"))
+        .select(col("digit").cast("long").as("digit"), col("n_obs"),
+          round(col("n_obs").cast("double") / col("n"), 6)
+            .as("obs_share"),
+          round(col("exp_share"), 6).as("exp_share"),
+          round(col("chi2"), 4).as("chi2"),
+          (col("chi2") < 15.507).as("benford_pass"))
+        .orderBy("digit")
     }
   )
 
@@ -956,6 +997,36 @@ object Aggregates {
         |    + CAST(n_high AS DOUBLE) * p95) / n, 6) AS mean_winsorized,
         |  round(CAST(s_mid AS DOUBLE) / (n - n_low - n_high), 6)
         |    AS mean_trimmed
-        |FROM a ORDER BY o_orderpriority""".stripMargin
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_benford_audit" ->
+      """WITH dg AS (
+        |  SELECT CAST(substring(CAST(CAST(o_totalprice
+        |    AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, count(*) AS n_obs FROM dg GROUP BY 1),
+        |t AS (SELECT sum(n_obs) AS n FROM c),
+        |e AS (
+        |  SELECT digit, n_obs, CAST(n AS BIGINT) AS n,
+        |    ([0.301029995663981, 0.176091259055681, 0.124938736608299,
+        |      0.096910013008056, 0.079181246047625, 0.066946789630613,
+        |      0.057991946977687, 0.051152522447381,
+        |      0.045757490560675])[digit] AS exp_share
+        |  FROM c CROSS JOIN t),
+        |tm AS (
+        |  SELECT digit, n_obs, n, exp_share,
+        |    CAST(round(
+        |      (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * exp_share)
+        |      * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * exp_share)
+        |      / (CAST(n AS DOUBLE) * exp_share), 9)
+        |      AS DECIMAL(20,9)) AS term
+        |  FROM e),
+        |x AS (SELECT CAST(sum(term) AS DOUBLE) AS chi2 FROM tm)
+        |SELECT CAST(digit AS BIGINT) AS digit, n_obs,
+        |  round(CAST(n_obs AS DOUBLE) / n, 6) AS obs_share,
+        |  round(exp_share, 6) AS exp_share,
+        |  round(chi2, 4) AS chi2,
+        |  chi2 < 15.507 AS benford_pass
+        |FROM tm CROSS JOIN x ORDER BY digit""".stripMargin
   )
 }

@@ -2372,6 +2372,103 @@ object Analytics {
         .orderBy("lag_hours")
     },
 
+    // funnel conversion with Wilson 95% intervals — the uncertainty
+    // the plain funnel hides (a 60% step on 20 users and on 20k users
+    // read identically without the CI; decisions need the band).
+    // Wilson is the right interval for proportions (the normal
+    // approximation misbehaves near 0/1) and is deterministically
+    // computable: integer reach counts from ONE user-collapse pass,
+    // then pure IEEE arithmetic with the z literal and sqrt (correctly
+    // rounded) — no erf, no libm divergence. Presence-based nested
+    // reach (view ⊇ view∧click ⊇ view∧click∧purchase), the recruiting
+    // funnel read.
+    "events_funnel_significance" -> { (s, d) =>
+      val u = events(s, d).groupBy("user_id")
+        .agg(max(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("v"),
+          max(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("c"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("p"))
+      val counts = u.agg(
+        sum(col("v")).as("n_view"),
+        sum(when(col("v") === 1 && col("c") === 1, 1L).otherwise(0L))
+          .as("n_click"),
+        sum(when(col("v") === 1 && col("c") === 1 && col("p") === 1, 1L)
+          .otherwise(0L)).as("n_purchase"))
+      val z = lit(1.959964d)
+      def wilson(k: org.apache.spark.sql.Column,
+          n: org.apache.spark.sql.Column) = {
+        val nd = n.cast("double")
+        val p = k.cast("double") / nd
+        val z2n = z * z / nd
+        val center = (p + z * z / (lit(2d) * nd)) / (lit(1d) + z2n)
+        val half = z * sqrt(p * (lit(1d) - p) / nd
+          + z * z / (lit(4d) * nd * nd)) / (lit(1d) + z2n)
+        (round(p, 6), round(center - half, 6), round(center + half, 6))
+      }
+      val (r1, lo1, hi1) = (wilson(col("n_click"), col("n_view")))
+      val (r2, lo2, hi2) = (wilson(col("n_purchase"), col("n_click")))
+      counts.select(
+          struct(lit("1_view_to_click").as("step"),
+            col("n_view").as("n_denom"), col("n_click").as("n_num"),
+            r1.as("rate"), lo1.as("wilson_lo"), hi1.as("wilson_hi"))
+            .as("a"),
+          struct(lit("2_click_to_purchase").as("step"),
+            col("n_click").as("n_denom"),
+            col("n_purchase").as("n_num"),
+            r2.as("rate"), lo2.as("wilson_lo"), hi2.as("wilson_hi"))
+            .as("b"))
+        .select(explode(array(col("a"), col("b"))).as("s"))
+        .select(col("s.step").as("step"), col("s.n_denom"),
+          col("s.n_num"), col("s.rate"), col("s.wilson_lo"),
+          col("s.wilson_hi"))
+        .orderBy("step")
+    },
+
+    // multi-window multi-burn-rate alerting (the SRE-workbook policy
+    // that replaced single-threshold paging): an alert needs BOTH a
+    // short window over budget (it is happening now) and a long window
+    // over budget (it has been happening long enough to matter) —
+    // 'page' on (1h AND 6h), 'ticket' on (6h AND 24h). Events collapse
+    // to O(#hours) integer (err, total) cells on a ZERO-FILLED hour
+    // grid (a silent hour is data, not a gap); the three burns ride
+    // ROWS-frame integer sums over that grid and the policy is a pure
+    // projection. Burn = err_rate / 0.25 SLO, the error_budget
+    // constant.
+    "events_error_burn_multiwindow" -> { (s, d) =>
+      val hc = events(s, d)
+        .groupBy((floor(unix_micros(col("ts")) / 3600000000L)).as("h"))
+        .agg(count(lit(1)).as("tot"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("err"))
+      val grid = hc.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+        .join(hc, Seq("h"), "left")
+        .select(col("h"), coalesce(col("tot"), lit(0L)).as("tot"),
+          coalesce(col("err"), lit(0L)).as("err"))
+      def wf(n: Int) = Window.orderBy("h").rowsBetween(-(n - 1), 0)
+      def burn(err: org.apache.spark.sql.Column,
+          tot: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(tot > 0,
+          err.cast("double") / tot.cast("double") / 0.25)
+      grid
+        .withColumn("b1", burn(sum(col("err")).over(wf(1)),
+          sum(col("tot")).over(wf(1))))
+        .withColumn("b6", burn(sum(col("err")).over(wf(6)),
+          sum(col("tot")).over(wf(6))))
+        .withColumn("b24", burn(sum(col("err")).over(wf(24)),
+          sum(col("tot")).over(wf(24))))
+        .select(col("h").as("hour_idx"), col("tot"), col("err"),
+          round(col("b1"), 6).as("burn_1h"),
+          round(col("b6"), 6).as("burn_6h"),
+          round(col("b24"), 6).as("burn_24h"),
+          when(col("b1") > 1.2 && col("b6") > 1.1, "page")
+            .when(col("b6") > 1.1 && col("b24") > 1.05, "ticket")
+            .otherwise("ok").as("alert"))
+        .orderBy("hour_idx")
+    },
+
     // next-event prediction eval — the Markov model's TEST set: fit the
     // argmax-next-type predictor on pre-split transitions (the
     // sample_time_stratified discipline: fit and eval never share a
@@ -4174,6 +4271,88 @@ object Analytics {
         |    / (CAST(s2 AS DOUBLE)
         |      - CAST(n AS DOUBLE) * ybar * ybar), 6) AS acf
         |FROM j ORDER BY lag_hours""".stripMargin,
+
+    "events_funnel_significance" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS p
+        |  FROM events GROUP BY 1),
+        |cn AS (
+        |  SELECT CAST(sum(v) AS BIGINT) AS n_view,
+        |    CAST(sum(CASE WHEN v = 1 AND c = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_click,
+        |    CAST(sum(CASE WHEN v = 1 AND c = 1 AND p = 1 THEN 1
+        |      ELSE 0 END) AS BIGINT) AS n_purchase
+        |  FROM u),
+        |steps AS (
+        |  SELECT '1_view_to_click' AS step, n_view AS n_denom,
+        |    n_click AS n_num FROM cn
+        |  UNION ALL
+        |  SELECT '2_click_to_purchase', n_click, n_purchase FROM cn),
+        |w AS (
+        |  SELECT step, n_denom, n_num,
+        |    CAST(n_num AS DOUBLE) / CAST(n_denom AS DOUBLE) AS p,
+        |    CAST(n_denom AS DOUBLE) AS nd
+        |  FROM steps),
+        |f AS (
+        |  SELECT step, n_denom, n_num, p, nd,
+        |    (p + 1.959964 * 1.959964 / (2 * nd))
+        |      / (1 + 1.959964 * 1.959964 / nd) AS center,
+        |    1.959964 * sqrt(p * (1 - p) / nd
+        |      + 1.959964 * 1.959964 / (4 * nd * nd))
+        |      / (1 + 1.959964 * 1.959964 / nd) AS half
+        |  FROM w)
+        |SELECT step, n_denom, n_num, round(p, 6) AS rate,
+        |  round(center - half, 6) AS wilson_lo,
+        |  round(center + half, 6) AS wilson_hi
+        |FROM f ORDER BY step""".stripMargin,
+
+    "events_error_burn_multiwindow" ->
+      """WITH hc AS (
+        |  SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+        |    count(*) AS tot,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS err
+        |  FROM events GROUP BY 1),
+        |bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hc),
+        |grid AS (
+        |  SELECT g.h, CAST(COALESCE(hc.tot, 0) AS BIGINT) AS tot,
+        |    CAST(COALESCE(hc.err, 0) AS BIGINT) AS err
+        |  FROM (SELECT unnest(generate_series(h0, h1)) AS h
+        |        FROM bounds) g
+        |  LEFT JOIN hc ON hc.h = g.h),
+        |w AS (
+        |  SELECT h, tot, err,
+        |    sum(err) OVER w1 AS e1, sum(tot) OVER w1 AS t1,
+        |    sum(err) OVER w6 AS e6, sum(tot) OVER w6 AS t6,
+        |    sum(err) OVER w24 AS e24, sum(tot) OVER w24 AS t24
+        |  FROM grid
+        |  WINDOW
+        |    w1 AS (ORDER BY h ROWS BETWEEN 0 PRECEDING
+        |      AND CURRENT ROW),
+        |    w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING
+        |      AND CURRENT ROW),
+        |    w24 AS (ORDER BY h ROWS BETWEEN 23 PRECEDING
+        |      AND CURRENT ROW)),
+        |b AS (
+        |  SELECT h, tot, err,
+        |    CASE WHEN t1 > 0 THEN CAST(e1 AS DOUBLE)
+        |      / CAST(t1 AS DOUBLE) / 0.25 END AS b1,
+        |    CASE WHEN t6 > 0 THEN CAST(e6 AS DOUBLE)
+        |      / CAST(t6 AS DOUBLE) / 0.25 END AS b6,
+        |    CASE WHEN t24 > 0 THEN CAST(e24 AS DOUBLE)
+        |      / CAST(t24 AS DOUBLE) / 0.25 END AS b24
+        |  FROM w)
+        |SELECT h AS hour_idx, tot, err,
+        |  round(b1, 6) AS burn_1h, round(b6, 6) AS burn_6h,
+        |  round(b24, 6) AS burn_24h,
+        |  CASE WHEN b1 > 1.2 AND b6 > 1.1 THEN 'page'
+        |       WHEN b6 > 1.1 AND b24 > 1.05 THEN 'ticket'
+        |       ELSE 'ok' END AS alert
+        |FROM b ORDER BY hour_idx""".stripMargin,
 
     "events_next_event_eval" ->
       """WITH seq AS (

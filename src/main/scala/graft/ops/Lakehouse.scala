@@ -87,6 +87,22 @@ object Lakehouse {
     * operator and its oracle-construction comment — the operator under
     * test is the MERGE plan, not the change feed.
     */
+  /** The SCD2 type-2 dimension built from the event stream (change rows
+    * only, versioned, valid_from/valid_to tiling) — shared by
+    * `scd2_history` and `scd2_validity_audit`.
+    */
+  private def scd2Dim(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d)
+      .select("user_id", "ts", "event_id", "event_type")
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead("ts", 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"))
+  }
+
   private def changes(base: DataFrame): DataFrame = {
     val updates = base.filter(col("o_orderkey") % 7 === 0)
       .withColumn("o_totalprice", col("o_totalprice") + 100.0)
@@ -269,17 +285,43 @@ object Lakehouse {
     // validity intervals wherever event_type changes. One window shuffle
     // (user_id), ordered by (ts, event_id) so timestamp ties cannot make
     // the history engine-arbitrary. valid_to IS NULL marks the open row.
-    "scd2_history" -> { (s, d) =>
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      events(s, d)
-        .select("user_id", "ts", "event_id", "event_type")
-        .withColumn("prev", lag("event_type", 1).over(w))
-        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
-        .withColumn("version", row_number().over(w).cast("long"))
-        .withColumn("valid_to", lead("ts", 1).over(w))
-        .select(col("user_id"), col("version"), col("event_type"),
-          col("ts").as("valid_from"), col("valid_to"))
-        .orderBy("user_id", "version")
+    "scd2_history" -> ((s, d) =>
+      scd2Dim(s, d).orderBy("user_id", "version")),
+
+    // SCD2 validity-chain audit — the dim-table QA gate every feature
+    // store runs: per key the version chain must TILE time (no
+    // overlaps, no gaps between a row's valid_to and the next row's
+    // valid_from) and carry exactly one open (valid_to NULL) row.
+    // Exercised against our own scd2_history build, where the clean
+    // verdict is the pin; in production the identical audit runs
+    // against any externally-maintained dim. One lead() pass over the
+    // dim-sized table + a two-level rollup to a single report row —
+    // everything integer.
+    "scd2_validity_audit" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("version")
+      val perKey = scd2Dim(s, d)
+        .withColumn("next_from", lead("valid_from", 1).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_versions"),
+          sum(when(col("valid_to").isNull, 1L).otherwise(0L))
+            .as("n_open"),
+          sum(when(col("next_from").isNotNull
+              && col("valid_to") > col("next_from"), 1L).otherwise(0L))
+            .as("n_overlaps"),
+          sum(when(col("next_from").isNotNull
+              && col("valid_to") < col("next_from"), 1L).otherwise(0L))
+            .as("n_gaps"))
+      perKey.agg(count(lit(1)).as("n_keys"),
+          sum(col("n_versions")).as("n_versions"),
+          sum(col("n_overlaps")).as("n_overlaps"),
+          sum(col("n_gaps")).as("n_gaps"),
+          sum(when(col("n_open") === 1, 1L).otherwise(0L))
+            .as("n_keys_one_open"))
+        .select(col("n_keys"), col("n_versions"), col("n_overlaps"),
+          col("n_gaps"), col("n_keys_one_open"),
+          (col("n_overlaps") === 0 && col("n_gaps") === 0
+            && col("n_keys_one_open") === col("n_keys"))
+            .as("chain_valid"))
     },
 
     // compaction planning: bin-pack each partition's small files into
@@ -860,6 +902,44 @@ object Lakehouse {
         |WHERE NOT EXISTS (SELECT 1 FROM src s
         |                  WHERE s.o_orderkey = b.o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "scd2_validity_audit" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type),
+        |dim AS (
+        |  SELECT user_id,
+        |    CAST(row_number() OVER w AS BIGINT) AS version,
+        |    ts AS valid_from, lead(ts) OVER w AS valid_to
+        |  FROM ch
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |nx AS (
+        |  SELECT user_id, valid_to,
+        |    lead(valid_from) OVER (PARTITION BY user_id
+        |      ORDER BY version) AS next_from
+        |  FROM dim),
+        |pk AS (
+        |  SELECT user_id, count(*) AS n_versions,
+        |    sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS n_open,
+        |    sum(CASE WHEN next_from IS NOT NULL AND valid_to > next_from
+        |      THEN 1 ELSE 0 END) AS n_overlaps,
+        |    sum(CASE WHEN next_from IS NOT NULL AND valid_to < next_from
+        |      THEN 1 ELSE 0 END) AS n_gaps
+        |  FROM nx GROUP BY 1)
+        |SELECT count(*) AS n_keys,
+        |  CAST(sum(n_versions) AS BIGINT) AS n_versions,
+        |  CAST(sum(n_overlaps) AS BIGINT) AS n_overlaps,
+        |  CAST(sum(n_gaps) AS BIGINT) AS n_gaps,
+        |  CAST(sum(CASE WHEN n_open = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_keys_one_open,
+        |  (CAST(sum(n_overlaps) AS BIGINT) = 0
+        |    AND CAST(sum(n_gaps) AS BIGINT) = 0
+        |    AND CAST(sum(CASE WHEN n_open = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) = count(*)) AS chain_valid
+        |FROM pk""".stripMargin,
+
     "scd2_history" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, event_type,

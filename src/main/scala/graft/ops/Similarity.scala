@@ -175,6 +175,30 @@ object Similarity {
     * `sim_pairs_lsh`. Shingle-less (short) docs are dropped: a zero vector
     * has no direction.
     */
+  /** 16-bit sign-LSH codes per vector (deterministic LCG hyperplanes,
+    * decimal-summed projections) — the kernel behind
+    * `embedding_sign_lsh`'s collision census and
+    * `sim_hamming_topk_eval`'s binary retrieval.
+    */
+  private def signCodes(s: SparkSession, d: String): DataFrame = {
+    val ex = t(s, d, "embeddings")
+      .select(col("vec_id"),
+        posexplode(expr("transform(embedding, " +
+          "x -> CAST(round(CAST(x AS DOUBLE), 9) AS DECIMAL(20,9)))"))
+          .as(Seq("pos", "xd")))
+    ex.withColumn("p", explode(expr("sequence(0, 15)")))
+      .withColumn("sgn", expr(
+        """CASE WHEN (((CAST(1103515245 AS BIGINT) * (p * 1024 + pos)
+          |  + 12345) % 2147483647) div 65536) % 2 = 0
+          |THEN 1 ELSE -1 END""".stripMargin))
+      .groupBy("vec_id", "p")
+      .agg(sum(expr("sgn * xd")).as("dot"))
+      .withColumn("bitv", expr(
+        "CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT), p) " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .groupBy("vec_id").agg(sum(col("bitv")).as("code"))
+  }
+
   private[graft] def docVectors(s: SparkSession, d: String): DataFrame = {
     CosineSim.register(s)
     graft.functions.HashTfVec.register(s)
@@ -789,27 +813,58 @@ object Similarity {
     // keyed by (vec, plane) partial sums, and bucket stats that stay
     // O(#codes). Coordinates round-9 to decimal before any sum (exact,
     // order-free); the dot-sign test is an exact decimal comparison.
-    "embedding_sign_lsh" -> { (s, d) =>
-      val ex = t(s, d, "embeddings")
-        .select(col("vec_id"),
-          posexplode(expr("transform(embedding, " +
-            "x -> CAST(round(CAST(x AS DOUBLE), 9) AS DECIMAL(20,9)))"))
-            .as(Seq("pos", "xd")))
-      ex.withColumn("p", explode(expr("sequence(0, 15)")))
-        .withColumn("sgn", expr(
-          """CASE WHEN (((CAST(1103515245 AS BIGINT) * (p * 1024 + pos)
-            |  + 12345) % 2147483647) div 65536) % 2 = 0
-            |THEN 1 ELSE -1 END""".stripMargin))
-        .groupBy("vec_id", "p")
-        .agg(sum(expr("sgn * xd")).as("dot"))
-        .withColumn("bitv", expr(
-          "CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT), p) " +
-            "ELSE CAST(0 AS BIGINT) END"))
-        .groupBy("vec_id").agg(sum(col("bitv")).as("code"))
+    "embedding_sign_lsh" -> ((s, d) =>
+      signCodes(s, d)
         .groupBy("code").agg(count(lit(1)).as("n_vecs"))
         .withColumn("pairs", expr("(n_vecs * (n_vecs - 1)) div 2"))
         .orderBy(col("n_vecs").desc, col("code"))
-        .limit(50)
+        .limit(50)),
+
+    // binary-embedding retrieval eval: top-5 by Hamming distance over
+    // the 16-bit sign-LSH codes vs the exact cosine top-5 — the
+    // recall-vs-compression read for binary embeddings (popcount over
+    // 16 bits vs 64 float mults: the storage/latency end of the
+    // Matryoshka axis). Alongside raw recall (noisy at 16 bits by
+    // design) the table reports the separation evidence that the codes
+    // carry signal: mean Hamming among TRUE nearest neighbors vs the
+    // all-pair mean. Code kernel shared with embedding_sign_lsh
+    // (factored signCodes); both top-5s ride the bounded heap; Hamming
+    // means are exact-integer sums divided once.
+    "sim_hamming_topk_eval" -> { (s, d) =>
+      val codes = signCodes(s, d).cache()
+      val e = vectors(s, d)
+      val q = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")))
+      val scored = q.join(e, col("vec_id") =!= col("q_id"))
+        .withColumn("cos", expr("round(cosine_sim(qv, v), 6)"))
+        .select(col("q_id"), col("vec_id").as("n_id"), col("cos"))
+      val exact = graft.plans.TopKPerKey.topK(scored, Seq(col("q_id")),
+        Seq(col("cos").desc, col("n_id")), TopK).select("q_id", "n_id")
+        .cache()
+      val qc = broadcast(codes.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("code").as("qcode")))
+      val hscored = qc.join(codes, col("vec_id") =!= col("q_id"))
+        .withColumn("ham", expr("bit_count(qcode ^ code)").cast("long"))
+        .select(col("q_id"), col("vec_id").as("n_id"), col("ham"))
+        .cache()
+      val htop = graft.plans.TopKPerKey.topK(hscored, Seq(col("q_id")),
+        Seq(col("ham"), col("n_id")), TopK).select("q_id", "n_id")
+      val hits = exact.join(htop, Seq("q_id", "n_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      val nx = exact.agg(count(lit(1)).as("n_exact"))
+      val hamTrue = exact.join(hscored, Seq("q_id", "n_id"))
+        .agg(sum(col("ham")).as("sh"), count(lit(1)).as("nh"))
+      val hamAll = hscored
+        .agg(sum(col("ham")).as("sa"), count(lit(1)).as("na"))
+      hits.crossJoin(broadcast(nx)).crossJoin(broadcast(hamTrue))
+        .crossJoin(broadcast(hamAll))
+        .select(lit(16L).as("code_bits"), col("n_exact"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_exact"), 6)
+            .as("recall"),
+          round(col("sh").cast("double") / col("nh"), 6)
+            .as("mean_ham_true_nn"),
+          round(col("sa").cast("double") / col("na"), 6)
+            .as("mean_ham_all"))
     },
 
     // the ANN tuning table: recall@k of the IVF index at nprobe ∈
@@ -933,6 +988,30 @@ object Similarity {
   private val duckVectors =
     """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |FROM embeddings""".stripMargin
+
+  /** Sign-LSH code CTE chain (ends in `codes(vec_id, code)`) — the
+    * oracle twin of [[signCodes]].
+    */
+  private val signCodeCtes =
+    """ex AS (
+      |  SELECT vec_id,
+      |    unnest(generate_series(0, len(embedding) - 1)) AS pos,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE), 9)
+      |      AS DECIMAL(20,9)) AS xd
+      |  FROM embeddings),
+      |pl AS (SELECT unnest(generate_series(0, 15)) AS p),
+      |bb AS (
+      |  SELECT vec_id, p,
+      |    sum(CASE WHEN (((CAST(1103515245 AS BIGINT) * (p * 1024 + pos)
+      |        + 12345) % 2147483647) // 65536) % 2 = 0
+      |      THEN xd ELSE -xd END) AS dot
+      |  FROM ex CROSS JOIN pl
+      |  GROUP BY vec_id, p),
+      |codes AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << p
+      |      ELSE 0 END) AS BIGINT) AS code
+      |  FROM bb GROUP BY vec_id)""".stripMargin
 
   /** The rounded-cosine SQL kernel shared by every vector oracle. */
   private def duckCos(a: String, b: String) =
@@ -1449,29 +1528,53 @@ object Similarity {
     },
 
     "embedding_sign_lsh" ->
-      """WITH ex AS (
-        |  SELECT vec_id,
-        |    unnest(generate_series(0, len(embedding) - 1)) AS pos,
-        |    CAST(round(CAST(unnest(embedding) AS DOUBLE), 9)
-        |      AS DECIMAL(20,9)) AS xd
-        |  FROM embeddings),
-        |pl AS (SELECT unnest(generate_series(0, 15)) AS p),
-        |b AS (
-        |  SELECT vec_id, p,
-        |    sum(CASE WHEN (((CAST(1103515245 AS BIGINT) * (p * 1024 + pos)
-        |        + 12345) % 2147483647) // 65536) % 2 = 0
-        |      THEN xd ELSE -xd END) AS dot
-        |  FROM ex CROSS JOIN pl
-        |  GROUP BY vec_id, p),
-        |codes AS (
-        |  SELECT vec_id,
-        |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << p
-        |      ELSE 0 END) AS BIGINT) AS code
-        |  FROM b GROUP BY vec_id)
-        |SELECT code, count(*) AS n_vecs,
-        |  (count(*) * (count(*) - 1)) // 2 AS pairs
-        |FROM codes GROUP BY code
-        |ORDER BY n_vecs DESC, code LIMIT 50""".stripMargin,
+      s"""WITH $signCodeCtes
+         |SELECT code, count(*) AS n_vecs,
+         |  (count(*) * (count(*) - 1)) // 2 AS pairs
+         |FROM codes GROUP BY code
+         |ORDER BY n_vecs DESC, code LIMIT 50""".stripMargin,
+
+    "sim_hamming_topk_eval" ->
+      s"""WITH $signCodeCtes,
+         |e AS ($duckVectors),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |x AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.q_id, b2.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${duckCos("q.qv", "b2.v")} DESC, b2.vec_id)
+         |        AS rn
+         |    FROM q CROSS JOIN e b2 WHERE b2.vec_id <> q.q_id) z
+         |  WHERE rn <= $TopK),
+         |qc AS (SELECT vec_id AS q_id, code AS qcode FROM codes
+         |       WHERE vec_id < 10),
+         |hs AS (
+         |  SELECT qc.q_id, c.vec_id AS n_id,
+         |    CAST(bit_count(xor(CAST(qcode AS UBIGINT),
+         |      CAST(c.code AS UBIGINT))) AS BIGINT) AS ham
+         |  FROM qc CROSS JOIN codes c WHERE c.vec_id <> qc.q_id),
+         |ht AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ham, n_id) AS rn
+         |    FROM hs) z WHERE rn <= $TopK),
+         |hits AS (
+         |  SELECT count(*) AS n_hits FROM x
+         |  JOIN ht ON ht.q_id = x.q_id AND ht.n_id = x.n_id),
+         |nx AS (SELECT count(*) AS n_exact FROM x),
+         |h1 AS (
+         |  SELECT CAST(sum(hs.ham) AS BIGINT) AS sh, count(*) AS nh
+         |  FROM x JOIN hs ON hs.q_id = x.q_id AND hs.n_id = x.n_id),
+         |h2 AS (SELECT CAST(sum(ham) AS BIGINT) AS sa, count(*) AS na
+         |       FROM hs)
+         |SELECT CAST(16 AS BIGINT) AS code_bits,
+         |  CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(n_hits AS BIGINT) AS n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / n_exact, 6) AS recall,
+         |  round(CAST(sh AS DOUBLE) / nh, 6) AS mean_ham_true_nn,
+         |  round(CAST(sa AS DOUBLE) / na, 6) AS mean_ham_all
+         |FROM hits CROSS JOIN nx CROSS JOIN h1 CROSS JOIN h2"""
+        .stripMargin,
 
     // shared assign/exact CTEs + one probes/rank/hit chain per nprobe
     "sim_ivf_nprobe_sweep" -> {

@@ -585,6 +585,34 @@ object Windows {
         .orderBy("week")
     },
 
+    // trailing-28-day percentile ribbon (P10/P50/P90) of daily revenue
+    // — the bands chart behind "is today unusual FOR RECENT history"
+    // (bollinger assumes roughly symmetric noise; the ribbon is
+    // distribution-free). A 28-row frame makes each percentile a pure
+    // in-row pick: collect the frame, sort the exact decimals, index at
+    // ceil(p·28) (type-1 quantile — an ELEMENT, not an interpolation,
+    // so there is no arithmetic to diverge) — the win_rolling_median
+    // small-frame discipline. Emitted only on full frames; O(#days)
+    // rows end-to-end.
+    "win_percentile_bands" -> { (s, d) =>
+      val wf = Window.orderBy("day").rowsBetween(-27, Window.currentRow)
+      t(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(money(col("o_totalprice"))).cast("decimal(18,2)")
+          .as("rev"))
+        .withColumn("frame", collect_list(col("rev")).over(wf))
+        .filter(size(col("frame")) === 28)
+        .withColumn("sorted", array_sort(col("frame")))
+        .select(col("day"), col("rev").cast("double").as("revenue"),
+          element_at(col("sorted"), 3).cast("double").as("p10"),
+          element_at(col("sorted"), 14).cast("double").as("p50"),
+          element_at(col("sorted"), 26).cast("double").as("p90"),
+          (col("rev") < element_at(col("sorted"), 3)
+            || col("rev") > element_at(col("sorted"), 26))
+            .as("outside_band"))
+        .orderBy("day")
+    },
+
     // Mann–Kendall trend test on daily revenue — Theil–Sen's canonical
     // companion: S = Σ sign(y_j − y_i) over ordered pairs is a pure
     // INTEGER statistic (no magnitudes, so one outlier day moves S by
@@ -1056,6 +1084,26 @@ object Windows {
         |  round((CAST(rev AS DOUBLE) - CAST(prev_y AS DOUBLE))
         |    / CAST(prev_y AS DOUBLE) * 100, 6) AS yoy_pct
         |FROM l ORDER BY week""".stripMargin,
+
+    "win_percentile_bands" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS rev
+        |  FROM orders GROUP BY 1),
+        |f AS (
+        |  SELECT day, rev, list(rev) OVER (ORDER BY day
+        |    ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS frame
+        |  FROM daily),
+        |s AS (
+        |  SELECT day, rev, list_sort(frame) AS sorted
+        |  FROM f WHERE len(frame) = 28)
+        |SELECT day, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(sorted[3] AS DOUBLE) AS p10,
+        |  CAST(sorted[14] AS DOUBLE) AS p50,
+        |  CAST(sorted[26] AS DOUBLE) AS p90,
+        |  (rev < sorted[3] OR rev > sorted[26]) AS outside_band
+        |FROM s ORDER BY day""".stripMargin,
 
     "win_mann_kendall" ->
       """WITH daily AS (

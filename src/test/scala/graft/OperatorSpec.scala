@@ -2190,6 +2190,91 @@ class OperatorSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_removed")).sum > 0)
   }
 
+  test("sim_hamming_topk_eval shows code signal even at low recall") {
+    val r = SparkEntry.queries("sim_hamming_topk_eval")(spark, sf)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("code_bits") == 16L)
+    val rec = row.getAs[Double]("recall")
+    assert(rec >= 0.0 && rec <= 1.0)
+    // 16-bit codes are a weak ranker by design, but true nearest
+    // neighbors must sit CLOSER in Hamming space than random pairs —
+    // that separation is what makes binary pre-filtering work
+    assert(row.getAs[Double]("mean_ham_true_nn") <
+      row.getAs[Double]("mean_ham_all"))
+  }
+
+  test("events_error_burn_multiwindow policy fires consistently") {
+    val rows = SparkEntry.queries("events_error_burn_multiwindow")(
+      spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val alert = r.getAs[String]("alert")
+      assert(Set("page", "ticket", "ok")(alert))
+      if (alert == "page") {
+        assert(r.getAs[Double]("burn_1h") > 1.2 - 1e-6)
+        assert(r.getAs[Double]("burn_6h") > 1.1 - 1e-6)
+      }
+    }
+    // gapless hour grid
+    val hs = rows.map(_.getAs[Long]("hour_idx")).sorted
+    assert(hs.zip(hs.tail).forall { case (a, b) => b == a + 1 })
+  }
+
+  test("agg_benford_audit flunks the bounded-range synthetic totals") {
+    val rows = SparkEntry.queries("agg_benford_audit")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("digit")).sorted.toSeq == (1L to 9L))
+    val chi2 = rows.head.getAs[Double]("chi2")
+    assert(rows.forall(_.getAs[Double]("chi2") == chi2))
+    // uniform-range totals are nothing like Benford: the audit must
+    // reject decisively, not marginally
+    assert(chi2 > 100.0)
+    assert(rows.forall(!_.getAs[Boolean]("benford_pass")))
+    val shares = rows.map(_.getAs[Double]("obs_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-6)
+  }
+
+  test("events_funnel_significance intervals bracket the rate") {
+    val rows = SparkEntry.queries("events_funnel_significance")(spark, sf)
+      .collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val (lo, rate, hi) = (r.getAs[Double]("wilson_lo"),
+        r.getAs[Double]("rate"), r.getAs[Double]("wilson_hi"))
+      assert(lo <= rate + 1e-6 && rate <= hi + 1e-6)
+      assert(lo >= 0.0 && hi <= 1.0) // Wilson never leaves [0,1]
+      assert(r.getAs[Long]("n_num") <= r.getAs[Long]("n_denom"))
+    }
+  }
+
+  test("win_percentile_bands order and the outside flag agree") {
+    val rows = SparkEntry.queries("win_percentile_bands")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p10, p50, p90) = (r.getAs[Double]("p10"),
+        r.getAs[Double]("p50"), r.getAs[Double]("p90"))
+      assert(p10 <= p50 && p50 <= p90)
+      val rev = r.getAs[Double]("revenue")
+      assert(r.getAs[Boolean]("outside_band") ==
+        (rev < p10 || rev > p90))
+    }
+  }
+
+  test("scd2_validity_audit certifies our own dim build as clean") {
+    val r = SparkEntry.queries("scd2_validity_audit")(spark, sf)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_overlaps") == 0L)
+    assert(row.getAs[Long]("n_gaps") == 0L)
+    assert(row.getAs[Long]("n_keys_one_open") == row.getAs[Long]("n_keys"))
+    assert(row.getAs[Boolean]("chain_valid"))
+    assert(row.getAs[Long]("n_versions") >= row.getAs[Long]("n_keys"))
+  }
+
   test("sample_systematic strides exactly every 50th position") {
     val rows = SparkEntry.queries("sample_systematic")(spark, sf)
       .orderBy("pos").collect()
