@@ -577,6 +577,48 @@ object Aggregates {
         .orderBy("o_orderpriority")
     },
 
+    // delta-method CI for a RATIO metric (revenue per event, randomized
+    // by user) — the experimentation-stack piece naive per-user
+    // averaging gets wrong: the estimand is Σy/Σx, whose variance needs
+    // the delta method var(R) ≈ (σ²_y − 2R·cov + R²σ²_x)/(n·μ²_x)
+    // because numerator and denominator share the user. One
+    // user-collapse pass to five exact moments per arm (x counts are
+    // integers, y sums exact decimals, cross products exact decimals);
+    // the closed form + z-literal CI run in mirrored IEEE doubles.
+    "agg_ratio_delta_method" -> { (s, d) =>
+      val u = events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("x"),
+          sum(money(col("value"))).cast("decimal(14,2)").as("y"))
+        .withColumn("arm",
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+            "control").otherwise("treatment"))
+      u.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(expr("x * x")).as("sxx"),
+          sum(expr("x * y")).as("sxy"), sum(expr("y * y")).as("syy"))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("mx", col("sx").cast("double") / col("nd"))
+        .withColumn("my", col("sy").cast("double") / col("nd"))
+        .withColumn("r",
+          col("sy").cast("double") / col("sx").cast("double"))
+        .withColumn("vx",
+          col("sxx").cast("double") / col("nd") - col("mx") * col("mx"))
+        .withColumn("vy",
+          col("syy").cast("double") / col("nd") - col("my") * col("my"))
+        .withColumn("cxy",
+          col("sxy").cast("double") / col("nd") - col("mx") * col("my"))
+        .withColumn("se", sqrt(greatest(lit(0d),
+          (col("vy") - lit(2d) * col("r") * col("cxy")
+            + col("r") * col("r") * col("vx"))
+            / (col("nd") * col("mx") * col("mx")))))
+        .select(col("arm"), col("n").as("n_users"),
+          round(col("r"), 6).as("ratio"),
+          round(col("se"), 6).as("se"),
+          round(col("r") - lit(1.959964d) * col("se"), 6).as("ci_lo"),
+          round(col("r") + lit(1.959964d) * col("se"), 6).as("ci_hi"))
+        .orderBy("arm")
+    },
+
     // Benford first-digit audit on order totals — the forensic screen
     // auditors run on financial columns (fabricated or range-capped
     // amounts flunk it; a synthetic bounded-range total SHOULD flunk,
@@ -998,6 +1040,44 @@ object Aggregates {
         |  round(CAST(s_mid AS DOUBLE) / (n - n_low - n_high), 6)
         |    AS mean_trimmed
         |FROM a ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_ratio_delta_method" ->
+      """WITH u AS (
+        |  SELECT user_id, count(*) AS x,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(14,2))
+        |      AS y,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |      < '8' THEN 'control' ELSE 'treatment' END AS arm
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT arm, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    sum(y) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    sum(x * y) AS sxy, sum(y * y) AS syy
+        |  FROM u GROUP BY 1),
+        |m AS (
+        |  SELECT arm, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+        |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+        |    CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) AS r,
+        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd,
+        |    CAST(syy AS DOUBLE) AS syyd
+        |  FROM g),
+        |v AS (
+        |  SELECT arm, n, nd, r,
+        |    sxxd / nd - mx * mx AS vx,
+        |    syyd / nd - my * my AS vy,
+        |    sxyd / nd - mx * my AS cxy, mx
+        |  FROM m),
+        |se AS (
+        |  SELECT arm, n, r,
+        |    sqrt(greatest(CAST(0 AS DOUBLE),
+        |      (vy - 2 * r * cxy + r * r * vx) / (nd * mx * mx))) AS se
+        |  FROM v)
+        |SELECT arm, n AS n_users, round(r, 6) AS ratio,
+        |  round(se, 6) AS se,
+        |  round(r - 1.959964 * se, 6) AS ci_lo,
+        |  round(r + 1.959964 * se, 6) AS ci_hi
+        |FROM se ORDER BY arm""".stripMargin,
 
     "agg_benford_audit" ->
       """WITH dg AS (

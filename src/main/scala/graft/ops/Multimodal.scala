@@ -298,35 +298,56 @@ object Multimodal {
     // byte-slicing contract as multimodal_framesample (ASCII fixture:
     // byte offsets == char offsets on the oracle side). Partial tiles
     // at the bottom edge are dropped (fixed-grid semantics).
-    "multimodal_image_tiles" -> { (s, d) =>
-      t(s, d, "documents")
-        .withColumn("n", octet_length(col("text")))
-        .withColumn("trows", expr("CAST((n DIV 16) DIV 4 AS INT)"))
-        .filter(col("trows") >= 1)
-        .select(col("doc_id"), col("text"),
-          explode(expr(
-            """flatten(transform(sequence(0, trows - 1), tr ->
-              |  transform(sequence(0, 3), tc ->
-              |    struct(tr AS tr, tc AS tc))))""".stripMargin))
-            .as("tl"))
-        .withColumn("tile", expr(
-          """concat(
-            |  substring(text, (tl.tr * 4 + 0) * 16 + tl.tc * 4 + 1, 4),
-            |  substring(text, (tl.tr * 4 + 1) * 16 + tl.tc * 4 + 1, 4),
-            |  substring(text, (tl.tr * 4 + 2) * 16 + tl.tc * 4 + 1, 4),
-            |  substring(text, (tl.tr * 4 + 3) * 16 + tl.tc * 4 + 1, 4))"""
-            .stripMargin))
-        .select(col("doc_id"), col("tl.tr").cast("long").as("tile_row"),
-          col("tl.tc").cast("long").as("tile_col"),
-          md5(col("tile").cast("binary")).as("digest"),
-          expr("""aggregate(
-            |  transform(sequence(1, 16),
-            |    i -> CAST(ascii(substring(tile, i, 1)) AS BIGINT)),
-            |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
-            .as("energy"))
-        .orderBy("doc_id", "tile_row", "tile_col")
-    }
+    "multimodal_image_tiles" -> ((s, d) =>
+      imageTiles(s, d).orderBy("doc_id", "tile_row", "tile_col")),
+
+    // tile-level near-dup census: tile CONTENT that recurs across
+    // different documents — the image-region dedup (shared
+    // letterheads, watermarks, repeated crops) that asset-level
+    // byte-exact dedup (multimodal_dedup_bytes) structurally misses.
+    // One groupBy on the 32-char tile digest over the shared
+    // imageTiles decomposition, cross-doc filter, O(#shared digests)
+    // output with the canonical (smallest) carrier doc per digest.
+    "multimodal_tile_dedup" -> ((s, d) =>
+      imageTiles(s, d)
+        .groupBy("digest")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tiles"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("digest")))
   )
+
+  /** The 4×4-byte tile decomposition behind `multimodal_image_tiles`
+    * and `multimodal_tile_dedup` (doc_id, tile_row, tile_col, digest,
+    * energy), unordered.
+    */
+  private def imageTiles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("n", octet_length(col("text")))
+      .withColumn("trows", expr("CAST((n DIV 16) DIV 4 AS INT)"))
+      .filter(col("trows") >= 1)
+      .select(col("doc_id"), col("text"),
+        explode(expr(
+          """flatten(transform(sequence(0, trows - 1), tr ->
+            |  transform(sequence(0, 3), tc ->
+            |    struct(tr AS tr, tc AS tc))))""".stripMargin))
+          .as("tl"))
+      .withColumn("tile", expr(
+        """concat(
+          |  substring(text, (tl.tr * 4 + 0) * 16 + tl.tc * 4 + 1, 4),
+          |  substring(text, (tl.tr * 4 + 1) * 16 + tl.tc * 4 + 1, 4),
+          |  substring(text, (tl.tr * 4 + 2) * 16 + tl.tc * 4 + 1, 4),
+          |  substring(text, (tl.tr * 4 + 3) * 16 + tl.tc * 4 + 1, 4))"""
+          .stripMargin))
+      .select(col("doc_id"), col("tl.tr").cast("long").as("tile_row"),
+        col("tl.tc").cast("long").as("tile_col"),
+        md5(col("tile").cast("binary")).as("digest"),
+        expr("""aggregate(
+          |  transform(sequence(1, 16),
+          |    i -> CAST(ascii(substring(tile, i, 1)) AS BIGINT)),
+          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
+          .as("energy"))
 
   def oracle: Map[String, String] = Map(
     // same metadata-only size formula, same per-bucket cumsum
@@ -495,6 +516,36 @@ object Multimodal {
         |  CAST(tc AS BIGINT) AS tile_col, md5(tile) AS digest,
         |  CAST(list_sum(list_transform(generate_series(1, 16),
         |    i -> ascii(substring(tile, i, 1)))) AS BIGINT) AS energy
-        |FROM tl ORDER BY doc_id, tile_row, tile_col""".stripMargin
+        |FROM tl ORDER BY doc_id, tile_row, tile_col""".stripMargin,
+
+    "multimodal_tile_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST((octet_length(encode(text)) // 16) // 4 AS INT)
+        |      AS trows
+        |  FROM documents
+        |  WHERE CAST((octet_length(encode(text)) // 16) // 4 AS INT)
+        |    >= 1),
+        |g AS (
+        |  SELECT doc_id, text, tr.v AS tr, tc.v AS tc
+        |  FROM d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 1000)) AS v) tr
+        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS v) tc
+        |  WHERE tr.v < trows),
+        |tl AS (
+        |  SELECT doc_id,
+        |    substring(text, CAST((tr * 4 + 0) * 16 + tc * 4 + 1 AS INT),
+        |      4)
+        |    || substring(text,
+        |      CAST((tr * 4 + 1) * 16 + tc * 4 + 1 AS INT), 4)
+        |    || substring(text,
+        |      CAST((tr * 4 + 2) * 16 + tc * 4 + 1 AS INT), 4)
+        |    || substring(text,
+        |      CAST((tr * 4 + 3) * 16 + tc * 4 + 1 AS INT), 4) AS tile
+        |  FROM g)
+        |SELECT md5(tile) AS digest, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_tiles, min(doc_id) AS first_doc
+        |FROM tl GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, digest""".stripMargin
   )
 }

@@ -585,6 +585,59 @@ object Windows {
         .orderBy("week")
     },
 
+    // Holt–Winters additive triple smoothing (level + trend + 7-day
+    // seasonal) of daily revenue — the family capstone above win_holt:
+    // the seasonal state is a ROTATING 7-slot array carried through the
+    // same ONE in-row fold (head = today's seasonal, rotate + append
+    // each step), so the inherently sequential recursion still costs a
+    // single pass over the packed O(#days) series. α=0.5, β=γ=0.25 are
+    // binary-exact; every step mirrors the recursive-CTE oracle
+    // op-for-op (the oracle layers aliases where Spark recomputes the
+    // same pure expression — identical bits either way). Init: l₁=y₁,
+    // b₁=0, seasons all 0 (additive form needs no seasonal warmup to
+    // stay well-defined).
+    "win_holt_winters" -> { (s, d) =>
+      val LNEW = "(0.5 * (o.y - element_at(element_at(acc, -1)" +
+        ".seasons, 1)) + 0.5 * (element_at(acc, -1).level" +
+        " + element_at(acc, -1).trend))"
+      val SNEW = s"(0.25 * (o.y - $LNEW)" +
+        " + 0.75 * element_at(element_at(acc, -1).seasons, 1))"
+      t(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(money(col("o_totalprice"))).cast("decimal(18,2)")
+          .cast("double").as("y"))
+        .agg(sort_array(collect_list(struct(col("day"), col("y"))))
+          .as("pts"))
+        .select(explode(expr(s"""
+          aggregate(
+            slice(pts, 2, greatest(0, size(pts) - 1)),
+            array(named_struct(
+              'day', try_element_at(pts, 1).day,
+              'y', try_element_at(pts, 1).y,
+              'level', try_element_at(pts, 1).y,
+              'trend', CAST(0.0 AS DOUBLE),
+              'season', CAST(0.0 AS DOUBLE),
+              'seasons', array_repeat(CAST(0.0 AS DOUBLE), 7))),
+            (acc, o) -> array_append(acc, named_struct(
+              'day', o.day,
+              'y', o.y,
+              'level', $LNEW,
+              'trend', 0.25 * ($LNEW - element_at(acc, -1).level)
+                + 0.75 * element_at(acc, -1).trend,
+              'season', $SNEW,
+              'seasons', concat(
+                slice(element_at(acc, -1).seasons, 2, 6),
+                array($SNEW)))))
+          """)).as("h"))
+        .select(col("h.day").as("day"), col("h.y").as("revenue"),
+          col("h.level").as("level"), col("h.trend").as("trend"),
+          col("h.season").as("season"),
+          (col("h.level") + col("h.trend")
+            + element_at(col("h.seasons"), 1)).as("forecast_next"))
+        .filter(col("day").isNotNull) // empty-input init struct guard
+        .orderBy("day")
+    },
+
     // trailing-28-day percentile ribbon (P10/P50/P90) of daily revenue
     // — the bands chart behind "is today unusual FOR RECENT history"
     // (bollinger assumes roughly symmetric noise; the ribbon is
@@ -1084,6 +1137,39 @@ object Windows {
         |  round((CAST(rev AS DOUBLE) - CAST(prev_y AS DOUBLE))
         |    / CAST(prev_y AS DOUBLE) * 100, 6) AS yoy_pct
         |FROM l ORDER BY week""".stripMargin,
+
+    "win_holt_winters" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS DOUBLE) AS y
+        |  FROM orders GROUP BY 1),
+        |dd AS (
+        |  SELECT day, y, row_number() OVER (ORDER BY day) AS rn
+        |  FROM daily),
+        |h AS (
+        |  SELECT rn, day, y, y AS level, CAST(0 AS DOUBLE) AS trend,
+        |    CAST(0 AS DOUBLE) AS season,
+        |    list_transform(generate_series(1, 7),
+        |      i -> CAST(0 AS DOUBLE)) AS seasons
+        |  FROM dd WHERE rn = 1
+        |  UNION ALL
+        |  SELECT rn, day, y, lnew AS level,
+        |    0.25 * (lnew - pl) + 0.75 * pb AS trend,
+        |    snew AS season,
+        |    list_concat(ss[2:7], [snew]) AS seasons
+        |  FROM (
+        |    SELECT rn, day, y, pl, pb, ss, sold, lnew,
+        |      0.25 * (y - lnew) + 0.75 * sold AS snew
+        |    FROM (
+        |      SELECT d.rn, d.day, d.y, h.level AS pl, h.trend AS pb,
+        |        h.seasons AS ss, h.seasons[1] AS sold,
+        |        0.5 * (d.y - h.seasons[1])
+        |          + 0.5 * (h.level + h.trend) AS lnew
+        |      FROM h JOIN dd d ON d.rn = h.rn + 1) t1) t2)
+        |SELECT day, y AS revenue, level, trend, season,
+        |  level + trend + seasons[1] AS forecast_next
+        |FROM h ORDER BY day""".stripMargin,
 
     "win_percentile_bands" ->
       """WITH daily AS (

@@ -2275,6 +2275,47 @@ class OperatorSpec extends SparkSpec {
     assert(row.getAs[Long]("n_versions") >= row.getAs[Long]("n_keys"))
   }
 
+  test("win_holt_winters seasonal state initializes and stays additive") {
+    val rows = SparkEntry.queries("win_holt_winters")(spark, sf)
+      .orderBy("day").collect()
+    assert(rows.nonEmpty)
+    val h = rows.head
+    assert(h.getAs[Double]("level") == h.getAs[Double]("revenue"))
+    assert(h.getAs[Double]("trend") == 0.0 &&
+      h.getAs[Double]("season") == 0.0)
+    // additive components: forecast stays at the revenue scale
+    rows.foreach { r =>
+      val fc = r.getAs[Double]("forecast_next")
+      assert(!fc.isNaN && math.abs(fc) < 1e9)
+    }
+    // seasonality is learned: later seasons deviate from the zero init
+    assert(rows.drop(14).exists(_.getAs[Double]("season") != 0.0))
+  }
+
+  test("agg_ratio_delta_method CIs bracket the ratio per arm") {
+    val rows = SparkEntry.queries("agg_ratio_delta_method")(spark, sf)
+      .collect().map(r => r.getAs[String]("arm") -> r).toMap
+    assert(rows.keySet == Set("control", "treatment"))
+    rows.values.foreach { r =>
+      val (lo, ratio, hi) = (r.getAs[Double]("ci_lo"),
+        r.getAs[Double]("ratio"), r.getAs[Double]("ci_hi"))
+      assert(lo <= ratio && ratio <= hi)
+      assert(r.getAs[Double]("se") > 0.0)
+      assert(ratio > 0.0) // revenue per event is positive
+    }
+  }
+
+  test("multimodal_tile_dedup finds genuinely cross-doc tiles") {
+    val rows = SparkEntry.queries("multimodal_tile_dedup")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 2L)
+      assert(r.getAs[Long]("n_tiles") >= r.getAs[Long]("n_docs"))
+      assert(r.getAs[String]("digest").length == 32)
+    }
+  }
+
   test("sample_systematic strides exactly every 50th position") {
     val rows = SparkEntry.queries("sample_systematic")(spark, sf)
       .orderBy("pos").collect()
