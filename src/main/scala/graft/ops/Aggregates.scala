@@ -642,7 +642,7 @@ object Aggregates {
         .groupBy("digit").agg(count(lit(1)).as("n_obs"))
         .withColumn("n", sum(col("n_obs")).over(wAll))
         .withColumn("exp_share",
-          expr(s"element_at($expArr, digit)"))
+          expr(s"CAST(element_at($expArr, digit) AS DOUBLE)"))
         .withColumn("term", expr(
           """CAST(round(
             |  (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * exp_share)
@@ -1088,10 +1088,10 @@ object Aggregates {
         |t AS (SELECT sum(n_obs) AS n FROM c),
         |e AS (
         |  SELECT digit, n_obs, CAST(n AS BIGINT) AS n,
-        |    ([0.301029995663981, 0.176091259055681, 0.124938736608299,
+        |    CAST(([0.301029995663981, 0.176091259055681, 0.124938736608299,
         |      0.096910013008056, 0.079181246047625, 0.066946789630613,
         |      0.057991946977687, 0.051152522447381,
-        |      0.045757490560675])[digit] AS exp_share
+        |      0.045757490560675])[digit] AS DOUBLE) AS exp_share
         |  FROM c CROSS JOIN t),
         |tm AS (
         |  SELECT digit, n_obs, n, exp_share,

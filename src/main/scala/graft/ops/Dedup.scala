@@ -41,22 +41,16 @@ object Dedup {
     * structural instead of coincidental (the `bloomSketchCache` contract:
     * fixtures are immutable per sf dir, so entries never go stale).
     */
-  private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private val bandCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private val labelsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  /** Entries hold strong refs to their SparkSession, so a long-lived JVM
-    * cycling sessions (test suites, notebook servers) would otherwise grow
-    * these maps without bound and pin dead sessions in memory. Purging
-    * stopped-session keys on every access bounds the maps to live sessions
-    * × sf dirs; the scan is O(entries), entries ≈ a handful.
+  /** Bounded + self-evicting (see [[graft.plans.DfLru]]): stopped-session
+    * keys purge on every access, and past [[MemoCap]] live entries the
+    * least-recently-used victim is unpersisted and dropped — a long
+    * session sweeping many sf dirs can no longer pin one InMemoryRelation
+    * per dir forever (ADVICE r6/r7 "shingle-cache eviction").
     */
-  private def purgeStopped(
-      m: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]): Unit =
-    m.keySet.removeIf(k => k._1.sparkContext.isStopped)
+  private[graft] val MemoCap = 8
+  private[graft] val shingleCache = new graft.plans.DfLru(MemoCap)
+  private[graft] val bandCache = new graft.plans.DfLru(MemoCap)
+  private[graft] val labelsCache = new graft.plans.DfLru(MemoCap)
 
   /** doc_id -> distinct 3-word shingles (lower/trim normalized).
     *
@@ -66,8 +60,7 @@ object Dedup {
     * the cache-per-pipeline-stage pattern a production dedup job would use.
     */
   private[graft] def shingled(s: SparkSession, d: String): DataFrame = {
-    purgeStopped(shingleCache)
-    shingleCache.computeIfAbsent((s, d), _ =>
+    shingleCache.getOrCompute((s, d),
       corpus(s, d)
         .withColumn("toks", split(lower(trim(col("text"))), " "))
         .withColumn("shingles",
@@ -115,8 +108,7 @@ object Dedup {
     // scans it twice, and every set-similarity dedup needs the identical
     // (doc_id, band, bh) table — one instance serves them all instead of
     // re-deriving + re-analyzing the 64-hash sketch plan per query.
-    purgeStopped(bandCache)
-    val banded = bandCache.computeIfAbsent((s, d), _ =>
+    val banded = bandCache.getOrCompute((s, d),
       sh.filter(size(col("shingles")) > 0)
         .select(col("doc_id"),
           posexplode(expr("minhash_bands(shingles)")).as(Seq("band", "bh")))
@@ -315,8 +307,7 @@ object Dedup {
     // underneath is the single most expensive kernel in the dedup family
     // (~4 s/run at sf0.1) — without memoization each consumer pays it
     // again. The result is O(#labeled-docs), tiny to pin.
-    purgeStopped(labelsCache)
-    labelsCache.computeIfAbsent((s, d), _ => {
+    labelsCache.getOrCompute((s, d), {
       val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
         .cache()
       pairs.count()
@@ -784,22 +775,6 @@ object Dedup {
         .orderBy("doc_id")
     },
 
-    // token-sort canonical dedup: docs equal as BAGS of words — word
-    // order shuffled, multiplicities kept — collapse to one canonical
-    // fingerprint (sort the tokens, rejoin, hash). Catches the
-    // reorder-paraphrase class exact dedup misses (template engines and
-    // scrapers emit the same fields in different orders) while staying
-    // strictly linear: one map-side canonicalization per doc + one keyed
-    // agg on the 32-byte hash — no pairwise work anywhere, the same
-    // scale shape as `dedup_exact`. Per-doc sort cost is O(len·log len)
-    // inside codegen. Every exact-dup cluster is token-sort-equal by
-    // construction, so this partitions COARSER than `dedup_exact` —
-    // `n_exact_forms` counts the distinct exact fingerprints each
-    // cluster merged (>1 = a pure-reorder dup exact dedup missed;
-    // OperatorSpec pins n_docs >= n_exact_forms >= 1 and the coarsening
-    // row-count relation against dedup_exact). ASCII-only corpus
-    // contract (FixtureContractSpec) makes lower() and byte-order
-    // sorting agree across engines.
     // which near-dup detector catches what: per candidate pair the three
     // method verdicts (MinHash-LSH Jaccard >= 0.8, SimHash banded
     // Hamming <= 8, directional containment >= threshold) rolled up to
@@ -910,6 +885,22 @@ object Dedup {
         .orderBy("source")
     },
 
+    // token-sort canonical dedup: docs equal as BAGS of words — word
+    // order shuffled, multiplicities kept — collapse to one canonical
+    // fingerprint (sort the tokens, rejoin, hash). Catches the
+    // reorder-paraphrase class exact dedup misses (template engines and
+    // scrapers emit the same fields in different orders) while staying
+    // strictly linear: one map-side canonicalization per doc + one keyed
+    // agg on the 32-byte hash — no pairwise work anywhere, the same
+    // scale shape as `dedup_exact`. Per-doc sort cost is O(len·log len)
+    // inside codegen. Every exact-dup cluster is token-sort-equal by
+    // construction, so this partitions COARSER than `dedup_exact` —
+    // `n_exact_forms` counts the distinct exact fingerprints each
+    // cluster merged (>1 = a pure-reorder dup exact dedup missed;
+    // OperatorSpec pins n_docs >= n_exact_forms >= 1 and the coarsening
+    // row-count relation against dedup_exact). ASCII-only corpus
+    // contract (FixtureContractSpec) makes lower() and byte-order
+    // sorting agree across engines.
     "dedup_token_sort" -> { (s, d) =>
       val canon = sha2(concat_ws(" ",
         array_sort(filter(split(lower(col("text")), "[^a-z0-9]+"),

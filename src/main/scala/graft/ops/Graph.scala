@@ -342,13 +342,18 @@ object Graph {
             col("dst") === col("adst"))
           .groupBy("src").agg(count(lit(1)).as("deg"))
       val init = e.select(col("src").as("node")).distinct()
-      // cache each round's O(V) alive set: round r+1 references round r
-      // TWICE (both endpoint filters) and the final degree pass walks the
-      // whole chain again — uncached, the re-execution tree is O(rounds²)
-      // passes over the edge list (measured 6.1 s → ~1.5 s at sf0.1)
+      // materialize each round's O(V) alive set: round r+1 references
+      // round r TWICE (both endpoint filters) and the final degree pass
+      // walks the whole chain again — unmaterialized, the re-execution
+      // tree is O(rounds²) passes over the edge list (measured
+      // 6.1 s → ~1.5 s at sf0.1). Generations (not .cache()) so each
+      // stale round's blocks are freed as the next lands — per-round
+      // cache()s leaked one generation per round and LRU eviction then
+      // forced the O(rounds²) recompute anyway (VERDICT r7 #3).
+      val gens = new graft.plans.Generations(s)
       val alive = (1 to KcoreRounds).foldLeft(init) { (a, _) =>
-        coreDeg(a).filter(col("deg") >= KcoreK)
-          .select(col("src").as("node")).cache()
+        gens.rotate(coreDeg(a).filter(col("deg") >= KcoreK)
+          .select(col("src").as("node")))
       }
       coreDeg(alive)
         .select(col("src").as("node"),
@@ -371,15 +376,18 @@ object Graph {
       val seeds = e.select(col("src").as("node")).distinct()
         .filter(col("node") < SuppOffset && col("node") % 100 === 0)
         .withColumn("dist", lit(0L))
-      // per-round cache for the same O(rounds²)-re-execution reason as
-      // graph_kcore_peel: each round reads the previous label table twice
-      // (carry-over + neighbor expansion)
+      // per-round materialization for the same O(rounds²)-re-execution
+      // reason as graph_kcore_peel: each round reads the previous label
+      // table twice (carry-over + neighbor expansion). Generations, not
+      // .cache() — the leaked per-round caches were the r7 bench's worst
+      // budget violation (15.5 s vs 2.2 s: eviction → lineage recompute).
+      val gens = new graft.plans.Generations(s)
       val out = (1 to BfsRounds).foldLeft(seeds) { (lab, _) =>
         val nb = e.join(broadcast(lab.select(col("node").as("ln"),
             col("dist"))), col("src") === col("ln"))
           .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
-        lab.unionByName(nb).groupBy("node").agg(min("dist").as("dist"))
-          .cache()
+        gens.rotate(
+          lab.unionByName(nb).groupBy("node").agg(min("dist").as("dist")))
       }
       out.select(col("node"),
           when(col("node") >= SuppOffset, "supplier").otherwise("customer")
@@ -485,11 +493,12 @@ object Graph {
     // per-round normalizer is a positive scalar that cancels in the
     // final shares, and skipping it keeps every score an exact INTEGER
     // (a count of alternating paths), so the iteration is bit-exact on
-    // any engine with no decimal plumbing at all (pagerank needs
-    // round(·,14) decimal terms precisely because damping makes its
-    // ranks fractional). Magnitude grows ~ degree^rounds — ~1e11 at
-    // sf0.1; for much larger graphs switch the accumulators to
-    // DECIMAL(38,0), same plan. Same broadcast-scores-against-cached-
+    // any engine (pagerank needs round(·,14) decimal terms precisely
+    // because damping makes its ranks fractional). Magnitude grows
+    // ~ degree^rounds — ~1e11 at sf0.1 — so the counts accumulate in
+    // DECIMAL(38,0) on both engines: int64 would wrap silently on Spark
+    // (non-ANSI) but raise on DuckDB, a divergent failure past 2^63.
+    // Same broadcast-scores-against-cached-
     // edges round shape as pagerank: only O(V) score rows move per
     // round; top-25 per side ships through the bounded-heap operator.
     "graph_hits" -> { (s, d) =>
@@ -498,18 +507,34 @@ object Graph {
       // half of it (measured 6.7 s → ~3 s at sf0.1); CacheManager dedups
       // repeated calls by plan equality
       val ce = edges(s, d).filter(col("src") < SuppOffset).cache()
+      // DECIMAL(38,0) accumulators (ADVICE r7): unnormalized scores grow
+      // ~degree^rounds (~1e11 at sf0.1) — past int64 headroom Spark
+      // (non-ANSI) would wrap silently while DuckDB raises, a divergent
+      // failure. Decimal sums stay exact integers to 38 digits and the
+      // (p+10 capped at 38) sum type is stable across rounds, so the
+      // iteration is overflow-safe for any graph whose scores fit 1e38 —
+      // and past that both engines now fail loudly the same way.
       val h0 = ce.select(col("src").as("node")).distinct()
-        .withColumn("score", lit(1L))
+        .withColumn("score", lit(1L).cast("decimal(38,0)"))
+      // two Generations trackers (h-chain / a-chain): each round's hub
+      // table is dead once the next authority table lands and vice versa,
+      // but BOTH finals feed the output, so they rotate independently —
+      // the same stale-generation discipline as BFS/k-core, cutting the
+      // 6-join lineage so the final two-sided read never re-executes it
+      val hGen = new graft.plans.Generations(s)
+      val aGen = new graft.plans.Generations(s)
       val (h3, a3) = (1 to 3)
         .foldLeft((h0, h0)) { case ((h, _), _) =>
-          val a = ce.join(broadcast(h), col("src") === col("node"))
-            .groupBy("dst").agg(sum(col("score")).as("score"))
-            .select(col("dst").as("node"), col("score"))
-          val h2 = ce.join(broadcast(
-              a.select(col("node").as("an"), col("score").as("as_"))),
-              col("dst") === col("an"))
-            .groupBy("src").agg(sum(col("as_")).as("score"))
-            .select(col("src").as("node"), col("score"))
+          val a = aGen.rotate(
+            ce.join(broadcast(h), col("src") === col("node"))
+              .groupBy("dst").agg(sum(col("score")).as("score"))
+              .select(col("dst").as("node"), col("score")))
+          val h2 = hGen.rotate(
+            ce.join(broadcast(
+                a.select(col("node").as("an"), col("score").as("as_"))),
+                col("dst") === col("an"))
+              .groupBy("src").agg(sum(col("as_")).as("score"))
+              .select(col("src").as("node"), col("score")))
           (h2, a)
         }
       def side(df: DataFrame, kind: String): DataFrame = {
@@ -922,10 +947,12 @@ object Graph {
       val rounds = (1 to 3).map { i =>
         val prevH = if (i == 1) "h0" else s"h${i - 1}"
         s"""a$i AS (
-           |  SELECT ce.dst AS node, CAST(sum(p.score) AS BIGINT) AS score
+           |  SELECT ce.dst AS node,
+           |    CAST(sum(p.score) AS DECIMAL(38,0)) AS score
            |  FROM ce JOIN $prevH p ON ce.src = p.node GROUP BY 1),
            |h$i AS (
-           |  SELECT ce.src AS node, CAST(sum(a.score) AS BIGINT) AS score
+           |  SELECT ce.src AS node,
+           |    CAST(sum(a.score) AS DECIMAL(38,0)) AS score
            |  FROM ce JOIN a$i a ON ce.dst = a.node GROUP BY 1)"""
           .stripMargin
       }.mkString(",\n")
@@ -934,11 +961,11 @@ object Graph {
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
          |ce AS (SELECT c AS src, sp AS dst FROM pairs),
          |h0 AS (
-         |  SELECT DISTINCT src AS node, CAST(1 AS BIGINT) AS score
+         |  SELECT DISTINCT src AS node, CAST(1 AS DECIMAL(38,0)) AS score
          |  FROM ce),
          |$rounds,
-         |att AS (SELECT CAST(sum(score) AS BIGINT) AS total FROM a3),
-         |htt AS (SELECT CAST(sum(score) AS BIGINT) AS total FROM h3),
+         |att AS (SELECT sum(score) AS total FROM a3),
+         |htt AS (SELECT sum(score) AS total FROM h3),
          |u AS (
          |  SELECT 'authority' AS kind, node, score,
          |    round(CAST(score AS DOUBLE) / CAST(total AS DOUBLE) * 1e6,

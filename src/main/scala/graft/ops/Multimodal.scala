@@ -495,12 +495,14 @@ object Multimodal {
         |  FROM documents
         |  WHERE CAST((octet_length(encode(text)) // 16) // 4 AS INT)
         |    >= 1),
+        |gr AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, trows - 1)) AS tr
+        |  FROM d),
         |g AS (
-        |  SELECT doc_id, text, tr.v AS tr, tc.v AS tc
-        |  FROM d
-        |  CROSS JOIN (SELECT unnest(generate_series(0, 1000)) AS v) tr
-        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS v) tc
-        |  WHERE tr.v < trows),
+        |  SELECT doc_id, text, tr, tc.v AS tc
+        |  FROM gr
+        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS v) tc),
         |tl AS (
         |  SELECT doc_id, tr, tc,
         |    substring(text, CAST((tr * 4 + 0) * 16 + tc * 4 + 1 AS INT),
@@ -526,12 +528,14 @@ object Multimodal {
         |  FROM documents
         |  WHERE CAST((octet_length(encode(text)) // 16) // 4 AS INT)
         |    >= 1),
+        |gr AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, trows - 1)) AS tr
+        |  FROM d),
         |g AS (
-        |  SELECT doc_id, text, tr.v AS tr, tc.v AS tc
-        |  FROM d
-        |  CROSS JOIN (SELECT unnest(generate_series(0, 1000)) AS v) tr
-        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS v) tc
-        |  WHERE tr.v < trows),
+        |  SELECT doc_id, text, tr, tc.v AS tc
+        |  FROM gr
+        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS v) tc),
         |tl AS (
         |  SELECT doc_id,
         |    substring(text, CAST((tr * 4 + 0) * 16 + tc * 4 + 1 AS INT),

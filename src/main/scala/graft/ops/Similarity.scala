@@ -460,8 +460,9 @@ object Similarity {
         .filter(col("rn") === 1)
         .groupBy("vec_id")
         .agg(
-          expr("transform(array_sort(collect_list(struct(sub, code))), " +
-            "p -> p.code)").as("codes"),
+          expr("array_join(transform(array_sort(" +
+            "collect_list(struct(sub, code))), p -> CAST(p.code AS STRING))" +
+            ", ',')").as("codes"),
           round(sum(col("d2")).cast("double"), 6).as("recon_err"))
         .orderBy("vec_id")
     },
@@ -908,10 +909,11 @@ object Similarity {
     // exact at fixture scale — the same N² bound sim_pairs_threshold
     // documents; at corpus scale the candidate set rides the IVF kernel
     // ([[ivfTopK]]) exactly as embedding_knn_graph does, mining inside
-    // probed clusters only. Both per-anchor argmaxes ship through the
-    // bounded-heap operator (1 row per anchor per partition moves, not
-    // the scored N² table); round(·,6) cosines + id tiebreaks keep the
-    // pick deterministic. Every fixture label has ≥2 members, so the
+    // probed clusters only. Both per-anchor argmaxes ride ONE grouped
+    // pass of conditional struct-max aggregates (1 candidate per anchor
+    // per partition moves map-side, not the scored N² table, and the N²
+    // join executes exactly once); round(·,6) cosines + id tiebreaks
+    // keep the pick deterministic. Every fixture label has ≥2 members, so the
     // inner joins keep all anchors (singleton-label anchors would have
     // no positive and drop — the correct mining semantics).
     "embedding_triplet_mining" -> { (s, d) =>
@@ -922,19 +924,37 @@ object Similarity {
         col("label").as("a_label"))
       val b = withLab.select(col("vec_id").as("b_id"), col("v").as("bv"),
         col("label").as("b_label"))
-      val scored = a.join(b, col("a_id") =!= col("b_id"))
+      // broadcast(b): the unhinted ≠-join plans as CartesianProduct, which
+      // materializes every joined row through its unsafe pair buffer —
+      // measured 12 s vs 0.4 s for the IDENTICAL aggregate over
+      // BroadcastNestedLoopJoin at sf0.1 (the join itself is the cost; the
+      // b side is the O(N) vector table, in-memory at fixture scale, and
+      // the IVF candidate path below replaces it past that)
+      val scored = a.join(broadcast(b), col("a_id") =!= col("b_id"))
         .withColumn("cos", expr("round(cosine_sim(av, bv), 6)"))
         .select(col("a_id"), col("a_label"), col("b_id"),
           col("b_label"), col("cos"))
-      def best(same: Boolean, idAs: String, cosAs: String) = {
-        val f = if (same) col("a_label") === col("b_label")
-        else col("a_label") =!= col("b_label")
-        graft.plans.TopKPerKey.topK(scored.filter(f), Seq(col("a_id")),
-            Seq(col("cos").desc, col("b_id")), 1)
-          .select(col("a_id"), col("b_id").as(idAs), col("cos").as(cosAs))
-      }
-      best(same = true, "pos_id", "pos_cos")
-        .join(best(same = false, "neg_id", "neg_cos"), "a_id")
+      // BOTH argmaxes in ONE pass over the N² table: conditional
+      // struct-max aggregates (cos desc, b_id asc via negation) replace
+      // the two filtered top-1 operators that each re-executed the
+      // uncached N² join — the r7 bench's 9.1 s vs 1.9 s budget. Partial
+      // aggregation collapses N² rows to one candidate per (anchor,
+      // partition) map-side, so only O(anchors) structs shuffle; no
+      // cache, no second execution, nothing pinned after the query.
+      val mined = scored.groupBy(col("a_id")).agg(
+          max(when(col("a_label") === col("b_label"),
+            struct(col("cos"), (-col("b_id")).as("nb"), col("b_id"))))
+            .as("p"),
+          max(when(col("a_label") =!= col("b_label"),
+            struct(col("cos"), (-col("b_id")).as("nb"), col("b_id"))))
+            .as("n"))
+        // inner-join semantics of the two-sided form: an anchor missing
+        // either side (singleton label) drops — correct mining behavior
+        .filter(col("p").isNotNull && col("n").isNotNull)
+        .select(col("a_id"), col("p.b_id").as("pos_id"),
+          col("p.cos").as("pos_cos"), col("n.b_id").as("neg_id"),
+          col("n.cos").as("neg_cos"))
+      mined
         .join(lab.select(col("vec_id").as("a_id"), col("label")), "a_id")
         .select(col("a_id").as("anchor"), col("label"),
           col("pos_id"), col("pos_cos"), col("neg_id"), col("neg_cos"),
@@ -1250,7 +1270,8 @@ object Similarity {
          |    row_number() OVER (PARTITION BY vec_id, sub
          |      ORDER BY d2, code) AS rn
          |  FROM d2)
-         |SELECT vec_id, list(code ORDER BY sub) AS codes,
+         |SELECT vec_id,
+         |  string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS codes,
          |  round(CAST(sum(d2) AS DOUBLE), 6) AS recon_err
          |FROM best WHERE rn = 1
          |GROUP BY vec_id ORDER BY vec_id""".stripMargin,

@@ -327,6 +327,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
     // the only nested-loop joins are the 1-row n_nodes broadcasts
     assert(!p.contains("CartesianProduct"), p)
+    // SCALE.md ceiling caveat pin: every round joins the O(V) rank table
+    // BROADCAST against the cached src-partitioned edges — the form that
+    // holds while V fits executor memory (entity graphs). Past that
+    // ceiling the documented swap is dropping the hint (same plan, edge
+    // side still never exchanges); if this assert starts failing because
+    // the hint was removed, update SCALE.md's row in the same change.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("win_topk_native plans the custom heap operator — no Sort, no Window") {

@@ -12,9 +12,14 @@ precisely because the old fetchall()-based compare erased that distinction.
 
 Rules:
   - columns sorted by name on both sides (the driver does the same);
-  - arrow types must match exactly, EXCEPT decimal-vs-decimal with equal
-    scale (DuckDB widens sum(DECIMAL) precision differently from Spark and
-    the driver's hash demonstrably tolerates it — r04 evidence);
+  - arrow types must match EXACTLY — r7 shipped agg_benford_audit red on a
+    decimal128(16,6)-vs-(7,6) skew with bit-identical values, so the old
+    same-scale decimal tolerance is gone (make the engines agree instead:
+    CAST to DOUBLE or to one explicit DECIMAL(p,s) on BOTH sides);
+  - list/map/struct-typed output columns are REJECTED outright for
+    oracle-declared queries — the driver's pandas sorter crashes on them
+    (r7: embedding_pq). Flatten: array_join on the Spark side, string_agg
+    in the DuckDB twin (SURVEY §7.4);
   - cell values compared by repr() of the arrow->python objects, so
     Decimal('3') != 3 and the HUGEINT class can never ship green again.
 
@@ -26,14 +31,15 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-_DEC = re.compile(r"^decimal(?:128|256)?\((\d+),\s*(-?\d+)\)$")
+_NESTED = re.compile(r"^(list|large_list|fixed_size_list|map|struct)\b")
 
 def types_compatible(a, b):
-    """Exact match, or decimal/decimal with the same scale."""
-    if a == b:
-        return True
-    ma, mb = _DEC.match(a), _DEC.match(b)
-    return bool(ma and mb and ma.group(2) == mb.group(2))
+    """Exact arrow-type match — bit-faithful to the driver's hash."""
+    return a == b
+
+def nested_cols(types):
+    """Columns the driver's pandas sorter cannot hash (list/map/struct)."""
+    return [c for c, t in sorted(types.items()) if _NESTED.match(t)]
 
 def canon(v):
     if isinstance(v, float):
@@ -75,6 +81,13 @@ def main(sf_dir, out_dir):
         except Exception as e:
             failures.append((name, f"spark output error: {e}"))
             print(f"FAIL {name}: spark output error: {str(e).splitlines()[0]}")
+            continue
+        nested = sorted(set(nested_cols(got_types)) | set(nested_cols(exp_types)))
+        if nested:
+            failures.append((name, f"nested output columns: {nested}"))
+            print(f"FAIL {name}: list/map/struct output column(s) {nested} — "
+                  f"the driver's sorter crashes on these; flatten "
+                  f"(array_join / string_agg) on both sides")
             continue
         if got_cols != exp_cols:
             failures.append((name, f"columns differ: spark={got_cols} oracle={exp_cols}"))

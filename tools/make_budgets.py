@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Regenerate bench_budgets.json from a clean-idle-machine Bench JSON line.
+
+Usage: python3 tools/make_budgets.py <bench_json_file> <source_note>
+
+Reads the one-line {"queries": {key: sec, ...}} JSON the Bench main prints,
+and writes bench_budgets.json with:
+  - budgets_sec: one entry per non-family key (the measured time, floored
+    at 0.05 s so a 0-ish measurement can't create an unmeetable budget);
+  - families: the memoized clusters whose per-key times measure whichever
+    member ran first (VERDICT r7: "budgets should bind family totals for
+    the memoized clusters") — each family carries its member list and the
+    SUM of member times as the budget.
+
+BenchSpec asserts every SparkEntry.queries key appears in exactly one of
+the two sections, so a new query without a budget fails CI until this is
+re-run.
+"""
+import json, sys
+
+# memoized clusters: one shared kernel (the CC label table) dominates; the
+# first member to run pays it, the rest are cache reads — per-key budgets
+# would encode bench ORDER, family totals don't.
+FAMILIES = {
+    "cc_labels": [
+        "dedup_connected", "dedup_cluster_stats", "dedup_canonical_pick",
+        "corpus_dedup_survivorship", "graph_component_density",
+        "sample_dedup_weight",
+    ],
+}
+
+def main(bench_file, source_note):
+    bench = json.load(open(bench_file))
+    times = bench["queries"]
+    fam_keys = {k for ks in FAMILIES.values() for k in ks}
+    missing = fam_keys - times.keys()
+    if missing:
+        raise SystemExit(f"family keys missing from bench run: {missing}")
+    budgets = {k: round(max(v, 0.05), 3)
+               for k, v in sorted(times.items()) if k not in fam_keys}
+    families = {
+        name: {"keys": ks,
+               "budget_sec": round(sum(times[k] for k in ks), 3)}
+        for name, ks in FAMILIES.items()}
+    out = {
+        "sf_dir": "/root/testdata/sf0.1",
+        "source": source_note,
+        "rule": "per-key: fail when measured > 2 * budget + 0.5s "
+                "(retry floor 2.0s inside the full suite); family: fail "
+                "when the member-time SUM > 2 * budget_sec + 2.0s",
+        "families": families,
+        "budgets_sec": budgets,
+    }
+    with open("/root/repo/bench_budgets.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"{len(budgets)} per-key budgets + "
+          f"{sum(len(v['keys']) for v in families.values())} family keys "
+          f"across {len(families)} families")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
