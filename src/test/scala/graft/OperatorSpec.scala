@@ -1809,7 +1809,8 @@ class OperatorSpec extends SparkSpec {
       test.getAs[Long]("n_customers"))
   }
 
-  test("graph_hits separates sides and orders by integer score") {
+  test("graph_hits separates sides and orders by exact integer-valued " +
+      "DECIMAL(38,0) score") {
     val rows = SparkEntry.queries("graph_hits")(spark, sf).collect()
     assert(rows.nonEmpty)
     val (auth, hub) = rows.partition(_.getAs[String]("kind") == "authority")
@@ -1821,8 +1822,13 @@ class OperatorSpec extends SparkSpec {
       val byRank = side.sortBy(_.getAs[Long]("rnk"))
       assert(byRank.map(_.getAs[Long]("rnk")).toSeq ==
         (1L to byRank.length))
-      val scores = byRank.map(_.getAs[Long]("score"))
-      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      // scores are DECIMAL(38,0) path counts (overflow-safe vs int64 —
+      // ADVICE r7); still exact integers, strictly rank-ordered
+      val scores = byRank
+        .map(_.getAs[java.math.BigDecimal]("score"))
+      scores.foreach(sc => assert(sc.scale == 0 && sc.signum > 0))
+      assert(scores.zip(scores.tail).forall { case (a, b) =>
+        a.compareTo(b) >= 0 })
       side.foreach(r => assert(r.getAs[Double]("share_ppm") > 0.0))
     }
   }
