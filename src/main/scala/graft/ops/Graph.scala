@@ -81,20 +81,50 @@ object Graph {
     * (which emits the labels) and `graph_modularity` (which scores them).
     * Per round: broadcast O(V) labels × cached edges + one (dst, label)
     * count aggregate; arg-min over (-cnt, label) avoids a per-node sort.
+    *
+    * Memoized per (session, sf) like [[Dedup.connectedLabels]]: BOTH
+    * consumers (and modularity's two endpoint joins) otherwise re-run the
+    * full 2-round LPA — two edge-joins each — per subtree. The label
+    * table is O(V), tiny to pin; the bounded DfLru evicts + unpersists
+    * past its cap like the dedup memos.
     */
-  private[graft] def lpaLabels(s: SparkSession, d: String): DataFrame = {
-    val e = edges(s, d)
-    val l0 = e.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-    (1 to 2).foldLeft(l0) { (l, _) =>
-      e.join(broadcast(l), col("src") === col("node"))
-        .groupBy(col("dst"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy("dst")
-        .agg(expr("min_by(label, struct(-cnt, label))").as("label"))
-        .select(col("dst").as("node"), col("label"))
-    }
-  }
+  private val lpaCache = new graft.plans.DfLru(Dedup.MemoCap)
+
+  private[graft] def lpaLabels(s: SparkSession, d: String): DataFrame =
+    lpaCache.getOrCompute((s, d), {
+      val e = edges(s, d)
+      val l0 = e.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+      val lab = (1 to 2).foldLeft(l0) { (l, _) =>
+        e.join(broadcast(l), col("src") === col("node"))
+          .groupBy(col("dst"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("dst")
+          .agg(expr("min_by(label, struct(-cnt, label))").as("label"))
+          .select(col("dst").as("node"), col("label"))
+      }.cache()
+      lab.count()
+      lab
+    })
+
+  /** The LSH-verified near-dup pair list `(doc_a < doc_b)`, projected to
+    * the two id columns and memoized per (session, sf): FIVE graph
+    * queries (triangles, common_neighbors, clustering_coeff,
+    * adamic_adar, jaccard_linkpred) wedge/close over this same table,
+    * and each previously pinned its own `.cache()` copy per invocation —
+    * five leaked duplicates of one tiny table in a long bench session.
+    * `minhashPairs` itself rides the memoized shingle/band kernels, so
+    * this memo pins only the verified pair list; the bounded DfLru
+    * evicts + unpersists past its cap.
+    */
+  private val pairCache = new graft.plans.DfLru(Dedup.MemoCap)
+
+  private[graft] def dupPairs(s: SparkSession, d: String): DataFrame =
+    pairCache.getOrCompute((s, d), {
+      val p = Dedup.minhashPairs(s, d).select("doc_a", "doc_b").cache()
+      p.count()
+      p
+    })
 
   /** (node, degree, n_nodes) — the second table every pagerank round
     * touches, cached for the same reason as the edge list (each round
@@ -182,10 +212,10 @@ object Graph {
     // broadcast, and the term follows the round-9-decimal-sum contract.
     "graph_modularity" -> { (s, d) =>
       val e = edges(s, d)
-      // cached: the O(V) label table feeds BOTH endpoint joins —
-      // uncached, Catalyst re-runs the full 2-round LPA (two edge-joins
-      // each) per subtree (measured 5.0 -> ~2.5 s at sf0.1)
-      val lab = lpaLabels(s, d).cache()
+      // the label table feeds BOTH endpoint joins; lpaLabels is memoized
+      // + cached (measured 5.0 -> ~2.5 s at sf0.1 when the cache landed,
+      // and the memo now also shares the run with graph_label_prop)
+      val lab = lpaLabels(s, d)
       val el = e
         .join(broadcast(lab.select(col("node").as("src"),
           col("label").as("lsrc"))), "src")
@@ -220,7 +250,7 @@ object Graph {
     // near-dup graph (a triangle-rich graph means big dup clusters and a
     // cheaper transitive-closure pass).
     "graph_triangles" -> { (s, d) =>
-      val p = Dedup.minhashPairs(s, d).select("doc_a", "doc_b").cache()
+      val p = dupPairs(s, d)
       val wedge = p.select(col("doc_a").as("b2"), col("doc_b").as("c2"))
       val closer = p.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
       p.join(wedge, col("doc_b") === col("b2"))
@@ -243,7 +273,7 @@ object Graph {
     // ~an equivalence relation). Scoring arithmetic: integer-valued
     // counts in IEEE double, one division, round(6) — bit-stable.
     "graph_common_neighbors" -> { (s, d) =>
-      val p = Dedup.minhashPairs(s, d).select("doc_a", "doc_b").cache()
+      val p = dupPairs(s, d)
       val e = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .unionAll(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
       val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
@@ -300,7 +330,7 @@ object Graph {
     },
 
     "graph_clustering_coeff" -> { (s, d) =>
-      val p = Dedup.minhashPairs(s, d).select("doc_a", "doc_b").cache()
+      val p = dupPairs(s, d)
       val e = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .unionAll(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
       val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
@@ -438,23 +468,39 @@ object Graph {
     // the edge count is two semi-join-shaped equi-joins onto the cached
     // edge list. Integer counts; one rounded division per k.
     "graph_rich_club" -> { (s, d) =>
+      // ONE pass over the edge list for all three k levels: both endpoint
+      // degrees join on once (broadcast O(V) table), then every φ(k)
+      // numerator is a conditional count in a single aggregate — the
+      // per-k formulation this replaces re-filtered and re-joined the
+      // full edge list twice per k (6 passes; this is the
+      // sweep-as-conditional-aggregate shape every multi-threshold audit
+      // should take at 100 TB). n_rich(k) reduces the O(V) degree table
+      // the same way; the 3 output rows unpack from one explode.
       val e = edges(s, d)
       val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      Seq(4L, 8L, 16L).map { k =>
-        val rich = deg.filter(col("deg") > k)
-          .select(col("src").as("node"))
-        val nn = rich.agg(count(lit(1)).as("n_rich"))
-        val ee = e
-          .join(broadcast(rich.select(col("node").as("src"))), "src")
-          .join(broadcast(rich.select(col("node").as("dst"))), "dst")
-          .agg(expr("count(1) div 2").as("m_rich"))
-        nn.crossJoin(ee).select(lit(k).as("k"), col("n_rich"),
-          col("m_rich"),
-          when(col("n_rich") >= 2,
-            round(col("m_rich").cast("double") * 2
-              / (col("n_rich") * (col("n_rich") - 1)).cast("double"), 6))
+      val ks = Seq(4L, 8L, 16L)
+      val withDeg = e
+        .join(broadcast(deg.select(col("src"), col("deg").as("ds"))), "src")
+        .join(broadcast(deg.select(col("src").as("dst"),
+          col("deg").as("dd"))), "dst")
+      val mCols = ks.map(k => expr(
+        s"count(CASE WHEN ds > $k AND dd > $k THEN 1 END) div 2")
+        .as(s"m$k"))
+      val nCols = ks.map(k =>
+        expr(s"count(CASE WHEN deg > $k THEN 1 END)").as(s"n$k"))
+      val ms = withDeg.agg(mCols.head, mCols.tail: _*)
+      val ns = deg.agg(nCols.head, nCols.tail: _*)
+      ms.crossJoin(ns)
+        .select(explode(array(ks.map(k =>
+          struct(lit(k).as("k"), col(s"n$k").as("n_rich"),
+            col(s"m$k").as("m_rich"))): _*)).as("r"))
+        .select(col("r.k"), col("r.n_rich"), col("r.m_rich"),
+          when(col("r.n_rich") >= 2,
+            round(col("r.m_rich").cast("double") * 2
+              / (col("r.n_rich") * (col("r.n_rich") - 1)).cast("double"),
+              6))
             .as("phi"))
-      }.reduce(_ unionAll _).orderBy("k")
+        .orderBy("k")
     },
 
     // Adamic–Adar link prediction over the near-dup graph: for each pair
@@ -468,7 +514,7 @@ object Graph {
     // every wedge center by construction (x has distinct neighbors a, b),
     // so ln never sees 1. 1/ln terms use the round-to-9 decimal contract.
     "graph_adamic_adar" -> { (s, d) =>
-      val p = Dedup.minhashPairs(s, d).select("doc_a", "doc_b").cache()
+      val p = dupPairs(s, d)
       val e = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .unionAll(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
       val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
@@ -484,6 +530,37 @@ object Graph {
         .agg(count(lit(1)).as("n_common"),
           round(sum(col("w")).cast("double"), 6).as("aa_score"))
         .orderBy(col("aa_score").desc, col("a"), col("b"))
+        .limit(30)
+    },
+
+    // Jaccard link prediction — the degree-NORMALIZED sibling of
+    // graph_common_neighbors/adamic_adar on the same LSH-pruned wedge
+    // plan: score(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)|, so a pair of
+    // low-degree nodes sharing most of their neighborhoods outranks a
+    // hub pair with the same raw overlap. The union size comes from
+    // inclusion–exclusion on the two broadcast degree lookups (deg_a +
+    // deg_b − common), never from materializing unions; the division is
+    // IEEE on integer-valued operands, exact-identical on both engines.
+    "graph_jaccard_linkpred" -> { (s, d) =>
+      val p = dupPairs(s, d)
+      val e = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionAll(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+      e.select(col("u").as("a"), col("v").as("x"))
+        .join(e.select(col("u").as("xx"), col("v").as("b")),
+          col("x") === col("xx"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(deg.select(col("u").as("a"),
+          col("deg").as("deg_a"))), "a")
+        .join(broadcast(deg.select(col("u").as("b"),
+          col("deg").as("deg_b"))), "b")
+        .select(col("a"), col("b"), col("n_common"),
+          round(col("n_common").cast("double")
+            / (col("deg_a") + col("deg_b") - col("n_common"))
+              .cast("double"), 6).as("jac_score"))
+        .orderBy(col("jac_score").desc, col("a"), col("b"))
         .limit(30)
     },
 
@@ -516,27 +593,30 @@ object Graph {
       // and past that both engines now fail loudly the same way.
       val h0 = ce.select(col("src").as("node")).distinct()
         .withColumn("score", lit(1L).cast("decimal(38,0)"))
-      // two Generations trackers (h-chain / a-chain): each round's hub
-      // table is dead once the next authority table lands and vice versa,
-      // but BOTH finals feed the output, so they rotate independently —
-      // the same stale-generation discipline as BFS/k-core, cutting the
-      // 6-join lineage so the final two-sided read never re-executes it
+      // stale-generation rotation on the h-chain, with the a-chain LAZY
+      // (the BFS/k-core discipline, thinned): an intermediate authority
+      // table has exactly one consumer — the hub table of its own round —
+      // so its two joins fold into that round's checkpoint job instead of
+      // costing a job of their own. Only a3 feeds the output (twice, via
+      // the share denominator), so it alone materializes, from the h2
+      // checkpoint, before h3 rotates h2 away. 4 eager jobs per query,
+      // not 6; lineage depth stays ≤ 2 joins per job.
+      def authority(h: DataFrame): DataFrame =
+        ce.join(broadcast(h), col("src") === col("node"))
+          .groupBy("dst").agg(sum(col("score")).as("score"))
+          .select(col("dst").as("node"), col("score"))
+      def hub(a: DataFrame): DataFrame =
+        ce.join(broadcast(
+            a.select(col("node").as("an"), col("score").as("as_"))),
+            col("dst") === col("an"))
+          .groupBy("src").agg(sum(col("as_")).as("score"))
+          .select(col("src").as("node"), col("score"))
       val hGen = new graft.plans.Generations(s)
       val aGen = new graft.plans.Generations(s)
-      val (h3, a3) = (1 to 3)
-        .foldLeft((h0, h0)) { case ((h, _), _) =>
-          val a = aGen.rotate(
-            ce.join(broadcast(h), col("src") === col("node"))
-              .groupBy("dst").agg(sum(col("score")).as("score"))
-              .select(col("dst").as("node"), col("score")))
-          val h2 = hGen.rotate(
-            ce.join(broadcast(
-                a.select(col("node").as("an"), col("score").as("as_"))),
-                col("dst") === col("an"))
-              .groupBy("src").agg(sum(col("as_")).as("score"))
-              .select(col("src").as("node"), col("score")))
-          (h2, a)
-        }
+      val (h3, a3) = (1 to 3).foldLeft((h0, h0)) { case ((h, _), r) =>
+        val a = if (r == 3) aGen.rotate(authority(h)) else authority(h)
+        (hGen.rotate(hub(a)), a)
+      }
       def side(df: DataFrame, kind: String): DataFrame = {
         val tot = df.agg(sum(col("score")).as("total"))
         df.crossJoin(broadcast(tot))
@@ -564,6 +644,56 @@ object Graph {
     // agrees well inside 9 decimals, and decimal sums make merge order
     // irrelevant), products re-rounded the same way; the closed-form
     // slope runs in mirrored doubles at the end.
+    // knn(k) curve — average neighbor degree per degree class over the
+    // trade graph, the standard degree-correlation profile behind the
+    // scalar `graph_degree_assortativity` (a falling curve = hubs attach
+    // to leaves = disassortative, the common trade/web shape; flat =
+    // neutral). Edge-weighted form: knn(k) = Σ over degree-k endpoints
+    // of their neighbors' degrees / (k · n_nodes(k)), which keeps every
+    // sum INTEGER until one final division — no per-node double means to
+    // re-sum (summation-order trap). One broadcast degree join onto the
+    // cached edges, one keyed agg to O(#degrees) rows.
+    "graph_avg_neighbor_degree" -> { (s, d) =>
+      val e = edges(s, d)
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      e.join(broadcast(deg.select(col("src"), col("deg").as("deg_src"))),
+          "src")
+        .join(broadcast(deg.select(col("src").as("dst"),
+          col("deg").as("deg_dst"))), "dst")
+        .groupBy(col("deg_src").as("degree"))
+        .agg(countDistinct(col("src")).as("n_nodes"),
+          sum(col("deg_dst")).as("sum_nbr_deg"))
+        .select(col("degree"), col("n_nodes"),
+          round(col("sum_nbr_deg").cast("double")
+            / (col("degree") * col("n_nodes")).cast("double"), 6)
+            .as("avg_neighbor_degree"))
+        .orderBy("degree")
+    },
+
+    // degree distribution + CCDF over the trade graph — the raw table
+    // graph_powerlaw_fit fits a line to (and the first thing a skew
+    // triage reads: the CCDF at the high-degree tail IS the super-node
+    // exposure a join-salting decision keys on). The node table
+    // collapses to O(#distinct degrees) rows before the one cumulative
+    // window, so the global ORDER BY window runs over dozens of rows,
+    // never O(V); counts integer, ccdf one IEEE division.
+    "graph_degree_histogram" -> { (s, d) =>
+      val hist = nodeTable(s, d).groupBy("deg")
+        .agg(count(lit(1)).as("n_nodes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("deg").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val tot = hist.agg(sum(col("n_nodes")).as("n_total"))
+      hist.withColumn("n_nodes_ge", sum(col("n_nodes")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("deg").as("degree"), col("n_nodes"),
+          col("n_nodes_ge"),
+          round(col("n_nodes_ge").cast("double")
+            / col("n_total").cast("double"), 6).as("ccdf"))
+        .orderBy("degree")
+    },
+
     "graph_powerlaw_fit" -> { (s, d) =>
       val pts = nodeTable(s, d).groupBy("deg")
         .agg(count(lit(1)).as("cnt"))
@@ -895,6 +1025,26 @@ object Graph {
          |GROUP BY a, b
          |ORDER BY aa_score DESC, a, b LIMIT 30""".stripMargin,
 
+    // identical wedge + degree CTEs; the score swaps Σ 1/ln(deg) for
+    // inclusion–exclusion Jaccard of the endpoint neighborhoods
+    "graph_jaccard_linkpred" ->
+      s"""WITH ${Dedup.jaccardCtes},
+         |e AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |  UNION ALL
+         |  SELECT doc_b AS u, doc_a AS v FROM jpairs),
+         |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+         |cn AS (
+         |  SELECT e1.u AS a, e2.v AS b, count(*) AS n_common
+         |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+         |  WHERE e1.u < e2.v
+         |  GROUP BY 1, 2)
+         |SELECT a, b, n_common,
+         |  round(CAST(n_common AS DOUBLE)
+         |    / CAST(da.deg + db.deg - n_common AS DOUBLE), 6) AS jac_score
+         |FROM cn JOIN deg da ON cn.a = da.u JOIN deg db ON cn.b = db.u
+         |ORDER BY jac_score DESC, a, b LIMIT 30""".stripMargin,
+
     // same two unrolled LPA rounds as graph_label_prop, then the Newman
     // sum with the identical round-9 decimal term contract
     "graph_modularity" -> {
@@ -984,6 +1134,58 @@ object Graph {
          |SELECT kind, rnk, node, score, share_ppm FROM r
          |WHERE rnk <= 25 ORDER BY kind, rnk""".stripMargin
     },
+
+    // same pairs/degree CTEs; the edge-weighted knn(k) fold keeps every
+    // sum integer until the one final division
+    "graph_avg_neighbor_degree" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS sp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (
+         |  SELECT c AS src, sp AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT sp AS src, c AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |j AS (
+         |  SELECT ds.deg AS degree, e.src, dd.deg AS deg_dst
+         |  FROM e
+         |  JOIN deg ds ON ds.src = e.src
+         |  JOIN deg dd ON dd.src = e.dst),
+         |g AS (
+         |  SELECT degree,
+         |    CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+         |    CAST(sum(deg_dst) AS BIGINT) AS sum_nbr_deg
+         |  FROM j GROUP BY degree)
+         |SELECT degree, n_nodes,
+         |  round(CAST(sum_nbr_deg AS DOUBLE)
+         |    / CAST(degree * n_nodes AS DOUBLE), 6) AS avg_neighbor_degree
+         |FROM g ORDER BY degree""".stripMargin,
+
+    // same degree CTE; the cumulative window mirrors the Spark frame
+    // (deg descending, unbounded preceding) over the O(#degrees) table
+    "graph_degree_histogram" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS sp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (
+         |  SELECT c AS src, sp AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT sp AS src, c AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |hist AS (
+         |  SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+         |  FROM deg GROUP BY 1),
+         |c AS (
+         |  SELECT deg, n_nodes,
+         |    CAST(sum(n_nodes) OVER (ORDER BY deg DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS n_nodes_ge,
+         |    CAST(sum(n_nodes) OVER () AS BIGINT) AS n_total
+         |  FROM hist)
+         |SELECT deg AS degree, n_nodes, n_nodes_ge,
+         |  round(CAST(n_nodes_ge AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+         |    AS ccdf
+         |FROM c ORDER BY degree""".stripMargin,
 
     "graph_powerlaw_fit" ->
       s"""WITH pairs AS (

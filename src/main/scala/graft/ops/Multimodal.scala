@@ -197,6 +197,37 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    // media-lake datacard (the corpus_datacard analog for audio): per
+    // (sample_rate, n_channels) container class, asset count, total and
+    // mean decoded duration, and the class's share of the lake — the
+    // composition table a media-training run is configured from, and
+    // the first read when a transcode decision (resample? downmix?) is
+    // costed. One per-partition decode pass (headers only, no payload
+    // shuffle) collapsing to O(#classes) cells; shares via a broadcast
+    // 1-row total, durations integer-summed before the one division.
+    "multimodal_corpus_stats" -> { (s, d) =>
+      import s.implicits._
+      val cells = t(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          parseWav(id, synthWav(id, text))
+        })
+        .toDF()
+        .groupBy("sample_rate", "n_channels")
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("duration_us")).as("total_duration_us"))
+      val tot = cells.agg(sum(col("n_assets")).as("n_total"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("sample_rate"), col("n_channels"), col("n_assets"),
+          col("total_duration_us"),
+          round(col("total_duration_us").cast("double")
+            / col("n_assets").cast("double"), 2).as("avg_duration_us"),
+          round(col("n_assets").cast("double")
+            / col("n_total").cast("double"), 6).as("asset_share"))
+        .orderBy("sample_rate", "n_channels")
+    },
+
     // media curation gate (the text_gopher_rules analog for audio): run
     // the REAL header decode, then per-asset rule flags — duration floor,
     // sample-rate whitelist, and the byte_rate == sample_rate·block_align
@@ -439,6 +470,33 @@ object Multimodal {
         |  (duration_us >= 20000 AND sample_rate IN (8000, 16000)
         |    AND rule_consistent) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+    // the decode oracle's closed-form fields, folded per container class
+    "multimodal_corpus_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+        |    CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_samples
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, n_channels, sample_rate,
+        |    CAST(n_samples * n_channels * 2 * 1000000
+        |      // (sample_rate * n_channels * 2) AS BIGINT) AS duration_us
+        |  FROM p),
+        |cells AS (
+        |  SELECT sample_rate, n_channels,
+        |    CAST(count(*) AS BIGINT) AS n_assets,
+        |    CAST(sum(duration_us) AS BIGINT) AS total_duration_us
+        |  FROM q GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_assets) AS BIGINT) AS n_total FROM cells)
+        |SELECT sample_rate, n_channels, n_assets, total_duration_us,
+        |  round(CAST(total_duration_us AS DOUBLE)
+        |    / CAST(n_assets AS DOUBLE), 2) AS avg_duration_us,
+        |  round(CAST(n_assets AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+        |    AS asset_share
+        |FROM cells CROSS JOIN tot
+        |ORDER BY sample_rate, n_channels""".stripMargin,
+
     "multimodal_decode" ->
       """WITH p AS (
         |  SELECT doc_id,

@@ -35,6 +35,31 @@ object ScalarFns {
         concat(col("p_brand"), lit("#"), col("p_type")).as("cat"))
         .orderBy("p_partkey")),
 
+    // the URL function family: parse_url component extraction (protocol,
+    // host, path, query, fragment) plus keyed query-param lookup — the
+    // log-enrichment primitive clickstream pipelines run per row. URLs
+    // are synthesized from order columns (the dedup_url_norm pattern) so
+    // the op is self-contained; components stay lowercase and '#'-free
+    // except the deliberate fragment, so Spark's parse_url and the
+    // oracle's per-part regexes agree on every row.
+    "fn_url" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("url", concat(
+          lit("https://www.shop-"), pmod(col("o_custkey"), lit(7)),
+          lit(".example.com/orders/"), col("o_orderkey"),
+          lit("?status="), col("o_orderstatus"),
+          lit("&id="), pmod(col("o_orderkey"), lit(97)),
+          lit("#s"), pmod(col("o_orderkey"), lit(5))))
+        .select(
+          col("o_orderkey"),
+          expr("parse_url(url, 'PROTOCOL')").as("protocol"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("query"),
+          expr("parse_url(url, 'REF')").as("fragment"),
+          expr("parse_url(url, 'QUERY', 'id')").as("id_param"))
+        .orderBy("o_orderkey")),
+
     // the regex function family beyond plain replace: group extraction,
     // match counting, boolean match, group-referencing replacement. All
     // patterns stay RE2-compatible (no backreferences, no lookaround) so
@@ -241,6 +266,27 @@ object ScalarFns {
   )
 
   def oracle: Map[String, String] = Map(
+    // identical URL synthesis; each component re-derived by its own
+    // anchored regex (DuckDB has no parse_url) — the extraction grammar
+    // matches java.net's component split on these '#'-clean inputs
+    "fn_url" ->
+      """WITH u AS (
+        |  SELECT o_orderkey,
+        |    'https://www.shop-' || (o_custkey % 7)
+        |    || '.example.com/orders/' || o_orderkey
+        |    || '?status=' || o_orderstatus
+        |    || '&id=' || (o_orderkey % 97)
+        |    || '#s' || (o_orderkey % 5) AS url
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+        |  regexp_extract(url, '^[a-z]+://([^/?#]*)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+        |  regexp_extract(url, '#(.*)$', 1) AS fragment,
+        |  regexp_extract(url, '[?&]id=([^&#]*)', 1) AS id_param
+        |FROM u ORDER BY o_orderkey""".stripMargin,
+
     "fn_regexp" ->
       """SELECT doc_id,
         |  regexp_extract(text, '^(\w+) (\w+)', 2) AS second_word,

@@ -95,6 +95,76 @@ object Similarity {
       .cache()
   }
 
+  /** The 16 deterministic coarse centroids (first 16 vectors), broadcast —
+    * the codebook every IVF consumer probes against.
+    */
+  private def ivfCentroids(s: SparkSession, d: String) =
+    broadcast(vectors(s, d).filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("v").as("cv")))
+
+  /** IVF assignment `(vec_id, v, cluster)`: every vector to its nearest
+    * of the 16 coarse centroids in ONE broadcast pass (rounded-cosine +
+    * c_id tiebreak). Single definition shared by [[ivfTopK]],
+    * [[knnEdges]], and the `sim_ivf_cell_skew` balance audit so the
+    * graded, production, and audit paths cannot drift.
+    */
+  private def ivfAssign(s: SparkSession, d: String): DataFrame = {
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("c_id"))
+    vectors(s, d).crossJoin(ivfCentroids(s, d))
+      .withColumn("ccos", expr("round(cosine_sim(v, cv), 6)"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
+  }
+
+  /** Product-quantization best-code table `(vec_id, sub, code, d2)`: each
+    * vector split into 8 8-dim subvectors, each assigned to the nearest
+    * of 16 codebook entries (the first 16 vectors' matching slices) by
+    * exact-decimal squared distance, code tiebreak. The O(M·K) codebook
+    * broadcasts; the only shuffle is the per-(vec, sub) argmin window.
+    * Shared by `embedding_pq` (the encode pass) and
+    * `embedding_pq_distortion` (the codebook-quality audit) — memoized
+    * per (session, sf) via the bounded DfLru so the encode (the
+    * 16-way distance sweep + per-(vec, sub) argmin window, the whole
+    * cost of both queries) runs once per session, not per consumer.
+    */
+  private val pqCache = new graft.plans.DfLru(Dedup.MemoCap)
+
+  private def pqBest(s: SparkSession, d: String): DataFrame =
+    pqCache.getOrCompute((s, d), {
+      val b = pqBestBuild(s, d).cache()
+      b.count()
+      b
+    })
+
+  private def pqBestBuild(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(s, d)
+    def slices(src: DataFrame, idAs: String) = src.select(
+      col("vec_id").as(idAs),
+      posexplode(expr(
+        "transform(sequence(1, 8), m -> slice(v, (m - 1) * 8 + 1, 8))"))
+        .as(Seq("sub", "sv")))
+    val cb = broadcast(slices(e.filter(col("vec_id") < 16), "code")
+      .select(col("sub"), col("code"), col("sv").as("cv")))
+    val d2 = expr(
+      """aggregate(
+        |  zip_with(sv, cv, (x, c) ->
+        |    (CAST(round(x, 6) AS DECIMAL(12,6))
+        |      - CAST(round(c, 6) AS DECIMAL(12,6)))
+        |    * (CAST(round(x, 6) AS DECIMAL(12,6))
+        |      - CAST(round(c, 6) AS DECIMAL(12,6)))),
+        |  CAST(0 AS DECIMAL(30,12)),
+        |  (acc, z) -> CAST(acc + z AS DECIMAL(30,12)))""".stripMargin)
+    val w = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("d2"), col("code"))
+    slices(e, "vec_id").join(cb, "sub")
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "sub", "code", "d2")
+  }
+
   /** The IVF top-k pipeline behind `sim_topk_ivf` AND the exact-vs-ANN
     * comparison in `sim_recall_eval` (single definition so the graded
     * path and the production path cannot drift): assign every vector to
@@ -106,16 +176,8 @@ object Similarity {
   private def ivfTopK(s: SparkSession, d: String,
       nprobe: Int = 4): DataFrame = {
     val e = vectors(s, d)
-    val cent = broadcast(e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("c_id"), col("v").as("cv")))
-    // assign every vector to its nearest centroid (1 broadcast pass)
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("c_id"))
-    val assign = e.crossJoin(cent)
-      .withColumn("ccos", expr("round(cosine_sim(v, cv), 6)"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
+    val cent = ivfCentroids(s, d)
+    val assign = ivfAssign(s, d)
     // queries probe their nprobe nearest centroids
     val q = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -145,15 +207,8 @@ object Similarity {
     */
   private def knnEdges(s: SparkSession, d: String): DataFrame = {
     val e = vectors(s, d)
-    val cent = broadcast(e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("c_id"), col("v").as("cv")))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("c_id"))
-    val assign = e.crossJoin(cent)
-      .withColumn("ccos", expr("round(cosine_sim(v, cv), 6)"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
+    val cent = ivfCentroids(s, d)
+    val assign = ivfAssign(s, d)
     val wProbe = Window.partitionBy("q_id")
       .orderBy(col("qcos").desc, col("c_id"))
     val probes = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -295,6 +350,33 @@ object Similarity {
     // SQL, and sim_recall_eval grades it against exact search.
     "sim_topk_ivf" -> ((s, d) => ivfTopK(s, d).orderBy("q_id", "rnk")),
 
+    // IVF cell-balance audit — the ANN twin of dedup_lsh_bucket_skew:
+    // per coarse cell, the member count the nprobe search will scan.
+    // IVF's latency is Σ over probed cells of |cell|, so one hot cell
+    // (or many dead ones — the same mass concentrated elsewhere) is what
+    // turns a "1/16th of the corpus" probe into a near-full scan; this
+    // is the pre-flight read before committing a codebook at scale. The
+    // 0..15 grid materializes DEAD cells as zero rows (the signal a
+    // census-by-groupBy alone would silently drop). Counts are integer;
+    // the two shares are IEEE divisions on integer operands.
+    "sim_ivf_cell_skew" -> { (s, d) =>
+      val counts = ivfAssign(s, d)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("c"))
+      // every vector lands in exactly one cell, so Σ counts == N — the
+      // 1-row total broadcasts back instead of a driver-side count()
+      val tot = counts.agg(sum(col("c")).as("n_total"))
+      s.range(16).select(col("id").as("cell"))
+        .join(counts, col("cell") === col("cluster"), "left")
+        .na.fill(0L, Seq("c"))
+        .crossJoin(broadcast(tot))
+        .select(col("cell"), col("c").as("n_vecs"),
+          round(col("c").cast("double") / col("n_total").cast("double"), 6)
+            .as("share"),
+          round(col("c").cast("double") * 16d
+            / col("n_total").cast("double"), 6).as("skew_vs_uniform"))
+        .orderBy("cell")
+    },
+
     // ANN quality gate: recall@k of the IVF path against brute-force
     // exact search over the same queries — the eval loop every ANN
     // deployment runs before trusting an index config (C, nprobe) at
@@ -435,29 +517,7 @@ object Similarity {
     // round(·,6) casts (merge order can't move an ulp) and the argmin
     // tiebreaks on code id — both engines pick identical codes.
     "embedding_pq" -> { (s, d) =>
-      val e = vectors(s, d)
-      def slices(src: DataFrame, idAs: String) = src.select(
-        col("vec_id").as(idAs),
-        posexplode(expr(
-          "transform(sequence(1, 8), m -> slice(v, (m - 1) * 8 + 1, 8))"))
-          .as(Seq("sub", "sv")))
-      val cb = broadcast(slices(e.filter(col("vec_id") < 16), "code")
-        .select(col("sub"), col("code"), col("sv").as("cv")))
-      val d2 = expr(
-        """aggregate(
-          |  zip_with(sv, cv, (x, c) ->
-          |    (CAST(round(x, 6) AS DECIMAL(12,6))
-          |      - CAST(round(c, 6) AS DECIMAL(12,6)))
-          |    * (CAST(round(x, 6) AS DECIMAL(12,6))
-          |      - CAST(round(c, 6) AS DECIMAL(12,6)))),
-          |  CAST(0 AS DECIMAL(30,12)),
-          |  (acc, z) -> CAST(acc + z AS DECIMAL(30,12)))""".stripMargin)
-      val w = Window.partitionBy("vec_id", "sub")
-        .orderBy(col("d2"), col("code"))
-      slices(e, "vec_id").join(cb, "sub")
-        .withColumn("d2", d2)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      pqBest(s, d)
         .groupBy("vec_id")
         .agg(
           expr("array_join(transform(array_sort(" +
@@ -465,6 +525,79 @@ object Similarity {
             ", ',')").as("codes"),
           round(sum(col("d2")).cast("double"), 6).as("recon_err"))
         .orderBy("vec_id")
+    },
+
+    // PQ asymmetric-distance search (the FAISS ADC pattern — the FOURTH
+    // ANN path next to banded MinHash, IVF, and sign-LSH): queries stay
+    // full-precision, the base stays 8-byte PQ codes, and each query
+    // precomputes a (sub, code) -> distance lookup table against the
+    // codebook. The scan then never touches a base VECTOR — per base
+    // row it's 8 table lookups and an add, which is the whole reason PQ
+    // search scales (memory traffic drops 32×; at 100 TB the base read
+    // is codes, not floats). LUT is O(Q·8·16) rows broadcast; distances
+    // sum in exact decimal (the pqBest discipline) so ADC scores are
+    // bit-stable; top-5 per query through the bounded TopKPerKey heap.
+    "sim_pq_adc_topk" -> { (s, d) =>
+      val codes = pqBest(s, d).select("vec_id", "sub", "code")
+      val q = vectors(s, d)
+        .filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"),
+          posexplode(expr(
+            "transform(sequence(1, 8), m -> slice(v, (m - 1) * 8 + 1, 8))"))
+            .as(Seq("sub", "qv")))
+      val cb = vectors(s, d).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("code"),
+          posexplode(expr(
+            "transform(sequence(1, 8), m -> slice(v, (m - 1) * 8 + 1, 8))"))
+            .as(Seq("sub", "cv")))
+      val adc = expr(
+        """aggregate(
+          |  zip_with(qv, cv, (x, c) ->
+          |    (CAST(round(x, 6) AS DECIMAL(12,6))
+          |      - CAST(round(c, 6) AS DECIMAL(12,6)))
+          |    * (CAST(round(x, 6) AS DECIMAL(12,6))
+          |      - CAST(round(c, 6) AS DECIMAL(12,6)))),
+          |  CAST(0 AS DECIMAL(30,12)),
+          |  (acc, z) -> CAST(acc + z AS DECIMAL(30,12)))""".stripMargin)
+      val lut = broadcast(q.join(cb, "sub").withColumn("ad2", adc)
+        .select("q_id", "sub", "code", "ad2"))
+      val scored = codes.join(lut, Seq("sub", "code"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum(col("ad2")).as("adc_d2"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("adc_d2"), col("vec_id"))
+      graft.plans.TopKPerKey.topK(scored, Seq(col("q_id")),
+          Seq(col("adc_d2").asc, col("vec_id").asc), 5)
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(col("adc_d2").cast("double"), 6).as("adc_dist"),
+          row_number().over(w).cast("long").as("rnk"))
+        .orderBy("q_id", "rnk")
+    },
+
+    // PQ codebook-quality audit — per subquantizer: how many of the 16
+    // codewords are actually USED, how concentrated assignments are on
+    // the hottest codeword, and the mean squared distortion the encode
+    // pass left behind. A dead codeword (n_codes_used < 16) or a hot one
+    // (max_code_share ≫ 1/16) means the codebook wastes bits exactly
+    // where PQ can least afford it; mse is the per-sub reconstruction
+    // error a recall regression will trace back here. Rides the SAME
+    // pqBest table as embedding_pq (one encode, two reports); the d2
+    // sums stay exact decimal until one division, counts are integer.
+    "embedding_pq_distortion" -> { (s, d) =>
+      val hist = pqBest(s, d)
+        .groupBy("sub", "code").agg(
+          count(lit(1)).as("cnt"), sum(col("d2")).as("sd2"))
+      hist.groupBy("sub")
+        .agg(sum(col("cnt")).as("n_vecs"),
+          count(lit(1)).as("n_codes_used"),
+          round(max(col("cnt")).cast("double")
+            / sum(col("cnt")).cast("double"), 6).as("max_code_share"),
+          round(sum(col("sd2")).cast("double")
+            / sum(col("cnt")).cast("double"), 6).as("mse"))
+        .select(col("sub").cast("long").as("sub"), col("n_vecs"),
+          col("n_codes_used"), col("max_code_share"), col("mse"))
+        .orderBy("sub")
     },
 
     // dominant principal direction by two unrolled power-iteration rounds
@@ -1148,6 +1281,24 @@ object Similarity {
       s"""WITH $ivfSqlCtes
          |SELECT q_id, n_id, cos, rnk FROM r WHERE rnk <= $TopK
          |ORDER BY q_id, rnk""".stripMargin,
+    // same assign CTE; the 0..15 grid keeps dead cells as zero rows and
+    // the total comes from summing the cell counts (Σ == N by totality
+    // of the assignment)
+    "sim_ivf_cell_skew" ->
+      s"""WITH $ivfSqlCtes,
+         |counts AS (
+         |  SELECT cluster, count(*) AS c FROM assign GROUP BY cluster),
+         |grid AS (SELECT unnest(generate_series(0, 15)) AS cell),
+         |tot AS (SELECT sum(c) AS n_total FROM counts)
+         |SELECT CAST(grid.cell AS BIGINT) AS cell,
+         |  CAST(COALESCE(counts.c, 0) AS BIGINT) AS n_vecs,
+         |  round(CAST(COALESCE(counts.c, 0) AS DOUBLE)
+         |    / CAST(n_total AS DOUBLE), 6) AS share,
+         |  round(CAST(COALESCE(counts.c, 0) AS DOUBLE) * 16
+         |    / CAST(n_total AS DOUBLE), 6) AS skew_vs_uniform
+         |FROM grid LEFT JOIN counts ON counts.cluster = grid.cell
+         |CROSS JOIN tot
+         |ORDER BY cell""".stripMargin,
     // same IVF CTE chain + a brute-force exact top-k branch; the hit
     // join and recall arithmetic mirror the Spark plan stage-for-stage
     "sim_recall_eval" ->
@@ -1275,6 +1426,108 @@ object Similarity {
          |  round(CAST(sum(d2) AS DOUBLE), 6) AS recon_err
          |FROM best WHERE rn = 1
          |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // same chain to `best` (the encode), plus the per-query LUT built by
+    // the identical decimal distance kernel; the scan joins codes to the
+    // LUT and never touches a base vector
+    "sim_pq_adc_topk" ->
+      s"""WITH e AS ($duckVectors),
+         |sub AS (
+         |  SELECT vec_id, unnest(generate_series(0, 7)) AS sub, v FROM e),
+         |sv AS (
+         |  SELECT vec_id, sub,
+         |    list_slice(v, sub * 8 + 1, sub * 8 + 8) AS sv
+         |  FROM sub),
+         |cb AS (
+         |  SELECT vec_id AS code, sub,
+         |    list_slice(v, sub * 8 + 1, sub * 8 + 8) AS cv
+         |  FROM (SELECT vec_id, unnest(generate_series(0, 7)) AS sub, v
+         |        FROM e WHERE vec_id < 16)),
+         |dims AS (
+         |  SELECT s.vec_id, s.sub, c.code,
+         |    unnest(generate_series(1, 8)) AS j, s.sv, c.cv
+         |  FROM sv s JOIN cb c USING (sub)),
+         |d2 AS (
+         |  SELECT vec_id, sub, code,
+         |    sum((CAST(round(sv[j], 6) AS DECIMAL(12,6))
+         |          - CAST(round(cv[j], 6) AS DECIMAL(12,6)))
+         |      * (CAST(round(sv[j], 6) AS DECIMAL(12,6))
+         |          - CAST(round(cv[j], 6) AS DECIMAL(12,6)))) AS d2
+         |  FROM dims GROUP BY 1, 2, 3),
+         |best AS (
+         |  SELECT vec_id, sub, code, d2,
+         |    row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY d2, code) AS rn
+         |  FROM d2),
+         |codes AS (SELECT vec_id, sub, code FROM best WHERE rn = 1),
+         |qdims AS (
+         |  SELECT s.vec_id AS q_id, s.sub, c.code,
+         |    unnest(generate_series(1, 8)) AS j, s.sv AS qv, c.cv
+         |  FROM sv s JOIN cb c USING (sub)
+         |  WHERE s.vec_id >= 10 AND s.vec_id < 20),
+         |lut AS (
+         |  SELECT q_id, sub, code,
+         |    sum((CAST(round(qv[j], 6) AS DECIMAL(12,6))
+         |          - CAST(round(cv[j], 6) AS DECIMAL(12,6)))
+         |      * (CAST(round(qv[j], 6) AS DECIMAL(12,6))
+         |          - CAST(round(cv[j], 6) AS DECIMAL(12,6)))) AS ad2
+         |  FROM qdims GROUP BY 1, 2, 3),
+         |sc AS (
+         |  SELECT l.q_id, k.vec_id, sum(l.ad2) AS adc_d2
+         |  FROM codes k JOIN lut l ON l.sub = k.sub AND l.code = k.code
+         |  WHERE k.vec_id <> l.q_id
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT q_id, vec_id AS n_id, adc_d2,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adc_d2, vec_id) AS rnk
+         |  FROM sc)
+         |SELECT q_id, n_id, round(CAST(adc_d2 AS DOUBLE), 6) AS adc_dist,
+         |  CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    // same chain to `best`, folded per subquantizer instead of per
+    // vector: code-usage census + exact-decimal distortion sums, one
+    // IEEE division each for the share and the mse
+    "embedding_pq_distortion" ->
+      s"""WITH e AS ($duckVectors),
+         |sub AS (
+         |  SELECT vec_id, unnest(generate_series(0, 7)) AS sub, v FROM e),
+         |sv AS (
+         |  SELECT vec_id, sub,
+         |    list_slice(v, sub * 8 + 1, sub * 8 + 8) AS sv
+         |  FROM sub),
+         |cb AS (
+         |  SELECT vec_id AS code, sub,
+         |    list_slice(v, sub * 8 + 1, sub * 8 + 8) AS cv
+         |  FROM (SELECT vec_id, unnest(generate_series(0, 7)) AS sub, v
+         |        FROM e WHERE vec_id < 16)),
+         |dims AS (
+         |  SELECT s.vec_id, s.sub, c.code,
+         |    unnest(generate_series(1, 8)) AS j, s.sv, c.cv
+         |  FROM sv s JOIN cb c USING (sub)),
+         |d2 AS (
+         |  SELECT vec_id, sub, code,
+         |    sum((CAST(round(sv[j], 6) AS DECIMAL(12,6))
+         |          - CAST(round(cv[j], 6) AS DECIMAL(12,6)))
+         |      * (CAST(round(sv[j], 6) AS DECIMAL(12,6))
+         |          - CAST(round(cv[j], 6) AS DECIMAL(12,6)))) AS d2
+         |  FROM dims GROUP BY 1, 2, 3),
+         |best AS (
+         |  SELECT vec_id, sub, code, d2,
+         |    row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY d2, code) AS rn
+         |  FROM d2),
+         |hist AS (
+         |  SELECT sub, code, count(*) AS cnt, sum(d2) AS sd2
+         |  FROM best WHERE rn = 1 GROUP BY sub, code)
+         |SELECT CAST(sub AS BIGINT) AS sub,
+         |  CAST(sum(cnt) AS BIGINT) AS n_vecs,
+         |  CAST(count(*) AS BIGINT) AS n_codes_used,
+         |  round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+         |    AS max_code_share,
+         |  round(CAST(sum(sd2) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+         |    AS mse
+         |FROM hist GROUP BY sub ORDER BY sub""".stripMargin,
     // every Lloyd stage is deterministic SQL (fixed seeds, rounded-cosine
     // argmax, exact-decimal dimension means), so both iterations hash-check
     "kmeans_lloyd" -> {

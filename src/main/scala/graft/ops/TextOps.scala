@@ -20,11 +20,24 @@ object TextOps {
   /** Corpus word counts `(word, cnt)` — the one corpus-linear pass shared
     * with [[Aggregates]]' Count-Min sketch (everything downstream of it is
     * vocab-sized).
+    *
+    * Memoized per (session, sf) like [[Graph.lpaLabels]]: FOUR consumers
+    * (`agg_countmin`, `text_hapax_stats`, `text_template_mining`,
+    * `text_doc_perplexity`) each re-ran the full corpus explode + count
+    * otherwise. The output is Zipf-small (vocabulary, not corpus), so the
+    * pin is O(vocab); the bounded DfLru evicts + unpersists past its cap.
     */
+  private val wcCache = new graft.plans.DfLru(Dedup.MemoCap)
+
   def wordCounts(s: SparkSession, d: String): DataFrame =
-    corpus(s, d)
-      .select(explode(split(lower(trim(col("text"))), " ")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    wcCache.getOrCompute((s, d), {
+      val wc = corpus(s, d)
+        .select(explode(split(lower(trim(col("text"))), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .cache()
+      wc.count()
+      wc
+    })
 
   /** Chunk width for `text_boilerplate`: 3 tokens — sized to the fixture's
     * ~31-word near-uniform vocabulary so repeated chunks actually occur
@@ -294,6 +307,73 @@ object TextOps {
     "pipeline_quality_filter" -> ((s, d) =>
       qualityFiltered(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // per-source entropy rate: unigram entropy H(w) and bigram
+    // CONDITIONAL entropy H(w₂|w₁) — the sequence-predictability pair
+    // behind template detection (a templated/boilerplate source has
+    // near-zero conditional entropy long before its unigram entropy
+    // drops, because the words stay varied but their ORDER is frozen).
+    // The corpus collapses to per-source (w₁, w₂) counts once; c₁ is the
+    // marginal of that same table (no second corpus pass); every ln term
+    // is rounded to the 1e-9 grid and decimal-summed (the bigram-LM
+    // discipline) so partial-agg order cannot move an entropy.
+    "text_ngram_entropy_rate" -> { (s, d) =>
+      val docs = toks(s, d)
+      val c2 = docs.filter(size(col("toks")) >= 2)
+        .select(col("source"), explode(expr(
+          """transform(sequence(0, size(toks) - 2),
+            |  i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"""
+            .stripMargin)).as("b"))
+        .select(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("source", "w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy("source", "w1").agg(sum(col("c2")).as("c1"))
+      val cond = c2.join(c1, Seq("source", "w1"))
+        .withColumn("t", expr("CAST(round(c2 * ln(CAST(c2 AS DOUBLE) " +
+          "/ CAST(c1 AS DOUBLE)), 9) AS DECIMAL(20,9))"))
+        .groupBy("source")
+        .agg(sum(col("c2")).as("n_bigrams"), sum(col("t")).as("st"))
+      val uni = docs.select(col("source"), explode(col("toks")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val nt = uni.groupBy("source").agg(sum(col("c")).as("n_tokens"))
+      val un = uni.join(nt, "source")
+        .withColumn("t", expr("CAST(round(c * ln(CAST(c AS DOUBLE) " +
+          "/ CAST(n_tokens AS DOUBLE)), 9) AS DECIMAL(20,9))"))
+        .groupBy("source").agg(sum(col("t")).as("su"))
+      cond.join(nt, "source").join(un, "source")
+        .select(col("source"), col("n_tokens"), col("n_bigrams"),
+          round(-col("su").cast("double")
+            / col("n_tokens").cast("double"), 6).as("h_uni"),
+          round(-col("st").cast("double")
+            / col("n_bigrams").cast("double"), 6).as("h_cond"))
+        .orderBy("source")
+    },
+
+    // quality pass-rate per source — the "which feeds to cut" table a
+    // curation review reads next to corpus_pipeline_funnel's totals: a
+    // source whose pass rate sits far below the corpus mean is a crawl
+    // or extraction problem, not a sampling one. The flag is THE
+    // qualityFiltered kernel (never a re-derived threshold copy); one
+    // left-semi-shaped join and one keyed agg to O(#sources) rows;
+    // avg_tokens stays an integer-sum ÷ count division.
+    "corpus_quality_by_source" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val pass = qualityFiltered(docs, "doc_id", "text")
+        .select(col("doc_id"), lit(true).as("q_keep"))
+      docs.select(col("doc_id"), col("source"),
+          size(split(lower(trim(col("text"))), " ")).cast("long")
+            .as("n_tokens"))
+        .join(pass, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("q_keep"), 1L).otherwise(0L)).as("n_pass"),
+          sum(col("n_tokens")).as("tok_sum"))
+        .select(col("source"), col("n_docs"), col("n_pass"),
+          round(col("n_pass").cast("double")
+            / col("n_docs").cast("double"), 6).as("pass_rate"),
+          round(col("tok_sum").cast("double")
+            / col("n_docs").cast("double"), 2).as("avg_tokens"))
+        .orderBy("source")
+    },
 
     // edit distance (integer-deterministic on both engines): distance of
     // each doc's prefix to a fixed probe, and between two of its own
@@ -1152,6 +1232,73 @@ object TextOps {
         |  AND ${metrics.ttrSql} >= 0.3
         |  AND ${metrics.avgWordLenSql} BETWEEN 2.0 AND 12.0
         |ORDER BY doc_id""".stripMargin,
+    // same marginalization: c1 derived from the c2 table, round-9
+    // decimal ln sums, BIGINT casts on the HUGEINT count sums
+    "text_ngram_entropy_rate" ->
+      """WITH tk AS (
+        |  SELECT source, string_split(lower(trim(text)), ' ') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT source,
+        |    unnest(list_transform(generate_series(1, len(w) - 1),
+        |      i -> w[i])) AS w1,
+        |    unnest(list_transform(generate_series(1, len(w) - 1),
+        |      i -> w[i + 1])) AS w2
+        |  FROM tk WHERE len(w) >= 2),
+        |c2 AS (
+        |  SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c2
+        |  FROM bg GROUP BY 1, 2, 3),
+        |c1 AS (
+        |  SELECT source, w1, CAST(sum(c2) AS BIGINT) AS c1
+        |  FROM c2 GROUP BY 1, 2),
+        |cond AS (
+        |  SELECT c2.source, CAST(sum(c2) AS BIGINT) AS n_bigrams,
+        |    sum(CAST(round(c2 * ln(CAST(c2 AS DOUBLE)
+        |      / CAST(c1 AS DOUBLE)), 9) AS DECIMAL(20,9))) AS st
+        |  FROM c2 JOIN c1 ON c1.source = c2.source AND c1.w1 = c2.w1
+        |  GROUP BY 1),
+        |uni AS (
+        |  SELECT source, u AS w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(w) AS u FROM tk) GROUP BY 1, 2),
+        |nt AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens
+        |  FROM uni GROUP BY 1),
+        |un AS (
+        |  SELECT uni.source,
+        |    sum(CAST(round(c * ln(CAST(c AS DOUBLE)
+        |      / CAST(n_tokens AS DOUBLE)), 9) AS DECIMAL(20,9))) AS su
+        |  FROM uni JOIN nt ON nt.source = uni.source
+        |  GROUP BY 1)
+        |SELECT cond.source, nt.n_tokens, cond.n_bigrams,
+        |  round(-CAST(su AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS h_uni,
+        |  round(-CAST(st AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+        |    AS h_cond
+        |FROM cond
+        |JOIN nt ON nt.source = cond.source
+        |JOIN un ON un.source = cond.source
+        |ORDER BY cond.source""".stripMargin,
+
+    // same thresholds as pipeline_quality_filter's WHERE, folded per
+    // source instead of emitted per doc
+    "corpus_quality_by_source" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, source, ${metrics.nTokensSql} AS n_tokens,
+         |    (${metrics.nTokensSql} BETWEEN 15 AND 80
+         |      AND ${metrics.ttrSql} >= 0.3
+         |      AND ${metrics.avgWordLenSql} BETWEEN 2.0 AND 12.0)
+         |      AS q_keep
+         |  FROM (SELECT doc_id, source, text,
+         |          string_split(lower(trim(text)), ' ') AS w
+         |        FROM documents) d)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN q_keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pass,
+         |  round(CAST(sum(CASE WHEN q_keep THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS pass_rate,
+         |  round(CAST(sum(n_tokens) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 2) AS avg_tokens
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
     "text_langid" ->
       s"""WITH $langPredCtes
          |SELECT doc_id, actual, predicted,

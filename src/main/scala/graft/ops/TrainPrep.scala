@@ -60,6 +60,118 @@ object TrainPrep {
           .stripMargin))))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the end-to-end curation yield funnel: raw corpus → exact-dedup
+    // keepers → near-dup (connected-component) keepers → quality filter
+    // → language gate, with each stage's survivor count, share of raw,
+    // and stage-local pass rate — the one-page report a data-curation
+    // review reads before a training run is approved (every stage's
+    // logic is THE operator that owns it: exactKeepers, connectedLabels,
+    // qualityFiltered — the funnel can't drift from the pipeline it
+    // summarizes). Stage flags are per-doc booleans computed in one
+    // pass over doc-sized side tables (two of them memoized kernels);
+    // the funnel itself is ONE conditional aggregate + a 5-struct
+    // explode, so nothing here adds a corpus-scale shuffle beyond what
+    // the member operators already pay.
+    "corpus_pipeline_funnel" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val keepers = Dedup.exactKeepers(docs, "doc_id", "text")
+        .select(col("keeper").as("doc_id"), lit(true).as("exact_keep"))
+      val cc = Dedup.connectedLabels(s, d)
+        .select(col("id").as("doc_id"), col("label"))
+      val q = TextOps.qualityFiltered(docs, "doc_id", "text")
+        .select(col("doc_id"), lit(true).as("q_keep"))
+      val flags = docs.select(col("doc_id"), col("lang"))
+        .join(keepers, Seq("doc_id"), "left")
+        .join(cc, Seq("doc_id"), "left")
+        .join(q, Seq("doc_id"), "left")
+        .select(
+          coalesce(col("exact_keep"), lit(false)).as("f_exact"),
+          (col("label").isNull || col("label") === col("doc_id"))
+            .as("f_nd"),
+          coalesce(col("q_keep"), lit(false)).as("f_q"),
+          (col("lang") === "en").as("f_lang"))
+      val agg = flags.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("f_exact"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("f_exact") && col("f_nd"), 1L).otherwise(0L))
+          .as("n2"),
+        sum(when(col("f_exact") && col("f_nd") && col("f_q"), 1L)
+          .otherwise(0L)).as("n3"),
+        sum(when(col("f_exact") && col("f_nd") && col("f_q")
+          && col("f_lang"), 1L).otherwise(0L)).as("n4"))
+      def st(i: Int, name: String, n: String, prev: String) =
+        struct(lit(i.toLong).as("stage_n"), lit(name).as("stage"),
+          col(n).as("n_docs"), col(prev).as("n_prev"))
+      agg.select(col("n0"), explode(array(
+          st(0, "raw", "n0", "n0"),
+          st(1, "exact_dedup", "n1", "n0"),
+          st(2, "near_dedup", "n2", "n1"),
+          st(3, "quality", "n3", "n2"),
+          st(4, "lang_en", "n4", "n3"))).as("s"))
+        .select(col("s.stage_n").as("stage_n"), col("s.stage").as("stage"),
+          col("s.n_docs").as("n_docs"),
+          round(col("s.n_docs").cast("double")
+            / col("n0").cast("double"), 6).as("pct_of_raw"),
+          round(col("s.n_docs").cast("double")
+            / col("s.n_prev").cast("double"), 6).as("pct_of_prev"))
+        .orderBy("stage_n")
+    },
+
+    // per-shard reproducibility manifest: for each of the 32 writer
+    // shards, row/token counts, the doc_id span, and an ORDER-INDEPENDENT
+    // content checksum (bit_xor of per-doc 60-bit md5 digests over
+    // id:text) — the artifact two training runs diff to prove they read
+    // identical data without re-hashing the corpus pairwise. XOR is
+    // commutative, associative, and mergeable, so the checksum is exactly
+    // as partial-agg-proof as a sum and immune to scan order — the only
+    // checksum discipline that survives a 1000-task shard writer.
+    "train_shard_checksum_manifest" -> { (s, d) =>
+      toks(s, d)
+        .select(pmod(col("doc_id"), lit(PackShards)).cast("long")
+            .as("shard"),
+          col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+          expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), " +
+            "':', text)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"),
+          expr("bit_xor(h)").as("checksum"))
+        .orderBy("shard")
+    },
+
+    // multi-epoch data-mixing schedule: given a token budget of 2× the
+    // corpus and a sqrt-scaled target mix (the standard multilingual
+    // up-weighting of small sources), how many EPOCHS of each source the
+    // loader should draw — capped at 4 repeats, the data-constrained
+    // scaling rule of thumb past which repetition stops helping. The
+    // corpus collapses to O(#sources) token sums in one keyed agg;
+    // sqrt weights are rounded to the 1e-9 grid and decimal-summed so
+    // the normalizer is partial-agg-order-proof; shares, epochs, and
+    // the drawn-token floor are then plain IEEE on already-exact inputs.
+    "sample_epoch_schedule" -> { (s, d) =>
+      val perSrc = toks(s, d)
+        .groupBy("source")
+        .agg(sum(size(col("toks")).cast("long")).as("n_tokens"))
+        .withColumn("wt", expr(
+          "CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 9) AS DECIMAL(20,9))"))
+      val tot = perSrc.agg(sum(col("wt")).as("wtot"),
+        (sum(col("n_tokens")) * 2L).as("budget"))
+      val share = round(col("wt").cast("double")
+        / col("wtot").cast("double"), 6)
+      perSrc.crossJoin(broadcast(tot))
+        .withColumn("target_share", share)
+        .select(col("source"), col("n_tokens"), col("target_share"),
+          round(least(lit(4.0), col("target_share")
+            * col("budget").cast("double")
+            / col("n_tokens").cast("double")), 4).as("epochs"),
+          floor(least(col("target_share") * col("budget").cast("double"),
+            lit(4.0) * col("n_tokens").cast("double"))).cast("long")
+            .as("tokens_drawn"))
+        .orderBy("source")
+    },
+
     // concat-and-chunk sequence packing: docs are laid end-to-end in
     // doc_id order within a hash shard; each doc records the context
     // window (bin) and offset where it starts. One window shuffle on
@@ -604,6 +716,124 @@ object TrainPrep {
       .limit(k)
 
   def oracle: Map[String, String] = Map(
+    // every stage twin is the owning operator's own oracle logic: the
+    // exact-dedup fingerprint GROUP BY, the recursive-CTE connected
+    // components over the shared jaccard chain, the quality thresholds,
+    // and the lang equality — chained as per-doc flags, folded once,
+    // unpacked into the 5 funnel rows
+    "corpus_pipeline_funnel" ->
+      s"""WITH RECURSIVE ${Dedup.jaccardCtes},
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |  UNION ALL
+         |  SELECT doc_b AS u, doc_a AS v FROM jpairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |  WHERE e.v <> r.u),
+         |labels AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS label
+         |  FROM reach GROUP BY u),
+         |keep_exact AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+         |keep_q AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, text,
+         |      string_split(lower(trim(text)), ' ') AS w
+         |    FROM documents)
+         |  WHERE CAST(len(w) AS BIGINT) BETWEEN 15 AND 80
+         |    AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.3
+         |    AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w)
+         |      BETWEEN 2.0 AND 12.0),
+         |flags AS (
+         |  SELECT
+         |    ke.doc_id IS NOT NULL AS f_exact,
+         |    (l.label IS NULL OR l.label = d.doc_id) AS f_nd,
+         |    kq.doc_id IS NOT NULL AS f_q,
+         |    d.lang = 'en' AS f_lang
+         |  FROM documents d
+         |  LEFT JOIN keep_exact ke ON ke.doc_id = d.doc_id
+         |  LEFT JOIN labels l ON l.doc_id = d.doc_id
+         |  LEFT JOIN keep_q kq ON kq.doc_id = d.doc_id),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n0,
+         |    CAST(sum(CASE WHEN f_exact THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n1,
+         |    CAST(sum(CASE WHEN f_exact AND f_nd THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN f_exact AND f_nd AND f_q
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         |    CAST(sum(CASE WHEN f_exact AND f_nd AND f_q AND f_lang
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n4
+         |  FROM flags)
+         |SELECT CAST(0 AS BIGINT) AS stage_n, 'raw' AS stage,
+         |  n0 AS n_docs,
+         |  round(CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6)
+         |    AS pct_of_raw,
+         |  round(CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6)
+         |    AS pct_of_prev
+         |FROM agg
+         |UNION ALL SELECT 1, 'exact_dedup', n1,
+         |  round(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE), 6),
+         |  round(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) FROM agg
+         |UNION ALL SELECT 2, 'near_dedup', n2,
+         |  round(CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE), 6),
+         |  round(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) FROM agg
+         |UNION ALL SELECT 3, 'quality', n3,
+         |  round(CAST(n3 AS DOUBLE) / CAST(n0 AS DOUBLE), 6),
+         |  round(CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) FROM agg
+         |UNION ALL SELECT 4, 'lang_en', n4,
+         |  round(CAST(n4 AS DOUBLE) / CAST(n0 AS DOUBLE), 6),
+         |  round(CAST(n4 AS DOUBLE) / CAST(n3 AS DOUBLE), 6) FROM agg
+         |ORDER BY stage_n""".stripMargin,
+
+    // same 60-bit md5 digest family as the KMV sketches ('0x' cast in
+    // DuckDB, conv() in Spark); bit_xor is available in both engines
+    "train_shard_checksum_manifest" ->
+      s"""WITH h AS (
+         |  SELECT doc_id % $PackShards AS shard, doc_id,
+         |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+         |      AS n_tok,
+         |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+         |      || ':' || text), 1, 15)) AS BIGINT) AS h
+         |  FROM documents)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+         |  bit_xor(h) AS checksum
+         |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // same sqrt-mix arithmetic; DECIMAL(20,9) weight sums keep the
+    // normalizer exact on both engines
+    "sample_epoch_schedule" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(lower(trim(text)), ' ')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_tokens,
+        |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 9)
+        |      AS DECIMAL(20,9)) AS wt
+        |  FROM t),
+        |tot AS (
+        |  SELECT sum(wt) AS wtot,
+        |    CAST(2 * sum(n_tokens) AS BIGINT) AS budget
+        |  FROM w),
+        |sh AS (
+        |  SELECT source, n_tokens, budget,
+        |    round(CAST(wt AS DOUBLE) / CAST(wtot AS DOUBLE), 6)
+        |      AS target_share
+        |  FROM w CROSS JOIN tot)
+        |SELECT source, n_tokens, target_share,
+        |  round(least(4.0, target_share * CAST(budget AS DOUBLE)
+        |    / CAST(n_tokens AS DOUBLE)), 4) AS epochs,
+        |  CAST(floor(least(target_share * CAST(budget AS DOUBLE),
+        |    4.0 * CAST(n_tokens AS DOUBLE))) AS BIGINT) AS tokens_drawn
+        |FROM sh ORDER BY source""".stripMargin,
+
     "pack_sequences" ->
       s"""WITH tk AS (
          |  SELECT doc_id, doc_id % $PackShards AS shard,

@@ -2332,4 +2332,278 @@ class OperatorSpec extends SparkSpec {
     }
     assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
   }
+
+  test("dedup_lsh_bucket_skew audits all 8 bands with consistent counts") {
+    val rows = SparkEntry.queries("dedup_lsh_bucket_skew")(spark, sf)
+      .orderBy("band").collect()
+    assert(rows.map(_.getAs[Long]("band")).toSeq == (0L to 7L))
+    rows.foreach { r =>
+      val (nb, mx, cp) = (r.getAs[Long]("n_buckets"),
+        r.getAs[Long]("max_bucket"), r.getAs[Long]("cand_pairs"))
+      assert(nb >= 1L && nb <= 256L) // 8-bit band: at most 256 buckets
+      assert(mx >= 1L)
+      // the hottest bucket alone contributes c(c-1)/2 candidate pairs
+      assert(cp >= mx * (mx - 1) / 2)
+      assert(r.getAs[Double]("skew_ratio") > 0.0)
+    }
+  }
+
+  test("graph_jaccard_linkpred scores are valid Jaccards, ranked") {
+    val rows = SparkEntry.queries("graph_jaccard_linkpred")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"))
+      assert(r.getAs[Long]("n_common") >= 1L)
+      val jac = r.getAs[Double]("jac_score")
+      assert(jac > 0.0 && jac <= 1.0)
+    }
+    val scores = rows.map(_.getAs[Double]("jac_score")).toSeq
+    assert(scores == scores.sorted.reverse) // top-30 by score desc
+  }
+
+  test("agg_kmv_difference estimates are non-negative and exact-consistent") {
+    val r = SparkEntry.queries("agg_kmv_difference")(spark, sf)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("diff_ab_exact") >= 0L)
+    assert(row.getAs[Long]("diff_ba_exact") >= 0L)
+    // clamp-at-0 invariant: the estimator never reports a negative set size
+    assert(row.getAs[Double]("est_diff_ab") >= 0.0)
+    assert(row.getAs[Double]("est_diff_ba") >= 0.0)
+  }
+
+  test("events_psi_drift PSI is non-negative with populated halves") {
+    val rows = SparkEntry.queries("events_psi_drift")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val types = rows.map(_.getAs[String]("event_type"))
+    assert(types.distinct.length == types.length) // one row per type
+    rows.foreach { r =>
+      // each PSI term (pc-pr)ln(pc/pr) >= 0; rounding can shave <1e-6
+      assert(r.getAs[Double]("psi") >= -1e-6)
+      assert(r.getAs[Long]("n_ref") > 0L && r.getAs[Long]("n_cur") > 0L)
+    }
+  }
+
+  test("sim_ivf_cell_skew is a total census over all 16 cells") {
+    val rows = SparkEntry.queries("sim_ivf_cell_skew")(spark, sf)
+      .orderBy("cell").collect()
+    assert(rows.map(_.getAs[Long]("cell")).toSeq == (0L to 15L))
+    val n = Tables.t(spark, sf, "embeddings").count()
+    // assignment is total: every vector lands in exactly one cell
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == n)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("share")
+      // skew is share in units of the uniform expectation 1/16
+      assert(math.abs(r.getAs[Double]("skew_vs_uniform") - share * 16)
+        < 2e-6)
+    }
+  }
+
+  test("embedding_pq_distortion census is consistent per subquantizer") {
+    val rows = SparkEntry.queries("embedding_pq_distortion")(spark, sf)
+      .orderBy("sub").collect()
+    assert(rows.map(_.getAs[Long]("sub")).toSeq == (0L to 7L))
+    val n = Tables.t(spark, sf, "embeddings").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == n) // every vector encodes per sub
+      val used = r.getAs[Long]("n_codes_used")
+      assert(used >= 1L && used <= 16L)
+      // the hottest codeword holds at least the uniform share
+      assert(r.getAs[Double]("max_code_share") >= 1.0 / 16 - 1e-9)
+      assert(r.getAs[Double]("mse") >= 0.0)
+    }
+  }
+
+  test("graph_degree_histogram CCDF is a valid survival curve") {
+    val rows = SparkEntry.queries("graph_degree_histogram")(spark, sf)
+      .orderBy("degree").collect()
+    assert(rows.nonEmpty)
+    // at the minimum degree the cumulative-from-above count is ALL nodes
+    assert(rows.head.getAs[Long]("n_nodes_ge") ==
+      rows.map(_.getAs[Long]("n_nodes")).sum)
+    assert(math.abs(rows.head.getAs[Double]("ccdf") - 1.0) < 1e-9)
+    // survival: n_nodes_ge strictly decreases as degree rises
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n_nodes_ge") > b.getAs[Long]("n_nodes_ge"))
+      case _ =>
+    }
+  }
+
+  test("corpus_pipeline_funnel stages only ever shed documents") {
+    val rows = SparkEntry.queries("corpus_pipeline_funnel")(spark, sf)
+      .orderBy("stage_n").collect()
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("raw", "exact_dedup", "near_dedup", "quality", "lang_en"))
+    assert(rows.head.getAs[Long]("n_docs") ==
+      Tables.t(spark, sf, "documents").count())
+    assert(rows.head.getAs[Double]("pct_of_raw") == 1.0)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_docs") <= a.getAs[Long]("n_docs"))
+      case _ =>
+    }
+    // the funnel ends non-empty: the corpus has en docs passing quality
+    assert(rows.last.getAs[Long]("n_docs") > 0L)
+  }
+
+  test("fn_url components reassemble the synthesized URL") {
+    val rows = SparkEntry.queries("fn_url")(spark, sf)
+      .orderBy("o_orderkey").limit(50).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val okey = r.getAs[Long]("o_orderkey")
+      assert(r.getAs[String]("protocol") == "https")
+      assert(r.getAs[String]("host").startsWith("www.shop-")
+        && r.getAs[String]("host").endsWith(".example.com"))
+      assert(r.getAs[String]("path") == s"/orders/$okey")
+      assert(r.getAs[String]("id_param") == (okey % 97).toString)
+      assert(r.getAs[String]("fragment") == s"s${okey % 5}")
+      assert(r.getAs[String]("query").contains("status="))
+    }
+  }
+
+  test("dedup_prefix_cluster keepers lead their clusters") {
+    val rows = SparkEntry.queries("dedup_prefix_cluster")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 2L) // singletons are filtered
+      assert(r.getAs[String]("prefix_hash").length == 32)
+    }
+    val hashes = rows.map(_.getAs[String]("prefix_hash"))
+    assert(hashes.distinct.length == hashes.length)
+  }
+
+  test("graph_avg_neighbor_degree stays within the degree support") {
+    val rows = SparkEntry.queries("graph_avg_neighbor_degree")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val degrees = rows.map(_.getAs[Long]("degree"))
+    val (dMin, dMax) = (degrees.min, degrees.max)
+    rows.foreach { r =>
+      val knn = r.getAs[Double]("avg_neighbor_degree")
+      // a mean of neighbor degrees can never leave [min deg, max deg]
+      assert(knn >= dMin - 1e-6 && knn <= dMax + 1e-6)
+      assert(r.getAs[Long]("n_nodes") >= 1L)
+    }
+  }
+
+  test("corpus_quality_by_source pass counts reconcile with the filter") {
+    val rows = SparkEntry.queries("corpus_quality_by_source")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val nPass = rows.map(_.getAs[Long]("n_pass")).sum
+    val filtered = SparkEntry.queries("pipeline_quality_filter")(spark, sf)
+      .count()
+    assert(nPass == filtered) // per-source flags sum to the filter's yield
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == Tables.t(spark, sf, "documents").count())
+  }
+
+  test("sample_epoch_schedule respects the budget and the 4-epoch cap") {
+    val rows = SparkEntry.queries("sample_epoch_schedule")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val budget = 2L * rows.map(_.getAs[Long]("n_tokens")).sum
+    rows.foreach { r =>
+      val ep = r.getAs[Double]("epochs")
+      assert(ep > 0.0 && ep <= 4.0 + 1e-9)
+      assert(r.getAs[Long]("tokens_drawn") <=
+        4L * r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Double]("target_share") > 0.0)
+    }
+    // the floor'd draws never exceed the budget they were carved from
+    assert(rows.map(_.getAs[Long]("tokens_drawn")).sum <= budget)
+  }
+
+  test("multimodal_corpus_stats is a total census of the media lake") {
+    val rows = SparkEntry.queries("multimodal_corpus_stats")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 6) // 3 rates x 2 channel counts
+    assert(rows.map(_.getAs[Long]("n_assets")).sum ==
+      Tables.t(spark, sf, "documents").count())
+    assert(math.abs(rows.map(_.getAs[Double]("asset_share")).sum - 1.0)
+      < 1e-4)
+    rows.foreach { r =>
+      assert(Set(8000L, 16000L, 24000L).contains(
+        r.getAs[Long]("sample_rate")))
+      assert(r.getAs[Long]("total_duration_us") > 0L)
+    }
+  }
+
+  test("sim_pq_adc_topk returns 5 ranked non-self neighbors per query") {
+    val rows = SparkEntry.queries("sim_pq_adc_topk")(spark, sf)
+      .collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == (10L to 19L).toSet)
+    byQ.values.foreach { qs =>
+      assert(qs.length == 5)
+      assert(qs.map(_.getAs[Long]("rnk")).sorted.toSeq == (1L to 5L))
+      val ordered = qs.sortBy(_.getAs[Long]("rnk"))
+        .map(_.getAs[Double]("adc_dist")).toSeq
+      assert(ordered == ordered.sorted) // rank follows ADC distance
+      qs.foreach { r =>
+        assert(r.getAs[Long]("n_id") != r.getAs[Long]("q_id"))
+        assert(r.getAs[Double]("adc_dist") >= 0.0)
+      }
+    }
+  }
+
+  test("train_shard_checksum_manifest checksums detect content change") {
+    val rows = SparkEntry.queries("train_shard_checksum_manifest")(
+      spark, sf).collect()
+    assert(rows.length == 32) // one row per writer shard
+    val n = Tables.t(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_doc_id") <= r.getAs[Long]("max_doc_id"))
+      assert(r.getAs[Long]("min_doc_id") % 32 == r.getAs[Long]("shard"))
+    }
+    // XOR of distinct per-doc digests: shards can't all collapse to 0
+    assert(rows.map(_.getAs[Long]("checksum")).exists(_ != 0L))
+  }
+
+  test("events_rolling_wau windows dominate their own day") {
+    val rows = SparkEntry.queries("events_rolling_wau")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, wau) = (r.getAs[Long]("dau"), r.getAs[Long]("wau"))
+      assert(dau >= 1L && wau >= dau) // the day is inside its own window
+      val st = r.getAs[Double]("stickiness")
+      assert(st > 0.0 && st <= 1.0 + 1e-9)
+    }
+  }
+
+  test("text_ngram_entropy_rate: conditioning can only reduce entropy") {
+    val rows = SparkEntry.queries("text_ngram_entropy_rate")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (hu, hc) = (r.getAs[Double]("h_uni"), r.getAs[Double]("h_cond"))
+      assert(hu >= -1e-6 && hc >= -1e-6) // entropies are non-negative
+      // H(w2|w1) <= H(w2) ~= H(w): conditioning never adds uncertainty
+      // (rounding headroom for the 1e-9-grid term sums)
+      assert(hc <= hu + 1e-3)
+      assert(r.getAs[Long]("n_bigrams") < r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("price_elasticity fits one bounded log-log slope per brand") {
+    val rows = SparkEntry.queries("price_elasticity")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val brands = rows.map(_.getAs[String]("brand"))
+    assert(brands.distinct.length == brands.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") >= 2L) // slope needs two points
+      val e = r.getAs[Double]("elasticity")
+      // ln(qty) spans ~[0, ln 50]: a log-log slope far outside single
+      // digits means the sufficient statistics went wrong, not the data
+      assert(!e.isNaN && math.abs(e) < 100.0)
+    }
+  }
 }

@@ -422,6 +422,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKPerKey"), p)
   }
 
+  test("KMV sketches find their K smallest hashes with the bounded heap, " +
+      "not a 2-task per-set sort window") {
+    // partitionBy(set_id) over TWO sets is the single-partition-window
+    // anti-pattern in miniature: at 10^8 users each set's full membership
+    // serializes through one task's sort. The heap pass keeps O(K) state
+    // per task and shuffles only 2K candidate rows.
+    Seq("agg_kmv_intersect", "agg_kmv_difference").foreach { k =>
+      val p = plan(SparkEntry.queries(k)(spark, sf))
+      assert(p.contains("TopKPerKey"), s"$k: $p")
+      assert(!p.contains("Window"), s"$k plans a window sort: $p")
+    }
+  }
+
   test("embedding_knn_graph is cluster-bounded: heap top-k, no all-pairs " +
       "BNLJ on the corpus side") {
     val p = plan(SparkEntry.queries("embedding_knn_graph")(spark, sf))

@@ -27,6 +27,30 @@ FAMILIES = {
         "corpus_dedup_survivorship", "graph_component_density",
         "sample_dedup_weight",
     ],
+    # Graph.lpaLabels is memoized the same way: whichever of the two
+    # consumers runs first pays the 2-round LPA build
+    "lpa_labels": ["graph_label_prop", "graph_modularity"],
+    # TextOps.wordCounts: the corpus-linear explode+count is paid once by
+    # whichever of the four consumers runs first; the rest read the
+    # vocab-sized memo
+    "word_counts": ["agg_countmin", "text_hapax_stats",
+                    "text_template_mining", "text_doc_perplexity"],
+    # Dedup.simhashBanded: the FNV-per-token signature build is paid once
+    # by whichever simhash consumer runs first
+    "simhash_sig": ["dedup_simhash", "dedup_method_overlap",
+                    "dedup_lsh_bucket_skew"],
+    # Graph.dupPairs: the verified near-dup pair list is built once by
+    # whichever wedge/closure query runs first; the other four read the
+    # memoized cache
+    "dup_pairs": ["graph_triangles", "graph_common_neighbors",
+                  "graph_clustering_coeff", "graph_adamic_adar",
+                  "graph_jaccard_linkpred"],
+    # Aggregates.kmvMembers: the distinct + md5 membership table is paid
+    # once by whichever sketch op runs first
+    "kmv_sketch": ["agg_kmv_intersect", "agg_kmv_difference"],
+    # Similarity.pqBest: the PQ encode (distance sweep + argmin) is paid
+    # once by whichever PQ consumer runs first
+    "pq_best": ["embedding_pq", "embedding_pq_distortion"],
 }
 
 def main(bench_file, source_note):
