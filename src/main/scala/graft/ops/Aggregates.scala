@@ -255,6 +255,30 @@ object Aggregates {
             <= col("n_parts") * 0.15).as("within_bound"))
         .orderBy("l_returnflag")),
 
+    // HLL precision sweep — the cardinality twin of sim_ivf_nprobe_sweep:
+    // the same distinct-user count estimated at three relative-error
+    // settings in ONE pass (three HLL++ registersets built side by side,
+    // no rescan per setting), each checked against the exact count at
+    // the 3σ bound. The tuning table that answers "what rsd do I pay
+    // for" before a 100 TB cardinality rollup standardizes on a sketch
+    // width. Estimates are engine-specific, so the oracle pins the exact
+    // count and the bound verdicts (the agg_approx_distinct discipline).
+    "agg_hll_precision_sweep" -> { (s, d) =>
+      val rsds = Seq(0.01, 0.023, 0.05)
+      val estCols = rsds.zipWithIndex.map { case (r, i) =>
+        approx_count_distinct(col("user_id"), r).as(s"e$i") }
+      val aggs = estCols :+ countDistinct(col("user_id")).as("nx")
+      events(s, d).agg(aggs.head, aggs.tail: _*)
+        .select(col("nx"), explode(array(rsds.zipWithIndex.map {
+          case (r, i) => struct(lit(r).as("rsd"), col(s"e$i").as("est"))
+        }: _*)).as("s"))
+        .select(col("s.rsd").as("rsd"), col("nx").as("n_exact"),
+          (abs(col("s.est") - col("nx"))
+            <= col("nx").cast("double") * col("s.rsd") * 3.0)
+            .as("within_bound"))
+        .orderBy("rsd")
+    },
+
     // MERGEABLE sketches — the property that matters at 100 TB: per-group
     // DataSketches HLL sketches built in one pass (level 1), then unioned
     // across groups (level 2) and estimated, WITHOUT revisiting the data.
@@ -863,6 +887,14 @@ object Aggregates {
     "agg_sketch_union" ->
       """SELECT count(DISTINCT l_partkey) AS n_exact,
         |TRUE AS within_bound FROM lineitem""".stripMargin,
+    "agg_hll_precision_sweep" ->
+      """WITH x AS (
+        |  SELECT count(DISTINCT user_id) AS n_exact FROM events)
+        |SELECT CAST(rsd AS DOUBLE) AS rsd, n_exact,
+        |  TRUE AS within_bound
+        |FROM x CROSS JOIN (
+        |  SELECT unnest([0.01, 0.023, 0.05]) AS rsd)
+        |ORDER BY rsd""".stripMargin,
     "agg_approx_quantile" ->
       """SELECT l_returnflag,
         |round(quantile_cont(l_quantity, 0.5), 4) AS p50,

@@ -579,6 +579,37 @@ object Analytics {
         .orderBy("user_id", "session_n")
     },
 
+    // session-depth distribution: how many sessions contain exactly k
+    // events, with each depth's share — the engagement-shape histogram
+    // (a mass at depth 1 is bounce traffic; a heavy tail is power-user
+    // concentration) that sits one aggregate above events_sessionize.
+    // Sessions collapse to O(#distinct depths) rows before the share
+    // division; the only windows are sessionize's own per-user ones.
+    "events_session_depth_dist" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = events(s, d)
+        .select("user_id", "ts", "event_id")
+        .withColumn("gap_break",
+          when(col("ts").cast("long")
+            - lag(col("ts"), 1).over(w).cast("long") > 1800L, 1L)
+            .otherwise(lit(0L)))
+        .withColumn("session_n",
+          sum(col("gap_break")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            0)))
+        .groupBy("user_id", "session_n")
+        .agg(count(lit(1)).as("depth"))
+      val hist = sess.groupBy("depth")
+        .agg(count(lit(1)).as("n_sessions"))
+      val tot = hist.agg(sum(col("n_sessions")).as("n_total"))
+      hist.crossJoin(broadcast(tot))
+        .select(col("depth"), col("n_sessions"),
+          round(col("n_sessions").cast("double")
+            / col("n_total").cast("double"), 6).as("share"))
+        .orderBy("depth")
+    },
+
     // session-level co-occurrence (market basket over event types): which
     // event types appear together in the same 30-min session, counted
     // across all sessions. Sessionization shares events_sessionize's gap
@@ -1047,6 +1078,33 @@ object Analytics {
         .select(col("p_type"), col("n_suppliers"),
           round(col("hhi_raw"), 6).as("hhi"))
         .orderBy("p_type")
+    },
+
+    // supplier-concentration drift: the overall HHI per order YEAR — is
+    // sourcing consolidating (HHI rising toward the 0.25 flag) or
+    // diversifying? The time-series companion to the static per-type
+    // supplier_hhi, same exact-decimal share² discipline; the fact table
+    // collapses to O(years × suppliers) revenue cells in one keyed agg
+    // and everything after is dim-sized.
+    "supplier_hhi_trend" -> { (s, d) =>
+      val rev = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          col("l_suppkey"))
+        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .as("rev"))
+      val tot = rev.groupBy("yr")
+        .agg(sum(col("rev")).as("tot"), count(lit(1)).as("n_suppliers"))
+      rev.join(tot, "yr")
+        .withColumn("share",
+          col("rev").cast("double") / col("tot").cast("double"))
+        .groupBy("yr")
+        .agg(max(col("n_suppliers")).as("n_suppliers"),
+          sum(expr("CAST(round(share * share, 12) AS DECIMAL(28,12))"))
+            .cast("double").as("hhi_raw"))
+        .select(col("yr").as("order_year"), col("n_suppliers"),
+          round(col("hhi_raw"), 6).as("hhi"))
+        .orderBy("order_year")
     },
 
     // monthly revenue trend with month-over-month and year-over-year
@@ -3080,6 +3138,25 @@ object Analytics {
          |  round(CAST(sum(CAST(round(share * share, 12)
          |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS hhi
          |FROM sh GROUP BY p_type ORDER BY p_type""".stripMargin,
+    "supplier_hhi_trend" ->
+      s"""WITH rev AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, l_suppkey,
+         |    sum(${sql.discPrice("l_extendedprice", "l_discount")}) AS rev
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT yr, sum(rev) AS tot, count(*) AS n_suppliers
+         |  FROM rev GROUP BY yr),
+         |sh AS (
+         |  SELECT r.yr, t.n_suppliers,
+         |    CAST(r.rev AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+         |  FROM rev r JOIN tot t ON r.yr = t.yr)
+         |SELECT yr AS order_year,
+         |  CAST(max(n_suppliers) AS BIGINT) AS n_suppliers,
+         |  round(CAST(sum(CAST(round(share * share, 12)
+         |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS hhi
+         |FROM sh GROUP BY yr ORDER BY order_year""".stripMargin,
+
     "trend_revenue_monthly" ->
       s"""WITH m AS (
          |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
@@ -3695,6 +3772,35 @@ object Analytics {
          |FROM events JOIN m ON event_type = et
          |WHERE abs(round((value - mean) / sd, 6)) > 3.0
          |ORDER BY event_id""".stripMargin,
+    // sessionize's own CTEs, folded twice more (depth per session, then
+    // sessions per depth)
+    "events_session_depth_dist" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN datediff('second',
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |        ts) > 1800
+        |      THEN 1 ELSE 0 END AS gap_break
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(gap_break) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_n
+        |  FROM o),
+        |dep AS (
+        |  SELECT user_id, session_n, CAST(count(*) AS BIGINT) AS depth
+        |  FROM s GROUP BY 1, 2),
+        |hist AS (
+        |  SELECT depth, CAST(count(*) AS BIGINT) AS n_sessions
+        |  FROM dep GROUP BY depth),
+        |tot AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS n_total
+        |        FROM hist)
+        |SELECT depth, n_sessions,
+        |  round(CAST(n_sessions AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+        |    AS share
+        |FROM hist CROSS JOIN tot ORDER BY depth""".stripMargin,
+
     "events_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id,

@@ -165,6 +165,45 @@ object Similarity {
       .select("vec_id", "sub", "code", "d2")
   }
 
+  /** The PQ asymmetric-distance (ADC) search pipeline: per query, a
+    * (sub, code) -> distance LUT against the broadcast codebook, then a
+    * codes-only scan summed per (q, vec) and the top-5 heap. Returns
+    * `(q_id, vec_id, adc_d2)` with 5 rows per query, unranked. Single
+    * definition shared by `sim_pq_adc_topk` (the search) and
+    * `sim_pq_recall_eval` (its eval) — the ivfTopK discipline.
+    */
+  private def pqAdcTop(s: SparkSession, d: String): DataFrame = {
+    val codes = pqBest(s, d).select("vec_id", "sub", "code")
+    val q = vectors(s, d)
+      .filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"),
+        posexplode(expr(
+          "transform(sequence(1, 8), m -> slice(v, (m - 1) * 8 + 1, 8))"))
+          .as(Seq("sub", "qv")))
+    val cb = vectors(s, d).filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code"),
+        posexplode(expr(
+          "transform(sequence(1, 8), m -> slice(v, (m - 1) * 8 + 1, 8))"))
+          .as(Seq("sub", "cv")))
+    val adc = expr(
+      """aggregate(
+        |  zip_with(qv, cv, (x, c) ->
+        |    (CAST(round(x, 6) AS DECIMAL(12,6))
+        |      - CAST(round(c, 6) AS DECIMAL(12,6)))
+        |    * (CAST(round(x, 6) AS DECIMAL(12,6))
+        |      - CAST(round(c, 6) AS DECIMAL(12,6)))),
+        |  CAST(0 AS DECIMAL(30,12)),
+        |  (acc, z) -> CAST(acc + z AS DECIMAL(30,12)))""".stripMargin)
+    val lut = broadcast(q.join(cb, "sub").withColumn("ad2", adc)
+      .select("q_id", "sub", "code", "ad2"))
+    val scored = codes.join(lut, Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("ad2")).as("adc_d2"))
+    graft.plans.TopKPerKey.topK(scored, Seq(col("q_id")),
+      Seq(col("adc_d2").asc, col("vec_id").asc), 5)
+  }
+
   /** The IVF top-k pipeline behind `sim_topk_ivf` AND the exact-vs-ANN
     * comparison in `sim_recall_eval` (single definition so the graded
     * path and the production path cannot drift): assign every vector to
@@ -235,7 +274,21 @@ object Similarity {
     * `embedding_sign_lsh`'s collision census and
     * `sim_hamming_topk_eval`'s binary retrieval.
     */
-  private def signCodes(s: SparkSession, d: String): DataFrame = {
+  private val signCache = new graft.plans.DfLru(Dedup.MemoCap)
+
+  /** Memoized per (session, sf): the O(N·16·d) projection shuffle is the
+    * whole cost of BOTH consumers (`embedding_sign_lsh`,
+    * `sim_hamming_topk_eval`), each of which previously rebuilt it; the
+    * code table itself is O(N) longs — cheap to pin, DfLru-evicted.
+    */
+  private def signCodes(s: SparkSession, d: String): DataFrame =
+    signCache.getOrCompute((s, d), {
+      val c = signCodesBuild(s, d).cache()
+      c.count()
+      c
+    })
+
+  private def signCodesBuild(s: SparkSession, d: String): DataFrame = {
     val ex = t(s, d, "embeddings")
       .select(col("vec_id"),
         posexplode(expr("transform(embedding, " +
@@ -538,41 +591,51 @@ object Similarity {
     // sum in exact decimal (the pqBest discipline) so ADC scores are
     // bit-stable; top-5 per query through the bounded TopKPerKey heap.
     "sim_pq_adc_topk" -> { (s, d) =>
-      val codes = pqBest(s, d).select("vec_id", "sub", "code")
-      val q = vectors(s, d)
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("adc_d2"), col("vec_id"))
+      pqAdcTop(s, d)
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(col("adc_d2").cast("double"), 6).as("adc_dist"),
+          row_number().over(w).cast("long").as("rnk"))
+        .orderBy("q_id", "rnk")
+    },
+
+    // recall@5 of the ADC path against the exact (rounded-decimal)
+    // squared-L2 top-5 — the eval that closes ANN path #4, exactly as
+    // sim_recall_eval closes IVF: every ANN path in this engine ships
+    // with its recall measured against a shared exact branch, or it
+    // doesn't ship. Q is 10 queries, so the exact branch is a bounded
+    // broadcast scan; both top-5s ride the heap operator.
+    "sim_pq_recall_eval" -> { (s, d) =>
+      val e = vectors(s, d)
+      val q = broadcast(e
         .filter(col("vec_id") >= 10 && col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"),
-          posexplode(expr(
-            "transform(sequence(1, 8), m -> slice(v, (m - 1) * 8 + 1, 8))"))
-            .as(Seq("sub", "qv")))
-      val cb = vectors(s, d).filter(col("vec_id") < 16)
-        .select(col("vec_id").as("code"),
-          posexplode(expr(
-            "transform(sequence(1, 8), m -> slice(v, (m - 1) * 8 + 1, 8))"))
-            .as(Seq("sub", "cv")))
-      val adc = expr(
+        .select(col("vec_id").as("q_id"), col("v").as("qv")))
+      val exD2 = expr(
         """aggregate(
-          |  zip_with(qv, cv, (x, c) ->
+          |  zip_with(qv, v, (x, c) ->
           |    (CAST(round(x, 6) AS DECIMAL(12,6))
           |      - CAST(round(c, 6) AS DECIMAL(12,6)))
           |    * (CAST(round(x, 6) AS DECIMAL(12,6))
           |      - CAST(round(c, 6) AS DECIMAL(12,6)))),
           |  CAST(0 AS DECIMAL(30,12)),
           |  (acc, z) -> CAST(acc + z AS DECIMAL(30,12)))""".stripMargin)
-      val lut = broadcast(q.join(cb, "sub").withColumn("ad2", adc)
-        .select("q_id", "sub", "code", "ad2"))
-      val scored = codes.join(lut, Seq("sub", "code"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(sum(col("ad2")).as("adc_d2"))
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("adc_d2"), col("vec_id"))
-      graft.plans.TopKPerKey.topK(scored, Seq(col("q_id")),
-          Seq(col("adc_d2").asc, col("vec_id").asc), 5)
-        .select(col("q_id"), col("vec_id").as("n_id"),
-          round(col("adc_d2").cast("double"), 6).as("adc_dist"),
-          row_number().over(w).cast("long").as("rnk"))
-        .orderBy("q_id", "rnk")
+      val scored = q.join(e, col("vec_id") =!= col("q_id"))
+        .withColumn("d2", exD2)
+        .select(col("q_id"), col("vec_id").as("n_id"), col("d2"))
+      val exact = graft.plans.TopKPerKey.topK(scored, Seq(col("q_id")),
+        Seq(col("d2").asc, col("n_id").asc), 5).select("q_id", "n_id")
+      val ann = pqAdcTop(s, d)
+        .select(col("q_id"), col("vec_id").as("n_id"))
+      val hits = exact.join(ann, Seq("q_id", "n_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double")
+            / col("n_exact").cast("double"), 6).as("recall"))
+        .orderBy("q_id")
     },
 
     // PQ codebook-quality audit — per subquantizer: how many of the 16
@@ -965,7 +1028,7 @@ object Similarity {
     // (factored signCodes); both top-5s ride the bounded heap; Hamming
     // means are exact-integer sums divided once.
     "sim_hamming_topk_eval" -> { (s, d) =>
-      val codes = signCodes(s, d).cache()
+      val codes = signCodes(s, d)
       val e = vectors(s, d)
       val q = broadcast(e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv")))
@@ -1484,6 +1547,87 @@ object Similarity {
          |SELECT q_id, n_id, round(CAST(adc_d2 AS DOUBLE), 6) AS adc_dist,
          |  CAST(rnk AS BIGINT) AS rnk
          |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // same ADC chain to `r` + an exact rounded-decimal squared-L2 branch;
+    // the hit join and recall arithmetic mirror sim_recall_eval
+    "sim_pq_recall_eval" ->
+      s"""WITH e AS ($duckVectors),
+         |sub AS (
+         |  SELECT vec_id, unnest(generate_series(0, 7)) AS sub, v FROM e),
+         |sv AS (
+         |  SELECT vec_id, sub,
+         |    list_slice(v, sub * 8 + 1, sub * 8 + 8) AS sv
+         |  FROM sub),
+         |cb AS (
+         |  SELECT vec_id AS code, sub,
+         |    list_slice(v, sub * 8 + 1, sub * 8 + 8) AS cv
+         |  FROM (SELECT vec_id, unnest(generate_series(0, 7)) AS sub, v
+         |        FROM e WHERE vec_id < 16)),
+         |dims AS (
+         |  SELECT s.vec_id, s.sub, c.code,
+         |    unnest(generate_series(1, 8)) AS j, s.sv, c.cv
+         |  FROM sv s JOIN cb c USING (sub)),
+         |d2 AS (
+         |  SELECT vec_id, sub, code,
+         |    sum((CAST(round(sv[j], 6) AS DECIMAL(12,6))
+         |          - CAST(round(cv[j], 6) AS DECIMAL(12,6)))
+         |      * (CAST(round(sv[j], 6) AS DECIMAL(12,6))
+         |          - CAST(round(cv[j], 6) AS DECIMAL(12,6)))) AS d2
+         |  FROM dims GROUP BY 1, 2, 3),
+         |best AS (
+         |  SELECT vec_id, sub, code, d2,
+         |    row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY d2, code) AS rn
+         |  FROM d2),
+         |codes AS (SELECT vec_id, sub, code FROM best WHERE rn = 1),
+         |qdims AS (
+         |  SELECT s.vec_id AS q_id, s.sub, c.code,
+         |    unnest(generate_series(1, 8)) AS j, s.sv AS qv, c.cv
+         |  FROM sv s JOIN cb c USING (sub)
+         |  WHERE s.vec_id >= 10 AND s.vec_id < 20),
+         |lut AS (
+         |  SELECT q_id, sub, code,
+         |    sum((CAST(round(qv[j], 6) AS DECIMAL(12,6))
+         |          - CAST(round(cv[j], 6) AS DECIMAL(12,6)))
+         |      * (CAST(round(qv[j], 6) AS DECIMAL(12,6))
+         |          - CAST(round(cv[j], 6) AS DECIMAL(12,6)))) AS ad2
+         |  FROM qdims GROUP BY 1, 2, 3),
+         |sc AS (
+         |  SELECT l.q_id, k.vec_id, sum(l.ad2) AS adc_d2
+         |  FROM codes k JOIN lut l ON l.sub = k.sub AND l.code = k.code
+         |  WHERE k.vec_id <> l.q_id
+         |  GROUP BY 1, 2),
+         |ann AS (
+         |  SELECT q_id, vec_id AS n_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adc_d2, vec_id) AS rnk
+         |    FROM sc) WHERE rnk <= 5),
+         |xdims AS (
+         |  SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+         |    unnest(generate_series(1, 64)) AS j, q.v AS qv, b.v AS bv
+         |  FROM e q JOIN e b ON b.vec_id <> q.vec_id
+         |  WHERE q.vec_id >= 10 AND q.vec_id < 20),
+         |xd AS (
+         |  SELECT q_id, n_id,
+         |    sum((CAST(round(qv[j], 6) AS DECIMAL(12,6))
+         |          - CAST(round(bv[j], 6) AS DECIMAL(12,6)))
+         |      * (CAST(round(qv[j], 6) AS DECIMAL(12,6))
+         |          - CAST(round(bv[j], 6) AS DECIMAL(12,6)))) AS d2
+         |  FROM xdims GROUP BY 1, 2),
+         |x AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY d2, n_id) AS xrn FROM xd) WHERE xrn <= 5),
+         |h AS (
+         |  SELECT x.q_id, count(*) AS n_hit
+         |  FROM x JOIN ann ON ann.q_id = x.q_id AND ann.n_id = x.n_id
+         |  GROUP BY 1),
+         |nx AS (SELECT q_id, count(*) AS n_exact FROM x GROUP BY 1)
+         |SELECT nx.q_id, CAST(nx.n_exact AS BIGINT) AS n_exact,
+         |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+         |    / CAST(nx.n_exact AS DOUBLE), 6) AS recall
+         |FROM nx LEFT JOIN h ON h.q_id = nx.q_id
+         |ORDER BY nx.q_id""".stripMargin,
 
     // same chain to `best`, folded per subquantizer instead of per
     // vector: code-usage census + exact-decimal distortion sums, one

@@ -45,6 +45,45 @@ object StreamTwin {
           col("n_in_window"))
         .orderBy("wstart", "user_id")),
 
+    // twin of Streams.driftBinCounts + the stateless PSI fold a live
+    // drift monitor runs in its sink: per 6-hour window, the PSI of the
+    // value distribution (fixed log-width bins, Laplace-smoothed over
+    // the materialized 0..9 grid) against the corpus-wide reference —
+    // the streaming go/no-go drift gate (events_psi_drift compares two
+    // halves of history; this scores every live window). Only the
+    // (window, bin) count is stateful; the reference is a broadcast
+    // 10-row table and each window's fold is O(10).
+    "stream_psi_drift" -> { (s, d) =>
+      val binCol = least(lit(9L), floor(log(col("value") + lit(1d))))
+      val cur = events(s, d)
+        .groupBy(window(col("ts"), "6 hours"), binCol.as("bin"))
+        .agg(count(lit(1)).as("cc"))
+        .select(col("window.start").as("wstart"), col("bin"), col("cc"))
+      val ref0 = events(s, d)
+        .groupBy(binCol.as("bin")).agg(count(lit(1)).as("cr"))
+      val ref = broadcast(s.range(10).select(col("id").as("bin"))
+        .join(ref0, Seq("bin"), "left").na.fill(0L, Seq("cr"))
+        .crossJoin(ref0.agg(sum(col("cr")).as("n_ref"))))
+      val grid = cur.select("wstart").distinct()
+        .select(col("wstart"),
+          explode(sequence(lit(0L), lit(9L))).as("bin"))
+      val nw = cur.groupBy("wstart").agg(sum(col("cc")).as("n_win"))
+      val pr = (col("cr").cast("double") + lit(0.5)) /
+        (col("n_ref").cast("double") + lit(5.0))
+      val pc = (col("cc").cast("double") + lit(0.5)) /
+        (col("n_win").cast("double") + lit(5.0))
+      grid.join(cur, Seq("wstart", "bin"), "left")
+        .na.fill(0L, Seq("cc"))
+        .join(ref, "bin")
+        .join(nw, "wstart")
+        .withColumn("term",
+          round((pc - pr) * log(pc / pr), 9).cast("decimal(20,9)"))
+        .groupBy("wstart", "n_win")
+        .agg(round(sum(col("term")).cast("double"), 6).as("psi"))
+        .select(col("wstart"), col("n_win").as("n_events"), col("psi"))
+        .orderBy("wstart")
+    },
+
     "stream_sliding" -> ((s, d) =>
       events(s, d)
         .groupBy(window(col("ts"), "1 hour", "15 minutes"))
@@ -256,6 +295,52 @@ object StreamTwin {
       s"""SELECT date_trunc('hour', ts) AS wstart, event_type,
          |count(*) AS cnt, ${sql.moneySum("value")} AS sum_val
          |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    // time_bucket's 2000-01-01 origin is 6h-aligned with Spark's epoch
+    // window origin, so the bucket starts agree; the PSI arithmetic is
+    // the events_psi_drift discipline (all-DOUBLE probabilities,
+    // round-9 decimal term sums)
+    "stream_psi_drift" ->
+      """WITH ev AS (
+        |  SELECT time_bucket(INTERVAL '6 hours', ts) AS wstart,
+        |    least(9, CAST(floor(ln(value + 1)) AS BIGINT)) AS bin
+        |  FROM events),
+        |cur AS (
+        |  SELECT wstart, bin, CAST(count(*) AS BIGINT) AS cc
+        |  FROM ev GROUP BY 1, 2),
+        |ref0 AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS cr
+        |  FROM ev GROUP BY 1),
+        |nr AS (SELECT CAST(sum(cr) AS BIGINT) AS n_ref FROM ref0),
+        |ref AS (
+        |  SELECT g.bin, COALESCE(ref0.cr, 0) AS cr, nr.n_ref
+        |  FROM (SELECT unnest(generate_series(0, 9)) AS bin) g
+        |  LEFT JOIN ref0 ON ref0.bin = g.bin CROSS JOIN nr),
+        |nw AS (
+        |  SELECT wstart, CAST(sum(cc) AS BIGINT) AS n_win
+        |  FROM cur GROUP BY 1),
+        |grid AS (
+        |  SELECT w.wstart, CAST(b.bin AS BIGINT) AS bin
+        |  FROM (SELECT DISTINCT wstart FROM cur) w
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) b),
+        |filled AS (
+        |  SELECT g.wstart, g.bin, COALESCE(cur.cc, 0) AS cc
+        |  FROM grid g LEFT JOIN cur
+        |    ON cur.wstart = g.wstart AND cur.bin = g.bin)
+        |SELECT f.wstart, nw.n_win AS n_events,
+        |  round(CAST(sum(CAST(round(
+        |    ((CAST(cc AS DOUBLE) + 0.5) / (CAST(n_win AS DOUBLE) + 5.0)
+        |      - (CAST(cr AS DOUBLE) + 0.5)
+        |        / (CAST(n_ref AS DOUBLE) + 5.0))
+        |    * ln(((CAST(cc AS DOUBLE) + 0.5)
+        |        / (CAST(n_win AS DOUBLE) + 5.0))
+        |      / ((CAST(cr AS DOUBLE) + 0.5)
+        |        / (CAST(n_ref AS DOUBLE) + 5.0))), 9)
+        |    AS DECIMAL(20,9))) AS DOUBLE), 6) AS psi
+        |FROM filled f
+        |JOIN ref ON ref.bin = f.bin
+        |JOIN nw ON nw.wstart = f.wstart
+        |GROUP BY f.wstart, nw.n_win
+        |ORDER BY f.wstart""".stripMargin,
     "stream_burst_alert" ->
       """SELECT date_trunc('minute', ts) AS wstart, user_id,
         |count(*) AS n_in_window

@@ -117,6 +117,32 @@ object TrainPrep {
         .orderBy("stage_n")
     },
 
+    // source-to-source n-gram leak matrix: directional 5-gram containment
+    // C(a→b) = |grams(a) ∩ grams(b)| / |grams(a)| for every ordered
+    // source pair — where contamination_check scores train docs against
+    // ONE eval split, this is the all-pairs census that finds which FEEDS
+    // are copying from each other (syndication, shared scrapers) before
+    // any split is drawn. dedup_source_matrix counts doc-level dup pairs;
+    // this measures verbatim n-gram mass. Same gram-keyed equi-join
+    // shape as contamination_check (never doc × doc); output O(sources²).
+    "contamination_source_matrix" -> { (s, d) =>
+      val g = grams(toks(s, d)).select(col("source"), col("gram"))
+        .distinct()
+      val sz = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
+      g.select(col("source").as("source_a"), col("gram"))
+        .join(g.select(col("source").as("source_b"), col("gram")), "gram")
+        .filter(col("source_a") =!= col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sz.select(col("source").as("source_a"),
+          col("n_grams").as("n_a"))), "source_a")
+        .select(col("source_a"), col("source_b"), col("n_shared"),
+          col("n_a"),
+          round(col("n_shared").cast("double")
+            / col("n_a").cast("double"), 6).as("containment"))
+        .orderBy("source_a", "source_b")
+    },
+
     // per-shard reproducibility manifest: for each of the 32 writer
     // shards, row/token counts, the doc_id span, and an ORDER-INDEPENDENT
     // content checksum (bit_xor of per-doc 60-bit md5 digests over
@@ -788,6 +814,32 @@ object TrainPrep {
          |  round(CAST(n4 AS DOUBLE) / CAST(n0 AS DOUBLE), 6),
          |  round(CAST(n4 AS DOUBLE) / CAST(n3 AS DOUBLE), 6) FROM agg
          |ORDER BY stage_n""".stripMargin,
+
+    // contamination_check's gram CTE keyed by source instead of doc
+    "contamination_source_matrix" ->
+      s"""WITH tk AS (
+         |  SELECT source, string_split(lower(trim(text)), ' ') AS w
+         |  FROM documents),
+         |g AS (
+         |  SELECT DISTINCT source, gram FROM (
+         |    SELECT source, unnest(list_distinct(list_transform(
+         |      generate_series(1, len(w) - ${ContamN - 1}),
+         |      i -> array_to_string(list_slice(w, i, i + ${ContamN - 1}),
+         |             ' ')))) AS gram
+         |    FROM tk WHERE len(w) >= $ContamN)),
+         |sz AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+         |  FROM g GROUP BY source),
+         |sh AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.source <> b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_shared, sz.n_grams AS n_a,
+         |  round(CAST(n_shared AS DOUBLE) / CAST(sz.n_grams AS DOUBLE), 6)
+         |    AS containment
+         |FROM sh JOIN sz ON sz.source = sh.source_a
+         |ORDER BY source_a, source_b""".stripMargin,
 
     // same 60-bit md5 digest family as the KMV sketches ('0x' cast in
     // DuckDB, conv() in Spark); bit_xor is available in both engines

@@ -377,6 +377,47 @@ object Windows {
     // packed day-ordered series (the sim_mmr_rerank pack-and-fold
     // discipline): the corpus collapses to O(#days) in one keyed agg,
     // the fold touches each day once, and the result explodes back to
+    // Croston's method — the intermittent-demand forecaster (per-SKU
+    // series that are MOSTLY zero, where SES/Holt over calendar days
+    // just decays to noise): smooth the non-zero demand SIZES and the
+    // INTERVALS between them separately (α=0.2), forecast = z/p per
+    // day. The win_holt machinery per part: demand days collapse to a
+    // per-part array (calendar-bounded, the Holt-Winters in-row-fold
+    // argument) and the fold carries ONLY the final (z, p) state — no
+    // per-step array append. Fold arithmetic mirrors the partitioned
+    // recursive CTE op-for-op (0.2·x + 0.8·state, binary-exact
+    // coefficients), rounds only in the final projection. Init: z₁=q₁,
+    // p₁=1 (documented choice; Croston's own init is unspecified).
+    "win_croston" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(pmod(col("l_partkey"), lit(97)) === 0)
+        .groupBy(col("l_partkey").as("part_key"),
+          to_date(col("l_shipdate")).as("day"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+        .groupBy("part_key")
+        .agg(sort_array(collect_list(struct(col("day"), col("q"))))
+          .as("pts"))
+        .select(col("part_key"),
+          size(col("pts")).cast("long").as("n_demand_days"),
+          expr("""
+            aggregate(
+              slice(pts, 2, greatest(0, size(pts) - 1)),
+              named_struct(
+                'day', try_element_at(pts, 1).day,
+                'z', CAST(try_element_at(pts, 1).q AS DOUBLE),
+                'p', CAST(1.0 AS DOUBLE)),
+              (acc, pt) -> named_struct(
+                'day', pt.day,
+                'z', 0.2 * CAST(pt.q AS DOUBLE) + 0.8 * acc.z,
+                'p', 0.2 * CAST(datediff(pt.day, acc.day) AS DOUBLE)
+                  + 0.8 * acc.p))""").as("st"))
+        .select(col("part_key"), col("n_demand_days"),
+          round(col("st.z"), 6).as("demand_size_est"),
+          round(col("st.p"), 6).as("interval_est"),
+          round(col("st.z") / col("st.p"), 6).as("croston_forecast"))
+        .orderBy("part_key")
+    },
+
     // rows. α=0.5, β=0.25 are binary-exact doubles and every fold step
     // mirrors the oracle's recursive CTE op-for-op, so the state stays
     // BIT-identical across engines with no rounding anywhere (the
@@ -1004,6 +1045,39 @@ object Windows {
         |       WHEN CAST(rev AS DOUBLE) < lower THEN 'low'
         |       ELSE 'in' END AS band_flag
         |FROM e ORDER BY day""".stripMargin,
+
+    // partitioned recursion (one chain per part via the part_key join
+    // predicate); DATE - DATE is integer days in DuckDB, datediff in
+    // Spark — same value into the same double arithmetic
+    "win_croston" ->
+      """WITH RECURSIVE dem AS (
+        |  SELECT l_partkey AS part_key, CAST(l_shipdate AS DATE) AS day,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem WHERE l_partkey % 97 = 0 GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT part_key, day, q, row_number() OVER (
+        |    PARTITION BY part_key ORDER BY day) AS rn
+        |  FROM dem),
+        |h AS (
+        |  SELECT part_key, rn, day, CAST(q AS DOUBLE) AS z,
+        |    CAST(1.0 AS DOUBLE) AS p
+        |  FROM dd WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.part_key, d.rn, d.day,
+        |    0.2 * CAST(d.q AS DOUBLE) + 0.8 * h.z AS z,
+        |    0.2 * CAST(d.day - h.day AS DOUBLE) + 0.8 * h.p AS p
+        |  FROM h JOIN dd d
+        |    ON d.part_key = h.part_key AND d.rn = h.rn + 1),
+        |n AS (
+        |  SELECT part_key, CAST(count(*) AS BIGINT) AS n_demand_days,
+        |    max(rn) AS mr
+        |  FROM dd GROUP BY 1)
+        |SELECT h.part_key, n.n_demand_days,
+        |  round(h.z, 6) AS demand_size_est,
+        |  round(h.p, 6) AS interval_est,
+        |  round(h.z / h.p, 6) AS croston_forecast
+        |FROM h JOIN n ON h.part_key = n.part_key AND h.rn = n.mr
+        |ORDER BY h.part_key""".stripMargin,
 
     "win_holt" ->
       """WITH RECURSIVE daily AS (

@@ -62,6 +62,24 @@ object Streams {
       .select(col("window.start").as("wstart"), col("user_id"),
         col("n_in_window"))
 
+  /** Per-window value-distribution histogram — the stateful stage of a
+    * streaming PSI drift monitor: bin each event's value into the fixed
+    * log-width grid (floor(ln(v+1)) capped at 9, data-independent so two
+    * windows stay comparable) and count per (6-hour window, bin) under a
+    * watermark. The PSI fold itself (10 rows per window against a
+    * broadcast reference) is STATELESS and runs in the sink — chaining a
+    * second stateful aggregation after a windowed one is the streaming
+    * anti-pattern this split exists to avoid. The batch twin
+    * (`stream_psi_drift`) performs the full fold for the oracle.
+    */
+  def driftBinCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "6 hours"),
+        least(lit(9L), floor(log(col("value") + lit(1d)))).as("bin"))
+      .agg(count(lit(1)).as("cc"))
+      .select(col("window.start").as("wstart"), col("bin"), col("cc"))
+
   /** Sliding 1-hour/15-minute windows. */
   def slidingCounts(events: DataFrame): DataFrame =
     events

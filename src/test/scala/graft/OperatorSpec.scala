@@ -2592,6 +2592,90 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("sim_pq_recall_eval scores all 10 queries with valid recalls") {
+    val rows = SparkEntry.queries("sim_pq_recall_eval")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("q_id")).toSet == (10L to 19L).toSet)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 5L)
+      val hit = r.getAs[Long]("n_hit")
+      assert(hit >= 0L && hit <= 5L)
+      assert(math.abs(r.getAs[Double]("recall") - hit / 5.0) < 1e-9)
+    }
+  }
+
+  test("agg_hll_precision_sweep holds the 3-sigma bound at every rsd") {
+    val rows = SparkEntry.queries("agg_hll_precision_sweep")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Double]("rsd")).sorted.toSeq ==
+      Seq(0.01, 0.023, 0.05))
+    val exact = rows.head.getAs[Long]("n_exact")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == exact) // one corpus, one truth
+      assert(r.getAs[Boolean]("within_bound"))
+    }
+  }
+
+  test("supplier_hhi_trend HHIs live in (1/n_suppliers, 1]") {
+    val rows = SparkEntry.queries("supplier_hhi_trend")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hhi) = (r.getAs[Long]("n_suppliers"), r.getAs[Double]("hhi"))
+      assert(n >= 1L)
+      // Σ share² is minimized at equal shares (1/n) and capped at 1
+      assert(hhi >= 1.0 / n - 1e-6 && hhi <= 1.0 + 1e-6)
+    }
+  }
+
+  test("win_croston state stays inside the demand support") {
+    val rows = SparkEntry.queries("win_croston")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_demand_days") >= 1L)
+      val (z, p) = (r.getAs[Double]("demand_size_est"),
+        r.getAs[Double]("interval_est"))
+      assert(z > 0.0) // demand sizes are positive, so is their EWMA
+      assert(p >= 1.0 - 1e-9) // intervals >= 1 day and init p=1
+      assert(math.abs(r.getAs[Double]("croston_forecast") - z / p) < 1e-4)
+    }
+  }
+
+  test("contamination_source_matrix containments are valid fractions") {
+    val rows = SparkEntry.queries("contamination_source_matrix")(
+      spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_a") != r.getAs[String]("source_b"))
+      assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_a"))
+      val c = r.getAs[Double]("containment")
+      assert(c > 0.0 && c <= 1.0)
+    }
+  }
+
+  test("events_session_depth_dist shares sum to one") {
+    val rows = SparkEntry.queries("events_session_depth_dist")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("depth") >= 1L))
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    // session count reconciles with sessionize itself
+    assert(rows.map(_.getAs[Long]("n_sessions")).sum ==
+      SparkEntry.queries("events_sessionize")(spark, sf).count())
+  }
+
+  test("stream_psi_drift windows are 6h-aligned with non-negative PSI") {
+    val rows = SparkEntry.queries("stream_psi_drift")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getAs[java.sql.Timestamp]("wstart")
+      assert(w.getTime % (6L * 3600 * 1000) == 0L)
+      assert(r.getAs[Long]("n_events") >= 1L)
+      assert(r.getAs[Double]("psi") >= -1e-6)
+    }
+  }
+
   test("price_elasticity fits one bounded log-log slope per brand") {
     val rows = SparkEntry.queries("price_elasticity")(spark, sf)
       .collect()

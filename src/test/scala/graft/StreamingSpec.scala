@@ -42,6 +42,29 @@ class StreamingSpec extends SparkSpec {
     assert(out(ts(60)) == 2L) // ev(3), ev(5)
   }
 
+  test("driftBinCounts bins values on the log grid per 6-hour window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.toMemorySink(
+      Streams.driftBinCounts(in.toDF()), "drift_t", OutputMode.Append())
+    // window [00:00, 06:00): values 1.0 -> bin 0 (ln 2), 10.0 -> bin 2
+    // (ln 11), 100.0 -> bin 4 (ln 101); second 1.0 doubles bin 0
+    in.addData(ev(1, 10, value = 1.0), ev(2, 20, value = 1.0),
+      ev(3, 30, value = 10.0), ev(4, 40, value = 100.0))
+    q.processAllAvailable()
+    // advance the watermark past the first window so Append flushes it
+    in.addData(ev(5, 6 * 60 + 30, value = 1.0), ev(6, 24 * 60))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("drift_t")
+      .select("wstart", "bin", "cc").as[(Timestamp, Long, Long)]
+      .collect().map { case (w, b, c) => (w, b) -> c }.toMap
+    assert(out((ts(0), 0L)) == 2L)
+    assert(out((ts(0), 2L)) == 1L)
+    assert(out((ts(0), 4L)) == 1L)
+    assert(!out.keySet.exists { case (w, b) => w == ts(0) && b > 4L })
+  }
+
   test("burstAlerts emits only windows at or above the threshold") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
