@@ -529,6 +529,48 @@ object Aggregates {
             / max(col("theta")).cast("double"), 4).as("est_common"))
     },
 
+    // KMV (theta-sketch) JACCARD — the third view of the same two
+    // sketches (intersect, difference, similarity): J ≈ est(∩)/est(∪)
+    // with est(∪) = est(A) + est(B) − est(∩), clamped to [0, 1], next
+    // to the exact Jaccard as in-query audit. The set-algebra closure
+    // that makes theta sketches an audience ALGEBRA rather than a
+    // counter: any overlap/affinity score derives from the same K
+    // hashes per set, no rescan. Same estimator forms as the intersect
+    // op (unrounded intermediates, one final round each).
+    "agg_kmv_jaccard" -> { (s, d) =>
+      val K = KmvK
+      val M = KmvM
+      val uh = kmvMembers(s, d)
+      val stats = kmvStats(s, d)
+      val a = stats.filter(col("set_id") === "purchase")
+        .select(col("n_exact").as("n_a"), col("theta").as("theta_a"))
+      val b = stats.filter(col("set_id") === "click")
+        .select(col("n_exact").as("n_b"), col("theta").as("theta_b"))
+      val pur = uh.filter(col("set_id") === "purchase")
+        .select(col("user_id"), col("h"))
+      val clk = uh.filter(col("set_id") === "click")
+        .select(col("user_id"))
+      val estA = when(max(col("n_a")) < K, max(col("n_a")).cast("double"))
+        .otherwise(lit((K - 1).toDouble) * lit(M.toDouble)
+          / max(col("theta_a")).cast("double"))
+      val estB = when(max(col("n_b")) < K, max(col("n_b")).cast("double"))
+        .otherwise(lit((K - 1).toDouble) * lit(M.toDouble)
+          / max(col("theta_b")).cast("double"))
+      val estC = sum(when(col("h") < col("theta"), 1L).otherwise(0L))
+        .cast("double") * lit(M.toDouble) /
+        max(col("theta")).cast("double")
+      pur.join(clk, Seq("user_id"))
+        .crossJoin(broadcast(a.crossJoin(b)))
+        .withColumn("theta", least(col("theta_a"), col("theta_b")))
+        .agg(
+          count(lit(1)).as("n_common_exact"),
+          round(count(lit(1)).cast("double")
+            / (max(col("n_a")) + max(col("n_b")) - count(lit(1)))
+              .cast("double"), 6).as("jaccard_exact"),
+          round(least(lit(1d), greatest(lit(0d),
+            estC / (estA + estB - estC))), 4).as("jaccard_est"))
+    },
+
     // KMV (theta-sketch) set DIFFERENCE — the a-not-b companion to
     // agg_kmv_intersect: |A∖B| ≈ est(A) − est(A∩B), clamped at 0 (the
     // estimator can go slightly negative when the intersection estimate
@@ -1073,6 +1115,55 @@ object Aggregates {
         |    * CAST(1152921504606846976 AS DOUBLE)
         |    / CAST(max(theta) AS DOUBLE), 4) AS est_common
         |FROM common CROSS JOIN ab""".stripMargin,
+
+    // identical sketch CTEs; the finals combine est_a/est_b/est_common
+    // into the clamped Jaccard instead of reporting them
+    "agg_kmv_jaccard" ->
+      """WITH uh AS (
+        |  SELECT DISTINCT event_type AS set_id, user_id
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |uh2 AS (
+        |  SELECT set_id, user_id,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM uh),
+        |r AS (
+        |  SELECT set_id, user_id, h, row_number() OVER (
+        |    PARTITION BY set_id ORDER BY h, user_id) AS rn FROM uh2),
+        |st AS (
+        |  SELECT set_id, count(*) AS n_exact,
+        |    coalesce(max(CASE WHEN rn = 8 THEN h END),
+        |      1152921504606846976) AS theta
+        |  FROM r GROUP BY set_id),
+        |ab AS (
+        |  SELECT a.n_exact AS n_a, a.theta AS theta_a,
+        |    b.n_exact AS n_b, b.theta AS theta_b,
+        |    least(a.theta, b.theta) AS theta
+        |  FROM (SELECT * FROM st WHERE set_id = 'purchase') a
+        |  CROSS JOIN (SELECT * FROM st WHERE set_id = 'click') b),
+        |common AS (
+        |  SELECT p.user_id, p.h FROM uh2 p JOIN uh2 c
+        |    ON p.user_id = c.user_id
+        |  WHERE p.set_id = 'purchase' AND c.set_id = 'click'),
+        |m AS (
+        |  SELECT count(*) AS nc,
+        |    CASE WHEN max(n_a) < 8 THEN CAST(max(n_a) AS DOUBLE)
+        |      ELSE 7.0 * CAST(1152921504606846976 AS DOUBLE)
+        |        / CAST(max(theta_a) AS DOUBLE) END AS est_a,
+        |    CASE WHEN max(n_b) < 8 THEN CAST(max(n_b) AS DOUBLE)
+        |      ELSE 7.0 * CAST(1152921504606846976 AS DOUBLE)
+        |        / CAST(max(theta_b) AS DOUBLE) END AS est_b,
+        |    CAST(sum(CASE WHEN h < theta THEN 1 ELSE 0 END) AS DOUBLE)
+        |      * CAST(1152921504606846976 AS DOUBLE)
+        |      / CAST(max(theta) AS DOUBLE) AS est_c,
+        |    max(n_a) AS n_a, max(n_b) AS n_b
+        |  FROM common CROSS JOIN ab)
+        |SELECT CAST(nc AS BIGINT) AS n_common_exact,
+        |  round(CAST(nc AS DOUBLE)
+        |    / CAST(n_a + n_b - nc AS DOUBLE), 6) AS jaccard_exact,
+        |  round(least(1.0, greatest(0.0,
+        |    est_c / (est_a + est_b - est_c))), 4) AS jaccard_est
+        |FROM m""".stripMargin,
 
     // identical sketch CTEs; the finals subtract est_common from each
     // side's estimate (clamped at 0) instead of reporting it

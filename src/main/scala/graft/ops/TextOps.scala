@@ -516,6 +516,37 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // boilerplate REMOVAL — the action to text_boilerplate's report:
+    // rebuild each doc from only its non-boilerplate chunks (in chunk
+    // order) and emit the cleaned text's sha256 + surviving counts.
+    // Emitting the digest instead of the text is deliberate: it proves
+    // the reconstruction byte-for-byte against the oracle without
+    // shipping the corpus through the compare. Same digests-only
+    // frequency join as text_boilerplate; the rebuild is one per-doc
+    // sorted fold over O(#chunks) rows.
+    "text_boilerplate_strip" -> { (s, d) =>
+      val ch = toks(s, d)
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(
+             |  sequence(0, cast(ceil(size(toks) / $BoilerW.0) as int) - 1),
+             |  i -> concat_ws(' ',
+             |    slice(toks, i * $BoilerW + 1, $BoilerW)))""".stripMargin))
+          .as(Seq("i", "chunk")))
+      val freq = ch.select(col("doc_id"), md5(col("chunk")).as("h"))
+        .groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
+      ch.withColumn("h", md5(col("chunk")))
+        .join(freq, "h")
+        .filter(col("df") < BoilerDf)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks_kept"),
+          sha2(expr("array_join(transform(array_sort(" +
+            "collect_list(struct(i, chunk))), s -> s.chunk), ' ')"), 256)
+            .as("clean_sha"),
+          sum(size(split(col("chunk"), " ")).cast("long"))
+            .as("n_tok_kept"))
+        .orderBy("doc_id")
+    },
+
     // add-one-smoothed bigram LM scoring — the step up from
     // text_unigram_lm's quality proxy (catches word-salad that unigram
     // stats miss). Same plan discipline: both count tables are Zipf-small
@@ -1318,6 +1349,36 @@ object TextOps {
          |FROM cells ORDER BY actual, predicted""".stripMargin,
     // BIGINT casts on every sum (DuckDB sum(int) is HUGEINT — the r04
     // hash-fail class)
+    // text_boilerplate's chunk/frequency CTEs with positions kept; the
+    // rebuild is string_agg in chunk order, digested with sha256
+    "text_boilerplate_strip" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+         |  FROM documents),
+         |ch0 AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, CAST(ceil(len(w) / $BoilerW.0) AS BIGINT)))
+         |      AS i,
+         |    w
+         |  FROM tk),
+         |ch AS (
+         |  SELECT doc_id, i,
+         |    array_to_string(list_slice(w, CAST(i * $BoilerW + 1 AS INT),
+         |      CAST(i * $BoilerW + $BoilerW AS INT)), ' ') AS chunk
+         |  FROM ch0),
+         |f AS (
+         |  SELECT md5(chunk) AS h, count(DISTINCT doc_id) AS df
+         |  FROM ch GROUP BY 1),
+         |kept AS (
+         |  SELECT doc_id, i, chunk,
+         |    len(string_split(chunk, ' ')) AS n_tok
+         |  FROM ch JOIN f ON f.h = md5(ch.chunk)
+         |  WHERE df < $BoilerDf)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks_kept,
+         |  sha256(string_agg(chunk, ' ' ORDER BY i)) AS clean_sha,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tok_kept
+         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "text_boilerplate" ->
       s"""WITH tk AS (
          |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w

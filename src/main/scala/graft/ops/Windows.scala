@@ -498,6 +498,63 @@ object Windows {
         .orderBy("day")
     },
 
+    // seasonal/trend STRENGTH of the weekly decomposition — Hyndman's
+    // F_s = max(0, 1 − Var(resid)/Var(seasonal+resid)) and its trend
+    // twin, the one-row triage that says whether the weekday pattern is
+    // load-bearing (F_s → 1: schedule capacity by weekday) or noise
+    // (F_s → 0: don't). Components re-derive win_seasonal_decompose's
+    // plan; each is rounded to the 1e-9 grid and decimal-summed (value
+    // and square both exact) so the variances are partial-agg-proof;
+    // the two variance ratios are a fixed-order double chain at the end.
+    "win_seasonal_strength" -> { (s, d) =>
+      val wf7 = Window.orderBy("day").rowsBetween(-3, 3)
+      val wDow = Window.partitionBy("dow")
+      val comp = t(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(money(col("o_totalprice"))).cast("decimal(18,2)")
+          .as("rev"))
+        .withColumn("dow",
+          expr("CAST(datediff(day, DATE'1970-01-05') % 7 AS BIGINT)"))
+        .withColumn("n7", count(lit(1)).over(wf7))
+        .withColumn("sr7", sum(col("rev")).over(wf7))
+        .filter(col("n7") === 7)
+        .withColumn("s1", sum(col("rev")).over(wDow))
+        .withColumn("s2", sum(col("sr7")).over(wDow))
+        .withColumn("ndow", count(lit(1)).over(wDow))
+        .withColumn("trend", col("sr7").cast("double") / 7d)
+        .withColumn("seasonal",
+          (col("s1").cast("double") - col("s2").cast("double") / 7d)
+            / col("ndow"))
+        .withColumn("residual",
+          col("rev").cast("double") - col("trend") - col("seasonal"))
+      // 1e-4 grid on DECIMAL(16,4): squares land exactly in (33,8), under
+      // BOTH engines' 38-digit cap (a (20,9) grid would need p=41 for the
+      // square — DuckDB rejects it outright)
+      val terms = comp.select(
+        expr("CAST(round(residual, 4) AS DECIMAL(16,4))").as("rd"),
+        expr("CAST(round(seasonal + residual, 4) AS DECIMAL(16,4))")
+          .as("sr"),
+        expr("CAST(round(trend + residual, 4) AS DECIMAL(16,4))")
+          .as("tr"))
+      terms.agg(count(lit(1)).as("n_days"),
+          sum(col("rd")).as("srd"), sum(col("rd") * col("rd")).as("srd2"),
+          sum(col("sr")).as("ssr"), sum(col("sr") * col("sr")).as("ssr2"),
+          sum(col("tr")).as("str"), sum(col("tr") * col("tr")).as("str2"))
+        .select(col("n_days"),
+          round(greatest(lit(0d), lit(1d)
+            - (col("n_days").cast("double") * col("srd2").cast("double")
+              - col("srd").cast("double") * col("srd").cast("double"))
+              / (col("n_days").cast("double") * col("ssr2").cast("double")
+                - col("ssr").cast("double") * col("ssr").cast("double"))),
+            6).as("f_seasonal"),
+          round(greatest(lit(0d), lit(1d)
+            - (col("n_days").cast("double") * col("srd2").cast("double")
+              - col("srd").cast("double") * col("srd").cast("double"))
+              / (col("n_days").cast("double") * col("str2").cast("double")
+                - col("str").cast("double") * col("str").cast("double"))),
+            6).as("f_trend"))
+    },
+
     // CUSUM control chart on daily revenue: two-sided cumulative sums of
     // deviations from the series mean with reset-at-zero, alarm when
     // either side crosses 4σ — the ONLINE changepoint detector
@@ -1100,6 +1157,64 @@ object Windows {
         |SELECT day, y AS revenue, level, trend,
         |  level + trend AS forecast_next
         |FROM h ORDER BY day""".stripMargin,
+
+    // decompose CTEs + the 1e-4-grid decimal variance sums; the strength
+    // ratios are the same fixed-order double chain as the Spark side
+    "win_seasonal_strength" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS rev
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT day, rev,
+        |    CAST(date_diff('day', DATE '1970-01-05', day) % 7
+        |      AS BIGINT) AS dow,
+        |    count(*) OVER wf AS n7, sum(rev) OVER wf AS sr7
+        |  FROM daily
+        |  WINDOW wf AS (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |f AS (SELECT * FROM w WHERE n7 = 7),
+        |g AS (
+        |  SELECT day, dow, rev, sr7,
+        |    sum(rev) OVER (PARTITION BY dow) AS s1,
+        |    sum(sr7) OVER (PARTITION BY dow) AS s2,
+        |    count(*) OVER (PARTITION BY dow) AS ndow
+        |  FROM f),
+        |comp AS (
+        |  SELECT
+        |    CAST(rev AS DOUBLE) - CAST(sr7 AS DOUBLE) / 7
+        |      - (CAST(s1 AS DOUBLE) - CAST(s2 AS DOUBLE) / 7) / ndow
+        |      AS residual,
+        |    CAST(sr7 AS DOUBLE) / 7 AS trend,
+        |    (CAST(s1 AS DOUBLE) - CAST(s2 AS DOUBLE) / 7) / ndow
+        |      AS seasonal
+        |  FROM g),
+        |terms AS (
+        |  SELECT CAST(round(residual, 4) AS DECIMAL(19,4)) AS rd,
+        |    CAST(round(seasonal + residual, 4) AS DECIMAL(19,4)) AS sr,
+        |    CAST(round(trend + residual, 4) AS DECIMAL(19,4)) AS tr
+        |  FROM comp),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    sum(rd) AS srd, sum(rd * rd) AS srd2,
+        |    sum(sr) AS ssr, sum(sr * sr) AS ssr2,
+        |    sum(tr) AS str, sum(tr * tr) AS str2
+        |  FROM terms)
+        |SELECT n_days,
+        |  round(greatest(0.0, 1.0
+        |    - (CAST(n_days AS DOUBLE) * CAST(srd2 AS DOUBLE)
+        |      - CAST(srd AS DOUBLE) * CAST(srd AS DOUBLE))
+        |      / (CAST(n_days AS DOUBLE) * CAST(ssr2 AS DOUBLE)
+        |        - CAST(ssr AS DOUBLE) * CAST(ssr AS DOUBLE))), 6)
+        |    AS f_seasonal,
+        |  round(greatest(0.0, 1.0
+        |    - (CAST(n_days AS DOUBLE) * CAST(srd2 AS DOUBLE)
+        |      - CAST(srd AS DOUBLE) * CAST(srd AS DOUBLE))
+        |      / (CAST(n_days AS DOUBLE) * CAST(str2 AS DOUBLE)
+        |        - CAST(str AS DOUBLE) * CAST(str AS DOUBLE))), 6)
+        |    AS f_trend
+        |FROM m""".stripMargin,
 
     "win_seasonal_decompose" ->
       """WITH daily AS (

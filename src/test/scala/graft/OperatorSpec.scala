@@ -2676,6 +2676,47 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("agg_kmv_jaccard estimate and exact are both valid Jaccards") {
+    val r = SparkEntry.queries("agg_kmv_jaccard")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val je = row.getAs[Double]("jaccard_exact")
+    assert(je >= 0.0 && je <= 1.0)
+    val js = row.getAs[Double]("jaccard_est")
+    assert(js >= 0.0 && js <= 1.0) // the clamp invariant
+    assert(row.getAs[Long]("n_common_exact") >= 0L)
+  }
+
+  test("win_seasonal_strength strengths are clamped unit fractions") {
+    val r = SparkEntry.queries("win_seasonal_strength")(spark, sf)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_days") >= 7L) // at least one full week
+    Seq("f_seasonal", "f_trend").foreach { c =>
+      val f = row.getAs[Double](c)
+      assert(f >= 0.0 && f <= 1.0 + 1e-9, s"$c = $f")
+    }
+  }
+
+  test("text_boilerplate_strip reconciles with the boilerplate report") {
+    val strip = SparkEntry.queries("text_boilerplate_strip")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val report = SparkEntry.queries("text_boilerplate")(spark, sf)
+      .collect()
+    report.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val kept = r.getAs[Long]("n_chunks") - r.getAs[Long]("n_boiler")
+      if (kept == 0L) assert(!strip.contains(id)) // fully boilerplate
+      else {
+        val s = strip(id)
+        assert(s.getAs[Long]("n_chunks_kept") == kept)
+        assert(s.getAs[Long]("n_tok_kept") == r.getAs[Long]("n_tok_kept"))
+        assert(s.getAs[String]("clean_sha").length == 64)
+      }
+    }
+  }
+
   test("price_elasticity fits one bounded log-log slope per brand") {
     val rows = SparkEntry.queries("price_elasticity")(spark, sf)
       .collect()

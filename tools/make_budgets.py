@@ -47,7 +47,8 @@ FAMILIES = {
                   "graph_jaccard_linkpred"],
     # Aggregates.kmvMembers: the distinct + md5 membership table is paid
     # once by whichever sketch op runs first
-    "kmv_sketch": ["agg_kmv_intersect", "agg_kmv_difference"],
+    "kmv_sketch": ["agg_kmv_intersect", "agg_kmv_difference",
+                   "agg_kmv_jaccard"],
     # Similarity.pqBest: the PQ encode (distance sweep + argmin) is paid
     # once by whichever PQ consumer runs first
     "pq_best": ["embedding_pq", "embedding_pq_distortion",
