@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale probe (VERDICT r8 #7): measure the sf0.1 → ~sf1.0
+  * runtime slope of the five slowest query families to confirm the
+  * sub-quadratic shapes SCALE.md argues from plan structure. A 10×
+  * input with ~linear cost should land near 10×; ≥ ~30× flags a hidden
+  * quadratic (the families mix corpus-linear kernels with vocab-/graph-
+  * sized stages, so the honest expectation is linear-ish with a
+  * sublinear tail, not exactly 10.0).
+  *
+  * The ~sf1.0 input is synthesized into `target/scale_sf1` as 10
+  * STRUCTURALLY DISJOINT replicas of the sf0.1 fixture — the shape a
+  * 10× corpus actually has, chosen so each query's SEMANTIC output
+  * scales linearly and any super-linear runtime is the ENGINE's, not
+  * the data's:
+  *  - `documents`: doc_ids shifted per replica and every token salted
+  *    with the replica tag, so replicas share no shingles — near-dup
+  *    pairs grow 10× (NOT 100×: un-salted replicas would make every doc
+  *    a 10-way exact duplicate and quadratically inflate pair counts,
+  *    measuring a semantic change instead of scale), and the vocabulary
+  *    grows with the corpus (the Heaps-law reality agg_countmin's
+  *    dense-id path must survive).
+  *  - `orders`/`lineitem`: order/customer/supplier keys shifted per
+  *    replica — the trade graph becomes 10 disjoint copies (V ×10,
+  *    E ×10, same diameter), the exact reference for detecting a
+  *    super-linear term in the O(V) broadcast-round graph queries.
+  *  - dimension tables (`part`, `nation`, `region`, `customer`,
+  *    `supplier`) ship unreplicated: catalogs don't grow 10× when
+  *    volume does, and basket_rules' brand dimension staying fixed is
+  *    precisely what keeps its in-row pair enumeration bounded.
+  *
+  * Usage: `runMain graft.ScaleProbe [sfDir] [replicas]` — prints one
+  * JSON line with per-key seconds at both scales and the ratio.
+  * Results land in SCALE.md's "measured slopes" table.
+  */
+object ScaleProbe {
+  val Keys = Seq("agg_countmin", "corpus_dedup_survivorship",
+    "basket_rules", "graph_hits", "graph_pagerank")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val replicas = args.lift(1).map(_.toInt).getOrElse(10)
+    val scaleDir = "/root/repo/target/scale_sf1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.local(cpus.toInt, appName = "graft-scale-probe")
+
+    synthesize(spark, sfDir, scaleDir, replicas)
+
+    def time(f: => Unit): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+    // codegen/JIT warm-up at sf0.01 so the sf0.1 timings don't eat it
+    val warmDir = sfDir.replace("sf0.1", "sf0.01")
+    Keys.foreach { k =>
+      SparkEntry.queries(k)(spark, warmDir).write
+        .format("noop").mode("overwrite").save()
+    }
+    val rows = Keys.map { k =>
+      val small = time {
+        SparkEntry.queries(k)(spark, sfDir).write
+          .format("noop").mode("overwrite").save()
+      }
+      val big = time {
+        SparkEntry.queries(k)(spark, scaleDir).write
+          .format("noop").mode("overwrite").save()
+      }
+      (k, small, big, big / small)
+    }
+    spark.stop()
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val body = rows.map { case (k, s, b, r) =>
+      s""""$k":{"sf01_sec":${num(s)},"x10_sec":${num(b)},"ratio":${num(r)}}"""
+    }.mkString(",")
+    println(s"""{"metric":"scale_slope","replicas":$replicas,$body}""")
+  }
+
+  /** Write the replicated dataset; skipped if already present with the
+    * same replica count (marker file).
+    */
+  def synthesize(s: SparkSession, sfDir: String, outDir: String,
+      replicas: Int): Unit = {
+    val marker = new java.io.File(s"$outDir/.replicas_$replicas")
+    if (marker.exists()) return
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(out, true)
+
+    def rep(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = s.read.parquet(s"$sfDir/$name.parquet")
+      (0 until replicas).map(i => f(base, i)).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+    def copy(name: String): Unit =
+      s.read.parquet(s"$sfDir/$name.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+    // key shifts use fixed strides comfortably above every fixture max
+    val D = 1000000L; val OK = 10000000L; val CK = 1000000L
+    val SK = 1000000L
+    rep("documents") { (df, i) =>
+      df.select((col("doc_id") + lit(i * D)).as("doc_id"),
+        // salt every token with the replica tag (cross-replica Jaccard 0)
+        array_join(transform(split(col("text"), " "),
+          w => concat(w, lit(s"~r$i"))), " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    rep("orders") { (df, i) =>
+      df.select((col("o_orderkey") + lit(i * OK)).as("o_orderkey"),
+        (col("o_custkey") + lit(i * CK)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }
+    rep("lineitem") { (df, i) =>
+      df.select((col("l_orderkey") + lit(i * OK)).as("l_orderkey"),
+        col("l_partkey"),
+        (col("l_suppkey") + lit(i * SK)).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    }
+    Seq("customer", "supplier", "part", "nation", "region", "events",
+      "embeddings").foreach(copy)
+    marker.getParentFile.mkdirs()
+    marker.createNewFile()
+    ()
+  }
+}

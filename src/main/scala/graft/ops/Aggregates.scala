@@ -420,15 +420,41 @@ object Aggregates {
     // ((a·x + b) mod p) mod w over a dense word id, so both engines
     // compute identical buckets in plain BIGINT arithmetic. Scale shape:
     // ONE corpus-linear keyed count, then everything else is vocab-sized
-    // (the id-assignment window runs over the Zipf-small vocabulary,
-    // never the corpus); the counter table is O(depth × width) and the
+    // (id assignment runs bucket-parallel over the vocabulary, never
+    // the corpus — see below); the counter table is O(depth × width) and the
     // estimate join is vocab × depth. The sketch is mergeable by
     // construction (counters sum), the agg_sketch_union property.
     "agg_countmin" -> { (s, d) =>
       val wc = TextOps.wordCounts(s, d)
-      val wid = wc.withColumn("wid", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("word"))
-        .cast("long"))
+      // dense-id assignment WITHOUT a vocab-global window (r8 VERDICT:
+      // at web scale the vocabulary is 10⁸–10⁹ rows — one global
+      // row_number is a one-task sort). Lexicographic 2-char-prefix
+      // buckets: bucket order == global word order by construction
+      // (string compare is left-to-right, and every word in bucket b
+      // starts with b), so global id = bucket offset + in-bucket rank.
+      // In-bucket ranks run in parallel over O(#prefixes) buckets; the
+      // offset table comes from a bounded O(B²) prefix self-join over
+      // the B=O(#prefixes) bucket counts (window-free — a global
+      // running-sum window, even over a tiny table, plans as a
+      // single-partition WindowExec). Values are IDENTICAL to
+      // row_number() OVER (ORDER BY word) — the oracle keeps that
+      // one-window formulation as the independent cross-check of the
+      // offset arithmetic.
+      val W = org.apache.spark.sql.expressions.Window
+      val bucketed = wc.withColumn("bkt", substring(col("word"), 1, 2))
+      val counts = bucketed.groupBy("bkt").agg(count(lit(1)).as("nb"))
+      val offsets = counts.select(col("bkt"), col("nb"))
+        .join(counts.select(col("bkt").as("b2"), col("nb").as("nb2")),
+          col("b2") < col("bkt"), "left")
+        .groupBy("bkt")
+        .agg(coalesce(sum(col("nb2")), lit(0L)).as("off"))
+      val wid = bucketed
+        .withColumn("lrn",
+          row_number().over(W.partitionBy("bkt").orderBy("word"))
+            .cast("long"))
+        .join(broadcast(offsets), "bkt")
+        .withColumn("wid", col("off") + col("lrn"))
+        .select("word", "cnt", "wid")
       // cached: the counter build AND the estimate join both read this
       // vocab × depth table — uncached, the corpus-linear word count
       // underneath runs twice (measured 4.0 s → ~1 s at sf0.1)

@@ -2132,7 +2132,11 @@ object Analytics {
     // value distribution of the first half-month (reference) and the
     // second (current) — the standard go/no-go drift gate a feature
     // pipeline runs before retraining (PSI < 0.1 stable, > 0.25 shifted).
-    // Bins are FIXED log-width buckets floor(ln(value+1)) capped at 9
+    // Bins are FIXED log-width buckets floor(ln(max(value,0)+1)) capped
+    // at 9 — the inner max pins any negative value to bin 0 BEFORE the
+    // log (ADVICE r8: unclamped, a value ≤ -1 made ln null on Spark but
+    // an error/NaN on DuckDB — a dropped-bin PSI deflation on one engine
+    // and a hard failure on the other)
     // (data-independent, so the binning needs no quantile pass and two
     // runs over different windows stay comparable); the 10-cell grid per
     // type materializes missing bins as zeros, Laplace-smoothed by +0.5
@@ -2143,7 +2147,8 @@ object Analytics {
       val cut = to_timestamp(lit("2024-01-16 00:00:00"))
       val ev = events(s, d)
         .select(col("event_type"), (col("ts") < cut).as("is_ref"),
-          least(lit(9L), floor(log(col("value") + lit(1d)))).as("bin"))
+          least(lit(9L),
+            floor(log(greatest(col("value"), lit(0d)) + lit(1d)))).as("bin"))
       val cells = ev.groupBy("event_type", "bin")
         .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
           sum(when(col("is_ref"), 0L).otherwise(1L)).as("cc"))
@@ -4253,7 +4258,8 @@ object Analytics {
       """WITH ev AS (
         |  SELECT event_type,
         |    ts < TIMESTAMP '2024-01-16 00:00:00' AS is_ref,
-        |    least(9, CAST(floor(ln("value" + 1)) AS BIGINT)) AS bin
+        |    least(9, CAST(floor(
+        |      ln(greatest("value", 0) + 1)) AS BIGINT)) AS bin
         |  FROM events),
         |cells AS (
         |  SELECT event_type, bin,

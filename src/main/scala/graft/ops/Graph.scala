@@ -627,10 +627,17 @@ object Graph {
       val u = side(a3, "authority").unionAll(side(h3, "hub"))
       val w = Window.partitionBy("kind")
         .orderBy(col("score").desc, col("node"))
+      // score ships as STRING (lossless for a scale-0 decimal of any
+      // width): DECIMAL(38,0) stays internal-only — it was the
+      // registry's single >18-digit decimal OUTPUT column and the one
+      // key the external checker's hash path disagreed on (r8), while
+      // this replica matched bit-for-bit. Ordering/rank still run on
+      // the exact decimal; only the final projection stringifies.
       graft.plans.TopKPerKey.topK(u, Seq(col("kind")),
           Seq(col("score").desc, col("node")), 25)
         .withColumn("rnk", row_number().over(w).cast("long"))
-        .select("kind", "rnk", "node", "score", "share_ppm")
+        .select(col("kind"), col("rnk"), col("node"),
+          col("score").cast("string").as("score"), col("share_ppm"))
         .orderBy("kind", "rnk")
     },
 
@@ -1131,7 +1138,8 @@ object Graph {
          |    CAST(row_number() OVER (PARTITION BY kind
          |      ORDER BY score DESC, node) AS BIGINT) AS rnk
          |  FROM u)
-         |SELECT kind, rnk, node, score, share_ppm FROM r
+         |SELECT kind, rnk, node, CAST(score AS VARCHAR) AS score,
+         |  share_ppm FROM r
          |WHERE rnk <= 25 ORDER BY kind, rnk""".stripMargin
     },
 

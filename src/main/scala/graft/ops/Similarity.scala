@@ -40,6 +40,9 @@ object Similarity {
   /** Neighbors kept per vector in `embedding_knn_graph`. */
   val KnnK = 5
 
+  /** Nodes kept between hops in the `sim_graph_beam` graph search. */
+  val BeamWidth = 4
+
   /** vec_id + embedding cast to double[] (cast once, before any kernel).
     *
     * Repartitioned to cluster parallelism for the same reason as
@@ -264,6 +267,56 @@ object Similarity {
       Seq(col("cos").desc, col("n_id")), KnnK)
   }
 
+  /** Graph-ANN beam search over the [[knnEdges]] adjacency — the query
+    * path the kNN graph build was missing (the HNSW/NSG search loop with
+    * a FIXED two-hop budget, which keeps the plan static and
+    * oracle-expressible). Seeds: each query's 2 nearest coarse-centroid
+    * NODES — the centroids are the first 16 vectors, so they are genuine
+    * graph vertices, the standard fixed-entry-point trick. Each hop
+    * expands the frontier through the edge list, rescores every visited
+    * node with the EXACT rounded cosine, and prunes to a
+    * [[BeamWidth]]-node beam (final hop: top-[[TopK]]) through the
+    * bounded-heap TopKPerKey. Scale shape: per query the search touches
+    * O(seeds + beam·K) nodes; every expansion is an equi-join keyed on
+    * the node id against the (src-keyed) edge table — frontier-sized
+    * shuffles, never corpus scans — and the graph build amortizes across
+    * the whole query batch. Returns (q_id, n_id, cos), ≤ TopK rows per
+    * query, unranked; shared by `sim_graph_beam` and its recall eval.
+    */
+  private def graphBeamTop(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(s, d)
+    val cent = ivfCentroids(s, d)
+    val q = broadcast(e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    val edges = knnEdges(s, d)
+      .select(col("q_id").as("src"), col("n_id").as("dst"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("qcos").desc, col("c_id"))
+    val seeds = q.crossJoin(cent)
+      .withColumn("qcos", expr("round(cosine_sim(qv, cv), 6)"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= 2)
+      .select(col("q_id"), col("c_id").as("node"))
+    // frontier ∪ its out-neighbors, deduped (a node reached twice is
+    // scored once), the query itself never a candidate
+    def expand(frontier: DataFrame): DataFrame =
+      frontier.select("q_id", "node")
+        .unionByName(frontier.join(edges, col("node") === col("src"))
+          .select(col("q_id"), col("dst").as("node")))
+        .filter(col("node") =!= col("q_id"))
+        .distinct()
+    def score(cand: DataFrame): DataFrame =
+      cand.join(q, "q_id")
+        .join(e, col("vec_id") === col("node"))
+        .withColumn("cos", expr("round(cosine_sim(qv, v), 6)"))
+        .select("q_id", "node", "cos")
+    val beam1 = graft.plans.TopKPerKey.topK(score(expand(seeds)),
+      Seq(col("q_id")), Seq(col("cos").desc, col("node")), BeamWidth)
+    graft.plans.TopKPerKey.topK(score(expand(beam1)),
+        Seq(col("q_id")), Seq(col("cos").desc, col("node")), TopK)
+      .select(col("q_id"), col("node").as("n_id"), col("cos"))
+  }
+
   /** doc_id + 512-dim signed hashing-trick vector over the doc's 3-word
     * shingle set ([[graft.functions.HashTfVec]]) — the featurization feeding
     * `sim_pairs_lsh`. Shingle-less (short) docs are dropped: a zero vector
@@ -480,6 +533,48 @@ object Similarity {
       knnEdges(s, d)
         .withColumn("rnk", row_number().over(w).cast("long"))
         .orderBy("q_id", "rnk")
+    },
+
+    // graph-ANN search — the FIFTH ANN path (LSH-bands / sign-LSH / IVF /
+    // PQ-ADC / graph), completing the family the kNN graph build opened:
+    // beam search over the knnEdges adjacency from fixed centroid entry
+    // points, two unrolled hops, exact rescoring of visited nodes (see
+    // graphBeamTop for the scale argument). Deterministic end-to-end
+    // (rounded cosine + id tiebreaks at every prune), so the whole
+    // search — not just its recall — hash-checks against the unrolled
+    // CTE twin.
+    "sim_graph_beam" -> { (s, d) =>
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("n_id"))
+      graphBeamTop(s, d)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .orderBy("q_id", "rnk")
+    },
+
+    // recall@k of the beam search vs brute-force exact — the same eval
+    // closing discipline every other ANN path in this engine ships with
+    // (sim_recall_eval, sim_pq_recall_eval, sim_hamming_topk_eval):
+    // an index path without its eval is unshippable at scale.
+    "sim_graph_beam_recall" -> { (s, d) =>
+      val e = vectors(s, d)
+      val q = broadcast(e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")))
+      val scored = q.join(e, col("vec_id") =!= col("q_id"))
+        .withColumn("cos", expr("round(cosine_sim(qv, v), 6)"))
+        .select(col("q_id"), col("vec_id").as("n_id"), col("cos"))
+      val exact = graft.plans.TopKPerKey.topK(scored, Seq(col("q_id")),
+          Seq(col("cos").desc, col("n_id")), TopK)
+        .select("q_id", "n_id")
+      val ann = graphBeamTop(s, d).select("q_id", "n_id")
+      val hits = exact.join(ann, Seq("q_id", "n_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double")
+            / col("n_exact").cast("double"), 6).as("recall"))
+        .orderBy("q_id")
     },
 
     // hubness audit over the k-NN graph: the k-occurrence (in-degree)
@@ -1263,7 +1358,102 @@ object Similarity {
        |  FROM probes p JOIN assign a ON p.c_id = a.cluster
        |  WHERE a.vec_id <> p.q_id)""".stripMargin
 
+  /** The beam-search CTE chain (knn edges -> seeds -> hop/score/prune ×2,
+    * ends in `fin(q_id, n_id, cos, rnk)`) — the oracle twin of
+    * [[graphBeamTop]], every stage mirrored: same knn build as the
+    * `embedding_knn_graph` oracle, same 2-centroid seeding, same
+    * dedup-then-exact-rescore per hop, same (cos DESC, node) prunes.
+    */
+  private val beamSqlCtes =
+    s"""e AS ($duckVectors),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT vec_id, v, c_id AS cluster FROM (
+       |    SELECT e.vec_id, e.v, cent.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCos("e.v", "cent.cv")} DESC, cent.c_id) AS arn
+       |    FROM e CROSS JOIN cent) WHERE arn = 1),
+       |probes AS (
+       |  SELECT q_id, qv, c_id FROM (
+       |    SELECT e.vec_id AS q_id, e.v AS qv, cent.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCos("e.v", "cent.cv")} DESC, cent.c_id) AS prn
+       |    FROM e CROSS JOIN cent) WHERE prn <= 2),
+       |kr AS (
+       |  SELECT q_id, a.vec_id AS n_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ${duckCos("p.qv", "a.v")} DESC, a.vec_id) AS rnk
+       |  FROM probes p JOIN assign a ON p.c_id = a.cluster
+       |  WHERE a.vec_id <> p.q_id),
+       |knn AS (SELECT q_id AS src, n_id AS dst FROM kr WHERE rnk <= $KnnK),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+       |      WHERE vec_id >= 10 AND vec_id < 20),
+       |seeds AS (
+       |  SELECT p.q_id, p.c_id AS node FROM probes p
+       |  JOIN q ON q.q_id = p.q_id),
+       |cand1 AS (
+       |  SELECT DISTINCT q_id, node FROM (
+       |    SELECT q_id, node FROM seeds
+       |    UNION ALL
+       |    SELECT s.q_id, k.dst AS node
+       |    FROM seeds s JOIN knn k ON k.src = s.node) u
+       |  WHERE node <> q_id),
+       |sc1 AS (
+       |  SELECT c.q_id, c.node, ${duckCos("q.qv", "ev.v")} AS cos
+       |  FROM cand1 c JOIN q ON q.q_id = c.q_id
+       |  JOIN e ev ON ev.vec_id = c.node),
+       |beam1 AS (
+       |  SELECT q_id, node FROM (
+       |    SELECT q_id, node, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, node) AS brn FROM sc1)
+       |  WHERE brn <= $BeamWidth),
+       |cand2 AS (
+       |  SELECT DISTINCT q_id, node FROM (
+       |    SELECT q_id, node FROM beam1
+       |    UNION ALL
+       |    SELECT b.q_id, k.dst AS node
+       |    FROM beam1 b JOIN knn k ON k.src = b.node) u
+       |  WHERE node <> q_id),
+       |sc2 AS (
+       |  SELECT c.q_id, c.node, ${duckCos("q.qv", "ev.v")} AS cos
+       |  FROM cand2 c JOIN q ON q.q_id = c.q_id
+       |  JOIN e ev ON ev.vec_id = c.node),
+       |fin AS (
+       |  SELECT q_id, node AS n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, node) AS rnk FROM sc2)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    // the beam pipeline is deterministic SQL end-to-end (fixed seeds,
+    // rounded-cosine scoring, id-tiebroken prunes), so like the IVF path
+    // the graph-ANN SEARCH hash-checks stage-for-stage, not just its
+    // recall number
+    "sim_graph_beam" ->
+      s"""WITH $beamSqlCtes
+         |SELECT q_id, n_id, cos, rnk FROM fin WHERE rnk <= $TopK
+         |ORDER BY q_id, rnk""".stripMargin,
+    // same chain + the brute-force exact branch; hit join and recall
+    // arithmetic mirror sim_recall_eval's
+    "sim_graph_beam_recall" ->
+      s"""WITH $beamSqlCtes,
+         |ann AS (SELECT q_id, n_id FROM fin WHERE rnk <= $TopK),
+         |x AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.q_id, b.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${duckCos("q.qv", "b.v")} DESC, b.vec_id) AS xrn
+         |    FROM q CROSS JOIN e b WHERE b.vec_id <> q.q_id)
+         |  WHERE xrn <= $TopK),
+         |h AS (
+         |  SELECT x.q_id, count(*) AS n_hit
+         |  FROM x JOIN ann ON ann.q_id = x.q_id AND ann.n_id = x.n_id
+         |  GROUP BY 1),
+         |nx AS (SELECT q_id, count(*) AS n_exact FROM x GROUP BY 1)
+         |SELECT nx.q_id, nx.n_exact, COALESCE(h.n_hit, 0) AS n_hit,
+         |  round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+         |    / CAST(nx.n_exact AS DOUBLE), 6) AS recall
+         |FROM nx LEFT JOIN h ON h.q_id = nx.q_id
+         |ORDER BY nx.q_id""".stripMargin,
     // The full LSH pipeline's OUTPUT is exactly reproducible in SQL (the
     // dedup_embedding precedent): verified pairs carry the exact cosine of
     // the FNV-1a hashing-trick vectors, and every arithmetic step is

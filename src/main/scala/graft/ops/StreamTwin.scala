@@ -54,7 +54,8 @@ object StreamTwin {
     // (window, bin) count is stateful; the reference is a broadcast
     // 10-row table and each window's fold is O(10).
     "stream_psi_drift" -> { (s, d) =>
-      val binCol = least(lit(9L), floor(log(col("value") + lit(1d))))
+      val binCol = least(lit(9L),
+        floor(log(greatest(col("value"), lit(0d)) + lit(1d))))
       val cur = events(s, d)
         .groupBy(window(col("ts"), "6 hours"), binCol.as("bin"))
         .agg(count(lit(1)).as("cc"))
@@ -186,6 +187,35 @@ object StreamTwin {
       s.read.parquet(dir).orderBy("o_orderkey")
     },
 
+    // twin of the foreachBatch mergeable-aggregate maintainer
+    // (Streams.upsertOrderProfileTo — the streaming form of
+    // incremental_agg_merge's decimal-sum/min/max merge): the SAME
+    // function a writeStream would call, driven over the same two
+    // deterministic "micro-batches" the batch op uses (orders before /
+    // after the 1999-01-01 cutoff). The accumulated state must equal
+    // one plain GROUP BY over all orders — mergeability is the whole
+    // claim, and that's exactly what the oracle states. The wide
+    // decimal sum stays INTERNAL (state table only); the read-side
+    // projection is double (SURVEY §7.4 output contract).
+    "stream_agg_merge" -> { (s, d) =>
+      val dir = scratch("stream_agg_merge", d)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      val o = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      val cutoff = lit("1999-01-01").cast("timestamp")
+      val sink = graft.streaming.Streams.upsertOrderProfileTo(dir) _
+      sink(o.filter(col("o_orderdate") < cutoff), 0L)
+      sink(o.filter(col("o_orderdate") >= cutoff), 1L)
+      s.read.parquet(dir)
+        .select(col("o_custkey"), col("n").as("n_orders"),
+          col("s").cast("double").as("total"),
+          col("mn").cast("double").as("min_price"),
+          col("mx").cast("double").as("max_price"))
+        .orderBy("o_custkey")
+    },
+
     // twin of the stream-stream interval join (purchase attribution):
     // same join condition as Streams.purchaseAttribution
     "stream_join" -> { (s, d) =>
@@ -302,7 +332,8 @@ object StreamTwin {
     "stream_psi_drift" ->
       """WITH ev AS (
         |  SELECT time_bucket(INTERVAL '6 hours', ts) AS wstart,
-        |    least(9, CAST(floor(ln(value + 1)) AS BIGINT)) AS bin
+        |    least(9, CAST(floor(
+        |      ln(greatest(value, 0) + 1)) AS BIGINT)) AS bin
         |  FROM events),
         |cur AS (
         |  SELECT wstart, bin, CAST(count(*) AS BIGINT) AS cc
@@ -398,6 +429,18 @@ object StreamTwin {
       """SELECT date_trunc('hour', ts) AS wstart,
         |count(DISTINCT user_id) AS n_exact, TRUE AS within_bound
         |FROM events GROUP BY 1 ORDER BY wstart""".stripMargin,
+    // the micro-batched merge must accumulate to one plain GROUP BY over
+    // all orders — mergeable state is the claim, the full-scan is the
+    // independent statement of it
+    "stream_agg_merge" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(p) AS DOUBLE) AS total,
+        |  CAST(min(p) AS DOUBLE) AS min_price,
+        |  CAST(max(p) AS DOUBLE) AS max_price
+        |FROM o GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // the micro-batched apply must accumulate to the one-shot batch
     // answer — the oracle IS cdc_apply's
     "stream_cdc_apply" ->

@@ -162,18 +162,32 @@ object TextOps {
     // the top-k vocabulary covers, at each candidate vocab size — the
     // tokenizer-budget design table (pick the k where the curve bends).
     // The corpus collapses to (token, freq) in one map-combined
-    // aggregate; everything after runs on the VOCABULARY (≪ corpus, the
-    // Zipf reality that makes the op cheap at 100 TB), so the global
-    // rank window is vocab-sized. Sizes beyond the vocabulary saturate:
+    // aggregate; everything after runs on the top-64 of the VOCABULARY
+    // (≪ corpus, the Zipf reality that makes the op cheap at 100 TB),
+    // heap-pruned before any exchange. Sizes beyond the vocabulary saturate:
     // n_vocab_used reports the true cutoff, coverage reaches 1.0.
     "text_vocab_coverage" -> { (s, d) =>
       import s.implicits._
       val freq = toks(s, d)
         .select(explode(col("toks")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n"))
-      val ranked = freq.withColumn("rnk",
-        row_number().over(Window.orderBy(col("n").desc, col("tok")))
-          .cast("long"))
+      // only ranks ≤ 64 matter (the size grid stops at 64), so the rank
+      // never touches the full vocabulary (r8 VERDICT: a vocab-global
+      // row_number is a one-task sort of 10⁸–10⁹ rows at web scale).
+      // Global top-64 via the bounded-heap TopKPerKey operator under a
+      // constant key — partial heaps prune each scan partition to ≤64
+      // rows BEFORE the exchange. The residual rank over the ≤64
+      // survivors is a bounded O(64²) self-join count (window-free: a
+      // global rank window would plan as WindowExec-on-one-partition
+      // even at this size, and a literal partition key folds away).
+      val top = graft.plans.TopKPerKey.topK(freq, Seq(lit(1)),
+        Seq(col("n").desc, col("tok")), 64)
+      val ranked = top
+        .join(top.select(col("n").as("n2"), col("tok").as("tok2")),
+          col("n2") > col("n")
+            || (col("n2") === col("n") && col("tok2") <= col("tok")))
+        .groupBy("tok", "n")
+        .agg(count(lit(1)).as("rnk"))
       val total = freq.agg(sum(col("n")).as("n_total"))
       val sizes = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L).toDF("vocab_size")
       broadcast(sizes).join(ranked, col("rnk") <= col("vocab_size"))

@@ -15,10 +15,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * consumers still holding the evicted frame stay correct (the plan
   * simply recomputes), they just lose the memo.
   *
-  * All access is synchronized on the underlying map — entry count is a
-  * handful and compute bodies build lazy plans (the one exception,
-  * connected-component labels, materializes eagerly; its runtime is the
-  * kernel itself, not contention).
+  * Map access is synchronized on the underlying map, but compute bodies
+  * run OUTSIDE the lock (ADVICE r8: some bodies are eager cache()+count()
+  * jobs taking seconds — holding the monitor through one would block
+  * lookups for every unrelated key/session on the same cache). A per-key
+  * in-flight table gives single-flight semantics: concurrent callers of
+  * the SAME key wait on the first builder's future; callers of OTHER keys
+  * proceed immediately. If a builder fails, waiters retry the compute
+  * themselves — a failure never caches.
   */
 final class DfLru(maxEntries: Int) {
   require(maxEntries >= 1)
@@ -38,21 +42,44 @@ final class DfLru(maxEntries: Int) {
         } else false
     }
 
+  private val inFlight = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    java.util.concurrent.CompletableFuture[DataFrame]]()
+
   /** Memoized lookup: returns the cached instance for `k`, computing (and
     * LRU-inserting) it on first touch. Stopped-session keys are purged on
-    * every call, so dead sessions can't be pinned.
+    * every call, so dead sessions can't be pinned. Single-flight per key;
+    * the compute body never runs under the map monitor.
     */
-  def getOrCompute(k: (SparkSession, String), f: => DataFrame): DataFrame =
-    m.synchronized {
+  @annotation.tailrec
+  def getOrCompute(k: (SparkSession, String), f: => DataFrame): DataFrame = {
+    val fast = m.synchronized {
       m.keySet.removeIf(e => e._1.sparkContext.isStopped)
-      val hit = m.get(k)
-      if (hit != null) hit
-      else {
-        val v = f
-        m.put(k, v)
-        v
-      }
+      Option(m.get(k))
     }
+    fast match {
+      case Some(v) => v
+      case None =>
+        val mine = new java.util.concurrent.CompletableFuture[DataFrame]()
+        val other = inFlight.putIfAbsent(k, mine)
+        if (other != null) {
+          // another thread is building this key: wait it out, then re-read
+          // the map — if the builder failed, the retry computes here
+          try other.join()
+          catch { case _: java.util.concurrent.CompletionException => () }
+          getOrCompute(k, f)
+        } else {
+          try {
+            val v = f // OUTSIDE the map lock: may run eager Spark jobs
+            m.synchronized(m.put(k, v))
+            mine.complete(v)
+            v
+          } catch {
+            case t: Throwable => mine.completeExceptionally(t); throw t
+          } finally inFlight.remove(k)
+        }
+    }
+  }
 
   /** Current entry count (test hook). */
   def size: Int = m.synchronized(m.size())

@@ -36,18 +36,29 @@ final class Generations(s: SparkSession) {
     s"${graft.ops.Dedup.ReliableCheckpointKey}=true needs " +
       "sc.setCheckpointDir(...) — a reliable checkpoint must land on " +
       "fault-tolerant storage")
-  private var gen = Set.empty[Int]
+  private var gen: Seq[org.apache.spark.rdd.RDD[_]] = Nil
 
   /** Eagerly materialize `df` as this tracker's new generation, then free
     * the previous one. Safe ordering: the eager checkpoint job CONSUMES
     * the old blocks before this method releases them.
+    *
+    * The new generation is identified DETERMINISTICALLY (ADVICE r8): a
+    * checkpointed Dataset's analyzed plan is a `LogicalRDD` wrapping
+    * exactly the RDD the checkpoint just persisted, so we capture that
+    * reference instead of set-diffing `sc.getPersistentRDDs` around the
+    * call — the diff could adopt (and later unpersist) a FOREIGN RDD
+    * persisted concurrently by another query on the same SparkContext,
+    * which for a localCheckpoint'd victim is unrecoverable (lineage
+    * truncated → lost-block failure, not a recompute). If a future Spark
+    * stops exposing `LogicalRDD` here we track nothing — a bounded leak
+    * reclaimed by the ContextCleaner, never a wrongful free.
     */
   def rotate(df: DataFrame): DataFrame = {
-    val pre = sc.getPersistentRDDs.keySet.toSet
     val out = if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
-    val next = sc.getPersistentRDDs.keySet.toSet -- pre
-    gen.foreach(id => sc.getPersistentRDDs.get(id)
-      .foreach(_.unpersist(blocking = false)))
+    val next = out.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    gen.foreach(_.unpersist(blocking = false))
     gen = next
     out
   }

@@ -76,7 +76,8 @@ object Streams {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "6 hours"),
-        least(lit(9L), floor(log(col("value") + lit(1d)))).as("bin"))
+        least(lit(9L),
+          floor(log(greatest(col("value"), lit(0d)) + lit(1d)))).as("bin"))
       .agg(count(lit(1)).as("cc"))
       .select(col("window.start").as("wstart"), col("bin"), col("cc"))
 
@@ -358,6 +359,47 @@ object Streams {
         spark.read.parquet(dir).unionByName(delta)
           .groupBy("event_type")
           .agg(sum(col("cnt")).cast("long").as("cnt"))
+      else delta
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
+
+  /** foreachBatch mergeable-aggregate maintainer — the streaming twin of
+    * the batch `incremental_agg_merge` lifecycle (r8 VERDICT gap #6):
+    * merge one micro-batch of orders into a per-customer profile kept as
+    * MERGEABLE state (count, exact-decimal sum, min, max — each
+    * re-combinable with itself, so state ∪ delta re-aggregates to the
+    * same values one full scan would produce). avg stays derived
+    * (sum/count) at read time, the classic reason views store sums.
+    * Per micro-batch cost is O(delta) + a key-join merge with the
+    * stored state — never a rescan of the base, the same contract the
+    * batch op documents. The decimal sum is pinned to DECIMAL(28,2)
+    * after every merge so the state schema cannot widen batch-over-batch
+    * (sum() re-widens per Spark's decimal promotion). Same crash-safe
+    * tmp-swap as [[upsertCountsTo]]; a replayed batch double-counts —
+    * the documented foreachBatch hazard, dedupable by batchId.
+    */
+  def upsertOrderProfileTo(dir: String)(batch: DataFrame,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delta = batch
+      .select(col("o_custkey"),
+        graft.ops.Tables.money(col("o_totalprice")).as("p"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("p")).cast("decimal(28,2)").as("s"),
+        min(col("p")).as("mn"), max(col("p")).as("mx"))
+    val merged =
+      if (fs.exists(p))
+        spark.read.parquet(dir).unionByName(delta)
+          .groupBy("o_custkey")
+          .agg(sum(col("n")).cast("long").as("n"),
+            sum(col("s")).cast("decimal(28,2)").as("s"),
+            min(col("mn")).as("mn"), max(col("mx")).as("mx"))
       else delta
     val tmp = new org.apache.hadoop.fs.Path(dir + "_tmp")
     merged.write.mode("overwrite").parquet(tmp.toString)

@@ -140,4 +140,72 @@ class BenchSpec extends SparkSpec {
         s"over budget on both measurements: ${over2.mkString("; ")}")
     }
   }
+
+  test("family budgets are bench-order-proof: the alphabetically-first " +
+      "member pays the memoized build, and a planted kernel regression " +
+      "trips the family gate no matter which member carries it " +
+      "(VERDICT r8 #4)") {
+    // The bench runs keys alphabetically, and a DfLru-memoized kernel is
+    // paid by whichever family member runs FIRST — so per-key budgets
+    // would encode bench order (r8 observed exactly this: dedup_connected
+    // 0.096→0.164s when the cc_labels kernel accounting moved). The
+    // family gate sums the members, which makes it order-independent.
+    // This test pins both halves of that property against the REAL
+    // family definitions in bench_budgets.json, with synthetic times:
+    //   (a) moving the whole build cost between members (what a bench
+    //       reorder does) leaves the sum unchanged — no false positive;
+    //   (b) a 4x kernel regression trips the gate WHEREVER the build
+    //       lands — no false negative an innocent-member budget could
+    //       hide.
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = {
+      val txt = scala.io.Source.fromFile(
+        "/root/repo/bench_budgets.json", "UTF-8")
+      val raw = try txt.mkString finally txt.close()
+      JsonMethods.parse(raw)
+    }
+    val families: Map[String, (Seq[String], Double)] =
+      (root \ "families") match {
+        case JObject(fs) => fs.map { case (name, fv) =>
+          val keys = (fv \ "keys") match {
+            case JArray(xs) => xs.collect { case JString(s) => s }
+            case other => fail(s"family $name keys: $other")
+          }
+          val b = (fv \ "budget_sec") match {
+            case JDouble(v) => v
+            case JInt(v) => v.toDouble
+            case other => fail(s"family $name budget: $other")
+          }
+          name -> (keys, b)
+        }.toMap
+        case other => fail(s"families not an object: $other")
+      }
+    assert(families.nonEmpty)
+    val floor = 2.0
+    def tripped(times: Map[String, Double],
+        name: String, keys: Seq[String], b: Double): Boolean =
+      keys.iterator.map(k => times.getOrElse(k, 0.0)).sum > 2 * b + floor
+    families.foreach { case (name, (keys, b)) =>
+      val payer = keys.sorted.head // who pays the build in bench order
+      assert(keys.contains(payer)) // the payer is inside the gated set
+      val share = b / keys.size
+      val fair = keys.map(_ -> share).toMap
+      // (a) accounting movement: the full build cost (one budget's worth)
+      // lands on the payer, everyone else drops to near zero — the sum
+      // is the same, the gate must NOT fire on a reorder
+      val moved = keys.map(k =>
+        k -> (if (k == payer) b - (keys.size - 1) * 0.01 else 0.01)).toMap
+      assert(!tripped(moved, name, keys, b),
+        s"family $name gate fired on cost movement alone")
+      assert(!tripped(fair, name, keys, b))
+      // (b) planted 4x kernel regression, landing on EACH member in turn
+      // (bench reorders move the build; the gate must catch all cases)
+      keys.foreach { victim =>
+        val regressed = fair + (victim -> (share + 3 * b))
+        assert(tripped(regressed, name, keys, b),
+          s"family $name missed a 4x kernel regression paid by $victim")
+      }
+    }
+  }
 }

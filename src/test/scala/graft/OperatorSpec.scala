@@ -14,6 +14,23 @@ class OperatorSpec extends SparkSpec {
     test(s"query $name runs on sf0.001") {
       val df = fn(spark, sf)
       assert(df.columns.nonEmpty)
+      // Output-schema contract (r8 post-mortem): a DECIMAL wider than 20
+      // digits in a FINAL projection is banned. graph_hits' decimal(38,0)
+      // score was the registry's only such column and the one key the
+      // external hash check disagreed on while the local replica matched —
+      // wide decimals are where engines' value/hash representations
+      // diverge. Keep them internal; ship string/double/narrow-decimal.
+      val wide = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[
+            org.apache.spark.sql.types.DecimalType] &&
+          f.dataType.asInstanceOf[
+            org.apache.spark.sql.types.DecimalType].precision > 20 =>
+          s"${f.name}:${f.dataType.simpleString}"
+      }
+      assert(wide.isEmpty,
+        s"output column(s) with decimal precision > 20: " +
+          s"${wide.mkString(", ")} — cast to string/double in the final " +
+          "projection (SURVEY §7.4)")
       assert(df.count() >= 0)
     }
   }
@@ -1810,7 +1827,7 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("graph_hits separates sides and orders by exact integer-valued " +
-      "DECIMAL(38,0) score") {
+      "score (DECIMAL(38,0) internally, shipped as STRING — SURVEY §7.4)") {
     val rows = SparkEntry.queries("graph_hits")(spark, sf).collect()
     assert(rows.nonEmpty)
     val (auth, hub) = rows.partition(_.getAs[String]("kind") == "authority")
@@ -1822,10 +1839,14 @@ class OperatorSpec extends SparkSpec {
       val byRank = side.sortBy(_.getAs[Long]("rnk"))
       assert(byRank.map(_.getAs[Long]("rnk")).toSeq ==
         (1L to byRank.length))
-      // scores are DECIMAL(38,0) path counts (overflow-safe vs int64 —
-      // ADVICE r7); still exact integers, strictly rank-ordered
-      val scores = byRank
-        .map(_.getAs[java.math.BigDecimal]("score"))
+      // scores accumulate as DECIMAL(38,0) path counts (overflow-safe
+      // vs int64 — ADVICE r7) but the OUTPUT column is their lossless
+      // string form (r8: the registry's only >20-digit decimal output
+      // was the one key the external hash check disagreed on). The
+      // string must parse back to an exact scale-0 positive integer,
+      // and rank order must still follow the numeric value.
+      val scores = byRank.map(r =>
+        new java.math.BigDecimal(r.getAs[String]("score")))
       scores.foreach(sc => assert(sc.scale == 0 && sc.signum > 0))
       assert(scores.zip(scores.tail).forall { case (a, b) =>
         a.compareTo(b) >= 0 })
