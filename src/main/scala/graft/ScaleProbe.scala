@@ -50,6 +50,18 @@ object ScaleProbe {
     synthesize(spark, sfDir, scaleDir, replicas)
 
     def time(f: => Unit): Double = {
+      // measurement isolation: drop cached blocks AND the DfLru memos
+      // pointing at them, so no key pays (or dodges) another key's cache
+      // state — the first probe run charged basket_rules 73 s for GC
+      // pressure from four other keys' accumulated caches (isolated: 17 s).
+      // catalog.clearCache only covers SQL-cached Datasets; the memoized
+      // kernels localCheckpoint via raw RDD persists, which must be freed
+      // explicitly or they leak once their memo is dropped (measured: the
+      // leak re-inflated later keys 4-6x through storage-eviction churn)
+      spark.catalog.clearCache()
+      graft.plans.DfLru.clearAll()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       System.gc()
       val t0 = System.nanoTime()
       f

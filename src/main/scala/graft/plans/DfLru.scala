@@ -26,6 +26,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class DfLru(maxEntries: Int) {
   require(maxEntries >= 1)
+  DfLru.register(this)
 
   private val m =
     new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
@@ -87,4 +88,24 @@ final class DfLru(maxEntries: Int) {
   /** Whether `k` is currently memoized (test hook). */
   def contains(k: (SparkSession, String)): Boolean =
     m.synchronized(m.containsKey(k))
+
+  /** Drop every memoized entry (without unpersisting — callers pair this
+    * with `spark.catalog.clearCache()`, which already dropped the blocks).
+    */
+  def clear(): Unit = m.synchronized(m.clear())
+}
+
+object DfLru {
+  private val instances =
+    new java.util.concurrent.CopyOnWriteArrayList[DfLru]()
+
+  private def register(c: DfLru): Unit = instances.add(c)
+
+  /** Forget every memo in every cache — the measurement-isolation hook
+    * ([[graft.ScaleProbe]]): after `spark.catalog.clearCache()` has
+    * dropped the cached blocks, a surviving memo would hand out frames
+    * whose localCheckpoint'd lineage can no longer recompute, so the
+    * memos must go with the blocks.
+    */
+  def clearAll(): Unit = instances.forEach(_.clear())
 }
