@@ -860,6 +860,81 @@ object Analytics {
         .orderBy(col("n_occur").desc, col("seq"))
     },
 
+    // sequential pattern pairs WITH GAP (a → b within the next 3 events,
+    // not necessarily adjacent) — what seq_trigrams' substring view
+    // misses: "view … later purchase" with noise events between. Per
+    // user: one ordered index window (partitioned by the user key), then
+    // a bounded self-join on 1 ≤ j−i ≤ Gap — fan-out ≤ Gap per event, so
+    // the pair stream is Gap·|events|, never |events|². Support counts
+    // both occurrences and distinct users; confidence normalizes by the
+    // users who emitted the antecedent at all. Output is O(#types²).
+    "events_seq_pairs_gap" -> { (s, d) =>
+      val gap = 3
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val seq = events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .select("user_id", "event_type", "i")
+      val pairs = seq.as("a")
+        .join(seq.select(col("user_id"), col("event_type").as("ev_b"),
+            col("i").as("j")).as("b"), Seq("user_id"))
+        .filter(col("j") > col("i") && col("j") <= col("i") + gap)
+        .groupBy(col("event_type").as("ev_a"), col("ev_b"))
+        .agg(count(lit(1)).as("n_occur"),
+          countDistinct(col("user_id")).as("n_users"))
+      val aUsers = seq.groupBy(col("event_type").as("ev_a"))
+        .agg(countDistinct(col("user_id")).as("n_users_a"))
+      pairs.join(broadcast(aUsers), "ev_a")
+        .select(col("ev_a"), col("ev_b"), col("n_occur"), col("n_users"),
+          round(col("n_users").cast("double")
+            / col("n_users_a").cast("double"), 6).as("confidence"))
+        .orderBy("ev_a", "ev_b")
+    },
+
+    // burst episodes per event type — the paging signal: hours whose
+    // rate exceeds 2× the trailing-24h mean, collapsed to contiguous
+    // episodes (start/end/duration/peak). The hourly grid is ZERO-FILLED
+    // per type (a silent hour is rate 0 — skipping it corrupts both the
+    // trailing mean and episode contiguity), the trailing mean is a
+    // partitioned 24-row frame that EXCLUDES the current hour (a burst
+    // must not dilute its own baseline), the 2× test is exact-integer
+    // (c·12 > sum24 — no doubles, no rounding seams), and episodes use
+    // the gaps-and-islands index trick per type. Everything after the
+    // one corpus-linear (type, hour) count is O(#types × #hours).
+    "events_burst_states" -> { (s, d) =>
+      val hc = events(s, d)
+        .groupBy(col("event_type"),
+          floor(unix_micros(col("ts")) / 3600000000L).as("h"))
+        .agg(count(lit(1)).as("ce"))
+      val bounds = hc.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val types = hc.select("event_type").distinct()
+      val grid = types.crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"))).as("h"))
+        .join(hc, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("ce"), lit(0L)).as("c"))
+      val wPrev = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(-24, -1)
+      val burst = grid
+        .withColumn("n24", count(lit(1)).over(wPrev))
+        .withColumn("s24", sum(col("c")).over(wPrev))
+        .filter(col("n24") === 24 && col("c") * 12 > col("s24"))
+      val wIdx = Window.partitionBy("event_type").orderBy("h")
+      burst
+        .withColumn("grp", col("h") - row_number().over(wIdx))
+        .groupBy("event_type", "grp")
+        .agg(min(col("h")).as("h_start"), max(col("h")).as("h_end"),
+          count(lit(1)).as("dur_hours"), max(col("c")).as("peak_rate"),
+          sum(col("c")).as("n_events"))
+        // epoch-hour indices, not constructed timestamps: integer output
+        // sidesteps engine timestamp-tz flavor seams entirely
+        .select(col("event_type"), col("h_start"), col("h_end"),
+          col("dur_hours"), col("peak_rate"), col("n_events"))
+        .orderBy("event_type", "h_start")
+    },
+
     // discrete survival curve over user lifetimes: tenure = days between
     // a user's first and last activity; S(t) = fraction of users whose
     // tenure reached t. Computed from the TENURE HISTOGRAM, not per-user
@@ -2834,6 +2909,65 @@ object Analytics {
   )
 
   def oracle: Map[String, String] = Map(
+    // same per-user index + gap-bounded self-join; confidence over
+    // antecedent users
+    "events_seq_pairs_gap" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS i
+        |  FROM events),
+        |pairs AS (
+        |  SELECT a.event_type AS ev_a, b.event_type AS ev_b,
+        |    CAST(count(*) AS BIGINT) AS n_occur,
+        |    CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |  FROM seq a JOIN seq b ON a.user_id = b.user_id
+        |    AND b.i > a.i AND b.i <= a.i + 3
+        |  GROUP BY 1, 2),
+        |au AS (
+        |  SELECT event_type AS ev_a,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_a
+        |  FROM seq GROUP BY 1)
+        |SELECT p.ev_a, p.ev_b, p.n_occur, p.n_users,
+        |  round(CAST(p.n_users AS DOUBLE)
+        |    / CAST(au.n_users_a AS DOUBLE), 6) AS confidence
+        |FROM pairs p JOIN au ON p.ev_a = au.ev_a
+        |ORDER BY p.ev_a, p.ev_b""".stripMargin,
+
+    // zero-filled per-type hourly grid; exclusive trailing-24h frame;
+    // exact-integer 2x test; gaps-and-islands episode collapse
+    "events_burst_states" ->
+      """WITH hc AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+        |    CAST(count(*) AS BIGINT) AS ce
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hc),
+        |grid AS (
+        |  SELECT ty.event_type, gs.h,
+        |    COALESCE(hc.ce, CAST(0 AS BIGINT)) AS c
+        |  FROM (SELECT DISTINCT event_type FROM hc) ty
+        |  CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS h
+        |              FROM bounds) gs
+        |  LEFT JOIN hc ON hc.event_type = ty.event_type
+        |    AND hc.h = gs.h),
+        |m AS (
+        |  SELECT event_type, h, c,
+        |    count(*) OVER w AS n24, sum(c) OVER w AS s24
+        |  FROM grid
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |b AS (
+        |  SELECT event_type, h, c,
+        |    h - row_number() OVER (PARTITION BY event_type
+        |      ORDER BY h) AS grp
+        |  FROM m WHERE n24 = 24 AND c * 12 > s24)
+        |SELECT event_type,
+        |  min(h) AS h_start, max(h) AS h_end,
+        |  CAST(count(*) AS BIGINT) AS dur_hours,
+        |  max(c) AS peak_rate, CAST(sum(c) AS BIGINT) AS n_events
+        |FROM b GROUP BY event_type, grp
+        |ORDER BY event_type, h_start""".stripMargin,
     // recency floor-divides non-negative day deltas (Spark's double->long
     // cast truncates; DuckDB mirrors with explicit floor)
     "events_rfm" ->

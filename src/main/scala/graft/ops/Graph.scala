@@ -426,6 +426,45 @@ object Graph {
         .orderBy("node")
     },
 
+    // sampled harmonic closeness: 3-hop BFS from the 8 smallest node ids,
+    // closeness estimate Σ 1/dist over reached nodes — the centrality
+    // probe that is tractable when exact all-pairs closeness is not
+    // (sampling seeds is the standard estimator; the hop budget bounds
+    // the frontier like sim_graph_beam's). Each hop is a frontier-keyed
+    // equi-join against the cached src-partitioned edge list + a
+    // (seed, node) anti-join against the already-visited layers —
+    // frontier-sized shuffles, never V² — and the seed count is a
+    // constant, so the whole query is O(hops · frontier). Harmonic (not
+    // 1/Σd) so unreached nodes cost nothing instead of ∞.
+    "graph_closeness_sampled" -> { (s, d) =>
+      val e = edges(s, d)
+      val seeds = e.select(col("src").as("seed")).distinct()
+        .orderBy("seed").limit(8)
+      val d1 = seeds.join(e, col("seed") === col("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+      val d2 = d1.join(e, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .filter(col("node") =!= col("seed"))
+        .join(d1, Seq("seed", "node"), "left_anti")
+      val d3 = d2.join(e, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .filter(col("node") =!= col("seed"))
+        .join(d1, Seq("seed", "node"), "left_anti")
+        .join(d2, Seq("seed", "node"), "left_anti")
+      val c1 = d1.groupBy("seed").agg(count(lit(1)).as("n1"))
+      val c2 = d2.groupBy("seed").agg(count(lit(1)).as("n2"))
+      val c3 = d3.groupBy("seed").agg(count(lit(1)).as("n3"))
+      c1.join(c2, Seq("seed"), "left").join(c3, Seq("seed"), "left")
+        .select(col("seed"), col("n1"),
+          coalesce(col("n2"), lit(0L)).as("n2"),
+          coalesce(col("n3"), lit(0L)).as("n3"))
+        .withColumn("n_reached", col("n1") + col("n2") + col("n3"))
+        .withColumn("closeness", round(
+          col("n1").cast("double") + col("n2").cast("double") / lit(2d)
+            + col("n3").cast("double") / lit(3d), 6))
+        .orderBy("seed")
+    },
+
     // degree assortativity (Newman's r): Pearson correlation of endpoint
     // degrees across edges — one number separating hub-attracts-leaf
     // graphs (r < 0, the bipartite trade shape) from peer-to-peer ones
@@ -732,6 +771,55 @@ object Graph {
   )
 
   def oracle: Map[String, String] = Map(
+    // same unrolled 3-hop BFS: per-hop DISTINCT frontier, seed/visited
+    // exclusion via NOT EXISTS, harmonic sum in the same term order
+    "graph_closeness_sampled" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS sp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (
+         |  SELECT c AS src, sp AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT sp AS src, c AS dst FROM pairs),
+         |seeds AS (
+         |  SELECT DISTINCT src AS seed FROM e ORDER BY seed LIMIT 8),
+         |d1 AS (
+         |  SELECT DISTINCT s.seed, e.dst AS node
+         |  FROM seeds s JOIN e ON e.src = s.seed),
+         |d2 AS (
+         |  SELECT DISTINCT f.seed, e.dst AS node
+         |  FROM d1 f JOIN e ON e.src = f.node
+         |  WHERE e.dst <> f.seed
+         |    AND NOT EXISTS (SELECT 1 FROM d1 x
+         |      WHERE x.seed = f.seed AND x.node = e.dst)),
+         |d3 AS (
+         |  SELECT DISTINCT f.seed, e.dst AS node
+         |  FROM d2 f JOIN e ON e.src = f.node
+         |  WHERE e.dst <> f.seed
+         |    AND NOT EXISTS (SELECT 1 FROM d1 x
+         |      WHERE x.seed = f.seed AND x.node = e.dst)
+         |    AND NOT EXISTS (SELECT 1 FROM d2 x
+         |      WHERE x.seed = f.seed AND x.node = e.dst)),
+         |c1 AS (SELECT seed, CAST(count(*) AS BIGINT) AS n1
+         |       FROM d1 GROUP BY 1),
+         |c2 AS (SELECT seed, CAST(count(*) AS BIGINT) AS n2
+         |       FROM d2 GROUP BY 1),
+         |c3 AS (SELECT seed, CAST(count(*) AS BIGINT) AS n3
+         |       FROM d3 GROUP BY 1)
+         |SELECT c1.seed, c1.n1,
+         |  COALESCE(c2.n2, CAST(0 AS BIGINT)) AS n2,
+         |  COALESCE(c3.n3, CAST(0 AS BIGINT)) AS n3,
+         |  c1.n1 + COALESCE(c2.n2, CAST(0 AS BIGINT))
+         |    + COALESCE(c3.n3, CAST(0 AS BIGINT)) AS n_reached,
+         |  round(CAST(c1.n1 AS DOUBLE)
+         |    + CAST(COALESCE(c2.n2, CAST(0 AS BIGINT)) AS DOUBLE) / 2
+         |    + CAST(COALESCE(c3.n3, CAST(0 AS BIGINT)) AS DOUBLE) / 3, 6)
+         |    AS closeness
+         |FROM c1
+         |LEFT JOIN c2 ON c2.seed = c1.seed
+         |LEFT JOIN c3 ON c3.seed = c1.seed
+         |ORDER BY c1.seed""".stripMargin,
+
     "graph_component_density" ->
       s"""WITH RECURSIVE ${Dedup.jaccardCtes},
          |edges AS (

@@ -43,6 +43,12 @@ object Similarity {
   /** Nodes kept between hops in the `sim_graph_beam` graph search. */
   val BeamWidth = 4
 
+  /** Cosine radius for `sim_range_search` (picked against the fixture's
+    * similarity distribution: ~30-50 true neighbors across the 10-query
+    * batch — populated but far from the quadratic noise band).
+    */
+  val RangeTau = 0.3
+
   /** vec_id + embedding cast to double[] (cast once, before any kernel).
     *
     * Repartitioned to cluster parallelism for the same reason as
@@ -241,13 +247,30 @@ object Similarity {
       .filter(col("rnk") <= TopK)
   }
 
-  /** The `embedding_knn_graph` candidate pipeline, shared with
-    * `embedding_hubness`: IVF assign (nearest of 16 centroids), probe 2
-    * nearest centroids per query, search only those clusters, keep the
-    * top [[KnnK]] per query through the bounded-heap TopKPerKey operator.
-    * Returns (q_id, n_id, cos), unranked.
+  /** The `embedding_knn_graph` candidate pipeline: IVF assign (nearest
+    * of 16 centroids), probe 2 nearest centroids per query, search only
+    * those clusters, keep the top [[KnnK]] per query through the
+    * bounded-heap TopKPerKey operator. Returns (q_id, n_id, cos),
+    * unranked.
+    *
+    * Memoized per (session, sf) via the bounded DfLru: FOUR consumers
+    * (`embedding_knn_graph`, `embedding_hubness`, `sim_graph_beam`,
+    * `sim_graph_beam_recall`) each re-ran the full corpus-wide probe +
+    * cluster search otherwise — the graph build is exactly the cost an
+    * HNSW-style index amortizes across its query batch, so the engine
+    * should too. The memo is O(N·K) edges; budget family `knn_edges`
+    * accounts for whichever consumer pays the build in bench order.
     */
-  private def knnEdges(s: SparkSession, d: String): DataFrame = {
+  private val knnCache = new graft.plans.DfLru(Dedup.MemoCap)
+
+  private def knnEdges(s: SparkSession, d: String): DataFrame =
+    knnCache.getOrCompute((s, d), {
+      val g = knnEdgesBuild(s, d).cache()
+      g.count()
+      g
+    })
+
+  private def knnEdgesBuild(s: SparkSession, d: String): DataFrame = {
     val e = vectors(s, d)
     val cent = ivfCentroids(s, d)
     val assign = ivfAssign(s, d)
@@ -549,6 +572,72 @@ object Similarity {
       graphBeamTop(s, d)
         .withColumn("rnk", row_number().over(w).cast("long"))
         .orderBy("q_id", "rnk")
+    },
+
+    // radius (range) search, IVF-bounded: all neighbors with cos ≥ τ
+    // among the 2 probed cells per query — the "find everything this
+    // similar" complement of top-k (dedup sweeps and contamination
+    // checks are radius queries, not k queries). Same probe/search
+    // shape as sim_topk_ivf: candidates are cluster-bounded, the τ
+    // filter is a post-scan predicate on the exact rounded cosine, and
+    // nothing ranks — no window, no heap, output size is the true
+    // neighborhood size.
+    "sim_range_search" -> { (s, d) =>
+      val e = vectors(s, d)
+      val q = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val wProbe = Window.partitionBy("q_id")
+        .orderBy(col("qcos").desc, col("c_id"))
+      val probes = q.crossJoin(ivfCentroids(s, d))
+        .withColumn("qcos", expr("round(cosine_sim(qv, cv), 6)"))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= 2)
+        .select("q_id", "qv", "c_id")
+      probes.join(ivfAssign(s, d), col("c_id") === col("cluster"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", expr("round(cosine_sim(qv, v), 6)"))
+        .filter(col("cos") >= RangeTau)
+        .select(col("q_id"), col("vec_id").as("n_id"), col("cos"))
+        .orderBy("q_id", "n_id")
+    },
+
+    // recall of the radius search vs the brute-force exact τ-neighborhood
+    // — the eval-closing rule (an index path without its eval is
+    // unshippable); recall defaults to 1.0 for queries whose true
+    // neighborhood is empty (nothing to miss).
+    "sim_range_recall" -> { (s, d) =>
+      val e = vectors(s, d)
+      val q = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val wProbe = Window.partitionBy("q_id")
+        .orderBy(col("qcos").desc, col("c_id"))
+      val probes = q.crossJoin(ivfCentroids(s, d))
+        .withColumn("qcos", expr("round(cosine_sim(qv, cv), 6)"))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= 2)
+        .select("q_id", "qv", "c_id")
+      val ann = probes.join(ivfAssign(s, d), col("c_id") === col("cluster"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", expr("round(cosine_sim(qv, v), 6)"))
+        .filter(col("cos") >= RangeTau)
+        .select(col("q_id"), col("vec_id").as("n_id"))
+      val exact = q.join(e, col("vec_id") =!= col("q_id"))
+        .withColumn("cos", expr("round(cosine_sim(qv, v), 6)"))
+        .filter(col("cos") >= RangeTau)
+        .select(col("q_id"), col("vec_id").as("n_id"))
+      val hits = exact.join(ann, Seq("q_id", "n_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      val nx = exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+      q.select("q_id").join(nx, Seq("q_id"), "left")
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          when(coalesce(col("n_exact"), lit(0L)) === 0L, lit(1.0))
+            .otherwise(round(coalesce(col("n_hit"), lit(0L))
+              .cast("double") / col("n_exact").cast("double"), 6))
+            .as("recall"))
+        .orderBy("q_id")
     },
 
     // recall@k of the beam search vs brute-force exact — the same eval
@@ -1423,7 +1512,62 @@ object Similarity {
        |    row_number() OVER (PARTITION BY q_id
        |      ORDER BY cos DESC, node) AS rnk FROM sc2)""".stripMargin
 
+  private val rangeSqlCtes =
+    s"""e AS ($duckVectors),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT vec_id, v, c_id AS cluster FROM (
+       |    SELECT e.vec_id, e.v, cent.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCos("e.v", "cent.cv")} DESC, cent.c_id) AS arn
+       |    FROM e CROSS JOIN cent) WHERE arn = 1),
+       |probes AS (
+       |  SELECT q_id, qv, c_id FROM (
+       |    SELECT e.vec_id AS q_id, e.v AS qv, cent.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCos("e.v", "cent.cv")} DESC, cent.c_id) AS prn
+       |    FROM e CROSS JOIN cent
+       |    WHERE e.vec_id >= 10 AND e.vec_id < 20) WHERE prn <= 2),
+       |rng AS (
+       |  SELECT p.q_id, a.vec_id AS n_id,
+       |    ${duckCos("p.qv", "a.v")} AS cos
+       |  FROM probes p JOIN assign a ON a.cluster = p.c_id
+       |  WHERE a.vec_id <> p.q_id
+       |    AND ${duckCos("p.qv", "a.v")} >= $RangeTau)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "sim_range_search" ->
+      s"""WITH $rangeSqlCtes
+         |SELECT q_id, n_id, cos FROM rng
+         |ORDER BY q_id, n_id""".stripMargin,
+
+    "sim_range_recall" ->
+      s"""WITH $rangeSqlCtes,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |      WHERE vec_id >= 10 AND vec_id < 20),
+         |x AS (
+         |  SELECT q.q_id, b.vec_id AS n_id
+         |  FROM q CROSS JOIN e b
+         |  WHERE b.vec_id <> q.q_id
+         |    AND ${duckCos("q.qv", "b.v")} >= $RangeTau),
+         |h AS (
+         |  SELECT x.q_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM x JOIN rng ON rng.q_id = x.q_id AND rng.n_id = x.n_id
+         |  GROUP BY 1),
+         |nx AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM x GROUP BY 1)
+         |SELECT q.q_id,
+         |  COALESCE(nx.n_exact, CAST(0 AS BIGINT)) AS n_exact,
+         |  COALESCE(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+         |  CASE WHEN COALESCE(nx.n_exact, CAST(0 AS BIGINT)) = 0
+         |      THEN CAST(1.0 AS DOUBLE)
+         |    ELSE round(CAST(COALESCE(h.n_hit, CAST(0 AS BIGINT))
+         |      AS DOUBLE) / CAST(nx.n_exact AS DOUBLE), 6) END AS recall
+         |FROM q
+         |LEFT JOIN nx ON nx.q_id = q.q_id
+         |LEFT JOIN h ON h.q_id = q.q_id
+         |ORDER BY q.q_id""".stripMargin,
+
     // the beam pipeline is deterministic SQL end-to-end (fixed seeds,
     // rounded-cosine scoring, id-tiebroken prunes), so like the IVF path
     // the graph-ANN SEARCH hash-checks stage-for-stage, not just its

@@ -219,6 +219,74 @@ object TextOps {
             .stripMargin).as("n_tok_bpe"))
         .orderBy("doc_id")),
 
+    // tokenizer fertility by source: BPE-ish tokens per whitespace word
+    // and chars per token — the table a tokenizer owner reads per corpus
+    // slice (fertility >> 1 on a source flags scripts/markup the merges
+    // never learned; chars/token is the compression the context window
+    // actually gets). One map-side projection (both tokenizers are
+    // per-row regexes) + one O(#sources) aggregate — ratios of exact
+    // integer sums, so partial-agg order can't move them.
+    "text_tokenizer_fertility" -> { (s, d) =>
+      corpus(s, d)
+        .select(col("source"),
+          size(split(lower(trim(col("text"))), " ")).cast("long")
+            .as("ws"),
+          expr("""CAST(size(regexp_extract_all(text,
+            |' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+', 0)) AS BIGINT)"""
+            .stripMargin).as("bpe"),
+          length(col("text")).cast("long").as("nc"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("n_tok_ws"),
+          sum(col("bpe")).as("n_tok_bpe"), sum(col("nc")).as("n_chars"))
+        .select(col("source"), col("n_docs"), col("n_tok_ws"),
+          col("n_tok_bpe"),
+          round(col("n_tok_bpe").cast("double")
+            / col("n_tok_ws").cast("double"), 6).as("fertility"),
+          round(col("n_chars").cast("double")
+            / col("n_tok_bpe").cast("double"), 6).as("chars_per_tok"))
+        .orderBy("source")
+    },
+
+    // CCNet-style perplexity terciles per source: docs ranked by their
+    // unigram-LM cross-entropy (the text_doc_perplexity kernel) and cut
+    // into head/middle/tail thirds WITHIN each source — the bucketing
+    // that lets a pipeline keep the head of a noisy source and sample
+    // the tail of a clean one. ntile(3) over (source, avg_nll, doc_id)
+    // is deterministic on both engines (same extra-row-to-early-buckets
+    // rule); the per-source window partitions by source — parallel
+    // across sources, never global. Bucket means sum the round-6 scores
+    // as exact DECIMAL(16,6) first (partial-agg-proof), then divide.
+    "text_perplexity_buckets" -> { (s, d) =>
+      val tf = toks(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val lm = wordCounts(s, d)
+      val tot = lm.agg(sum(col("cnt")).as("n_corpus"),
+        count(lit(1)).as("vocab"))
+      val nll = tf.join(lm, "word")
+        .crossJoin(broadcast(tot))
+        .withColumn("nll", expr(
+          """CAST(round(tf * -ln(CAST(cnt + 1 AS DOUBLE)
+            |  / (n_corpus + vocab)), 9) AS DECIMAL(20,9))""".stripMargin))
+        .groupBy("doc_id")
+        .agg(round(sum(col("nll")).cast("double") / sum(col("tf")), 6)
+          .as("avg_nll"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("avg_nll"), col("doc_id"))
+      nll.join(t(s, d, "documents").select("doc_id", "source"), "doc_id")
+        .withColumn("bucket", ntile(3).over(w).cast("long"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("avg_nll").cast("decimal(16,6)")).cast("double")
+            / count(lit(1))).as("sum_over_n"),
+          min(col("avg_nll")).as("min_nll"),
+          max(col("avg_nll")).as("max_nll"))
+        .select(col("source"), col("bucket"), col("n_docs"),
+          round(col("sum_over_n"), 6).as("mean_nll"),
+          col("min_nll"), col("max_nll"))
+        .orderBy("source", "bucket")
+    },
+
     "text_tfidf" -> { (s, d) =>
       val docs = t(s, d, "documents")
       val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -1188,6 +1256,54 @@ object TextOps {
         |FROM sz JOIN r ON r.rnk <= sz.vocab_size CROSS JOIN tot
         |GROUP BY vocab_size, n_total
         |ORDER BY vocab_size""".stripMargin,
+    "text_tokenizer_fertility" ->
+      """WITH p AS (
+        |  SELECT source,
+        |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+        |      AS ws,
+        |    CAST(len(regexp_extract_all(text,
+        |      ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT)
+        |      AS bpe,
+        |    CAST(length(text) AS BIGINT) AS nc
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ws) AS BIGINT) AS n_tok_ws,
+        |  CAST(sum(bpe) AS BIGINT) AS n_tok_bpe,
+        |  round(CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE), 6)
+        |    AS fertility,
+        |  round(CAST(sum(nc) AS DOUBLE) / CAST(sum(bpe) AS DOUBLE), 6)
+        |    AS chars_per_tok
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_perplexity_buckets" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |lm AS (SELECT word, count(*) AS cnt FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_corpus,
+        |  count(*) AS vocab FROM lm),
+        |terms AS (
+        |  SELECT tf.doc_id, tf.tf,
+        |    CAST(round(tf.tf * -ln(CAST(lm.cnt + 1 AS DOUBLE)
+        |      / (tot.n_corpus + tot.vocab)), 9) AS DECIMAL(20,9)) AS nll
+        |  FROM tf JOIN lm USING (word) CROSS JOIN tot),
+        |nll AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(nll) AS DOUBLE) / sum(tf), 6) AS avg_nll
+        |  FROM terms GROUP BY doc_id),
+        |bk AS (
+        |  SELECT d.source, nll.avg_nll,
+        |    CAST(ntile(3) OVER (PARTITION BY d.source
+        |      ORDER BY nll.avg_nll, nll.doc_id) AS BIGINT) AS bucket
+        |  FROM nll JOIN documents d ON d.doc_id = nll.doc_id)
+        |SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(sum(CAST(avg_nll AS DECIMAL(16,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_nll,
+        |  min(avg_nll) AS min_nll, max(avg_nll) AS max_nll
+        |FROM bk GROUP BY source, bucket
+        |ORDER BY source, bucket""".stripMargin,
+
     "text_tokens_regex" ->
       """SELECT doc_id,
         |CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)

@@ -381,6 +381,48 @@ object TrainPrep {
       prioritySample(t(s, d, "documents"), "doc_id", "n_chars", 100)
         .select(col("doc_id"), col("source"), col("w"), col("priority"))),
 
+    // importance resampling toward a UNIFORM length-bin target (the
+    // DSIR shape: reweight the proposal corpus so a feature marginal
+    // matches a target, then keep each doc with probability ∝ its bin's
+    // importance weight). Weights w_b = N/(B·n_b) come from one
+    // O(#bins) aggregate; the keep decision is a per-row deterministic
+    // 60-bit md5 draw against α·w_b — reproducible across engines,
+    // reruns, and partitionings, the sample_hash discipline. Output is
+    // the O(#bins) audit table (weight, kept share, target share) a
+    // pipeline logs to prove the resample moved the marginal. Scale:
+    // one corpus-linear projection + two bin-keyed aggregates.
+    "sample_importance_resample" -> { (s, d) =>
+      val alpha = 0.5
+      val binned = t(s, d, "documents")
+        .select(col("doc_id"),
+          floor(col("n_chars") / lit(64)).cast("long").as("bin"),
+          (expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, " +
+            "15), 16, 10) AS BIGINT)").cast("double")
+            / lit(1152921504606846976.0d)).as("u"))
+      val bins = binned.groupBy("bin").agg(count(lit(1)).as("n_docs"))
+      val tot = bins.agg(sum(col("n_docs")).as("n_total"),
+        count(lit(1)).as("n_bins"))
+      val weighted = bins.crossJoin(broadcast(tot))
+        .withColumn("w", col("n_total").cast("double")
+          / (col("n_bins").cast("double") * col("n_docs").cast("double")))
+        .withColumn("p_keep", least(lit(1.0), lit(alpha) * col("w")))
+      binned.join(broadcast(weighted.select("bin", "w", "p_keep")), "bin")
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("u") < col("p_keep"), 1L).otherwise(0L))
+            .as("n_kept"),
+          min(col("w")).as("wmin"), min(col("p_keep")).as("pmin"))
+        .crossJoin(broadcast(tot.select(col("n_bins"))))
+        .select(col("bin"), col("n_docs"), col("n_kept"),
+          round(col("wmin"), 6).as("weight"),
+          round(col("pmin"), 6).as("p_keep"),
+          round(col("n_kept").cast("double")
+            / col("n_docs").cast("double"), 6).as("kept_share"),
+          round(lit(1.0) / col("n_bins").cast("double"), 6)
+            .as("target_share"))
+        .orderBy("bin")
+    },
+
     // one BPE training iteration: adjacent-symbol pair counts at the
     // character level, weighted by corpus word frequency — the inner loop
     // of byte-pair-encoding tokenizer training (count pairs, merge the
@@ -742,6 +784,41 @@ object TrainPrep {
       .limit(k)
 
   def oracle: Map[String, String] = Map(
+    // same bin weights and the same 60-bit md5 draw (u < alpha * w)
+    "sample_importance_resample" ->
+      """WITH binned AS (
+        |  SELECT doc_id,
+        |    CAST(floor(n_chars / 64.0) AS BIGINT) AS bin,
+        |    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS DOUBLE)
+        |      / 1152921504606846976.0 AS u
+        |  FROM documents),
+        |bins AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM binned GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |  CAST(count(*) AS BIGINT) AS n_bins FROM bins),
+        |wt AS (
+        |  SELECT bin,
+        |    CAST(n_total AS DOUBLE)
+        |      / (CAST(n_bins AS DOUBLE) * CAST(n_docs AS DOUBLE)) AS w,
+        |    least(CAST(1.0 AS DOUBLE),
+        |      0.5 * CAST(n_total AS DOUBLE)
+        |        / (CAST(n_bins AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+        |      AS p_keep
+        |  FROM bins CROSS JOIN tot)
+        |SELECT b.bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN b.u < wt.p_keep THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  round(min(wt.w), 6) AS weight,
+        |  round(min(wt.p_keep), 6) AS p_keep,
+        |  round(CAST(sum(CASE WHEN b.u < wt.p_keep THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*), 6) AS kept_share,
+        |  round(1.0 / CAST((SELECT n_bins FROM tot) AS DOUBLE), 6)
+        |    AS target_share
+        |FROM binned b JOIN wt ON wt.bin = b.bin
+        |GROUP BY b.bin ORDER BY b.bin""".stripMargin,
+
     // every stage twin is the owning operator's own oracle logic: the
     // exact-dedup fingerprint GROUP BY, the recursive-CTE connected
     // components over the shared jaccard chain, the quality thresholds,

@@ -613,6 +613,101 @@ object Windows {
         .orderBy("day")
     },
 
+    // Yule–Walker AR(2) fit of daily revenue — the autoregression that
+    // turns events_autocorrelation's descriptive r_k into a forecasting
+    // model (phi1/phi2 solve the 2×2 Yule–Walker system; the 1-step
+    // forecast extrapolates from the last two observed days). The
+    // corpus collapses to O(#days) in one keyed agg; the series is
+    // ZERO-FILLED over the full day span (a missing day is revenue 0,
+    // not an absent row — gap-skipping biases r_k), lag pairs are two
+    // O(#days) self-joins on the day index (window-free: a global
+    // row_number would be a one-task sort; day+k arithmetic is an
+    // equi-join), and every moment sum is an exact integer-dollar
+    // decimal (win_bollinger discipline) so doubles appear only in the
+    // final fixed-order formulas. Output is ONE row — nothing about
+    // this query grows with corpus size except the one keyed agg.
+    "win_ar2_forecast" -> { (s, d) =>
+      val rev = t(s, d, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1992-01-01").cast("date")).as("di"))
+        .agg(round(sum(money(col("o_totalprice"))), 0)
+          .cast("decimal(13,0)").as("ri"))
+      val bounds = rev.agg(min(col("di")).as("d0"), max(col("di")).as("d1"))
+      val series = bounds
+        .select(explode(sequence(col("d0"), col("d1"))).as("di"))
+        .join(rev, Seq("di"), "left")
+        .select(col("di"),
+          coalesce(col("ri"), lit(0).cast("decimal(13,0)")).as("ri"))
+        .cache()
+      val g = series.agg(count(lit(1)).cast("decimal(7,0)").as("n"),
+        sum(col("ri")).cast("decimal(19,0)").as("s1"),
+        sum(expr("ri * ri")).cast("decimal(30,0)").as("s2"),
+        max(col("di")).as("dmax"))
+      def lagSums(k: Int) = series
+        .join(series.select((col("di") - k).as("di"),
+          col("ri").as("rk")), "di")
+        .agg(count(lit(1)).cast("decimal(7,0)").as(s"m$k"),
+          sum(expr("ri * rk")).cast("decimal(30,0)").as(s"sxy$k"),
+          sum(col("ri")).cast("decimal(19,0)").as(s"sa$k"),
+          sum(col("rk")).cast("decimal(19,0)").as(s"sb$k"))
+      def acf(k: Int) =
+        (col(s"sxy$k").cast("double")
+          - col("ybar") * (col(s"sa$k") + col(s"sb$k")).cast("double")
+          + col(s"m$k").cast("double") * col("ybar") * col("ybar")) /
+          (col("s2").cast("double")
+            - col("n").cast("double") * col("ybar") * col("ybar"))
+      g.crossJoin(lagSums(1)).crossJoin(lagSums(2))
+        .join(series.select(col("di").as("dT"), col("ri").as("yT")),
+          col("dT") === col("dmax"))
+        .join(series.select(col("di").as("dT1"), col("ri").as("yT1")),
+          col("dT1") === col("dmax") - 1)
+        .withColumn("ybar",
+          col("s1").cast("double") / col("n").cast("double"))
+        .withColumn("r1", acf(1)).withColumn("r2", acf(2))
+        .withColumn("phi1",
+          col("r1") * (lit(1d) - col("r2"))
+            / (lit(1d) - col("r1") * col("r1")))
+        .withColumn("phi2",
+          (col("r2") - col("r1") * col("r1"))
+            / (lit(1d) - col("r1") * col("r1")))
+        .select(col("n").cast("long").as("n_days"),
+          round(col("ybar"), 2).as("mean_rev"),
+          round(col("r1"), 6).as("r1"), round(col("r2"), 6).as("r2"),
+          round(col("phi1"), 6).as("phi1"),
+          round(col("phi2"), 6).as("phi2"),
+          round(col("ybar")
+            + col("phi1") * (col("yT").cast("double") - col("ybar"))
+            + col("phi2") * (col("yT1").cast("double") - col("ybar")),
+            2).as("forecast_next"))
+    },
+
+    // exponentially time-decayed rolling engagement per event type
+    // (7-day half-life, 28-day support): decayed(T) = Σ_{d≤T, T−d<28}
+    // v_d · 2^{−(T−d)/7} — the recency-weighted activity feature online
+    // systems keep per entity, computed EXACTLY with one partitioned
+    // RANGE window: each day carries v_d·2^{d/7} so the frame sum needs
+    // no per-row re-weighting, and one multiply by 2^{−T/7} restores the
+    // decay (the exp trick that turns a decay kernel into a plain
+    // windowed sum). Day indices are month-relative, so the shifted
+    // exponent stays ≤ 2^5 — no overflow, relative error ~1e-15 against
+    // the round(·,6) grid. Daily sums are exact decimals first (money
+    // discipline); the window partitions by type — never global.
+    "win_time_decay_sum" -> { (s, d) =>
+      val wDecay = Window.partitionBy("event_type").orderBy("di")
+        .rangeBetween(-27, 0)
+      events(s, d)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .as("di"))
+        .agg(sum(money(col("value"))).cast("decimal(18,2)").as("v"))
+        .withColumn("decayed", round(
+          sum(col("v").cast("double") * pow(lit(2d), col("di") / lit(7d)))
+            .over(wDecay) * pow(lit(2d), -col("di") / lit(7d)), 6))
+        .select(col("event_type"), col("di").cast("long").as("day_idx"),
+          col("v").cast("double").as("day_value"), col("decayed"))
+        .orderBy("event_type", "day_idx")
+    },
+
     // Theil–Sen robust trend of daily revenue: the median of ALL
     // pairwise day-slopes plus the median-of-residuals intercept — the
     // estimator whose 29% breakdown point survives the outlier days
@@ -863,6 +958,85 @@ object Windows {
   )
 
   def oracle: Map[String, String] = Map(
+    // zero-filled daily series, join-based lags, exact decimal moments,
+    // double formulas in the same fixed order as the Spark plan
+    "win_ar2_forecast" ->
+      """WITH rev AS (
+        |  SELECT date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS di,
+        |    CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)), 0) AS DECIMAL(13,0)) AS ri
+        |  FROM orders GROUP BY 1),
+        |bounds AS (SELECT min(di) AS d0, max(di) AS d1 FROM rev),
+        |series AS (
+        |  SELECT gs.di, COALESCE(rev.ri, CAST(0 AS DECIMAL(13,0))) AS ri
+        |  FROM (SELECT unnest(generate_series(d0, d1)) AS di
+        |        FROM bounds) gs
+        |  LEFT JOIN rev ON rev.di = gs.di),
+        |g AS (
+        |  SELECT CAST(count(*) AS DECIMAL(7,0)) AS n,
+        |    CAST(sum(ri) AS DECIMAL(19,0)) AS s1,
+        |    CAST(sum(ri * ri) AS DECIMAL(30,0)) AS s2,
+        |    max(di) AS dmax
+        |  FROM series),
+        |l1 AS (
+        |  SELECT CAST(count(*) AS DECIMAL(7,0)) AS m1,
+        |    CAST(sum(a.ri * b.ri) AS DECIMAL(30,0)) AS sxy1,
+        |    CAST(sum(a.ri) AS DECIMAL(19,0)) AS sa1,
+        |    CAST(sum(b.ri) AS DECIMAL(19,0)) AS sb1
+        |  FROM series a JOIN series b ON b.di = a.di + 1),
+        |l2 AS (
+        |  SELECT CAST(count(*) AS DECIMAL(7,0)) AS m2,
+        |    CAST(sum(a.ri * b.ri) AS DECIMAL(30,0)) AS sxy2,
+        |    CAST(sum(a.ri) AS DECIMAL(19,0)) AS sa2,
+        |    CAST(sum(b.ri) AS DECIMAL(19,0)) AS sb2
+        |  FROM series a JOIN series b ON b.di = a.di + 2),
+        |x AS (
+        |  SELECT g.*, l1.*, l2.*,
+        |    yt.ri AS yT, yt1.ri AS yT1,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS ybar
+        |  FROM g CROSS JOIN l1 CROSS JOIN l2
+        |  JOIN series yt ON yt.di = g.dmax
+        |  JOIN series yt1 ON yt1.di = g.dmax - 1),
+        |r AS (
+        |  SELECT x.*,
+        |    (CAST(sxy1 AS DOUBLE) - ybar * CAST(sa1 + sb1 AS DOUBLE)
+        |      + CAST(m1 AS DOUBLE) * ybar * ybar)
+        |     / (CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE) * ybar * ybar)
+        |      AS r1,
+        |    (CAST(sxy2 AS DOUBLE) - ybar * CAST(sa2 + sb2 AS DOUBLE)
+        |      + CAST(m2 AS DOUBLE) * ybar * ybar)
+        |     / (CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE) * ybar * ybar)
+        |      AS r2
+        |  FROM x),
+        |p AS (
+        |  SELECT r.*,
+        |    r1 * (1 - r2) / (1 - r1 * r1) AS phi1,
+        |    (r2 - r1 * r1) / (1 - r1 * r1) AS phi2
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_days, round(ybar, 2) AS mean_rev,
+        |  round(r1, 6) AS r1, round(r2, 6) AS r2,
+        |  round(phi1, 6) AS phi1, round(phi2, 6) AS phi2,
+        |  round(ybar + phi1 * (CAST(yT AS DOUBLE) - ybar)
+        |    + phi2 * (CAST(yT1 AS DOUBLE) - ybar), 2) AS forecast_next
+        |FROM p""".stripMargin,
+
+    // same exp-trick windowed sum: v·2^(d/7) summed over the 28-day
+    // RANGE frame, one 2^(−d/7) multiply outside
+    "win_time_decay_sum" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(di AS BIGINT) AS day_idx,
+        |  CAST(v AS DOUBLE) AS day_value,
+        |  round(sum(CAST(v AS DOUBLE) * pow(2, di / 7.0)) OVER (
+        |      PARTITION BY event_type ORDER BY di
+        |      RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)
+        |    * pow(2, -di / 7.0), 6) AS decayed
+        |FROM daily ORDER BY event_type, day_idx""".stripMargin,
     "win_rank" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |row_number() OVER (PARTITION BY o_orderpriority

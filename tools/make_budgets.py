@@ -34,7 +34,8 @@ FAMILIES = {
     # whichever of the four consumers runs first; the rest read the
     # vocab-sized memo
     "word_counts": ["agg_countmin", "text_hapax_stats",
-                    "text_template_mining", "text_doc_perplexity"],
+                    "text_template_mining", "text_doc_perplexity",
+                    "text_perplexity_buckets"],
     # Dedup.simhashBanded: the FNV-per-token signature build is paid once
     # by whichever simhash consumer runs first
     "simhash_sig": ["dedup_simhash", "dedup_method_overlap",
@@ -56,6 +57,11 @@ FAMILIES = {
     # Similarity.signCodes: the O(N·16·d) sign-projection shuffle is paid
     # once by whichever binary-code consumer runs first
     "sign_codes": ["embedding_sign_lsh", "sim_hamming_topk_eval"],
+    # Similarity.knnEdges: the corpus-wide IVF probe + cluster search that
+    # builds the kNN graph is paid once by whichever graph consumer runs
+    # first (the HNSW amortization shape)
+    "knn_edges": ["embedding_knn_graph", "embedding_hubness",
+                  "sim_graph_beam", "sim_graph_beam_recall"],
 }
 
 def main(bench_file, source_note):
