@@ -860,6 +860,54 @@ object Analytics {
         .orderBy(col("n_occur").desc, col("seq"))
     },
 
+    // full bilateral trade matrix: customer-nation × supplier-nation
+    // revenue and line counts — the Q7 shape widened from one nation
+    // pair to the whole O(|nations|²) matrix (trade-dependency heatmap;
+    // nation_trade_balance is its row-sum margin). Fact-table joins
+    // shuffle once on the line keys; both nation dims broadcast; the
+    // matrix is dimension-bounded output at any volume.
+    "nation_flow_matrix" -> { (s, d) =>
+      val n1 = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("s_nk"),
+          col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("c_nk"),
+          col("n_name").as("cust_nation")))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(discPrice(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("volume"))
+        .orderBy("supp_nation", "cust_nation")
+    },
+
+    // month-of-year seasonal index of order revenue: each calendar
+    // month's revenue against the uniform-month baseline (index > 1 =
+    // high season) — the deseasonalization table demand planning divides
+    // by. One keyed agg to 12 rows; the baseline is a broadcast 1-row
+    // total, the ratio exact-decimal-to-double; index·12 arithmetic
+    // keeps the division count at one.
+    "orders_seasonal_index" -> { (s, d) =>
+      val m = t(s, d, "orders")
+        .groupBy(month(to_date(col("o_orderdate"))).cast("long")
+          .as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(money(col("o_totalprice"))).cast("decimal(18,2)")
+            .as("rev"))
+      val tot = m.agg(sum(col("rev")).cast("decimal(19,2)").as("rtot"))
+      m.crossJoin(broadcast(tot))
+        .select(col("month"), col("n_orders"),
+          col("rev").cast("double").as("revenue"),
+          round(col("rev").cast("double") * 12d
+            / col("rtot").cast("double"), 6).as("seasonal_index"))
+        .orderBy("month")
+    },
+
     // sequential pattern pairs WITH GAP (a → b within the next 3 events,
     // not necessarily adjacent) — what seq_trigrams' substring view
     // misses: "view … later purchase" with noise events between. Per
@@ -2909,6 +2957,34 @@ object Analytics {
   )
 
   def oracle: Map[String, String] = Map(
+    // Q7 widened to the full matrix; dims joined the same way
+    "nation_flow_matrix" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  ${sql.moneyVol} AS volume
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // 12-row month rollup; baseline = total/12, one division
+    "orders_seasonal_index" ->
+      """WITH m AS (
+        |  SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT)
+        |      AS month,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(rev) AS DECIMAL(19,2)) AS rtot FROM m)
+        |SELECT month, n_orders, CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(rev AS DOUBLE) * 12 / CAST(rtot AS DOUBLE), 6)
+        |    AS seasonal_index
+        |FROM m CROSS JOIN t ORDER BY month""".stripMargin,
+
     // same per-user index + gap-bounded self-join; confidence over
     // antecedent users
     "events_seq_pairs_gap" ->

@@ -573,6 +573,32 @@ object Lakehouse {
         .orderBy("o_orderkey")
     },
 
+    // time travel over the changelog: the table's aggregate state AS OF
+    // each commit sequence — what "SELECT … VERSION AS OF" costs a
+    // lakehouse reader (replay ≤ S with last-writer-wins + deletes).
+    // One broadcast of the 4-row cutoff grid fans the log out (grid ×
+    // log, never log²); per cutoff the state collapses in the same
+    // keyed max_by pass as cdc_apply and only O(#cutoffs) audit rows
+    // ship: live keys, deleted keys, exact-decimal total, its double
+    // projection. The version axis a snapshot-isolation debugger reads.
+    "cdc_time_travel" -> { (s, d) =>
+      val cuts = s.range(4).select(col("id").as("as_of_seq"))
+      cdcLog(s, d).crossJoin(broadcast(cuts))
+        .filter(col("seq") <= col("as_of_seq"))
+        .groupBy("as_of_seq", "o_orderkey")
+        .agg(expr("max_by(op, seq)").as("last_op"),
+          expr("max_by(o_totalprice, seq)").as("o_totalprice"))
+        .groupBy("as_of_seq")
+        .agg(sum(when(col("last_op") =!= "D", 1L).otherwise(0L))
+            .as("n_live"),
+          sum(when(col("last_op") === "D", 1L).otherwise(0L))
+            .as("n_deleted"),
+          sum(when(col("last_op") =!= "D",
+            Tables.money(col("o_totalprice"))).otherwise(lit(null)))
+            .cast("decimal(18,2)").cast("double").as("total_price"))
+        .orderBy("as_of_seq")
+    },
+
     // incremental materialized-aggregate maintenance: the per-customer
     // order profile is kept as MERGEABLE state (count, exact-decimal sum,
     // min, max), so refreshing after a new partition lands costs one
@@ -1028,6 +1054,40 @@ object Lakehouse {
         |  round(CAST(max(bytes) AS DOUBLE)
         |    / (CAST(sum(bytes) AS DOUBLE) / count(*)), 6) AS skew
         |FROM files GROUP BY part ORDER BY part""".stripMargin,
+    // same log construction + the same keyed arg_max replay, per cutoff
+    "cdc_time_travel" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders),
+        |log AS (
+        |  SELECT o_orderkey, o_totalprice, 0 AS seq, 'I' AS op FROM snap
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 50.0, 1, 'U'
+        |  FROM snap WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 2, 'D'
+        |  FROM snap WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 3, 'I'
+        |  FROM snap WHERE o_orderkey % 20 = 0),
+        |cuts AS (SELECT unnest(generate_series(0, 3)) AS as_of_seq),
+        |st AS (
+        |  SELECT c.as_of_seq, l.o_orderkey,
+        |    arg_max(l.op, l.seq) AS last_op,
+        |    arg_max(l.o_totalprice, l.seq) AS o_totalprice
+        |  FROM log l CROSS JOIN cuts c
+        |  WHERE l.seq <= c.as_of_seq
+        |  GROUP BY 1, 2)
+        |SELECT CAST(as_of_seq AS BIGINT) AS as_of_seq,
+        |  CAST(sum(CASE WHEN last_op <> 'D' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_live,
+        |  CAST(sum(CASE WHEN last_op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_deleted,
+        |  CAST(CAST(sum(CASE WHEN last_op <> 'D'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |    AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+        |FROM st GROUP BY 1 ORDER BY as_of_seq""".stripMargin,
+
     "cdc_apply" ->
       """WITH snap AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

@@ -285,6 +285,33 @@ object Multimodal {
         .orderBy("bucket", "shard")
     },
 
+    // random-access index for one tar shard bucket: per file its byte
+    // offset WITHIN its 64 KiB shard — the index a dataloader fetches to
+    // seek straight to sample N without streaming the shard (the
+    // WebDataset/tar-index shape). Same deterministic byte sizing and
+    // shard assignment as multimodal_shard_plan (single source of truth
+    // for the layout); offsets are per-bucket prefix sums (partitioned
+    // window — buckets index in parallel), emitted for bucket 0 only:
+    // an index is a per-bucket artifact, and one bucket is 1/32 of the
+    // corpus at any scale.
+    "multimodal_tar_index" -> { (s, d) =>
+      val w = Window.partitionBy("bucket").orderBy("doc_id")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(32)).cast("long").as("bucket"),
+          (lit(44L)
+            + when(col("doc_id") % 5 === 0, 12L).otherwise(0L)
+            + octet_length(col("text")).cast("long")
+              * (lit(1L) + col("doc_id") % 2) * 2L).as("n_bytes"))
+        .filter(col("bucket") === 0L)
+        .withColumn("cum", sum(col("n_bytes")).over(w))
+        .withColumn("shard", floor((col("cum") - col("n_bytes")) / 65536L))
+        .withColumn("offset",
+          col("cum") - col("n_bytes") - col("shard") * 65536L)
+        .select("shard", "doc_id", "offset", "n_bytes")
+        .orderBy("shard", "doc_id")
+    },
+
     // block-mean perceptual hash over binary payloads: split the payload
     // into 64 equal blocks, bit b = "block b's mean byte > global mean",
     // emit the 64-bit fingerprint — the aHash family every image/audio
@@ -382,6 +409,27 @@ object Multimodal {
 
   def oracle: Map[String, String] = Map(
     // same metadata-only size formula, same per-bucket cumsum
+    // same sizing + shard math as the shard plan; per-file offsets for
+    // bucket 0
+    "multimodal_tar_index" ->
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 32 AS bucket,
+        |    44 + CASE WHEN doc_id % 5 = 0 THEN 12 ELSE 0 END
+        |      + CAST(octet_length(encode(text)) AS BIGINT)
+        |        * (1 + doc_id % 2) * 2 AS n_bytes
+        |  FROM documents WHERE doc_id % 32 = 0),
+        |c AS (
+        |  SELECT doc_id, n_bytes,
+        |    sum(n_bytes) OVER (PARTITION BY bucket ORDER BY doc_id) AS cum
+        |  FROM m)
+        |SELECT CAST(floor((cum - n_bytes) / 65536) AS BIGINT) AS shard,
+        |  doc_id,
+        |  CAST(cum - n_bytes
+        |    - CAST(floor((cum - n_bytes) / 65536) AS BIGINT) * 65536
+        |    AS BIGINT) AS "offset",
+        |  CAST(n_bytes AS BIGINT) AS n_bytes
+        |FROM c ORDER BY shard, doc_id""".stripMargin,
+
     "multimodal_shard_plan" ->
       """WITH m AS (
         |  SELECT doc_id, doc_id % 32 AS bucket,

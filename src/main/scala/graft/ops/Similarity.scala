@@ -574,6 +574,37 @@ object Similarity {
         .orderBy("q_id", "rnk")
     },
 
+    // index-rebuild churn: re-assign every vector after dropping one
+    // coarse centroid (c_id 15) and measure, per surviving cell, how
+    // many residents move — the blast-radius audit run BEFORE an IVF
+    // rebuild ships (high churn in a hot cell = rebuild invalidates the
+    // cached postings a reader is mid-scan on). Two broadcast assign
+    // passes over the same vectors (the codebooks are O(K) rows) + one
+    // keyed compare; output is O(#cells) at any corpus size.
+    "sim_ivf_rebuild_churn" -> { (s, d) =>
+      val e = vectors(s, d)
+      val cent15 = broadcast(e
+        .filter(col("vec_id") < 16 && col("vec_id") =!= 15)
+        .select(col("vec_id").as("c_id"), col("v").as("cv")))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("c_id"))
+      val a15 = e.crossJoin(cent15)
+        .withColumn("ccos", expr("round(cosine_sim(v, cv), 6)"))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("c_id").as("cluster15"))
+      ivfAssign(s, d).select(col("vec_id"), col("cluster"))
+        .join(a15, "vec_id")
+        .groupBy(col("cluster").as("old_cluster"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("cluster15") =!= col("cluster"), 1L).otherwise(0L))
+            .as("n_moved"))
+        .select(col("old_cluster"), col("n_vecs"), col("n_moved"),
+          round(col("n_moved").cast("double")
+            / col("n_vecs").cast("double"), 6).as("churn"))
+        .orderBy("old_cluster")
+    },
+
     // radius (range) search, IVF-bounded: all neighbors with cos ≥ τ
     // among the 2 probed cells per query — the "find everything this
     // similar" complement of top-k (dedup sweeps and contamination
@@ -1536,6 +1567,36 @@ object Similarity {
        |    AND ${duckCos("p.qv", "a.v")} >= $RangeTau)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // two assign passes (16 vs 15 centroids), keyed compare, O(#cells)
+    "sim_ivf_rebuild_churn" ->
+      s"""WITH e AS ($duckVectors),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM e
+         |         WHERE vec_id < 16),
+         |cent15 AS (SELECT vec_id AS c_id, v AS cv FROM e
+         |           WHERE vec_id < 16 AND vec_id <> 15),
+         |a16 AS (
+         |  SELECT vec_id, c_id AS cluster FROM (
+         |    SELECT e.vec_id, cent.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.v", "cent.cv")} DESC, cent.c_id)
+         |        AS arn
+         |    FROM e CROSS JOIN cent) WHERE arn = 1),
+         |a15 AS (
+         |  SELECT vec_id, c_id AS cluster15 FROM (
+         |    SELECT e.vec_id, cent15.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.v", "cent15.cv")} DESC,
+         |          cent15.c_id) AS arn
+         |    FROM e CROSS JOIN cent15) WHERE arn = 1)
+         |SELECT a16.cluster AS old_cluster,
+         |  CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(CASE WHEN a15.cluster15 <> a16.cluster
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+         |  round(CAST(sum(CASE WHEN a15.cluster15 <> a16.cluster
+         |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS churn
+         |FROM a16 JOIN a15 USING (vec_id)
+         |GROUP BY 1 ORDER BY old_cluster""".stripMargin,
+
     "sim_range_search" ->
       s"""WITH $rangeSqlCtes
          |SELECT q_id, n_id, cos FROM rng

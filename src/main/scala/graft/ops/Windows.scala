@@ -681,6 +681,68 @@ object Windows {
             2).as("forecast_next"))
     },
 
+    // forecast backtest on the daily revenue series: hold out the last 7
+    // days, score naive (last train value), seasonal-naive (value 7 days
+    // earlier), and drift (last + trend extrapolation) by MAE and MAPE —
+    // the eval-closing rule applied to forecasting (events_forecast
+    // _baseline PRODUCES baselines; nothing previously measured which
+    // one to trust). Zero-filled O(#days) series, predictions by
+    // join/scalar arithmetic (window-free), each |error| term rounded to
+    // the 1e-6 grid and summed as exact DECIMAL so the 7-term means are
+    // partial-agg-proof. Output: 3 method rows at any corpus size.
+    "forecast_backtest" -> { (s, d) =>
+      val H = 7
+      val rev = t(s, d, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1992-01-01").cast("date")).as("di"))
+        .agg(round(sum(money(col("o_totalprice"))), 0)
+          .cast("decimal(13,0)").as("ri"))
+      val bounds = rev.agg(min(col("di")).as("d0"), max(col("di")).as("d1"))
+      val series = bounds
+        .select(explode(sequence(col("d0"), col("d1"))).as("di"))
+        .join(rev, Seq("di"), "left")
+        .select(col("di"),
+          coalesce(col("ri"), lit(0).cast("decimal(13,0)")).as("ri"))
+        .cache()
+      val split = broadcast(series.crossJoin(broadcast(bounds))
+        .filter(col("di") === col("d1") - H)
+        .select(col("d1"), (col("d1") - H).as("tEnd"),
+          col("ri").as("yLast"), col("d0")))
+      val first = broadcast(series.crossJoin(broadcast(bounds))
+        .filter(col("di") === col("d0"))
+        .select(col("ri").as("yFirst")))
+      val hold = series.crossJoin(split).crossJoin(first)
+        .filter(col("di") > col("tEnd"))
+        .join(series.select((col("di") + H).as("di"),
+          col("ri").as("ySeason")), "di")
+        .withColumn("slope",
+          (col("yLast") - col("yFirst")).cast("double")
+            / (col("tEnd") - col("d0")).cast("double"))
+        .withColumn("h", (col("di") - col("tEnd")).cast("double"))
+      val methods = Seq(
+        ("naive", col("yLast").cast("double")),
+        ("snaive", col("ySeason").cast("double")),
+        ("drift", col("yLast").cast("double") + col("slope") * col("h")))
+      val perMethod = methods.map { case (m, pred) =>
+        hold
+          .withColumn("err", pred - col("ri").cast("double"))
+          .select(lit(m).as("method"),
+            col("err"), col("ri").cast("double").as("actual"))
+          .withColumn("ae",
+            expr("CAST(round(abs(err), 6) AS DECIMAL(18,6))"))
+          .withColumn("ape", when(col("actual") > 0d,
+            expr("CAST(round(abs(err) / actual, 6) AS DECIMAL(18,6))")))
+          .groupBy("method")
+          .agg(count(lit(1)).as("h_days"),
+            round(sum(col("ae")).cast("double") / count(lit(1)), 4)
+              .as("mae"),
+            round(sum(col("ape")).cast("double")
+              / sum(when(col("ape").isNotNull, 1L).otherwise(0L)), 6)
+              .as("mape"))
+      }.reduce(_ unionByName _)
+      perMethod.orderBy("method")
+    },
+
     // exponentially time-decayed rolling engagement per event type
     // (7-day half-life, 28-day support): decayed(T) = Σ_{d≤T, T−d<28}
     // v_d · 2^{−(T−d)/7} — the recency-weighted activity feature online
@@ -1020,6 +1082,53 @@ object Windows {
         |  round(ybar + phi1 * (CAST(yT AS DOUBLE) - ybar)
         |    + phi2 * (CAST(yT1 AS DOUBLE) - ybar), 2) AS forecast_next
         |FROM p""".stripMargin,
+
+    // same series construction and split; method errors on the round-6
+    // grid, exact-decimal sums, same fixed-order means
+    "forecast_backtest" ->
+      """WITH rev AS (
+        |  SELECT date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS di,
+        |    CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)), 0) AS DECIMAL(13,0)) AS ri
+        |  FROM orders GROUP BY 1),
+        |bounds AS (SELECT min(di) AS d0, max(di) AS d1 FROM rev),
+        |series AS (
+        |  SELECT gs.di, COALESCE(rev.ri, CAST(0 AS DECIMAL(13,0))) AS ri
+        |  FROM (SELECT unnest(generate_series(d0, d1)) AS di
+        |        FROM bounds) gs
+        |  LEFT JOIN rev ON rev.di = gs.di),
+        |sp AS (
+        |  SELECT b.d1, b.d1 - 7 AS tEnd, s.ri AS yLast, b.d0
+        |  FROM series s CROSS JOIN bounds b WHERE s.di = b.d1 - 7),
+        |fi AS (
+        |  SELECT s.ri AS yFirst
+        |  FROM series s CROSS JOIN bounds b WHERE s.di = b.d0),
+        |hold AS (
+        |  SELECT s.di, CAST(s.ri AS DOUBLE) AS actual,
+        |    CAST(sp.yLast AS DOUBLE) AS yLast,
+        |    CAST(s2.ri AS DOUBLE) AS ySeason,
+        |    CAST(sp.yLast - fi.yFirst AS DOUBLE)
+        |      / CAST(sp.tEnd - sp.d0 AS DOUBLE) AS slope,
+        |    CAST(s.di - sp.tEnd AS DOUBLE) AS h
+        |  FROM series s CROSS JOIN sp CROSS JOIN fi
+        |  JOIN series s2 ON s2.di = s.di - 7
+        |  WHERE s.di > sp.tEnd),
+        |scored AS (
+        |  SELECT 'naive' AS method, yLast - actual AS err, actual
+        |  FROM hold
+        |  UNION ALL
+        |  SELECT 'snaive', ySeason - actual, actual FROM hold
+        |  UNION ALL
+        |  SELECT 'drift', (yLast + slope * h) - actual, actual FROM hold)
+        |SELECT method, CAST(count(*) AS BIGINT) AS h_days,
+        |  round(CAST(sum(CAST(round(abs(err), 6) AS DECIMAL(18,6)))
+        |    AS DOUBLE) / count(*), 4) AS mae,
+        |  round(CAST(sum(CASE WHEN actual > 0
+        |      THEN CAST(round(abs(err) / actual, 6) AS DECIMAL(18,6))
+        |      END) AS DOUBLE)
+        |    / sum(CASE WHEN actual > 0 THEN 1 ELSE 0 END), 6) AS mape
+        |FROM scored GROUP BY method ORDER BY method""".stripMargin,
 
     // same exp-trick windowed sum: v·2^(d/7) summed over the 28-day
     // RANGE frame, one 2^(−d/7) multiply outside
