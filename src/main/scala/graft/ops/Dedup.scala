@@ -551,6 +551,36 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
+    // train/valid/test leakage at the NEAR-DUP level: the verified
+    // near-dup pairs classified by the deterministic hash split each
+    // side lands in (the sample_split rule) — contamination_check
+    // catches n-gram containment; this catches whole-document near-dups
+    // that straddle the split boundary, the leak that inflates eval
+    // scores silently. One memoized pair kernel + two broadcast-able
+    // doc→split joins; output is the O(#splits²) matrix with the
+    // crossing flag a gate alerts on.
+    "dedup_split_leakage" -> { (s, d) =>
+      val split = corpus(s, d)
+        .select(col("doc_id"),
+          substring(md5(col("doc_id").cast("string")), 1, 2).as("b"))
+        .select(col("doc_id"),
+          when(col("b") < "e6", "train")
+            .when(col("b") < "f3", "valid").otherwise("test")
+            .as("split"))
+      minhashPairs(s, d)
+        .join(split.select(col("doc_id").as("doc_a"),
+          col("split").as("split_a")), "doc_a")
+        .join(split.select(col("doc_id").as("doc_b"),
+          col("split").as("split_b")), "doc_b")
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          // round-6 jac summed exactly, divided once: partial-agg-proof
+          round(sum(col("jac").cast("decimal(16,6)")).cast("double")
+            / count(lit(1)), 6).as("avg_jac"))
+        .withColumn("is_leak", col("split_a") =!= col("split_b"))
+        .orderBy("split_a", "split_b")
+    },
+
     // exact n-gram Jaccard via the shingle inverted index — the LSH-free
     // baseline (quadratic only in docs *sharing a shingle*); same oracle
     // shape as dedup_minhash, but no candidate pruning step
@@ -1116,6 +1146,27 @@ object Dedup {
          |    AS recall,
          |  TRUE AS prune_ok
          |FROM c""".stripMargin,
+    // same jpairs chain; same md5 split rule as sample_split
+    "dedup_split_leakage" ->
+      s"""WITH $jaccardCtes,
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+         |        THEN 'train'
+         |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+         |        THEN 'valid'
+         |      ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT sa.split AS split_a, sb.split AS split_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(CAST(sum(CAST(jac AS DECIMAL(16,6))) AS DOUBLE)
+         |    / count(*), 6) AS avg_jac,
+         |  sa.split <> sb.split AS is_leak
+         |FROM jpairs
+         |JOIN sp sa ON sa.doc_id = doc_a
+         |JOIN sp sb ON sb.doc_id = doc_b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "dedup_cross_source" ->
       s"""WITH $jaccardCtes
          |SELECT doc_a, doc_b, jac,

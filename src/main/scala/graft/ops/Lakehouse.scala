@@ -573,6 +573,47 @@ object Lakehouse {
         .orderBy("o_orderkey")
     },
 
+    // data-layout A/B eval: the SAME rows written under three value-range
+    // layouts — natural (orderkey ranges, the as-ingested shape), sorted
+    // by one column (ck ranges), and z-order (zval-prefix ranges) — each
+    // cut into 32 files, scored by the mean normalized (ck × dy) zone
+    // area and by how many files a mid-range ck probe must open. The
+    // number a table owner reads before paying for a rewrite: z-order
+    // trades a little single-column pruning for two-column pruning;
+    // this table quantifies the trade on the actual data. File ids are
+    // VALUE ranges (bit-prefixes / scaled buckets), not row ranks — no
+    // global sort, no window; everything after the shared zInputs scan
+    // is O(#layouts × #files).
+    "layout_clustering_eval" -> { (s, d) =>
+      val z = zInputs(s, d).withColumn("zval", expr(mortonSpark))
+      val okb = broadcast(z.agg(min(col("o_orderkey")).as("k0"),
+        max(col("o_orderkey")).as("k1")))
+      val natural = z.crossJoin(okb)
+        .select(lit("1_natural").as("layout"),
+          floor((col("o_orderkey") - col("k0")).cast("double") * 32d
+            / (col("k1") - col("k0") + 1L).cast("double")).cast("long")
+            .as("file"),
+          col("ck"), col("dy"))
+      val sorted = z.select(lit("2_ck_sorted").as("layout"),
+        shiftright(col("ck"), 11).as("file"), col("ck"), col("dy"))
+      val zorder = z.select(lit("3_zorder").as("layout"),
+        shiftright(col("zval"), 27).as("file"), col("ck"), col("dy"))
+      natural.unionByName(sorted).unionByName(zorder)
+        .groupBy("layout", "file")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("ck")).as("ckmin"), max(col("ck")).as("ckmax"),
+          min(col("dy")).as("dymin"), max(col("dy")).as("dymax"))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_files"),
+          round(sum((col("ckmax") - col("ckmin") + 1L)
+              * (col("dymax") - col("dymin") + 1L)).cast("double")
+            / (count(lit(1)).cast("double") * 65536d * 65536d), 6)
+            .as("avg_zone_area_share"),
+          sum(when(col("ckmax") >= 20000L && col("ckmin") < 24000L, 1L)
+            .otherwise(0L)).as("files_hit_ck_probe"))
+        .orderBy("layout")
+    },
+
     // time travel over the changelog: the table's aggregate state AS OF
     // each commit sequence — what "SELECT … VERSION AS OF" costs a
     // lakehouse reader (replay ≤ S with last-writer-wins + deletes).
@@ -1054,6 +1095,49 @@ object Lakehouse {
         |  round(CAST(max(bytes) AS DOUBLE)
         |    / (CAST(sum(bytes) AS DOUBLE) / count(*)), 6) AS skew
         |FROM files GROUP BY part ORDER BY part""".stripMargin,
+    // same zInputs scaling + morton twin; same bit-prefix/bucket files
+    "layout_clustering_eval" ->
+      s"""WITH b AS (
+         |  SELECT o_orderkey, o_custkey AS ckr,
+         |    CAST(datediff('day', DATE '1970-01-01',
+         |      CAST(o_orderdate AS DATE)) AS BIGINT) AS dyr
+         |  FROM orders),
+         |st AS (SELECT min(ckr) AS ck0, max(ckr) AS ck1,
+         |       min(dyr) AS dy0, max(dyr) AS dy1 FROM b),
+         |z0 AS (
+         |  SELECT o_orderkey,
+         |    CAST(floor((ckr - ck0) * 65535.0 / (ck1 - ck0)) AS BIGINT)
+         |      AS ck,
+         |    CAST(floor((dyr - dy0) * 65535.0 / (dy1 - dy0)) AS BIGINT)
+         |      AS dy
+         |  FROM b CROSS JOIN st),
+         |z AS (SELECT o_orderkey, ck, dy, $mortonDuck AS zval FROM z0),
+         |kb AS (SELECT min(o_orderkey) AS k0, max(o_orderkey) AS k1
+         |       FROM z),
+         |tagged AS (
+         |  SELECT '1_natural' AS layout,
+         |    CAST(floor(CAST(o_orderkey - k0 AS DOUBLE) * 32
+         |      / CAST(k1 - k0 + 1 AS DOUBLE)) AS BIGINT) AS file,
+         |    ck, dy
+         |  FROM z CROSS JOIN kb
+         |  UNION ALL
+         |  SELECT '2_ck_sorted', ck >> 11, ck, dy FROM z
+         |  UNION ALL
+         |  SELECT '3_zorder', zval >> 27, ck, dy FROM z),
+         |pf AS (
+         |  SELECT layout, file, count(*) AS n_rows,
+         |    min(ck) AS ckmin, max(ck) AS ckmax,
+         |    min(dy) AS dymin, max(dy) AS dymax
+         |  FROM tagged GROUP BY 1, 2)
+         |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+         |  round(CAST(sum((ckmax - ckmin + 1) * (dymax - dymin + 1))
+         |      AS DOUBLE)
+         |    / (CAST(count(*) AS DOUBLE) * 65536 * 65536), 6)
+         |    AS avg_zone_area_share,
+         |  CAST(sum(CASE WHEN ckmax >= 20000 AND ckmin < 24000
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS files_hit_ck_probe
+         |FROM pf GROUP BY layout ORDER BY layout""".stripMargin,
+
     // same log construction + the same keyed arg_max replay, per cutoff
     "cdc_time_travel" ->
       """WITH snap AS (

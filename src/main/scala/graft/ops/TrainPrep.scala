@@ -381,6 +381,49 @@ object TrainPrep {
       prioritySample(t(s, d, "documents"), "doc_id", "n_chars", 100)
         .select(col("doc_id"), col("source"), col("w"), col("priority"))),
 
+    // quality-vs-quantity tradeoff curve: docs binned by their unigram-LM
+    // cross-entropy (fixed 0.1-nat bins — data-independent, so two
+    // corpus snapshots chart onto the same axis), cumulated best-first —
+    // the table that answers "keep the top X% by quality: how many
+    // tokens survive?" before anyone trains. The corpus collapses to
+    // O(#bins) in the doc-NLL pass (shared wordCounts memo); the
+    // cumulative window runs over those bins only.
+    "corpus_quality_tradeoff" -> { (s, d) =>
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), " ")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val lm = TextOps.wordCounts(s, d)
+      val tot = lm.agg(sum(col("cnt")).as("n_corpus"),
+        count(lit(1)).as("vocab"))
+      val nll = tf.join(lm, "word")
+        .crossJoin(broadcast(tot))
+        .withColumn("nll", expr(
+          """CAST(round(tf * -ln(CAST(cnt + 1 AS DOUBLE)
+            |  / (n_corpus + vocab)), 9) AS DECIMAL(20,9))""".stripMargin))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_toks"),
+          round(sum(col("nll")).cast("double") / sum(col("tf")), 6)
+            .as("avg_nll"))
+      val bins = nll
+        .withColumn("bin", floor(col("avg_nll") * 10d).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val total = bins.agg(sum(col("n_tokens")).as("t_all"))
+      bins
+        .withColumn("cum_docs", sum(col("n_docs")).over(w))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .crossJoin(broadcast(total))
+        .select(col("bin"), col("n_docs"), col("n_tokens"),
+          col("cum_docs"), col("cum_tokens"),
+          round(col("cum_tokens").cast("double")
+            / col("t_all").cast("double"), 6).as("cum_token_share"))
+        .orderBy("bin")
+    },
+
     // importance resampling toward a UNIFORM length-bin target (the
     // DSIR shape: reweight the proposal corpus so a feature marginal
     // matches a target, then keep each doc with probability ∝ its bin's
@@ -784,6 +827,43 @@ object TrainPrep {
       .limit(k)
 
   def oracle: Map[String, String] = Map(
+    // same doc-NLL kernel as text_perplexity_buckets; fixed 0.1-nat bins
+    "corpus_quality_tradeoff" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |lm AS (SELECT word, count(*) AS cnt FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_corpus,
+        |  count(*) AS vocab FROM lm),
+        |terms AS (
+        |  SELECT tf.doc_id, tf.tf,
+        |    CAST(round(tf.tf * -ln(CAST(lm.cnt + 1 AS DOUBLE)
+        |      / (tot.n_corpus + tot.vocab)), 9) AS DECIMAL(20,9)) AS nll
+        |  FROM tf JOIN lm USING (word) CROSS JOIN tot),
+        |nll AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+        |    round(CAST(sum(nll) AS DOUBLE) / sum(tf), 6) AS avg_nll
+        |  FROM terms GROUP BY doc_id),
+        |bins AS (
+        |  SELECT CAST(floor(avg_nll * 10) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |  FROM nll GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_all FROM bins)
+        |SELECT bin, n_docs, n_tokens,
+        |  CAST(sum(n_docs) OVER (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_docs,
+        |  CAST(sum(n_tokens) OVER (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_tokens,
+        |  round(CAST(sum(n_tokens) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) / CAST((SELECT t_all FROM t) AS DOUBLE), 6)
+        |    AS cum_token_share
+        |FROM bins ORDER BY bin""".stripMargin,
+
     // same bin weights and the same 60-bit md5 draw (u < alpha * w)
     "sample_importance_resample" ->
       """WITH binned AS (

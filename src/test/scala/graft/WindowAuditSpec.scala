@@ -54,6 +54,8 @@ class WindowAuditSpec extends SparkSpec {
     "corpus_mix" -> "O(#sources) mixing table",
     "sample_temperature" -> "O(#sources) share table",
     "corpus_token_budget" -> "256-bucket boundary table (O(B))",
+    "corpus_quality_tradeoff" -> ("O(#0.1-nat score bins) cumulative " +
+      "curve after the doc-NLL collapse"),
     "sample_systematic" -> "256-bucket boundary table (O(B))",
     "events_concurrent_peak" -> ("O(#6h-bucket boundaries) after " +
       "the windowed rollup"),

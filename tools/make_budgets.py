@@ -35,7 +35,7 @@ FAMILIES = {
     # vocab-sized memo
     "word_counts": ["agg_countmin", "text_hapax_stats",
                     "text_template_mining", "text_doc_perplexity",
-                    "text_perplexity_buckets"],
+                    "text_perplexity_buckets", "corpus_quality_tradeoff"],
     # Dedup.simhashBanded: the FNV-per-token signature build is paid once
     # by whichever simhash consumer runs first
     "simhash_sig": ["dedup_simhash", "dedup_method_overlap",
