@@ -49,6 +49,56 @@ object Graph {
   /** BFS hop budget — multi-source frontier expansion rounds. */
   val BfsRounds = 3
 
+  /** Conf key selecting how the O(V) state table (ranks / labels / alive
+    * set / frontier / scores) meets the cached src-partitioned edge list
+    * in every per-round join of the iterative family (VERDICT r9 #1 —
+    * previously an unconditional `broadcast()`, so a billion-node graph
+    * needed a code edit):
+    *
+    *  - `"true"`  — always broadcast the state side (the entity-graph
+    *    fast path: edges never move OR sort, rounds are map-side joins).
+    *  - `"false"` — never broadcast: the state side EXCHANGES onto the
+    *    edge cache's existing hashpartitioning(src) and the join runs as
+    *    a sort-merge in place — the O(E) side still re-exchanges nothing
+    *    (PlanSpec pins this), only the O(V) side moves, which is the
+    *    scale-safe shape when V itself exceeds executor memory.
+    *  - `"auto"`  — broadcast only while the state plan's ESTIMATED size
+    *    fits `spark.sql.autoBroadcastJoinThreshold` (a driver-side stats
+    *    check on the optimized plan; estimates for derived aggregates are
+    *    conservative — they propagate the child scan size — so auto errs
+    *    toward the shuffle form, never toward an executor OOM).
+    *
+    * Default `"true"`: the trade graph is entity-sized (V ≈ catalog) at
+    * every fixture sf and on any realistic deployment of THIS schema —
+    * ranks for 10⁷ entities are ~100 MB, comfortably broadcastable. The
+    * conf exists so a 10⁹-node graph is a conf flip, not a code edit;
+    * SCALE.md records the measured cost of both forms at sf0.1.
+    */
+  val StateModeKey = "spark.graft.graph.broadcastState"
+
+  /** The state-side wrapper every per-round join goes through — see
+    * [[StateModeKey]]. Partially applied per query: `val st = stateSide(s)`.
+    */
+  private[graft] def stateSide(s: SparkSession)(df: DataFrame): DataFrame =
+    s.conf.get(StateModeKey, "true") match {
+      case "true"  => broadcast(df)
+      case "false" => df
+      case "auto" =>
+        val thresh = s.sessionState.conf.autoBroadcastJoinThreshold
+        val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (thresh > 0 && est <= BigInt(thresh)) broadcast(df) else df
+      case bad => throw new IllegalArgumentException(
+        s"$StateModeKey must be true|false|auto, got '$bad'")
+    }
+
+  /** Current mode string (memo-key component: a memoized label table built
+    * under one mode must not serve a session reconfigured to another —
+    * the plans differ and the spec comparing modes would otherwise read
+    * its own first run back).
+    */
+  private[graft] def stateModeTag(s: SparkSession): String =
+    s.conf.get(StateModeKey, "true")
+
   /** Distinct undirected trade edges: customer c bought from supplier s
     * (via any lineitem) ⇒ edges c→s' and s'→c with s' = s + offset.
     *
@@ -91,12 +141,13 @@ object Graph {
   private val lpaCache = new graft.plans.DfLru(Dedup.MemoCap)
 
   private[graft] def lpaLabels(s: SparkSession, d: String): DataFrame =
-    lpaCache.getOrCompute((s, d), {
+    lpaCache.getOrCompute((s, d + "#st=" + stateModeTag(s)), {
+      val st = stateSide(s) _
       val e = edges(s, d)
       val l0 = e.select(col("src").as("node")).distinct()
         .withColumn("label", col("node"))
       val lab = (1 to 2).foldLeft(l0) { (l, _) =>
-        e.join(broadcast(l), col("src") === col("node"))
+        e.join(st(l), col("src") === col("node"))
           .groupBy(col("dst"), col("label"))
           .agg(count(lit(1)).as("cnt"))
           .groupBy("dst")
@@ -152,6 +203,7 @@ object Graph {
     // Every node appears in the edge list (undirected doubling ⇒ no
     // dangling mass), so rank mass is conserved up to the damping leak.
     "graph_pagerank" -> { (s, d) =>
+      val st = stateSide(s) _
       val e = edges(s, d)
       val nodes = nodeTable(s, d)
       // r0 = 1/N for every node; each round r' = (1-d)/N + d * Σ r/deg
@@ -160,22 +212,24 @@ object Graph {
         .select(col("node"), col("deg"), col("n_nodes"),
           (lit(1.0) / col("n_nodes")).as("rank"))
       val ranked = (1 to Iters).foldLeft(init) { (r, _) =>
-        // ranks are O(V) ≪ O(E): broadcast them against the cached edge
-        // list so the big side never shuffles or sorts — per round the
-        // only exchange left is the (dst, w) partial-sum aggregate
-        // (52.8 → 7.4 s at sf0.1 with the caches + this). Broadcast holds
-        // while the rank table fits an executor (entity graphs); for
-        // billion-node graphs drop the hint and the src-partitioned edge
-        // cache serves the same join shuffle-free on the big side.
-        // rank/deg is per-NODE: fold it into the broadcast side so the
+        // ranks are O(V) ≪ O(E): under the default state mode they
+        // broadcast against the cached edge list so the big side never
+        // shuffles or sorts — per round the only exchange left is the
+        // (dst, w) partial-sum aggregate (52.8 → 7.4 s at sf0.1 with the
+        // caches + this). Past the broadcast ceiling (billion-node
+        // graphs) [[StateModeKey]]=false exchanges the O(V) rank side
+        // onto the edges' existing hashpartitioning(src) instead — the
+        // edges STILL never move (PlanSpec pins it); a conf flip, not a
+        // code edit (VERDICT r9 #1).
+        // rank/deg is per-NODE: fold it into the state side so the
         // division + decimal cast run O(V) times, not once per edge row
         // (1.2M× per round at sf0.1) — the joined side just carries w
-        val contrib = e.join(broadcast(r.select(col("node"),
+        val contrib = e.join(st(r.select(col("node"),
             expr("CAST(round(rank / deg, 14) AS DECIMAL(28,14))").as("w"))),
             col("src") === col("node"))
           .select(col("dst"), col("w"))
         contrib.groupBy("dst").agg(sum(col("w")).cast("double").as("in_sum"))
-          .join(broadcast(nodes), col("dst") === col("node"))
+          .join(st(nodes), col("dst") === col("node"))
           .select(col("node"), col("deg"), col("n_nodes"),
             ((lit(1.0) - lit(Damping)) / col("n_nodes")
               + lit(Damping) * col("in_sum")).as("rank"))
@@ -211,15 +265,16 @@ object Graph {
     // edges never re-shuffle), the scalar (m, 2m) rides a 1-row
     // broadcast, and the term follows the round-9-decimal-sum contract.
     "graph_modularity" -> { (s, d) =>
+      val st = stateSide(s) _
       val e = edges(s, d)
       // the label table feeds BOTH endpoint joins; lpaLabels is memoized
       // + cached (measured 5.0 -> ~2.5 s at sf0.1 when the cache landed,
       // and the memo now also shares the run with graph_label_prop)
       val lab = lpaLabels(s, d)
       val el = e
-        .join(broadcast(lab.select(col("node").as("src"),
+        .join(st(lab.select(col("node").as("src"),
           col("label").as("lsrc"))), "src")
-        .join(broadcast(lab.select(col("node").as("dst"),
+        .join(st(lab.select(col("node").as("dst"),
           col("label").as("ldst"))), "dst")
       // integer div: Spark double->long casts truncate where DuckDB
       // rounds, so keep the halving integral on both sides
@@ -364,11 +419,12 @@ object Graph {
     // at 100 TB each round is a broadcast-filter + partial-agg pass.
     // Output: survivors with their within-core degree after the budget.
     "graph_kcore_peel" -> { (s, d) =>
+      val st = stateSide(s) _
       val e = edges(s, d)
       def coreDeg(a: DataFrame): DataFrame =
-        e.join(broadcast(a.select(col("node").as("asrc"))),
+        e.join(st(a.select(col("node").as("asrc"))),
             col("src") === col("asrc"))
-          .join(broadcast(a.select(col("node").as("adst"))),
+          .join(st(a.select(col("node").as("adst"))),
             col("dst") === col("adst"))
           .groupBy("src").agg(count(lit(1)).as("deg"))
       val init = e.select(col("src").as("node")).distinct()
@@ -402,6 +458,7 @@ object Graph {
     // moves. min-combine makes re-visits harmless, so no visited-set
     // bookkeeping and the plan stays declarative.
     "graph_bfs_layers" -> { (s, d) =>
+      val st = stateSide(s) _
       val e = edges(s, d)
       val seeds = e.select(col("src").as("node")).distinct()
         .filter(col("node") < SuppOffset && col("node") % 100 === 0)
@@ -413,7 +470,7 @@ object Graph {
       // budget violation (15.5 s vs 2.2 s: eviction → lineage recompute).
       val gens = new graft.plans.Generations(s)
       val out = (1 to BfsRounds).foldLeft(seeds) { (lab, _) =>
-        val nb = e.join(broadcast(lab.select(col("node").as("ln"),
+        val nb = e.join(st(lab.select(col("node").as("ln"),
             col("dist"))), col("src") === col("ln"))
           .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
         gens.rotate(
@@ -437,16 +494,20 @@ object Graph {
     // constant, so the whole query is O(hops · frontier). Harmonic (not
     // 1/Σd) so unreached nodes cost nothing instead of ∞.
     "graph_closeness_sampled" -> { (s, d) =>
+      val st = stateSide(s) _
       val e = edges(s, d)
       val seeds = e.select(col("src").as("seed")).distinct()
         .orderBy("seed").limit(8)
-      val d1 = seeds.join(e, col("seed") === col("src"))
+      // the (seed, node) frontier is the O(V·seeds) state side of each
+      // hop join — same conf-gated broadcast/shuffle switch as the other
+      // iterative keys (frontiers outgrow executors on giant graphs too)
+      val d1 = st(seeds).join(e, col("seed") === col("src"))
         .select(col("seed"), col("dst").as("node")).distinct()
-      val d2 = d1.join(e, col("node") === col("src"))
+      val d2 = st(d1).join(e, col("node") === col("src"))
         .select(col("seed"), col("dst").as("node")).distinct()
         .filter(col("node") =!= col("seed"))
         .join(d1, Seq("seed", "node"), "left_anti")
-      val d3 = d2.join(e, col("node") === col("src"))
+      val d3 = st(d2).join(e, col("node") === col("src"))
         .select(col("seed"), col("dst").as("node")).distinct()
         .filter(col("node") =!= col("seed"))
         .join(d1, Seq("seed", "node"), "left_anti")
@@ -474,13 +535,14 @@ object Graph {
     // degrees sum in exact decimal, only the final r runs in IEEE
     // double). Output is a single row at any graph size.
     "graph_degree_assortativity" -> { (s, d) =>
+      val st = stateSide(s) _
       val e = edges(s, d)
       val deg = nodeTable(s, d).select(col("node"), col("deg"))
       val pairs = e
-        .join(broadcast(deg.select(col("node").as("ns"),
+        .join(st(deg.select(col("node").as("ns"),
           col("deg").cast("decimal(19,0)").as("x"))),
           col("src") === col("ns"))
-        .join(broadcast(deg.select(col("node").as("nd"),
+        .join(st(deg.select(col("node").as("nd"),
           col("deg").cast("decimal(19,0)").as("y"))),
           col("dst") === col("nd"))
       pairs
@@ -515,12 +577,13 @@ object Graph {
       // sweep-as-conditional-aggregate shape every multi-threshold audit
       // should take at 100 TB). n_rich(k) reduces the O(V) degree table
       // the same way; the 3 output rows unpack from one explode.
+      val st = stateSide(s) _
       val e = edges(s, d)
       val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       val ks = Seq(4L, 8L, 16L)
       val withDeg = e
-        .join(broadcast(deg.select(col("src"), col("deg").as("ds"))), "src")
-        .join(broadcast(deg.select(col("src").as("dst"),
+        .join(st(deg.select(col("src"), col("deg").as("ds"))), "src")
+        .join(st(deg.select(col("src").as("dst"),
           col("deg").as("dd"))), "dst")
       val mCols = ks.map(k => expr(
         s"count(CASE WHEN ds > $k AND dd > $k THEN 1 END) div 2")
@@ -618,6 +681,7 @@ object Graph {
     // edges round shape as pagerank: only O(V) score rows move per
     // round; top-25 per side ships through the bounded-heap operator.
     "graph_hits" -> { (s, d) =>
+      val st = stateSide(s) _
       // cached: 6 rounds × 2 joins re-read this filtered projection —
       // uncached each re-scans the 1.2M-row undirected cache to keep
       // half of it (measured 6.7 s → ~3 s at sf0.1); CacheManager dedups
@@ -641,11 +705,11 @@ object Graph {
       // checkpoint, before h3 rotates h2 away. 4 eager jobs per query,
       // not 6; lineage depth stays ≤ 2 joins per job.
       def authority(h: DataFrame): DataFrame =
-        ce.join(broadcast(h), col("src") === col("node"))
+        ce.join(st(h), col("src") === col("node"))
           .groupBy("dst").agg(sum(col("score")).as("score"))
           .select(col("dst").as("node"), col("score"))
       def hub(a: DataFrame): DataFrame =
-        ce.join(broadcast(
+        ce.join(st(
             a.select(col("node").as("an"), col("score").as("as_"))),
             col("dst") === col("an"))
           .groupBy("src").agg(sum(col("as_")).as("score"))
@@ -700,11 +764,12 @@ object Graph {
     // re-sum (summation-order trap). One broadcast degree join onto the
     // cached edges, one keyed agg to O(#degrees) rows.
     "graph_avg_neighbor_degree" -> { (s, d) =>
+      val st = stateSide(s) _
       val e = edges(s, d)
       val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      e.join(broadcast(deg.select(col("src"), col("deg").as("deg_src"))),
+      e.join(st(deg.select(col("src"), col("deg").as("deg_src"))),
           "src")
-        .join(broadcast(deg.select(col("src").as("dst"),
+        .join(st(deg.select(col("src").as("dst"),
           col("deg").as("deg_dst"))), "dst")
         .groupBy(col("deg_src").as("degree"))
         .agg(countDistinct(col("src")).as("n_nodes"),

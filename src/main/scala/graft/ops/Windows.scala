@@ -750,10 +750,19 @@ object Windows {
     // RANGE window: each day carries v_d·2^{d/7} so the frame sum needs
     // no per-row re-weighting, and one multiply by 2^{−T/7} restores the
     // decay (the exp trick that turns a decay kernel into a plain
-    // windowed sum). Day indices are month-relative, so the shifted
-    // exponent stays ≤ 2^5 — no overflow, relative error ~1e-15 against
-    // the round(·,6) grid. Daily sums are exact decimals first (money
-    // discipline); the window partitions by type — never global.
+    // windowed sum). Day indices are EPOCH-relative (datediff from
+    // 2024-01-01), so the carried factor 2^{di/7} grows with the corpus
+    // span from that epoch: within one 28-day frame the terms stay
+    // within 2^4 of each other (no cancellation), but the absolute
+    // magnitude is 2^{di/7} — fine for decade-scale horizons (double
+    // overflows only past di/7 > 1023, ~19 years of span), and the
+    // ~1e-15 relative error holds against the round(·,6) grid only while
+    // the magnitudes stay in range. Deployments with longer horizons
+    // rebase di per partition (di − min(di) over event_type) on BOTH
+    // engines before the exp trick — the restore factor shifts by the
+    // same 2^{min/7}, so results are identical in exact arithmetic.
+    // Daily sums are exact decimals first (money discipline); the
+    // window partitions by type — never global.
     "win_time_decay_sum" -> { (s, d) =>
       val wDecay = Window.partitionBy("event_type").orderBy("di")
         .rangeBetween(-27, 0)

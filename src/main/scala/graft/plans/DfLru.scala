@@ -26,7 +26,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class DfLru(maxEntries: Int) {
   require(maxEntries >= 1)
-  DfLru.register(this)
 
   private val m =
     new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
@@ -54,6 +53,11 @@ final class DfLru(maxEntries: Int) {
     */
   @annotation.tailrec
   def getOrCompute(k: (SparkSession, String), f: => DataFrame): DataFrame = {
+    // registration is lazy (first lookup), NOT in the constructor: a
+    // constructor-time register published `this` before the map/inFlight
+    // fields were initialized, so a concurrent clearAll() racing class
+    // init could touch a half-constructed instance (ADVICE r9).
+    DfLru.register(this)
     val fast = m.synchronized {
       m.keySet.removeIf(e => e._1.sparkContext.isStopped)
       Option(m.get(k))
@@ -70,14 +74,29 @@ final class DfLru(maxEntries: Int) {
           catch { case _: java.util.concurrent.CompletionException => () }
           getOrCompute(k, f)
         } else {
-          try {
-            val v = f // OUTSIDE the map lock: may run eager Spark jobs
-            m.synchronized(m.put(k, v))
-            mine.complete(v)
-            v
-          } catch {
-            case t: Throwable => mine.completeExceptionally(t); throw t
-          } finally inFlight.remove(k)
+          // double-checked single-flight (ADVICE r9): a thread that missed
+          // the fast path BEFORE a previous builder finished can win
+          // putIfAbsent AFTER that builder's inFlight.remove — without this
+          // re-check it would rebuild the already-memoized key, and the
+          // overwritten entry's eagerly cache()d blocks would leak until
+          // session stop. On a hit, complete the future with the found
+          // value so late waiters observe it too.
+          val done = m.synchronized(Option(m.get(k)))
+          done match {
+            case Some(v) =>
+              mine.complete(v)
+              inFlight.remove(k)
+              v
+            case None =>
+              try {
+                val v = f // OUTSIDE the map lock: may run eager Spark jobs
+                m.synchronized(m.put(k, v))
+                mine.complete(v)
+                v
+              } catch {
+                case t: Throwable => mine.completeExceptionally(t); throw t
+              } finally inFlight.remove(k)
+          }
         }
     }
   }
@@ -99,7 +118,9 @@ object DfLru {
   private val instances =
     new java.util.concurrent.CopyOnWriteArrayList[DfLru]()
 
-  private def register(c: DfLru): Unit = instances.add(c)
+  // addIfAbsent: called from every getOrCompute (lazy registration), so
+  // repeated calls must stay idempotent
+  private def register(c: DfLru): Unit = instances.addIfAbsent(c)
 
   /** Forget every memo in every cache — the measurement-isolation hook
     * ([[graft.ScaleProbe]]): after `spark.catalog.clearCache()` has

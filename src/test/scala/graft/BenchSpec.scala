@@ -199,12 +199,17 @@ class BenchSpec extends SparkSpec {
       assert(!tripped(moved, name, keys, b),
         s"family $name gate fired on cost movement alone")
       assert(!tripped(fair, name, keys, b))
-      // (b) planted 4x kernel regression, landing on EACH member in turn
-      // (bench reorders move the build; the gate must catch all cases)
+      // (b) planted kernel regression, landing on EACH member in turn
+      // (bench reorders move the build; the gate must catch all cases).
+      // Plant max(3b, 2b + 2*floor) extra seconds: a plain 4x (3b extra)
+      // only trips the 2b+floor gate when b > floor, so a budget regen on
+      // a faster machine could silently shrink a family under the floor
+      // and make the 4x plant pass the gate spuriously (ADVICE r9).
       keys.foreach { victim =>
-        val regressed = fair + (victim -> (share + 3 * b))
+        val extra = math.max(3 * b, 2 * b + 2 * floor)
+        val regressed = fair + (victim -> (share + extra))
         assert(tripped(regressed, name, keys, b),
-          s"family $name missed a 4x kernel regression paid by $victim")
+          s"family $name missed a planted kernel regression paid by $victim")
       }
     }
   }

@@ -327,14 +327,57 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
     // the only nested-loop joins are the 1-row n_nodes broadcasts
     assert(!p.contains("CartesianProduct"), p)
-    // SCALE.md ceiling caveat pin: every round joins the O(V) rank table
-    // BROADCAST against the cached src-partitioned edges — the form that
-    // holds while V fits executor memory (entity graphs). Past that
-    // ceiling the documented swap is dropping the hint (same plan, edge
-    // side still never exchanges); if this assert starts failing because
-    // the hint was removed, update SCALE.md's row in the same change.
+    // DEFAULT state mode (spark.graft.graph.broadcastState unset = true):
+    // every round joins the O(V) rank table BROADCAST against the cached
+    // src-partitioned edges — the entity-graph fast path. The
+    // past-the-ceiling form is now a conf flip (VERDICT r9 #1), pinned by
+    // the broadcastState=false test below.
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("graph rounds under broadcastState=false: the O(V) state side " +
+      "exchanges onto the edge cache's partitioning — the edges move " +
+      "NOWHERE (VERDICT r9 #1, the billion-node conf flip)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val c = spark.conf
+    val keys = Seq(graft.ops.Graph.StateModeKey,
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+    val saved = keys.map(k => k -> c.getOption(k))
+    try {
+      // mode=false drops OUR hint; threshold=-1 models the regime the
+      // flip exists for (a state table whose stats exceed any broadcast
+      // ceiling — at fixture scale Catalyst would otherwise re-broadcast
+      // on its own stats and the shuffle form would never materialize);
+      // AQE off so the pre-execution plan is a concrete walkable tree.
+      c.set(graft.ops.Graph.StateModeKey, "false")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.enabled", "false")
+      val p = SparkEntry.queries("graph_pagerank")(spark, sf)
+        .queryExecution.executedPlan
+      def edgeSideInPlace(side: SparkPlan): Boolean =
+        side.collectFirst { case s: InMemoryTableScanExec => s }.isDefined &&
+          side.collectFirst { case e: ShuffleExchangeExec => e }.isEmpty
+      val smjs = p.collect { case j: SortMergeJoinExec => j }
+      assert(smjs.nonEmpty, p.toString)
+      // the per-round contribution joins serve the cached edge list IN
+      // PLACE from its hashpartitioning(src): one side of the SMJ is the
+      // bare InMemoryTableScan with no exchange anywhere beneath it
+      assert(smjs.exists(j => edgeSideInPlace(j.left)
+          || edgeSideInPlace(j.right)),
+        s"no SMJ serves the edge cache exchange-free:\n$p")
+      // ...and the O(V) rank side is what moves
+      assert(p.collectFirst { case e: ShuffleExchangeExec => e }.isDefined,
+        p.toString)
+      // no state broadcast survives the flip
+      assert(!p.toString.contains("BroadcastHashJoin"), p.toString)
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
   }
 
   test("win_topk_native plans the custom heap operator — no Sort, no Window") {

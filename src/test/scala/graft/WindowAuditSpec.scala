@@ -72,6 +72,16 @@ class WindowAuditSpec extends SparkSpec {
     "tokenizer_bpe_pairs" -> "O(charset^2) char-bigram pair table"
   )
 
+  /** Keys whose PLAN CONSTRUCTION legitimately throws in this spec's
+    * context (they materialize side effects eagerly and can collide with
+    * parallel suites). The audit exemption is restricted to this explicit
+    * list — an unexpected construction failure FAILS the spec instead of
+    * silently exempting the key from the window audit (ADVICE r9: the old
+    * catch-all could let a key grow an unpartitioned window behind a
+    * construction-time exception).
+    */
+  private val constructionExempt: Set[String] = Set.empty
+
   test("every unpartitioned window in a registered query's final plan " +
       "is on the documented-bounded allowlist (SCALE.md / VERDICT r8 #3)") {
     val global = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -80,7 +90,14 @@ class WindowAuditSpec extends SparkSpec {
           try fn(spark, sf).queryExecution.optimizedPlan.collect {
             case w: LWindow if w.partitionSpec.isEmpty => w
           }.nonEmpty
-          catch { case _: Throwable => false } // runtime-only keys
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              assert(constructionExempt.contains(name),
+                s"plan construction for '$name' threw unexpectedly — " +
+                  s"audit cannot run; add to constructionExempt ONLY if " +
+                  s"legitimately runtime-only: $e")
+              false
+          }
         if (hasGlobal) Some(name) else None
     }
     info(s"global-window keys: ${global.mkString(", ")}")
