@@ -10,6 +10,14 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Plan-shape suites (PlanSpec, GraphModeSpec) flip session-global confs
+// (broadcastState, autoBroadcastJoinThreshold, adaptive.enabled) on the
+// shared SparkSession; conf-restore in `finally` does not protect a
+// CONCURRENT suite reading the session mid-window. Forked tests already
+// run sequentially (testForkedParallel defaults false) — pin both
+// explicitly so a future build tweak can't reintroduce the race.
+Test / parallelExecution := false
+Test / testForkedParallel := false
 run / fork := true
 // Pass the forked JVM's stdout through UNPREFIXED: sbt's default logger
 // wraps every forked-process line in "[info] ", which breaks any consumer

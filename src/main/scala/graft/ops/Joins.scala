@@ -99,6 +99,34 @@ object Joins {
             .cast("double").as("revenue"))
         .orderBy("o_orderpriority")),
 
+    // AQE skew-split proof key (VERDICT r10 #2): the planted-skew twin of
+    // join_shuffle. ~30% of lineitem is remapped onto ONE hot orderkey
+    // (the smallest — resolved via a 1-row broadcast so the plan stays
+    // collect-free), so a plain shuffle join lands ~30% of the fact table
+    // on a single reducer. NOTHING here salts or hints: this key is
+    // exactly the fact-fact join a 100 TB pipeline writes naively, and
+    // the runtime fix is AQE's skew-join split (OptimizeSkewedJoin slices
+    // the hot partition into advisory-sized reads). The oracle checks the
+    // result equals the plain remapped join; PlanSpec pins — with the
+    // skew thresholds lowered to fixture scale — that the executed plan
+    // actually fired the split (SMJ(skew=true) + skewed AQEShuffleRead),
+    // closing the "handled by AQE skew-join" claim with plan evidence.
+    "join_skew_aqe" -> { (s, d) =>
+      val ord = t(s, d, "orders")
+      val hot = ord.agg(min(col("o_orderkey")).as("hot_key"))
+      t(s, d, "lineitem")
+        .crossJoin(broadcast(hot))
+        .withColumn("k",
+          when(pmod(col("l_orderkey"), lit(10)) < 3, col("hot_key"))
+            .otherwise(col("l_orderkey")))
+        .join(ord, col("k") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(discPrice(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
     "join_outer" -> ((s, d) =>
       t(s, d, "customer")
         .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
@@ -597,6 +625,15 @@ object Joins {
     "join_shuffle" ->
       s"""SELECT o_orderpriority, count(*) AS cnt, $revenueSql AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the skewed plan must produce exactly the remapped plain join's answer
+    "join_skew_aqe" ->
+      s"""SELECT o_orderpriority, count(*) AS cnt, $revenueSql AS revenue
+         |FROM (SELECT CASE WHEN l_orderkey % 10 < 3
+         |               THEN (SELECT min(o_orderkey) FROM orders)
+         |               ELSE l_orderkey END AS k,
+         |        l_extendedprice, l_discount FROM lineitem) l
+         |JOIN orders ON l.k = o_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "join_bucketed" ->
       s"""SELECT o_orderpriority, count(*) AS cnt, $revenueSql AS revenue

@@ -71,6 +71,20 @@ class GraphModeSpec extends SparkSpec {
     assert(base == auto)
   }
 
+  test("familyKeys covers every stateSide call site (two-way source pin: " +
+      "a new iterative key adopting the conf cannot skip this gate)") {
+    val src = scala.io.Source.fromFile(
+      "/root/repo/src/main/scala/graft/ops/Graph.scala", "UTF-8")
+    val callSites =
+      try src.getLines().count(_.contains("val st = stateSide(s) _"))
+      finally src.close()
+    assert(callSites == familyKeys.size,
+      s"Graph.scala has $callSites `val st = stateSide(s) _` call sites " +
+        s"but GraphModeSpec.familyKeys lists ${familyKeys.size} keys — " +
+        "add the new key to familyKeys (result-equivalence gate) or " +
+        "explain the discrepancy here")
+  }
+
   test("an invalid broadcastState value fails loudly, not silently") {
     withMode(Some("sometimes"), bcastOff = false) {
       intercept[IllegalArgumentException] {

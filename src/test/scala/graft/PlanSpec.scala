@@ -316,6 +316,61 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("join_skew_aqe: the REGISTRY key's executed plan fires the AQE " +
+      "skew split (VERDICT r10 #2 — plan evidence, not faith)") {
+    // the key itself is the naive unhinted fact-fact join with ~30% of
+    // lineitem remapped onto one hot orderkey; the only test-side changes
+    // are fixture-scale thresholds (a cluster's defaults — 256 MB skew
+    // threshold — never trip on a 6k-row fixture) and no-broadcast so a
+    // shuffle join exists to split.
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.shuffle.partitions")
+    val saved = keys.map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "4KB")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      c.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      // 32 map-output partitions: the ~600 cold orderkeys spread thin
+      // (~2 KB each) while the hot key's ~30% of lineitem lands in ONE —
+      // the detection geometry a cluster sees, scaled to fixture bytes
+      c.set("spark.sql.shuffle.partitions", "32")
+      // AQE splits a skewed partition at MAP-OUTPUT granularity; the
+      // single-file fixture yields ONE mapper, making the hot partition
+      // one unsplittable chunk. A cluster reads thousands of splits —
+      // model that with a 16-file twin of the same tables.
+      val dir = "/root/repo/target/tmp/skew_aqe_fixture"
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) {
+        Seq("lineitem", "orders").foreach { tname =>
+          spark.read.parquet(s"$sf/$tname.parquet").repartition(16)
+            .write.mode("overwrite").parquet(s"$dir/$tname.parquet")
+        }
+      }
+      val df = SparkEntry.queries("join_skew_aqe")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p)
+      assert(p.contains("AQEShuffleRead") && p.contains("skewed"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+
   test("events_anomaly broadcasts the per-type stats back onto the scan") {
     val p = plan(SparkEntry.queries("events_anomaly")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
@@ -356,6 +411,15 @@ class PlanSpec extends SparkSpec {
       c.set(graft.ops.Graph.StateModeKey, "false")
       c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       c.set("spark.sql.adaptive.enabled", "false")
+      // Finalize the edge cache BEFORE building the inspected plan: an
+      // earlier test may have REGISTERED the cache via a plan-only
+      // explain under AQE (InMemoryRelation wrapping a non-final
+      // AdaptiveSparkPlan), and an unexecuted adaptive plan reports
+      // UnknownPartitioning — the consumer would then re-exchange the
+      // edge side, a build-order artifact, not an engine property (the
+      // CacheProbe matrix r11: AQE-on consumption reuses the cached
+      // exchange at runtime either way; both pure regimes are in-place).
+      graft.ops.Graph.edges(spark, sf).count()
       val p = SparkEntry.queries("graph_pagerank")(spark, sf)
         .queryExecution.executedPlan
       def edgeSideInPlace(side: SparkPlan): Boolean =
@@ -372,8 +436,15 @@ class PlanSpec extends SparkSpec {
       // ...and the O(V) rank side is what moves
       assert(p.collectFirst { case e: ShuffleExchangeExec => e }.isDefined,
         p.toString)
-      // no state broadcast survives the flip
-      assert(!p.toString.contains("BroadcastHashJoin"), p.toString)
+      // no state broadcast survives the flip. Tree-walk, NOT a string
+      // match: toString prints the memoized edge cache's one-time BUILD
+      // plan embedded in the InMemoryRelation dump (broadcast dim join
+      // under default confs if an earlier test materialized it), which is
+      // not a live per-round join — the operator tree does not descend
+      // into the cached relation, so only a real state broadcast trips it.
+      assert(p.collectFirst {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.isEmpty, p.toString)
     } finally saved.foreach {
       case (k, Some(v)) => c.set(k, v)
       case (k, None) => c.unset(k)
