@@ -369,6 +369,101 @@ object Lakehouse {
         .orderBy("part", "file_id")
     },
 
+    // compaction EXECUTION twin of compact_plan (VERDICT r10 #4): the plan
+    // stops at rewrite groups; this key MATERIALIZES them. Every row is
+    // routed to its planned group through a broadcast of the O(#files)
+    // plan, the rewrite lands exactly ONE physical file per (partition,
+    // group) — repartition by the pair puts each group in one task,
+    // partitionBy splits the dirs — and the table is re-read from disk.
+    // The summary oracle-pins EXECUTION, not intent: files_after counts
+    // the files actually read back (input_file_name) and the oracle
+    // asserts it equals the planned group count, while n_rows/sum_price
+    // pin row equality through the rewrite. At 100 TB this is the
+    // OPTIMIZE job shape: plan from O(#files) stats, then one shuffle
+    // keyed by (part, group) whose parallelism is #groups — the rewrite
+    // never routes data through the driver or a global sort.
+    "compact_apply" -> { (s, d) =>
+      val out = scratch("compact_apply", d)
+      val data = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("part"))
+        .withColumn("file_id", pmod(col("o_orderkey"), lit(20)).cast("long"))
+      val files = data.groupBy("part", "file_id")
+        .agg((count(lit(1)) * 120L).as("bytes"))
+      val w = Window.partitionBy("part").orderBy("file_id")
+      val plan = files.withColumn("cum", sum(col("bytes")).over(w))
+        .select(col("part"), col("file_id"),
+          floor((col("cum") - col("bytes")) / 65536L).as("rewrite_group"))
+      val routed = data.join(broadcast(plan), Seq("part", "file_id"))
+        .select("o_orderkey", "o_totalprice", "file_id", "part",
+          "rewrite_group")
+      routed.repartition(col("part"), col("rewrite_group"))
+        .write.mode("overwrite").partitionBy("part", "rewrite_group")
+        .parquet(out)
+      s.read.schema(routed.schema).parquet(out)
+        // projected BEFORE the agg: Spark (correctly) refuses the
+        // nondeterministic input_file_name() inside an aggregate argument
+        .withColumn("fname", input_file_name())
+        .groupBy("part")
+        .agg(countDistinct(col("file_id")).as("n_files_before"),
+          countDistinct(col("rewrite_group")).as("n_groups_planned"),
+          countDistinct(col("fname")).as("files_after"),
+          count(lit(1)).as("n_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("part")
+    },
+
+    // vacuum EXECUTION twin of vacuum_plan (VERDICT r10 #5): the same
+    // (month, key%20) file layout written as REAL generation dirs, the
+    // copy-on-write rewrite applied (every file containing a %7-updated
+    // key gets a gen=1 successor; its gen=0 ancestor is exactly the
+    // orphan set vacuum_plan prices), then the vacuum EXECUTED: each
+    // superseded gen=0 dir is deleted and the tree re-read naively. The
+    // summary proves the deletion was exact — a surviving orphan double-
+    // counts its file in n_gen0_live AND its rows in n_rows_live/
+    // sum_price; an over-eager delete loses rows. Driver-side work is
+    // the O(#files) changed-file list (the manifest-scale collect
+    // zonemap_skip documents); data rows never touch the driver.
+    "vacuum_apply" -> { (s, d) =>
+      val out = scratch("vacuum_apply", d)
+      val data = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("part"))
+        .withColumn("file_id", pmod(col("o_orderkey"), lit(20)).cast("long"))
+      val gen0 = data.withColumn("gen", lit(0L))
+        .select("o_orderkey", "o_totalprice", "part", "file_id", "gen")
+      gen0.write.mode("overwrite").partitionBy("part", "file_id", "gen")
+        .parquet(out)
+      val changedFiles = data.groupBy("part", "file_id")
+        .agg(max(when(col("o_orderkey") % 7 === 0, 1).otherwise(0))
+          .as("chg"))
+        .filter(col("chg") === 1).select("part", "file_id")
+      val gen1 = data.join(broadcast(changedFiles), Seq("part", "file_id"))
+        .withColumn("gen", lit(1L))
+        .select("o_orderkey", "o_totalprice", "part", "file_id", "gen")
+      gen1.write.mode("append").partitionBy("part", "file_id", "gen")
+        .parquet(out)
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      changedFiles.collect().foreach { r =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$out/part=${r.getString(0)}/file_id=${r.getLong(1)}/gen=0"),
+          true)
+      }
+      s.read.schema(gen0.schema).parquet(out)
+        .groupBy("part")
+        .agg(countDistinct(col("file_id")).as("n_files"),
+          countDistinct(when(col("gen") === 1, col("file_id")))
+            .as("n_rewritten"),
+          countDistinct(when(col("gen") === 0, col("file_id")))
+            .as("n_gen0_live"),
+          count(lit(1)).as("n_rows_live"),
+          sum(when(col("o_orderkey") % 7 === 0, 1L).otherwise(0L))
+            .as("n_updated_rows"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("part")
+    },
+
     // file-level Bloom index for POINT lookups (the companion to
     // zonemap_skip's range pruning — Parquet bloom filters / Delta bloom
     // indexes do exactly this): per file, a 63-bit two-hash Bloom mask
@@ -892,6 +987,57 @@ object Lakehouse {
         |  bytes AS reclaim_bytes, n_changed
         |FROM f WHERE n_changed > 0
         |ORDER BY part, file_id""".stripMargin,
+    // execution twin: files_after is the oracle's own planned group count
+    // — the Spark side reports the PHYSICAL file count read back, so a
+    // rewrite that splits or merges differently than planned hash-fails
+    "compact_apply" ->
+      s"""WITH f AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS part,
+         |    o_orderkey % 20 AS file_id, count(*) * 120 AS bytes
+         |  FROM orders GROUP BY 1, 2),
+         |pl AS (
+         |  SELECT part, file_id,
+         |    CAST(floor((sum(bytes) OVER (PARTITION BY part
+         |      ORDER BY file_id) - bytes) / 65536) AS BIGINT)
+         |      AS rewrite_group
+         |  FROM f),
+         |su AS (
+         |  SELECT part, count(DISTINCT file_id) AS n_files_before,
+         |    count(DISTINCT rewrite_group) AS n_groups_planned
+         |  FROM pl GROUP BY part),
+         |dt AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS part,
+         |    count(*) AS n_rows,
+         |    ${sql.moneySum("o_totalprice")} AS sum_price
+         |  FROM orders GROUP BY 1)
+         |SELECT su.part, n_files_before, n_groups_planned,
+         |  n_groups_planned AS files_after, n_rows, sum_price
+         |FROM su JOIN dt ON su.part = dt.part
+         |ORDER BY su.part""".stripMargin,
+    // execution twin: a surviving orphan would double-count rewritten
+    // files in n_gen0_live and their rows in n_rows_live/sum_price
+    "vacuum_apply" ->
+      s"""WITH f AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS part,
+         |    o_orderkey % 20 AS file_id,
+         |    max(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS chg
+         |  FROM orders GROUP BY 1, 2),
+         |fp AS (
+         |  SELECT part, count(*) AS n_files,
+         |    CAST(sum(chg) AS BIGINT) AS n_rewritten
+         |  FROM f GROUP BY part),
+         |dt AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS part,
+         |    count(*) AS n_rows_live,
+         |    CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_updated_rows,
+         |    ${sql.moneySum("o_totalprice")} AS sum_price
+         |  FROM orders GROUP BY 1)
+         |SELECT fp.part, n_files, n_rewritten,
+         |  n_files - n_rewritten AS n_gen0_live,
+         |  n_rows_live, n_updated_rows, sum_price
+         |FROM fp JOIN dt ON fp.part = dt.part
+         |ORDER BY fp.part""".stripMargin,
     // same positional semantics: the delete vector addresses (file, pos)
     // from the same rank assignment, applied via NOT EXISTS
     "delete_vector_apply" ->

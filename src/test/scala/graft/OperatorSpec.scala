@@ -2738,6 +2738,37 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("compact_apply executes the plan: physical files == planned groups," +
+      " rows conserved, file count strictly reduced") {
+    val rows = SparkEntry.queries("compact_apply")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("files_after") == r.getAs[Long]("n_groups_planned"),
+        r.toString)
+    }
+    val before = rows.map(_.getAs[Long]("n_files_before")).sum
+    val after = rows.map(_.getAs[Long]("files_after")).sum
+    assert(after < before, s"compaction did not reduce files: $before -> $after")
+    val nOrders = graft.ops.Tables.t(spark, sf, "orders").count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == nOrders)
+  }
+
+  test("vacuum_apply deletes exactly the superseded generation: live " +
+      "snapshot equals the table, survivors are the unchanged files only") {
+    val rows = SparkEntry.queries("vacuum_apply")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_gen0_live") ==
+        r.getAs[Long]("n_files") - r.getAs[Long]("n_rewritten"), r.toString)
+    }
+    // non-vacuous on both sides at sf0.001: some files were vacuumed,
+    // some survived in their original generation
+    assert(rows.map(_.getAs[Long]("n_rewritten")).sum > 0)
+    assert(rows.map(_.getAs[Long]("n_gen0_live")).sum > 0)
+    val nOrders = graft.ops.Tables.t(spark, sf, "orders").count()
+    assert(rows.map(_.getAs[Long]("n_rows_live")).sum == nOrders)
+  }
+
   test("price_elasticity fits one bounded log-log slope per brand") {
     val rows = SparkEntry.queries("price_elasticity")(spark, sf)
       .collect()
