@@ -117,15 +117,49 @@ object Similarity {
     * [[knnEdges]], and the `sim_ivf_cell_skew` balance audit so the
     * graded, production, and audit paths cannot drift.
     */
-  private def ivfAssign(s: SparkSession, d: String): DataFrame = {
+  private def ivfAssign(s: SparkSession, d: String): DataFrame =
+    assignTo(s, d, ivfCentroids(s, d))
+
+  /** Nearest-centroid assignment against an arbitrary O(K) codebook
+    * `(c_id, cv)` — one broadcast pass, rounded-cosine + c_id tiebreak.
+    * Shared by [[ivfAssign]] (seed codebook) and the learned-codebook
+    * sweep leg so the two assignment semantics cannot drift.
+    */
+  private def assignTo(s: SparkSession, d: String,
+      cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("c_id"))
-    vectors(s, d).crossJoin(ivfCentroids(s, d))
+    vectors(s, d).crossJoin(broadcast(cents))
       .withColumn("ccos", expr("round(cosine_sim(v, cv), 6)"))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
   }
+
+  /** One Lloyd refinement of the 16 seed coarse centroids over the full
+    * corpus — the LEARNED IVF codebook (VERDICT r10 #6), wired next to
+    * the seed-slice one so `sim_ivf_nprobe_sweep` reports both recall
+    * curves side by side. Same exact-decimal dimension means as
+    * `kmeans_lloyd` (lossless round(·,6) casts, associative decimal
+    * sums, one IEEE division at the end), so both engines rebuild
+    * bit-identical centroid arrays. Every seed is its own nearest
+    * centroid, so no cluster ever empties. Scale shape: one broadcast
+    * assign + one (cluster, dim) sufficient-stat shuffle — K·dims rows
+    * move, vectors never do; the O(K) result is cached (plan-equality
+    * shared) because each sweep point re-reads it for probe AND assign.
+    */
+  private def learnedCentroids(s: SparkSession, d: String): DataFrame =
+    ivfAssign(s, d)
+      .select(col("cluster"), posexplode(expr(
+        "transform(v, x -> CAST(round(x, 6) AS DECIMAL(12,6)))"))
+        .as(Seq("pos", "x")))
+      .groupBy("cluster", "pos")
+      .agg((sum(col("x")).cast("double") / count(lit(1))).as("m"))
+      .groupBy("cluster")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+        "p -> p.m)").as("cv"))
+      .select(col("cluster").as("c_id"), col("cv"))
+      .cache()
 
   /** Product-quantization best-code table `(vec_id, sub, code, d2)`: each
     * vector split into 8 8-dim subvectors, each assigned to the nearest
@@ -222,10 +256,15 @@ object Similarity {
     * with rnk <= TopK, unordered.
     */
   private def ivfTopK(s: SparkSession, d: String,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4, centOverride: Option[DataFrame] = None): DataFrame = {
     val e = vectors(s, d)
-    val cent = ivfCentroids(s, d)
-    val assign = ivfAssign(s, d)
+    // probe and assignment MUST share one codebook: seed slices by
+    // default, or the learned Lloyd codebook for the sweep's second leg
+    val cent = centOverride.map(broadcast).getOrElse(ivfCentroids(s, d))
+    val assign = centOverride match {
+      case None => ivfAssign(s, d)
+      case Some(c) => assignTo(s, d, c)
+    }
     // queries probe their nprobe nearest centroids
     val q = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -1296,18 +1335,26 @@ object Similarity {
       val exact = graft.plans.TopKPerKey.topK(scored, Seq(col("q_id")),
           Seq(col("cos").desc, col("n_id")), TopK)
         .select("q_id", "n_id").cache()
-      val hits = Seq(1, 2, 4).map { np =>
-        exact.join(ivfTopK(s, d, np).select("q_id", "n_id"),
-            Seq("q_id", "n_id"))
-          .agg(count(lit(1)).as("n_hits"))
-          .select(lit(np).as("nprobe"), col("n_hits"))
-      }.reduce(_ unionAll _)
+      // two codebooks side by side (VERDICT r10 #6): the deterministic
+      // seed slices vs the one-Lloyd-iteration LEARNED codebook — the
+      // table an index owner reads to decide whether training the coarse
+      // quantizer buys recall at a given nprobe budget
+      val learned = learnedCentroids(s, d)
+      val hits = (for {
+        (cbName, cb) <- Seq(("seed", None), ("learned", Some(learned)))
+        np <- Seq(1, 2, 4)
+      } yield exact.join(ivfTopK(s, d, np, cb).select("q_id", "n_id"),
+          Seq("q_id", "n_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(cbName).as("codebook"), lit(np).as("nprobe"),
+          col("n_hits"))).reduce(_ unionAll _)
       val tot = exact.agg(count(lit(1)).as("n_exact"))
       hits.crossJoin(broadcast(tot))
-        .select(col("nprobe"), col("n_hits"), col("n_exact"),
+        .select(col("codebook"), col("nprobe"), col("n_hits"),
+          col("n_exact"),
           round(col("n_hits").cast("double") / col("n_exact"), 6)
             .as("recall"))
-        .orderBy("nprobe")
+        .orderBy("codebook", "nprobe")
     },
 
     // hard-negative triplet mining over the labeled embedding table —
@@ -2389,29 +2436,41 @@ object Similarity {
          |FROM hits CROSS JOIN nx CROSS JOIN h1 CROSS JOIN h2"""
         .stripMargin,
 
-    // shared assign/exact CTEs + one probes/rank/hit chain per nprobe
+    // shared assign/exact CTEs + one probes/rank/hit chain per
+    // (codebook, nprobe) point; the learned leg rebuilds the one-Lloyd-
+    // iteration codebook with the same exact-decimal dimension means as
+    // the kmeans_lloyd oracle, then probes/assigns against it
     "sim_ivf_nprobe_sweep" -> {
-      val per = Seq(1, 2, 4).map { np =>
-        s"""probes$np AS (
+      val per = (for {
+        (tag, centName, assignName) <-
+          Seq(("S", "cent", "assign"), ("L", "centL", "assignL"))
+        np <- Seq(1, 2, 4)
+      } yield {
+        val cb = if (tag == "S") "seed" else "learned"
+        s"""probes$tag$np AS (
            |  SELECT q_id, qv, c_id FROM (
-           |    SELECT q.q_id, q.qv, cent.c_id,
+           |    SELECT q.q_id, q.qv, $centName.c_id,
            |      row_number() OVER (PARTITION BY q.q_id
-           |        ORDER BY ${duckCos("q.qv", "cent.cv")} DESC,
-           |          cent.c_id) AS prn
-           |    FROM q CROSS JOIN cent) WHERE prn <= $np),
-           |r$np AS (
+           |        ORDER BY ${duckCos("q.qv", s"$centName.cv")} DESC,
+           |          $centName.c_id) AS prn
+           |    FROM q CROSS JOIN $centName) WHERE prn <= $np),
+           |r$tag$np AS (
            |  SELECT q_id, a.vec_id AS n_id,
            |    row_number() OVER (PARTITION BY q_id
            |      ORDER BY ${duckCos("p.qv", "a.v")} DESC, a.vec_id)
            |      AS rnk
-           |  FROM probes$np p JOIN assign a ON p.c_id = a.cluster
+           |  FROM probes$tag$np p JOIN $assignName a ON p.c_id = a.cluster
            |  WHERE a.vec_id <> p.q_id),
-           |h$np AS (
-           |  SELECT CAST($np AS INTEGER) AS nprobe, count(*) AS n_hits
-           |  FROM x JOIN (SELECT q_id, n_id FROM r$np
+           |h$tag$np AS (
+           |  SELECT '$cb' AS codebook, CAST($np AS INTEGER) AS nprobe,
+           |    count(*) AS n_hits
+           |  FROM x JOIN (SELECT q_id, n_id FROM r$tag$np
            |      WHERE rnk <= $TopK) ann
            |    ON ann.q_id = x.q_id AND ann.n_id = x.n_id)""".stripMargin
-      }.mkString(",\n")
+      }).mkString(",\n")
+      val unions = (for {
+        tag <- Seq("S", "L"); np <- Seq(1, 2, 4)
+      } yield s"SELECT * FROM h$tag$np").mkString("\n       UNION ALL ")
       s"""WITH e AS ($duckVectors),
          |cent AS (SELECT vec_id AS c_id, v AS cv FROM e
          |  WHERE vec_id < 16),
@@ -2422,6 +2481,23 @@ object Similarity {
          |        ORDER BY ${duckCos("e.v", "cent.cv")} DESC, cent.c_id)
          |        AS arn
          |    FROM e CROSS JOIN cent) WHERE arn = 1),
+         |dims AS (
+         |  SELECT cluster, unnest(generate_series(1, len(v))) AS pos, v
+         |  FROM assign),
+         |mm AS (
+         |  SELECT cluster, pos,
+         |    CAST(sum(CAST(round(v[pos], 6) AS DECIMAL(12,6))) AS DOUBLE)
+         |      / count(*) AS m
+         |  FROM dims GROUP BY 1, 2),
+         |centL AS (SELECT cluster AS c_id, list(m ORDER BY pos) AS cv
+         |          FROM mm GROUP BY 1),
+         |assignL AS (
+         |  SELECT vec_id, v, c_id AS cluster FROM (
+         |    SELECT e.vec_id, e.v, centL.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.v", "centL.cv")} DESC, centL.c_id)
+         |        AS arn
+         |    FROM e CROSS JOIN centL) WHERE arn = 1),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e
          |      WHERE vec_id >= 10 AND vec_id < 20),
          |x AS (
@@ -2433,13 +2509,12 @@ object Similarity {
          |    FROM q CROSS JOIN e b WHERE b.vec_id <> q.q_id)
          |  WHERE xrn <= $TopK),
          |$per,
-         |hh AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2
-         |       UNION ALL SELECT * FROM h4),
+         |hh AS ($unions),
          |nx AS (SELECT count(*) AS n_exact FROM x)
-         |SELECT nprobe, CAST(n_hits AS BIGINT) AS n_hits,
+         |SELECT codebook, nprobe, CAST(n_hits AS BIGINT) AS n_hits,
          |  CAST(n_exact AS BIGINT) AS n_exact,
          |  round(CAST(n_hits AS DOUBLE) / n_exact, 6) AS recall
-         |FROM hh CROSS JOIN nx ORDER BY nprobe""".stripMargin
+         |FROM hh CROSS JOIN nx ORDER BY codebook, nprobe""".stripMargin
     },
 
     "embedding_triplet_mining" ->

@@ -2738,6 +2738,34 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("sim_ivf_nprobe_sweep reports both codebooks, recall monotone in " +
+      "nprobe, learned tracks seed (VERDICT r10 #6)") {
+    val rows = SparkEntry.queries("sim_ivf_nprobe_sweep")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("codebook"), r.getAs[Int]("nprobe"),
+        r.getAs[Double]("recall")))
+    assert(rows.length == 6, rows.mkString(","))
+    assert(rows.map(_._1).toSet == Set("seed", "learned"))
+    Seq("seed", "learned").foreach { cb =>
+      val curve = rows.filter(_._1 == cb).sortBy(_._2).map(_._3)
+      assert(curve.length == 3)
+      assert(curve.zip(curve.tail).forall { case (a, b) => b >= a },
+        s"$cb recall not monotone in nprobe: ${curve.mkString(",")}")
+      assert(curve.head > 0.0 && curve.last <= 1.0)
+    }
+    // measured finding, not a hope: one Lloyd iteration over this corpus
+    // moves recall by at most a few hits either way (sf0.001: learned
+    // 0.68/0.72/0.76 vs seed 0.66/0.72/0.76; sf0.01: learned a touch
+    // BELOW seed). Pin that the legs track within 0.15 so a broken
+    // learned codebook (empty cells, wrong assignment) fails loudly
+    // without pretending training must always win.
+    Seq(1, 2, 4).foreach { np =>
+      val s0 = rows.find(r => r._1 == "seed" && r._2 == np).get._3
+      val l0 = rows.find(r => r._1 == "learned" && r._2 == np).get._3
+      assert(math.abs(s0 - l0) <= 0.15, s"nprobe=$np seed=$s0 learned=$l0")
+    }
+  }
+
   test("compact_apply executes the plan: physical files == planned groups," +
       " rows conserved, file count strictly reduced") {
     val rows = SparkEntry.queries("compact_apply")(spark, sf).collect()
