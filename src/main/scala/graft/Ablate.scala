@@ -74,6 +74,34 @@ object Ablate {
     }
     require(nativeN == windowN, s"topk ablation mismatch: $nativeN vs $windowN")
 
+    // fourth ablation: the iterative-graph state-join mode
+    // (spark.graft.graph.broadcastState, VERDICT r9 #1): per-round O(V)
+    // state BROADCAST against the cached src-partitioned edges (the
+    // entity-graph default) vs the state side EXCHANGED onto the edge
+    // cache's partitioning (the billion-node flip; auto-broadcast off so
+    // Catalyst cannot re-broadcast on fixture-scale stats). Same session,
+    // same edge cache; both modes run once untimed first (JIT + cache).
+    val stateKey = graft.ops.Graph.StateModeKey
+    val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    def pagerank(): Long =
+      SparkEntry.queries("graph_pagerank")(spark, sfDir).count()
+    def withMode[A](mode: String)(f: => A): A = {
+      val saved = Seq(stateKey, bcastKey).map(k =>
+        k -> spark.conf.getOption(k))
+      try {
+        spark.conf.set(stateKey, mode)
+        if (mode == "false") spark.conf.set(bcastKey, "-1")
+        f
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    withMode("true")(pagerank()); withMode("false")(pagerank())
+    val (bSec, bN) = time(withMode("true")(pagerank()))
+    val (sSec, sN) = time(withMode("false")(pagerank()))
+    require(bN == sN, s"state-mode ablation mismatch: $bN vs $sN")
+
     spark.stop()
     // Locale.ROOT: locale-dependent formatting could emit ',' decimals
     def num(v: Double): String =
@@ -81,5 +109,6 @@ object Ablate {
     println(s"""{"metric":"lsh_vs_brute","lsh_sec":${num(lshSec)},"brute_sec":${num(bruteSec)},"speedup":${num(bruteSec / lshSec)},"lsh_pairs":$lshPairs,"brute_pairs":$brutePairs,"sf":"$sfDir"}""")
     println(s"""{"metric":"intersect_size_fusion","fused_sec":${num(fusedSec)},"unfused_sec":${num(unfusedSec)},"speedup":${num(unfusedSec / fusedSec)},"rows":$fusedN,"sf":"$sfDir"}""")
     println(s"""{"metric":"topk_native_vs_window","native_sec":${num(nativeSec)},"window_sec":${num(windowSec)},"speedup":${num(windowSec / nativeSec)},"rows":$nativeN,"sf":"$sfDir"}""")
+    println(s"""{"metric":"graph_state_mode","broadcast_sec":${num(bSec)},"shuffle_sec":${num(sSec)},"shuffle_over_broadcast":${num(sSec / bSec)},"rows":$bN,"sf":"$sfDir"}""")
   }
 }
