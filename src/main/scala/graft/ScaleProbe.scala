@@ -37,12 +37,39 @@ import org.apache.spark.sql.functions._
   * Results land in SCALE.md's "measured slopes" table.
   */
 object ScaleProbe {
-  val Keys = Seq("agg_countmin", "corpus_dedup_survivorship",
-    "basket_rules", "graph_hits", "graph_pagerank")
+  /** Every family ≥ ~2 s at sf0.1 (VERDICT r10 #7), one representative
+    * per memo family where several keys share a kernel. Deliberately
+    * EXCLUDED: `embedding_hubness`/`embedding_knn_graph` — the all-
+    * vectors kNN build over a FIXED 16-cell codebook is N²/K by design;
+    * a real deployment grows K with N (cell size constant), which the
+    * probe cannot model without changing the query. The bounded-query
+    * ANN paths (`sim_ivf_nprobe_sweep`) and the banded/linear embedding
+    * kernels ARE measured.
+    */
+  val Keys = Seq(
+    // corpus/text + dedup pair-kernel families (documents replicated,
+    // tokens replica-salted)
+    "agg_countmin", "corpus_dedup_survivorship", "dedup_method_overlap",
+    "dedup_lsh_audit", "dedup_threshold_sweep", "dedup_containment",
+    "dedup_ngram_jaccard", "contamination_source_matrix",
+    // trade-graph iterative rounds (keys shifted -> 10 disjoint graphs)
+    "graph_hits", "graph_pagerank", "graph_label_prop",
+    "graph_bfs_layers", "graph_kcore_peel", "graph_avg_neighbor_degree",
+    // relational/lakehouse over replicated orders/lineitem
+    "basket_rules", "q7_nation_volume", "q21_waiting_supplier",
+    "supplier_cr4", "convert_parquet_csv", "lakehouse_clustering_depth",
+    "stream_cdc_apply",
+    // events-based state machines (users/event ids shifted)
+    "events_markov_stationary",
+    // embedding kernels with linear shapes (vectors replicated with a
+    // per-replica dimension rotation -> decorrelated replicas)
+    "sim_ivf_nprobe_sweep", "embedding_sign_lsh", "embedding_pca_power",
+    "embedding_pq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val replicas = args.lift(1).map(_.toInt).getOrElse(10)
+    val keys = if (args.length > 2) args.drop(2).toSeq else Keys
     val scaleDir = "/root/repo/target/scale_sf1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus.toInt, appName = "graft-scale-probe")
@@ -69,11 +96,11 @@ object ScaleProbe {
     }
     // codegen/JIT warm-up at sf0.01 so the sf0.1 timings don't eat it
     val warmDir = sfDir.replace("sf0.1", "sf0.01")
-    Keys.foreach { k =>
+    keys.foreach { k =>
       SparkEntry.queries(k)(spark, warmDir).write
         .format("noop").mode("overwrite").save()
     }
-    val rows = Keys.map { k =>
+    val rows = keys.map { k =>
       val small = time {
         SparkEntry.queries(k)(spark, sfDir).write
           .format("noop").mode("overwrite").save()
@@ -91,6 +118,12 @@ object ScaleProbe {
       s""""$k":{"sf01_sec":${num(s)},"x10_sec":${num(b)},"ratio":${num(r)}}"""
     }.mkString(",")
     println(s"""{"metric":"scale_slope","replicas":$replicas,$body}""")
+    // the slope GATE (VERDICT r10 #7): a ratio above 1.5x linear in the
+    // replica count flags a hidden super-linear term — exit nonzero so
+    // the probe can run as a scripted check, not just a report
+    val bad = rows.filter(_._4 > 1.5 * replicas)
+    require(bad.isEmpty,
+      s"super-linear slope(s): ${bad.map(r => s"${r._1}=${r._4}").mkString(", ")}")
   }
 
   /** Write the replicated dataset; skipped if already present with the
@@ -98,7 +131,8 @@ object ScaleProbe {
     */
   def synthesize(s: SparkSession, sfDir: String, outDir: String,
       replicas: Int): Unit = {
-    val marker = new java.io.File(s"$outDir/.replicas_$replicas")
+    // v2: events + embeddings joined the replicated set (r11)
+    val marker = new java.io.File(s"$outDir/.replicas_v2_$replicas")
     if (marker.exists()) return
     val out = new org.apache.hadoop.fs.Path(outDir)
     val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -137,8 +171,32 @@ object ScaleProbe {
         col("l_discount"), col("l_tax"), col("l_returnflag"),
         col("l_linestatus"), col("l_shipdate"))
     }
-    Seq("customer", "supplier", "part", "nation", "region", "events",
-      "embeddings").foreach(copy)
+    // events: ids/users shifted, calendar unchanged — the same windows
+    // serve 10× concurrent users, the load shape a 10× product has
+    val EV = 100000000L; val U = 1000000L
+    rep("events") { (df, i) =>
+      df.select((col("event_id") + lit(i * EV)).as("event_id"), col("ts"),
+        (col("user_id") + lit(i * U)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    // embeddings: ids shifted + dims CYCLICALLY ROTATED per replica —
+    // rotation preserves each replica's internal neighbor structure
+    // (norms/dots invariant) while decorrelating replicas, so ANN
+    // candidate sets grow linearly instead of every vector gaining 9
+    // exact duplicates (which would measure a semantic change, the same
+    // reason documents are token-salted). Queries/centroids stay the
+    // replica-0 ids: fixed query count over a 10× corpus.
+    val VK = 1000000L
+    rep("embeddings") { (df, i) =>
+      val shift = (i * 7) % 64
+      val rot =
+        if (shift == 0) col("embedding")
+        else concat(slice(col("embedding"), shift + 1, 64 - shift),
+          slice(col("embedding"), 1, shift))
+      df.select((col("vec_id") + lit(i * VK)).as("vec_id"),
+        rot.as("embedding"), col("label"))
+    }
+    Seq("customer", "supplier", "part", "nation", "region").foreach(copy)
     marker.getParentFile.mkdirs()
     marker.createNewFile()
     ()
