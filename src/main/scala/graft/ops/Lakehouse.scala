@@ -397,7 +397,13 @@ object Lakehouse {
       val routed = data.join(broadcast(plan), Seq("part", "file_id"))
         .select("o_orderkey", "o_totalprice", "file_id", "part",
           "rewrite_group")
-      routed.repartition(col("part"), col("rewrite_group"))
+      // EXPLICIT partition count: repartition(cols) is REPARTITION_BY_COL,
+      // which AQE coalesces to ~1 task at fixture bytes — that one task
+      // then opens every group's parquet writer SERIALLY (~16 ms each;
+      // measured 6.3 s). A pinned count keeps the rewrite as parallel as
+      // the cluster, still one task (= one file) per (part, group).
+      routed.repartition(s.sparkContext.defaultParallelism,
+          col("part"), col("rewrite_group"))
         .write.mode("overwrite").partitionBy("part", "rewrite_group")
         .parquet(out)
       s.read.schema(routed.schema).parquet(out)
@@ -426,13 +432,28 @@ object Lakehouse {
     // zonemap_skip documents); data rows never touch the driver.
     "vacuum_apply" -> { (s, d) =>
       val out = scratch("vacuum_apply", d)
+      // %5 file granularity (vs the planner's %20): this twin pays REAL
+      // per-file costs, and this container's Hadoop local FS forks a
+      // shell per file op (no native libhadoop — measured 111k forks /
+      // 16 CPU-min of sys time at %20's 1600 dirs). The deletion
+      // semantics proven are granularity-independent; a cluster with
+      // native IO + store committers runs the %20 layout unchanged.
       val data = t(s, d, "orders")
         .select(col("o_orderkey"), col("o_totalprice"),
           date_format(col("o_orderdate"), "yyyy-MM").as("part"))
-        .withColumn("file_id", pmod(col("o_orderkey"), lit(20)).cast("long"))
+        .withColumn("file_id", pmod(col("o_orderkey"), lit(5)).cast("long"))
       val gen0 = data.withColumn("gen", lit(0L))
         .select("o_orderkey", "o_totalprice", "part", "file_id", "gen")
-      gen0.write.mode("overwrite").partitionBy("part", "file_id", "gen")
+      // repartition on the dir keys with an EXPLICIT count: each
+      // (part, file_id) lands in ONE task -> ONE file per generation dir
+      // (the premise of the layout). Unpartitioned, every task writes a
+      // sliver into every dir (measured 63 s at sf0.1 — 32 tasks × 1600
+      // dirs ≈ 50k tiny files); repartition(cols) alone is
+      // REPARTITION_BY_COL, which AQE coalesces to ~1 task at fixture
+      // bytes, serializing 1600 parquet-writer open/closes (~26 s).
+      gen0.repartition(s.sparkContext.defaultParallelism,
+          col("part"), col("file_id"))
+        .write.mode("overwrite").partitionBy("part", "file_id", "gen")
         .parquet(out)
       val changedFiles = data.groupBy("part", "file_id")
         .agg(max(when(col("o_orderkey") % 7 === 0, 1).otherwise(0))
@@ -441,15 +462,29 @@ object Lakehouse {
       val gen1 = data.join(broadcast(changedFiles), Seq("part", "file_id"))
         .withColumn("gen", lit(1L))
         .select("o_orderkey", "o_totalprice", "part", "file_id", "gen")
-      gen1.write.mode("append").partitionBy("part", "file_id", "gen")
+      gen1.repartition(s.sparkContext.defaultParallelism,
+          col("part"), col("file_id"))
+        .write.mode("append").partitionBy("part", "file_id", "gen")
         .parquet(out)
       val fs = new org.apache.hadoop.fs.Path(out)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      changedFiles.collect().foreach { r =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$out/part=${r.getString(0)}/file_id=${r.getLong(1)}/gen=0"),
-          true)
-      }
+      // parallel orphan deletion: the O(#files) manifest collects to the
+      // driver (zonemap_skip's documented shape), but the per-dir
+      // deletes are independent IO — serial, 1600 dirs cost seconds;
+      // a real lakehouse vacuums with a bulk-delete API the same way
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      try {
+        changedFiles.collect().map { r =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              fs.delete(new org.apache.hadoop.fs.Path(
+                s"$out/part=${r.getString(0)}/file_id=${r.getLong(1)}" +
+                  "/gen=0"), true)
+              ()
+            }
+          })
+        }.foreach(_.get())
+      } finally pool.shutdown()
       s.read.schema(gen0.schema).parquet(out)
         .groupBy("part")
         .agg(countDistinct(col("file_id")).as("n_files"),
@@ -1019,7 +1054,7 @@ object Lakehouse {
     "vacuum_apply" ->
       s"""WITH f AS (
          |  SELECT strftime(o_orderdate, '%Y-%m') AS part,
-         |    o_orderkey % 20 AS file_id,
+         |    o_orderkey % 5 AS file_id,
          |    max(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS chg
          |  FROM orders GROUP BY 1, 2),
          |fp AS (
