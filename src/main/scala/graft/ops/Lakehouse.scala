@@ -499,6 +499,42 @@ object Lakehouse {
         .orderBy("part")
     },
 
+    // z-order EXECUTION twin of zorder_cluster (completes the apply trio
+    // next to compact_apply/vacuum_apply): rows land in their z-file by
+    // VALUE (zval high nibble -> 16 files — a range split a sorted
+    // writer produces, no global sort/row_number), the layout is written
+    // for real, and the table is re-read from disk with
+    // input_file_name() proving one physical file per planned z-file.
+    // The per-file report is the zone-map a scan planner would read off
+    // the rewritten table: both dimensions' min/max plus the normalized
+    // bounding-box area (z-order's whole point — tight boxes in BOTH
+    // ck and dy; lakehouse_clustering_depth grades the same layout at
+    // the metadata level, this key proves the physical rewrite delivers
+    // it). Same explicit repartition-count discipline as compact_apply:
+    // hash on the file key keeps each dir single-writer without letting
+    // AQE collapse the rewrite to one serial task.
+    "zorder_apply" -> { (s, d) =>
+      val out = scratch("zorder_apply", d)
+      val z = zInputs(s, d).withColumn("zval", expr(mortonSpark))
+        .withColumn("zfile", shiftright(col("zval"), 28).cast("long"))
+        .select("o_orderkey", "ck", "dy", "zval", "zfile")
+      z.repartition(s.sparkContext.defaultParallelism, col("zfile"))
+        .write.mode("overwrite").partitionBy("zfile").parquet(out)
+      s.read.schema(z.schema).parquet(out)
+        .withColumn("fname", input_file_name())
+        .groupBy("zfile")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("fname")).as("n_physical_files"),
+          min(col("ck")).as("ck_lo"), max(col("ck")).as("ck_hi"),
+          min(col("dy")).as("dy_lo"), max(col("dy")).as("dy_hi"))
+        .select(col("zfile"), col("n_rows"), col("n_physical_files"),
+          col("ck_lo"), col("ck_hi"), col("dy_lo"), col("dy_hi"),
+          round(((col("ck_hi") - col("ck_lo") + 1L)
+              * (col("dy_hi") - col("dy_lo") + 1L)).cast("double")
+            / (65536d * 65536d), 6).as("zone_area_share"))
+        .orderBy("zfile")
+    },
+
     // file-level Bloom index for POINT lookups (the companion to
     // zonemap_skip's range pruning — Parquet bloom filters / Delta bloom
     // indexes do exactly this): per file, a 63-bit two-hash Bloom mask
@@ -1073,6 +1109,35 @@ object Lakehouse {
          |  n_rows_live, n_updated_rows, sum_price
          |FROM fp JOIN dt ON fp.part = dt.part
          |ORDER BY fp.part""".stripMargin,
+    // execution twin: n_physical_files pinned to 1 per z-file — a
+    // multi-writer dir (or a lost one) breaks the hash/row match
+    "zorder_apply" ->
+      s"""WITH b AS (
+         |  SELECT o_orderkey, o_custkey AS ckr,
+         |    CAST(datediff('day', DATE '1970-01-01',
+         |      CAST(o_orderdate AS DATE)) AS BIGINT) AS dyr
+         |  FROM orders),
+         |st AS (SELECT min(ckr) AS ck0, max(ckr) AS ck1,
+         |       min(dyr) AS dy0, max(dyr) AS dy1 FROM b),
+         |z AS (
+         |  SELECT o_orderkey,
+         |    CAST(floor((ckr - ck0) * 65535.0 / (ck1 - ck0)) AS BIGINT)
+         |      AS ck,
+         |    CAST(floor((dyr - dy0) * 65535.0 / (dy1 - dy0)) AS BIGINT)
+         |      AS dy
+         |  FROM b CROSS JOIN st),
+         |zf AS (
+         |  SELECT o_orderkey, ck, dy,
+         |    CAST(($mortonDuck >> 28) AS BIGINT) AS zfile
+         |  FROM z)
+         |SELECT zfile, count(*) AS n_rows,
+         |  CAST(1 AS BIGINT) AS n_physical_files,
+         |  min(ck) AS ck_lo, max(ck) AS ck_hi,
+         |  min(dy) AS dy_lo, max(dy) AS dy_hi,
+         |  round(CAST((max(ck) - min(ck) + 1) * (max(dy) - min(dy) + 1)
+         |      AS DOUBLE) / (65536.0 * 65536.0), 6) AS zone_area_share
+         |FROM zf GROUP BY zfile ORDER BY zfile""".stripMargin,
+
     // same positional semantics: the delete vector addresses (file, pos)
     // from the same rank assignment, applied via NOT EXISTS
     "delete_vector_apply" ->

@@ -1433,6 +1433,52 @@ object Similarity {
     // the full-dim baseline is computed once and cached. Truncated
     // scores are round(·,6) cosines with id tiebreaks — the vector
     // determinism discipline.
+    // reciprocal-rank fusion (RRF, k=60) of two retrieval legs over the
+    // same corpus: the full-dim dense ranker and its 16-dim matryoshka
+    // prefix — the hybrid-merge step every multi-ranker retrieval stack
+    // runs (vendor-agnostic: ranks in, fused ranks out, no score
+    // calibration needed across legs). Each leg is the sim_cosine_topk
+    // plan (bounded-heap TopKPerKey per query, ≤20 rows per partition
+    // move; the rank window runs over the ≤ q·20 survivors only). The
+    // 1/(60+rank) contributions round to 9 as exact decimals before the
+    // fuse-sum (partial-agg-proof), so the fused ordering — and hence
+    // the output — hash-matches the oracle. At 100 TB each leg is
+    // whatever ANN path serves it (IVF/PQ/graph above); the fusion
+    // itself only ever touches O(queries × k) rows.
+    "sim_rrf_fusion" -> { (s, d) =>
+      val e = vectors(s, d)
+      val q = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")))
+      val pairs = q.join(e, col("vec_id") =!= col("q_id"))
+      def leg(cosExpr: String): DataFrame = {
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("n_id"))
+        graft.plans.TopKPerKey.topK(
+            pairs.withColumn("cos", expr(cosExpr))
+              .select(col("q_id"), col("vec_id").as("n_id"), col("cos")),
+            Seq(col("q_id")), Seq(col("cos").desc, col("n_id")), 20)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .select("q_id", "n_id", "rnk")
+      }
+      val fused = leg("round(cosine_sim(qv, v), 6)")
+        .unionAll(leg(
+          "round(cosine_sim(slice(qv, 1, 16), slice(v, 1, 16)), 6)"))
+        .withColumn("rr",
+          expr("CAST(round(1.0 / (60 + rnk), 9) AS DECIMAL(20,9))"))
+        .groupBy("q_id", "n_id")
+        .agg(sum(col("rr")).as("rrf"), count(lit(1)).as("n_rankers"),
+          min(col("rnk")).as("best_rank"))
+      val w2 = Window.partitionBy("q_id")
+        .orderBy(col("rrf").desc, col("n_id"))
+      graft.plans.TopKPerKey.topK(fused, Seq(col("q_id")),
+          Seq(col("rrf").desc, col("n_id")), TopK)
+        .withColumn("rnk", row_number().over(w2).cast("long"))
+        .select(col("q_id"), col("rnk"), col("n_id"),
+          col("rrf").cast("double").as("rrf"), col("n_rankers"),
+          col("best_rank"))
+        .orderBy("q_id", "rnk")
+    },
+
     "embedding_matryoshka_eval" -> { (s, d) =>
       val e = vectors(s, d)
       val q = broadcast(e.filter(col("vec_id") < 10)
@@ -2547,6 +2593,38 @@ object Similarity {
          |  JOIN l ON l.vec_id = p.a_id
          |ORDER BY anchor""".stripMargin,
 
+    // both legs rank with the same rounded-cosine + id tiebreak as the
+    // Spark plan; contributions are the same round-9 decimals, so the
+    // fused ordering hash-matches end-to-end
+    "sim_rrf_fusion" -> {
+      def legSql(name: String, cos: String) =
+        s"""$name AS (
+           |  SELECT q_id, n_id, rn AS rnk FROM (
+           |    SELECT q.q_id, b.vec_id AS n_id,
+           |      row_number() OVER (PARTITION BY q.q_id
+           |        ORDER BY $cos DESC, b.vec_id) AS rn
+           |    FROM q CROSS JOIN e b WHERE b.vec_id <> q.q_id) z
+           |  WHERE rn <= 20)""".stripMargin
+      s"""WITH e AS ($duckVectors),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |${legSql("lf", duckCos("q.qv", "b.v"))},
+         |${legSql("lp",
+             duckCos("list_slice(q.qv, 1, 16)", "list_slice(b.v, 1, 16)"))},
+         |u AS (SELECT * FROM lf UNION ALL SELECT * FROM lp),
+         |f AS (
+         |  SELECT q_id, n_id,
+         |    sum(CAST(round(1.0 / (60 + rnk), 9) AS DECIMAL(20,9)))
+         |      AS rrf,
+         |    count(*) AS n_rankers, min(rnk) AS best_rank
+         |  FROM u GROUP BY 1, 2),
+         |r AS (SELECT q_id, n_id, rrf, n_rankers, best_rank,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, n_id)
+         |    AS rnk FROM f)
+         |SELECT q_id, rnk, n_id, CAST(rrf AS DOUBLE) AS rrf,
+         |  CAST(n_rankers AS BIGINT) AS n_rankers,
+         |  CAST(best_rank AS BIGINT) AS best_rank
+         |FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+    },
     "embedding_matryoshka_eval" -> {
       def cosAt(p: Int) =
         duckCos(s"list_slice(q.qv, 1, $p)", s"list_slice(b.v, 1, $p)")

@@ -123,6 +123,27 @@ object TextOps {
     scored.withColumn("actual", col("lang")).withColumn("predicted", pred)
   }
 
+  /** BM25 query terms for `text_bm25` — two head terms plus the corpus's
+    * one rare token ("dup", ~0.1% of occurrences), so the idf factor
+    * separates scores instead of collapsing on the near-uniform head.
+    */
+  val Bm25Terms: Seq[String] = Seq("hash", "join", "dup")
+
+  /** The per-(doc, term) Okapi BM25 score (k1 = 1.2, b = 0.75), rounded
+    * to 9 as an exact decimal — ONE formula string shared verbatim
+    * between the Spark `expr` and the DuckDB oracle so the two float
+    * pipelines cannot drift (the metrics.*Sql pattern). Operand columns
+    * on both sides: `tf`, `df`, `dl`, `n_docs`, `sum_dl`; idf is the
+    * +1-inside-the-log form (always positive), and dl/avgdl is computed
+    * as dl·n_docs/sum_dl so the only division is by an exact integer
+    * cast — no pre-rounded intermediate feeds another operation.
+    */
+  val Bm25TermScore: String =
+    """CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+      |  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75
+      |    * (dl * n_docs / CAST(sum_dl AS DOUBLE)))), 9)
+      |  AS DECIMAL(20,9))""".stripMargin
+
   /** Stopword marker sets for the language-ID heuristic; fixed, tiny, and
     * mirrored verbatim in the oracle SQL.
     */
@@ -285,6 +306,46 @@ object TextOps {
           round(col("sum_over_n"), 6).as("mean_nll"),
           col("min_nll"), col("max_nll"))
         .orderBy("source", "bucket")
+    },
+
+    // Okapi BM25 retrieval for the fixed query [[Bm25Terms]] (two head
+    // terms + the corpus's one rare token, so the idf axis is actually
+    // exercised) — the lexical ranker of every hybrid retrieval stack,
+    // next to the dense `sim_*` paths. tf is computed ONLY for the query
+    // terms (the isin filter runs inside the corpus-linear explode, so
+    // the per-doc table is O(matching docs × |q|), never vocab-sized);
+    // df and the length stats are |q|-row / 1-row broadcast scalars. The
+    // per-(doc, term) scores round to 9 as exact decimals before the
+    // per-doc sum (partial-agg-proof), and the global top-20 goes
+    // through the bounded-heap TopKPerKey under a constant key (≤20
+    // rows per partition move) with the O(20²) self-join rank — the
+    // text_vocab_coverage discipline, no global window anywhere.
+    "text_bm25" -> { (s, d) =>
+      val docs = toks(s, d)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          col("toks"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("word"))
+        .filter(col("word").isin(Bm25Terms: _*))
+        .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val perDoc = tf.join(broadcast(dft), "word")
+        .crossJoin(broadcast(stats))
+        .withColumn("ts", expr(Bm25TermScore))
+        .groupBy("doc_id")
+        .agg(sum(col("ts")).as("sc"), count(lit(1)).as("n_terms"))
+      val top = graft.plans.TopKPerKey.topK(perDoc, Seq(lit(1)),
+        Seq(col("sc").desc, col("doc_id")), 20)
+      top.join(top.select(col("sc").as("sc2"), col("doc_id").as("doc2")),
+          col("sc2") > col("sc")
+            || (col("sc2") === col("sc") && col("doc2") <= col("doc_id")))
+        .groupBy("doc_id", "sc", "n_terms")
+        .agg(count(lit(1)).as("rnk"))
+        .select(col("rnk"), col("doc_id"), col("n_terms"),
+          round(col("sc").cast("double"), 6).as("score"))
+        .orderBy("rnk")
     },
 
     "text_tfidf" -> { (s, d) =>
@@ -1312,6 +1373,31 @@ object TextOps {
         |  ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT)
         |  AS n_tok_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same tokenization, same shared Bm25TermScore formula text, same
+    // decimal-summed per-doc score; the rank is row_number here vs the
+    // bounded self-join count there — identical on the ≤20 survivors
+    "text_bm25" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+         |  FROM documents),
+         |dd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM tk),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dd),
+         |tf AS (
+         |  SELECT doc_id, dl, word, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(w) AS word FROM dd)
+         |  WHERE word IN (${Bm25Terms.map("'" + _ + "'").mkString(", ")})
+         |  GROUP BY 1, 2, 3),
+         |dfx AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT doc_id, $Bm25TermScore AS ts
+         |  FROM tf JOIN dfx USING (word) CROSS JOIN st),
+         |ag AS (
+         |  SELECT doc_id, sum(ts) AS sc, count(*) AS n_terms
+         |  FROM sc GROUP BY 1),
+         |r AS (SELECT doc_id, n_terms, sc,
+         |  row_number() OVER (ORDER BY sc DESC, doc_id) AS rnk FROM ag)
+         |SELECT rnk, doc_id, n_terms, round(CAST(sc AS DOUBLE), 6) AS score
+         |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
     "text_tfidf" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word

@@ -356,6 +356,44 @@ object TrainPrep {
         .orderBy("doc_id")
     },
 
+    // decontamination EXECUTION twin of contamination_check (the apply
+    // discipline compact_apply/vacuum_apply set for the lakehouse
+    // planners): the flagged train docs are actually REMOVED — an
+    // anti-join-shaped left join on doc_id against the contaminated-id
+    // set — and the output is the per-source release audit a training
+    // run reads before ingesting the cleaned corpus: docs before /
+    // removed / kept, surviving token mass, and the kept share. Same
+    // inverted-index join as the check (gram-keyed, never doc × doc);
+    // the contaminated-id table is O(flagged docs) and joins on the
+    // doc key, so the removal pass is corpus-linear. OperatorSpec pins
+    // the semantic invariant: re-running the check on the survivors
+    // finds zero contaminated docs.
+    "decontaminate_apply" -> { (s, d) =>
+      val g = grams(toks(s, d)).select(col("doc_id"), col("gram"))
+      val evalG = g.filter(col("doc_id") % 7 === 0)
+        .select(col("gram")).distinct()
+      val contaminated = g.filter(col("doc_id") % 7 =!= 0)
+        .join(evalG, "gram")
+        .select("doc_id").distinct()
+        .withColumn("hit", lit(1L))
+      toks(s, d).filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("source"),
+          size(col("toks")).cast("long").as("n_tok"))
+        .join(contaminated, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_train"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_removed"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("hit").isNull, col("n_tok")).otherwise(0L))
+            .as("n_tokens_kept"))
+        .select(col("source"), col("n_train"), col("n_removed"),
+          col("n_kept"),
+          col("n_tokens_kept"),
+          round(col("n_kept").cast("double")
+            / col("n_train").cast("double"), 6).as("kept_share"))
+        .orderBy("source")
+    },
+
     // deterministic train/valid/test assignment by content hash — the
     // reproducible-split contract of every training pipeline: membership
     // depends only on the doc's key bytes (md5 prefix, the sample_hash
@@ -1151,6 +1189,38 @@ object TrainPrep {
          |FROM g t JOIN g e ON t.gram = e.gram
          |WHERE t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // same gram CTE as the check; the removal is NOT EXISTS on the
+    // flagged-id set, aggregated per source
+    "decontaminate_apply" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, source,
+         |    string_split(lower(trim(text)), ' ') AS w
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(w) - ${ContamN - 1}),
+         |    i -> array_to_string(list_slice(w, i, i + ${ContamN - 1}),
+         |           ' ')))) AS gram
+         |  FROM tk WHERE len(w) >= $ContamN),
+         |bad AS (
+         |  SELECT DISTINCT t.doc_id
+         |  FROM g t JOIN g e ON t.gram = e.gram
+         |  WHERE t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0),
+         |tr AS (
+         |  SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tok,
+         |    EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = tk.doc_id)
+         |      AS hit
+         |  FROM tk WHERE doc_id % 7 <> 0)
+         |SELECT source, count(*) AS n_train,
+         |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_removed,
+         |  CAST(sum(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(sum(CASE WHEN hit THEN 0 ELSE n_tok END) AS BIGINT)
+         |    AS n_tokens_kept,
+         |  round(CAST(sum(CASE WHEN hit THEN 0 ELSE 1 END) AS DOUBLE)
+         |    / count(*), 6) AS kept_share
+         |FROM tr GROUP BY source ORDER BY source""".stripMargin,
     "sample_split" ->
       """SELECT doc_id, source,
         |  CASE

@@ -2789,6 +2789,95 @@ class OperatorSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_rows_live")).sum == nOrders)
   }
 
+  test("text_bm25: ranks are a 1..n permutation and the rare term rides " +
+      "its idf to the top") {
+    val rows = SparkEntry.queries("text_bm25")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq ==
+      (1L to rows.length.toLong), "rank column is not a dense permutation")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("score") > 0.0, r.toString)
+      assert((1L to 3L).contains(r.getAs[Long]("n_terms")), r.toString)
+    }
+    // the rare term's idf dwarfs the head terms' — every doc containing
+    // it must outrank every doc matching head terms only
+    val rare = graft.ops.Tables.t(spark, sf, "documents")
+      .filter(expr("array_contains(split(lower(trim(text)), ' '), 'dup')"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assume(rare.nonEmpty, "fixture lost its rare token")
+    val worstRare = rows.filter(r => rare(r.getAs[Long]("doc_id")))
+      .map(_.getAs[Long]("rnk")).max
+    val bestCommon = rows.filterNot(r => rare(r.getAs[Long]("doc_id")))
+      .map(_.getAs[Long]("rnk")).minOption
+    assert(bestCommon.forall(_ > worstRare),
+      s"a head-terms-only doc (rank $bestCommon) outranked a " +
+        s"'dup' doc (worst rare rank $worstRare)")
+  }
+
+  test("sim_rrf_fusion: a doc ranked first by both legs wins the fusion") {
+    val rows = SparkEntry.queries("sim_rrf_fusion")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val maxRrf = BigDecimal(2) / BigDecimal(61)
+    rows.foreach { r =>
+      val nr = r.getAs[Long]("n_rankers")
+      assert(nr == 1L || nr == 2L, r.toString)
+      assert(r.getAs[Double]("rrf") <= maxRrf.toDouble + 1e-12, r.toString)
+      assert(r.getAs[Long]("best_rank") >= 1L, r.toString)
+    }
+    // per query: if any candidate carries best_rank == 1 from BOTH legs
+    // (rrf == 1/61 + 1/61), nothing can tie it except another such
+    // candidate — the fused rank-1 row must have n_rankers == 2
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, qr) =>
+      val first = qr.minBy(_.getAs[Long]("rnk"))
+      val dual = qr.filter(r => r.getAs[Long]("n_rankers") == 2L
+        && r.getAs[Long]("best_rank") == 1L)
+      if (dual.nonEmpty)
+        assert(first.getAs[Double]("rrf") >= dual.map(
+          _.getAs[Double]("rrf")).max, s"query $q: fused winner scored " +
+          "below a dual-leg rank-1 candidate")
+    }
+  }
+
+  test("zorder_apply: single-writer z-files conserve rows and deliver " +
+      "tight two-dimensional zones") {
+    val rows = SparkEntry.queries("zorder_apply")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_physical_files") == 1L,
+        s"multi-writer z-file dir: $r")
+      assert(r.getAs[Long]("ck_lo") <= r.getAs[Long]("ck_hi"), r.toString)
+      assert(r.getAs[Long]("dy_lo") <= r.getAs[Long]("dy_hi"), r.toString)
+    }
+    val nOrders = graft.ops.Tables.t(spark, sf, "orders").count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == nOrders)
+    // z-order's promise: the mean normalized bounding box is a small
+    // fraction of the full grid (16 perfectly-square z-files would give
+    // 1/16 each; allow slack for partial occupancy at fixture scale)
+    val meanArea = rows.map(_.getAs[Double]("zone_area_share")).sum /
+      rows.length
+    assert(meanArea < 0.25, s"mean zone area $meanArea — z-clustering " +
+      "is not bounding both dimensions")
+  }
+
+  test("decontaminate_apply removes exactly the checked docs and the " +
+      "survivors are clean") {
+    val audit = SparkEntry.queries("decontaminate_apply")(spark, sf)
+      .collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n_removed") + r.getAs[Long]("n_kept") ==
+        r.getAs[Long]("n_train"), r.toString)
+    }
+    // cross-op pin: the check lists exactly the contaminated train docs,
+    // so the apply's removal count must equal the check's row count
+    val checked = SparkEntry.queries("contamination_check")(spark, sf)
+      .count()
+    assert(audit.map(_.getAs[Long]("n_removed")).sum == checked,
+      "apply removed a different doc set than the check flagged")
+    assert(audit.map(_.getAs[Long]("n_kept")).sum > 0,
+      "decontamination removed the whole fixture corpus")
+  }
+
   test("price_elasticity fits one bounded log-log slope per brand") {
     val rows = SparkEntry.queries("price_elasticity")(spark, sf)
       .collect()
