@@ -865,6 +865,50 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // content-defined chunking dedup (the FastCDC/storage-dedup shape on
+    // token streams): chunk boundaries are a pure function of LOCAL
+    // content — position i starts a new chunk when md5(token)'s first
+    // nibble lands in {0,1} (P=1/8, mean chunk ~8 tokens) — so an edit
+    // reshuffles only the chunks it touches, never the downstream cut
+    // points (the shift-resistance fixed-size blocks lack; production
+    // CDC widens the hash to a rolling window, width 1 keeps the oracle
+    // mirrorable with identical semantics). Chunks are assembled IN-ROW
+    // with array ops (cuts -> slices -> concat_ws — the basket_rules
+    // discipline, bounded by doc length), so the ONLY corpus-wide
+    // shuffle carries (md5 digest, token count) pairs — chunk text never
+    // moves, the dedup_exact rule. Output is the storage-dedup planning
+    // histogram: per multiplicity, how many chunk types, the token mass
+    // stored once vs addressed logically, and the saved share.
+    "dedup_chunk_cdc" -> { (s, d) =>
+      val chunks = corpus(s, d)
+        .withColumn("toks", split(lower(trim(col("text"))), " "))
+        .withColumn("cuts", expr(
+          """concat(array(0),
+            |  filter(sequence(0, size(toks) - 1), i -> i > 0
+            |    AND substring(md5(element_at(toks, i + 1)), 1, 1)
+            |      IN ('0', '1')),
+            |  array(size(toks)))""".stripMargin))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(cuts) - 1),
+            |  k -> concat_ws(' ', slice(toks, element_at(cuts, k) + 1,
+            |    element_at(cuts, k + 1) - element_at(cuts, k))))"""
+            .stripMargin)).as("chunk"))
+      val types = chunks
+        .select(md5(col("chunk")).as("sig"),
+          size(split(col("chunk"), " ")).cast("long").as("tok_len"))
+        .groupBy("sig")
+        .agg(count(lit(1)).as("copies"), min(col("tok_len")).as("tok_len"))
+      types.groupBy("copies")
+        .agg(count(lit(1)).as("n_chunk_types"),
+          sum(col("tok_len")).as("n_tokens_stored"),
+          sum(col("copies") * col("tok_len")).as("n_tokens_logical"))
+        .select(col("copies"), col("n_chunk_types"),
+          col("n_tokens_stored"), col("n_tokens_logical"),
+          round(lit(1) - col("n_tokens_stored").cast("double")
+            / col("n_tokens_logical"), 6).as("saved_share"))
+        .orderBy("copies")
+    },
+
     // which near-dup detector catches what: per candidate pair the three
     // method verdicts (MinHash-LSH Jaccard >= 0.8, SimHash banded
     // Hamming <= 8, directional containment >= threshold) rolled up to
@@ -1467,6 +1511,39 @@ object Dedup {
         |    / count(*)) >= 0.5 AS flag_dup
         |FROM g JOIN nd USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same in-row cut/slice construction (i > 0 boundary filter, [0] and
+    // [len] sentinels), same md5 chunk signatures, same histogram folds
+    "dedup_chunk_cdc" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    list_concat(list_concat([0],
+        |      list_filter(generate_series(0, len(w) - 1), i -> i > 0
+        |        AND substring(md5(w[i + 1]), 1, 1) IN ('0', '1'))),
+        |      [len(w)]) AS cuts, w
+        |  FROM tk),
+        |ch AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(cuts) - 1),
+        |    k -> array_to_string(
+        |      list_slice(w, cuts[k] + 1, cuts[k + 1]), ' '))) AS chunk
+        |  FROM c),
+        |t AS (
+        |  SELECT md5(chunk) AS sig,
+        |    CAST(len(string_split(chunk, ' ')) AS BIGINT) AS tok_len
+        |  FROM ch),
+        |g AS (
+        |  SELECT sig, count(*) AS copies, min(tok_len) AS tok_len
+        |  FROM t GROUP BY 1)
+        |SELECT copies, count(*) AS n_chunk_types,
+        |  CAST(sum(tok_len) AS BIGINT) AS n_tokens_stored,
+        |  CAST(sum(copies * tok_len) AS BIGINT) AS n_tokens_logical,
+        |  round(1 - CAST(sum(tok_len) AS DOUBLE)
+        |    / sum(copies * tok_len), 6) AS saved_share
+        |FROM g GROUP BY copies ORDER BY copies""".stripMargin,
 
     "dedup_method_overlap" ->
       s"""WITH RECURSIVE $jaccardCtes, $simhashCtes,

@@ -217,6 +217,21 @@ object Similarity {
     */
   private def pqAdcTop(s: SparkSession, d: String): DataFrame = {
     val codes = pqBest(s, d).select("vec_id", "sub", "code")
+    val scored = codes.join(pqQueryLut(s, d), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("ad2")).as("adc_d2"))
+    graft.plans.TopKPerKey.topK(scored, Seq(col("q_id")),
+      Seq(col("adc_d2").asc, col("vec_id").asc), 5)
+  }
+
+  /** The broadcast per-query ADC lookup table `(q_id, sub, code, ad2)` —
+    * the O(Q·M·K) table every PQ-side scan probes, extracted from the
+    * flat ADC search so the IVF-routed composite (`sim_ivfpq_topk`)
+    * ranks with the IDENTICAL exact-decimal distance kernel (the
+    * ivfTopK single-definition discipline).
+    */
+  private def pqQueryLut(s: SparkSession, d: String): DataFrame = {
     val q = vectors(s, d)
       .filter(col("vec_id") >= 10 && col("vec_id") < 20)
       .select(col("vec_id").as("q_id"),
@@ -237,10 +252,39 @@ object Similarity {
         |      - CAST(round(c, 6) AS DECIMAL(12,6)))),
         |  CAST(0 AS DECIMAL(30,12)),
         |  (acc, z) -> CAST(acc + z AS DECIMAL(30,12)))""".stripMargin)
-    val lut = broadcast(q.join(cb, "sub").withColumn("ad2", adc)
+    broadcast(q.join(cb, "sub").withColumn("ad2", adc)
       .select("q_id", "sub", "code", "ad2"))
-    val scored = codes.join(lut, Seq("sub", "code"))
+  }
+
+  /** IVF + PQ composite top-5 `(q_id, vec_id, adc_d2)` — the production
+    * ANN architecture at corpus scale: the coarse IVF codebook routes
+    * each query to its 4 probed cells (same [[ivfAssign]] assignment +
+    * probe codebook as `sim_topk_ivf`), and ONLY the codes of vectors in
+    * those cells are ranked by the PQ asymmetric distance (same
+    * [[pqBest]] encode + [[pqQueryLut]] LUT as `sim_pq_adc_topk`). The
+    * scan therefore touches ~nprobe/C of the code table and never a
+    * base vector — the memory/IO shape FAISS's IVFADC runs at billions
+    * of vectors. Shared by `sim_ivfpq_topk` and its recall eval.
+    */
+  private def ivfPqTop(s: SparkSession, d: String): DataFrame = {
+    val q = vectors(s, d)
+      .filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("qcos").desc, col("c_id"))
+    val probes = q.crossJoin(ivfCentroids(s, d))
+      .withColumn("qcos", expr("round(cosine_sim(qv, cv), 6)"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= 4)
+      .select("q_id", "c_id")
+    val cand = probes
+      .join(ivfAssign(s, d).select(col("vec_id"), col("cluster")),
+        col("c_id") === col("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+    val scored = cand
+      .join(pqBest(s, d).select("vec_id", "sub", "code"), "vec_id")
+      .join(pqQueryLut(s, d), Seq("q_id", "sub", "code"))
       .groupBy("q_id", "vec_id")
       .agg(sum(col("ad2")).as("adc_d2"))
     graft.plans.TopKPerKey.topK(scored, Seq(col("q_id")),
@@ -880,6 +924,63 @@ object Similarity {
       val exact = graft.plans.TopKPerKey.topK(scored, Seq(col("q_id")),
         Seq(col("d2").asc, col("n_id").asc), 5).select("q_id", "n_id")
       val ann = pqAdcTop(s, d)
+        .select(col("q_id"), col("vec_id").as("n_id"))
+      val hits = exact.join(ann, Seq("q_id", "n_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double")
+            / col("n_exact").cast("double"), 6).as("recall"))
+        .orderBy("q_id")
+    },
+
+    // scale path F: IVF routing × PQ compression composed — FAISS-IVFADC's
+    // plan shape. The coarse codebook prunes the scan to ~nprobe/C of the
+    // corpus and the PQ codes replace the base vectors inside it, so at
+    // 100 TB the per-query work is (nprobe/C)·N LUT lookups over 8-byte
+    // codes — neither the full corpus nor any raw vector moves. Both
+    // stages reuse their graded kernels (ivfAssign, pqBest, pqQueryLut);
+    // the whole pipeline stays exact-decimal, so it hash-matches the
+    // oracle end-to-end, and the recall eval below prices the combined
+    // cell-miss + quantization loss.
+    "sim_ivfpq_topk" -> { (s, d) =>
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("adc_d2"), col("vec_id"))
+      ivfPqTop(s, d)
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(col("adc_d2").cast("double"), 6).as("adc_dist"),
+          row_number().over(w).cast("long").as("rnk"))
+        .orderBy("q_id", "rnk")
+    },
+
+    // recall@5 of the IVF+PQ composite against the exact rounded-decimal
+    // squared-L2 top-5 — the eval that closes ANN path F (the
+    // sim_recall_eval rule: no path ships unmeasured). Reading this next
+    // to sim_pq_recall_eval separates the two loss sources: any recall
+    // the flat ADC had that this lacks is CELL loss (the query's true
+    // neighbors living in unprobed cells), not quantization.
+    "sim_ivfpq_recall_eval" -> { (s, d) =>
+      val e = vectors(s, d)
+      val q = broadcast(e
+        .filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")))
+      val exD2 = expr(
+        """aggregate(
+          |  zip_with(qv, v, (x, c) ->
+          |    (CAST(round(x, 6) AS DECIMAL(12,6))
+          |      - CAST(round(c, 6) AS DECIMAL(12,6)))
+          |    * (CAST(round(x, 6) AS DECIMAL(12,6))
+          |      - CAST(round(c, 6) AS DECIMAL(12,6)))),
+          |  CAST(0 AS DECIMAL(30,12)),
+          |  (acc, z) -> CAST(acc + z AS DECIMAL(30,12)))""".stripMargin)
+      val scored = q.join(e, col("vec_id") =!= col("q_id"))
+        .withColumn("d2", exD2)
+        .select(col("q_id"), col("vec_id").as("n_id"), col("d2"))
+      val exact = graft.plans.TopKPerKey.topK(scored, Seq(col("q_id")),
+        Seq(col("d2").asc, col("n_id").asc), 5).select("q_id", "n_id")
+      val ann = ivfPqTop(s, d)
         .select(col("q_id"), col("vec_id").as("n_id"))
       val hits = exact.join(ann, Seq("q_id", "n_id"))
         .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
@@ -1571,6 +1672,80 @@ object Similarity {
        |  FROM probes p JOIN assign a ON p.c_id = a.cluster
        |  WHERE a.vec_id <> p.q_id)""".stripMargin
 
+  /** The IVF+PQ composite CTE chain (PQ encode -> codes, IVF assign ->
+    * per-query probed cells -> candidate restriction, per-query LUT ->
+    * cell-bounded ADC sums), ending in `sc(q_id, vec_id, adc_d2)` —
+    * shared by the `sim_ivfpq_topk` and `sim_ivfpq_recall_eval` oracles;
+    * every CTE mirrors one stage of [[ivfPqTop]].
+    */
+  private val ivfPqSqlCtes =
+    s"""e AS ($duckVectors),
+       |sub AS (
+       |  SELECT vec_id, unnest(generate_series(0, 7)) AS sub, v FROM e),
+       |sv AS (
+       |  SELECT vec_id, sub,
+       |    list_slice(v, sub * 8 + 1, sub * 8 + 8) AS sv
+       |  FROM sub),
+       |cb AS (
+       |  SELECT vec_id AS code, sub,
+       |    list_slice(v, sub * 8 + 1, sub * 8 + 8) AS cv
+       |  FROM (SELECT vec_id, unnest(generate_series(0, 7)) AS sub, v
+       |        FROM e WHERE vec_id < 16)),
+       |dims AS (
+       |  SELECT s.vec_id, s.sub, c.code,
+       |    unnest(generate_series(1, 8)) AS j, s.sv, c.cv
+       |  FROM sv s JOIN cb c USING (sub)),
+       |d2 AS (
+       |  SELECT vec_id, sub, code,
+       |    sum((CAST(round(sv[j], 6) AS DECIMAL(12,6))
+       |          - CAST(round(cv[j], 6) AS DECIMAL(12,6)))
+       |      * (CAST(round(sv[j], 6) AS DECIMAL(12,6))
+       |          - CAST(round(cv[j], 6) AS DECIMAL(12,6)))) AS d2
+       |  FROM dims GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT vec_id, sub, code, d2,
+       |    row_number() OVER (PARTITION BY vec_id, sub
+       |      ORDER BY d2, code) AS rn
+       |  FROM d2),
+       |codes AS (SELECT vec_id, sub, code FROM best WHERE rn = 1),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT vec_id, c_id AS cluster FROM (
+       |    SELECT e.vec_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCos("e.v", "cent.cv")} DESC, cent.c_id) AS arn
+       |    FROM e CROSS JOIN cent) WHERE arn = 1),
+       |probes AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT e.vec_id AS q_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCos("e.v", "cent.cv")} DESC, cent.c_id) AS prn
+       |    FROM e CROSS JOIN cent
+       |    WHERE e.vec_id >= 10 AND e.vec_id < 20) WHERE prn <= 4),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id
+       |  FROM probes p JOIN assign a ON p.c_id = a.cluster
+       |  WHERE a.vec_id <> p.q_id),
+       |qdims AS (
+       |  SELECT s.vec_id AS q_id, s.sub, c.code,
+       |    unnest(generate_series(1, 8)) AS j, s.sv AS qv, c.cv
+       |  FROM sv s JOIN cb c USING (sub)
+       |  WHERE s.vec_id >= 10 AND s.vec_id < 20),
+       |lut AS (
+       |  SELECT q_id, sub, code,
+       |    sum((CAST(round(qv[j], 6) AS DECIMAL(12,6))
+       |          - CAST(round(cv[j], 6) AS DECIMAL(12,6)))
+       |      * (CAST(round(qv[j], 6) AS DECIMAL(12,6))
+       |          - CAST(round(cv[j], 6) AS DECIMAL(12,6)))) AS ad2
+       |  FROM qdims GROUP BY 1, 2, 3),
+       |sc AS (
+       |  SELECT l.q_id, k.vec_id, sum(l.ad2) AS adc_d2
+       |  FROM cand c
+       |  JOIN codes k ON k.vec_id = c.vec_id
+       |  JOIN lut l ON l.q_id = c.q_id AND l.sub = k.sub
+       |    AND l.code = k.code
+       |  GROUP BY 1, 2)""".stripMargin
+
   /** The beam-search CTE chain (knn edges -> seeds -> hop/score/prune ×2,
     * ends in `fin(q_id, n_id, cos, rnk)`) — the oracle twin of
     * [[graphBeamTop]], every stage mirrored: same knn build as the
@@ -2084,6 +2259,55 @@ object Similarity {
          |  FROM codes k JOIN lut l ON l.sub = k.sub AND l.code = k.code
          |  WHERE k.vec_id <> l.q_id
          |  GROUP BY 1, 2),
+         |ann AS (
+         |  SELECT q_id, vec_id AS n_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adc_d2, vec_id) AS rnk
+         |    FROM sc) WHERE rnk <= 5),
+         |xdims AS (
+         |  SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+         |    unnest(generate_series(1, 64)) AS j, q.v AS qv, b.v AS bv
+         |  FROM e q JOIN e b ON b.vec_id <> q.vec_id
+         |  WHERE q.vec_id >= 10 AND q.vec_id < 20),
+         |xd AS (
+         |  SELECT q_id, n_id,
+         |    sum((CAST(round(qv[j], 6) AS DECIMAL(12,6))
+         |          - CAST(round(bv[j], 6) AS DECIMAL(12,6)))
+         |      * (CAST(round(qv[j], 6) AS DECIMAL(12,6))
+         |          - CAST(round(bv[j], 6) AS DECIMAL(12,6)))) AS d2
+         |  FROM xdims GROUP BY 1, 2),
+         |x AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY d2, n_id) AS xrn FROM xd) WHERE xrn <= 5),
+         |h AS (
+         |  SELECT x.q_id, count(*) AS n_hit
+         |  FROM x JOIN ann ON ann.q_id = x.q_id AND ann.n_id = x.n_id
+         |  GROUP BY 1),
+         |nx AS (SELECT q_id, count(*) AS n_exact FROM x GROUP BY 1)
+         |SELECT nx.q_id, CAST(nx.n_exact AS BIGINT) AS n_exact,
+         |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+         |    / CAST(nx.n_exact AS DOUBLE), 6) AS recall
+         |FROM nx LEFT JOIN h ON h.q_id = nx.q_id
+         |ORDER BY nx.q_id""".stripMargin,
+
+    // IVF probe CTEs + the PQ encode/LUT chain composed; `sc` only sums
+    // codes of vectors in the query's probed cells — the same candidate
+    // restriction the Spark plan applies before its groupBy
+    "sim_ivfpq_topk" ->
+      s"""WITH $ivfPqSqlCtes,
+         |r AS (
+         |  SELECT q_id, vec_id AS n_id, adc_d2,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adc_d2, vec_id) AS rnk
+         |  FROM sc)
+         |SELECT q_id, n_id, round(CAST(adc_d2 AS DOUBLE), 6) AS adc_dist,
+         |  CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // same composite chain + the sim_pq_recall_eval exact-L2 branch
+    "sim_ivfpq_recall_eval" ->
+      s"""WITH $ivfPqSqlCtes,
          |ann AS (
          |  SELECT q_id, vec_id AS n_id FROM (
          |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id

@@ -2878,6 +2878,55 @@ class OperatorSpec extends SparkSpec {
       "decontamination removed the whole fixture corpus")
   }
 
+  test("sim_ivfpq_topk returns 5 well-ordered rows per query and its " +
+      "recall eval tracks the flat ADC path") {
+    val rows = SparkEntry.queries("sim_ivfpq_topk")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, qr) =>
+      assert(qr.length == 5, s"query $q returned ${qr.length} rows")
+      assert(qr.map(_.getAs[Long]("rnk")).sorted.toSeq == (1L to 5L))
+      val byRank = qr.sortBy(_.getAs[Long]("rnk"))
+        .map(_.getAs[Double]("adc_dist"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b },
+        s"query $q: ADC distance not monotone over ranks")
+    }
+    // the eval's yardstick is INCREMENTAL cell loss: the fixture's
+    // near-orthogonal embeddings already hold the flat ADC path to low
+    // absolute recall (its own eval key measures that), so the composite
+    // is pinned against the flat path, not an absolute floor — probing 4
+    // of 16 cells may cost at most a bounded extra recall drop
+    val ev = SparkEntry.queries("sim_ivfpq_recall_eval")(spark, sf)
+      .collect()
+    val mean = ev.map(_.getAs[Double]("recall")).sum / ev.length
+    val flat = SparkEntry.queries("sim_pq_recall_eval")(spark, sf)
+      .collect()
+    val flatMean = flat.map(_.getAs[Double]("recall")).sum / flat.length
+    assert(mean >= flatMean - 0.2,
+      s"IVF+PQ mean recall $mean vs flat ADC $flatMean — cell routing " +
+        "lost more than the bounded nprobe/C miss rate should cost")
+  }
+
+  test("dedup_chunk_cdc conserves the corpus token mass and finds real " +
+      "duplicate chunks") {
+    val rows = SparkEntry.queries("dedup_chunk_cdc")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val logical = rows.map(_.getAs[Long]("n_tokens_logical")).sum
+    val nTok = graft.ops.Tables.t(spark, sf, "documents")
+      .select(sum(size(split(lower(trim(col("text"))), " "))).cast("long"))
+      .collect()(0).getLong(0)
+    assert(logical == nTok,
+      s"chunking lost tokens: $logical chunked vs $nTok in the corpus")
+    rows.foreach { r =>
+      val c = r.getAs[Long]("copies")
+      val stored = r.getAs[Long]("n_tokens_stored")
+      assert(r.getAs[Long]("n_tokens_logical") == c * stored, r.toString)
+      val share = r.getAs[Double]("saved_share")
+      assert(share >= 0.0 && share < 1.0, r.toString)
+    }
+    assert(rows.exists(_.getAs[Long]("copies") >= 2L),
+      "no duplicate chunks on a fixture with planted near-dup docs")
+  }
+
   test("price_elasticity fits one bounded log-log slope per brand") {
     val rows = SparkEntry.queries("price_elasticity")(spark, sf)
       .collect()

@@ -53,7 +53,8 @@ FAMILIES = {
     # Similarity.pqBest: the PQ encode (distance sweep + argmin) is paid
     # once by whichever PQ consumer runs first
     "pq_best": ["embedding_pq", "embedding_pq_distortion",
-                "sim_pq_adc_topk", "sim_pq_recall_eval"],
+                "sim_pq_adc_topk", "sim_pq_recall_eval",
+                "sim_ivfpq_topk", "sim_ivfpq_recall_eval"],
     # Similarity.signCodes: the O(N·16·d) sign-projection shuffle is paid
     # once by whichever binary-code consumer runs first
     "sign_codes": ["embedding_sign_lsh", "sim_hamming_topk_eval"],
