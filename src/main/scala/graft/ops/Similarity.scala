@@ -993,6 +993,37 @@ object Similarity {
         .orderBy("q_id")
     },
 
+    // greedy k-center / farthest-point traversal (the classic 2-approx,
+    // and the kmeans++-style seeding of diverse-coreset selection): pick
+    // vec 0, then 3 times the vector maximizing its min rounded-cosine
+    // distance to everything already chosen — the "most different
+    // examples" sampler a curation pipeline runs when it wants coverage
+    // rather than volume. Each round is ONE broadcast of the O(k) chosen
+    // set + a corpus-linear min-reduce + a bounded-heap argmax (≤1 row
+    // per partition moves) — k passes total, no pair materialization, so
+    // the plan is exactly k corpus scans at any scale. Ties break to the
+    // smallest id; distances round to 6 before every comparison, so the
+    // trajectory (and output) hash-matches the unrolled-CTE oracle.
+    "sample_kcenter" -> { (s, d) =>
+      val e = vectors(s, d)
+      val c1 = e.filter(col("vec_id") === 0L)
+        .select(lit(1L).as("rnk"), col("vec_id").as("c_id"),
+          col("v").as("cv"), lit(null).cast("double").as("dist"))
+      val chosen = (2 to 4).foldLeft(c1) { (acc, r) =>
+        val dists = e
+          .crossJoin(broadcast(acc.select(col("cv").as("ccv"))))
+          .withColumn("dd", expr("round(1 - cosine_sim(v, ccv), 6)"))
+          .groupBy("vec_id").agg(min(col("dd")).as("dist"))
+        val next = graft.plans.TopKPerKey.topK(
+          dists.join(e, "vec_id"), Seq(lit(1)),
+          Seq(col("dist").desc, col("vec_id")), 1)
+        acc.unionByName(next.select(lit(r.toLong).as("rnk"),
+          col("vec_id").as("c_id"), col("v").as("cv"), col("dist")))
+      }
+      chosen.select(col("rnk"), col("c_id").as("vec_id"), col("dist"))
+        .orderBy("rnk")
+    },
+
     // PQ codebook-quality audit — per subquantizer: how many of the 16
     // codewords are actually USED, how concentrated assignments are on
     // the hottest codeword, and the mean squared distortion the encode
@@ -2291,6 +2322,43 @@ object Similarity {
          |    / CAST(nx.n_exact AS DOUBLE), 6) AS recall
          |FROM nx LEFT JOIN h ON h.q_id = nx.q_id
          |ORDER BY nx.q_id""".stripMargin,
+
+    // one CTE pair per greedy round: dN folds the new center into the
+    // running min with least() (min of a set == fold of pair-mins), cN+1
+    // is the (dist DESC, vec_id) LIMIT 1 argmax — same rounding, same
+    // tiebreak as the Spark rounds
+    "sample_kcenter" -> {
+      def cos(a: String, b: String) =
+        s"""(list_dot_product($a, $b) /
+           |    (sqrt(list_dot_product($a, $a))
+           |     * sqrt(list_dot_product($b, $b))))""".stripMargin
+      s"""WITH e AS ($duckVectors),
+         |c1 AS (SELECT vec_id, v FROM e WHERE vec_id = 0),
+         |d1 AS (
+         |  SELECT e.vec_id, e.v,
+         |    round(1 - ${cos("e.v", "c1.v")}, 6) AS dist
+         |  FROM e CROSS JOIN c1),
+         |c2 AS (SELECT vec_id, v, dist FROM d1
+         |       ORDER BY dist DESC, vec_id LIMIT 1),
+         |d2 AS (
+         |  SELECT d1.vec_id, d1.v,
+         |    least(d1.dist, round(1 - ${cos("d1.v", "c2.v")}, 6)) AS dist
+         |  FROM d1 CROSS JOIN c2),
+         |c3 AS (SELECT vec_id, v, dist FROM d2
+         |       ORDER BY dist DESC, vec_id LIMIT 1),
+         |d3 AS (
+         |  SELECT d2.vec_id, d2.v,
+         |    least(d2.dist, round(1 - ${cos("d2.v", "c3.v")}, 6)) AS dist
+         |  FROM d2 CROSS JOIN c3),
+         |c4 AS (SELECT vec_id, v, dist FROM d3
+         |       ORDER BY dist DESC, vec_id LIMIT 1)
+         |SELECT CAST(1 AS BIGINT) AS rnk, vec_id,
+         |  CAST(NULL AS DOUBLE) AS dist FROM c1
+         |UNION ALL SELECT 2, vec_id, dist FROM c2
+         |UNION ALL SELECT 3, vec_id, dist FROM c3
+         |UNION ALL SELECT 4, vec_id, dist FROM c4
+         |ORDER BY rnk""".stripMargin
+    },
 
     // IVF probe CTEs + the PQ encode/LUT chain composed; `sc` only sums
     // codes of vectors in the query's probed cells — the same candidate

@@ -34,7 +34,12 @@ class LargeSfOracleSpec extends SparkSpec {
     "win_theil_sen", "win_time_decay_sum", "forecast_backtest",
     "graph_pagerank", "graph_hits", "graph_kcore_peel", "dedup_minhash",
     "dedup_connected", "sim_ivf_nprobe_sweep", "events_psi_drift",
-    "text_heavy_hitters")
+    "text_heavy_hitters",
+    // round-11 additions: rank-fusion decimals, BM25 float chain, CDC
+    // cut shifts, IVF+PQ composite decimals, k-center trajectory,
+    // gram-join removal audit
+    "text_bm25", "sim_rrf_fusion", "dedup_chunk_cdc", "sim_ivfpq_topk",
+    "sim_ivfpq_recall_eval", "sample_kcenter", "decontaminate_apply")
 
   test("golden files and the key list match two-way (generator drift)") {
     val files = Option(new java.io.File(goldenDir).listFiles).get

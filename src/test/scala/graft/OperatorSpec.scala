@@ -2927,6 +2927,24 @@ class OperatorSpec extends SparkSpec {
       "no duplicate chunks on a fixture with planted near-dup docs")
   }
 
+  test("sample_kcenter: distinct picks, positive coverage radii, and the " +
+      "greedy max-min radius never increases") {
+    val rows = SparkEntry.queries("sample_kcenter")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("rnk"))
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq == Seq(1L, 2L, 3L, 4L))
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == 4, s"repeated center: ${ids.toSeq}")
+    assert(rows.head.isNullAt(rows.head.fieldIndex("dist")),
+      "the seed pick has no prior set — dist must be null")
+    val radii = rows.tail.map(_.getAs[Double]("dist"))
+    assert(radii.forall(_ > 0.0), s"degenerate pick: ${radii.toSeq}")
+    // farthest-point invariant: adding a center can only shrink min-dists,
+    // so the selected max-min radius is non-increasing round over round
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"greedy radius increased: ${radii.toSeq}")
+  }
+
   test("price_elasticity fits one bounded log-log slope per brand") {
     val rows = SparkEntry.queries("price_elasticity")(spark, sf)
       .collect()
