@@ -102,6 +102,41 @@ object Ablate {
     val (sSec, sN) = time(withMode("false")(pagerank()))
     require(bN == sN, s"state-mode ablation mismatch: $bN vs $sN")
 
+    // fifth ablation: the ANN ladder at the same k — exact brute-force
+    // L2 top-5 vs the flat PQ-ADC scan vs the IVF-routed composite
+    // (sim_ivfpq_topk), all on the same session with the pqBest encode
+    // memo warmed untimed first. This is the measured number behind
+    // SCALE.md's IVF+PQ row: the composite should cost no more than the
+    // flat ADC scan (it reads ~nprobe/C of the code table) while both
+    // undercut the exact scan's full float traffic.
+    SparkEntry.queries("sim_pq_adc_topk")(spark, sfDir).count()
+    SparkEntry.queries("sim_ivfpq_topk")(spark, sfDir).count()
+    def bruteL2(): Long = {
+      val e = graft.ops.Tables.t(spark, sfDir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val q = broadcast(e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")))
+      val d2 = expr(
+        """aggregate(zip_with(qv, v, (x, c) -> (x - c) * (x - c)),
+          |  CAST(0 AS DOUBLE), (acc, z) -> acc + z)""".stripMargin)
+      val scored = q.join(e, col("vec_id") =!= col("q_id"))
+        .withColumn("d2", d2)
+        .select(col("q_id"), col("vec_id"), col("d2"))
+      graft.plans.TopKPerKey.topK(scored, Seq(col("q_id")),
+        Seq(col("d2").asc, col("vec_id").asc), 5).count()
+    }
+    bruteL2()
+    val (exactSec, exactN) = time(bruteL2())
+    val (adcSec, adcN) = time {
+      SparkEntry.queries("sim_pq_adc_topk")(spark, sfDir).count()
+    }
+    val (ivfpqSec, ivfpqN) = time {
+      SparkEntry.queries("sim_ivfpq_topk")(spark, sfDir).count()
+    }
+    require(exactN == adcN && adcN == ivfpqN,
+      s"ann ladder row-count mismatch: $exactN / $adcN / $ivfpqN")
+
     spark.stop()
     // Locale.ROOT: locale-dependent formatting could emit ',' decimals
     def num(v: Double): String =
@@ -110,5 +145,6 @@ object Ablate {
     println(s"""{"metric":"intersect_size_fusion","fused_sec":${num(fusedSec)},"unfused_sec":${num(unfusedSec)},"speedup":${num(unfusedSec / fusedSec)},"rows":$fusedN,"sf":"$sfDir"}""")
     println(s"""{"metric":"topk_native_vs_window","native_sec":${num(nativeSec)},"window_sec":${num(windowSec)},"speedup":${num(windowSec / nativeSec)},"rows":$nativeN,"sf":"$sfDir"}""")
     println(s"""{"metric":"graph_state_mode","broadcast_sec":${num(bSec)},"shuffle_sec":${num(sSec)},"shuffle_over_broadcast":${num(sSec / bSec)},"rows":$bN,"sf":"$sfDir"}""")
+    println(s"""{"metric":"ann_ladder","exact_sec":${num(exactSec)},"adc_sec":${num(adcSec)},"ivfpq_sec":${num(ivfpqSec)},"rows":$exactN,"sf":"$sfDir"}""")
   }
 }

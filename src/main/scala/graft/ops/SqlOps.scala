@@ -94,6 +94,19 @@ object SqlOps {
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // GROUP BY ALL / ORDER BY ALL (the modern-SQL ergonomic both engines
+    // added): every non-aggregate select item becomes a grouping key —
+    // the clause pair that keeps wide rollup queries from drifting when
+    // a dimension is added to the SELECT list but not the GROUP BY
+    "sql_groupby_all" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value
+        |FROM orders
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin,
+
     "sql_unpivot" ->
       """WITH m AS (
         |  SELECT o_orderstatus,

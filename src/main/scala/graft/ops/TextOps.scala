@@ -538,6 +538,69 @@ object TextOps {
           col("s_en").cast("long").as("score_en"))
         .orderBy("doc_id")),
 
+    // character-trigram naive-Bayes language ID — the production langid
+    // architecture (fastText/CLD-style char n-gram features) next to the
+    // marker heuristic above, trained and evaluated on the corpus's own
+    // labels. Add-one smoothing folds into a closed form that keeps the
+    // plan corpus-linear: score(doc, lang) = Σ_seen tf·ln(cnt_lang+1)
+    // − n_tri(doc)·ln(tot_lang+V), because unseen trigrams hit
+    // ln(0+1)=0 in the first term — no doc×vocab densification, the
+    // only join is doc-trigrams against the (lang × trigram) count
+    // table, which is a broadcast dim (char-trigram vocabulary is
+    // Zipf-bounded at any corpus size). Decimal round-9 sums; the
+    // per-doc argmax is a doc-partitioned window; output is the
+    // O(langs²) confusion census.
+    "text_char_trigram_langid" -> { (s, d) =>
+      val docs = corpus(s, d)
+        .select(col("doc_id"), col("lang"),
+          lower(trim(col("text"))).as("txt"))
+        .filter(length(col("txt")) >= 3)
+      // cached (the contamination_check pattern): THREE consumers read
+      // this corpus-linear explode+count — the lm build, the seen-score
+      // join, and the per-doc totals — and uncached each re-runs the
+      // 3·n_chars substring explode (measured 9.2 -> ~4 s at sf0.1)
+      val tf = docs
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, length(txt) - 2), " +
+            "i -> substring(txt, i, 3))")).as("tri"))
+        .groupBy("doc_id", "lang", "tri")
+        .agg(count(lit(1)).as("tf"))
+        .cache()
+      val lm = tf.groupBy("lang", "tri")
+        .agg(sum(col("tf")).as("cnt"))
+      val vocab = lm.select("tri").distinct()
+        .agg(count(lit(1)).as("v_sz"))
+      val langTot = lm.groupBy("lang").agg(sum(col("cnt")).as("tot"))
+        .crossJoin(broadcast(vocab))
+        .select(col("lang").as("cand"),
+          expr("CAST(round(ln(CAST(tot + v_sz AS DOUBLE)), 9) " +
+            "AS DECIMAL(20,9))").as("lnz"))
+      val seen = tf
+        .join(broadcast(lm.select(col("lang").as("cand"), col("tri"),
+          col("cnt"))), "tri")
+        .groupBy("doc_id", "cand")
+        .agg(sum(expr("CAST(round(tf * ln(CAST(cnt + 1 AS DOUBLE)), 9) " +
+          "AS DECIMAL(20,9))")).as("s1"))
+      val nTri = tf.groupBy("doc_id").agg(sum(col("tf")).as("n_tri"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("cand"))
+      // full doc × language grid (a zero-overlap candidate still
+      // competes at pure smoothing mass — seen-only rows would silently
+      // drop it from the argmax)
+      docs.select(col("doc_id"), col("lang"))
+        .join(nTri, "doc_id")
+        .crossJoin(broadcast(langTot))
+        .join(seen, Seq("doc_id", "cand"), "left")
+        .withColumn("score",
+          coalesce(col("s1"), expr("CAST(0 AS DECIMAL(20,9))"))
+            - col("n_tri") * col("lnz"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("lang").as("actual"), col("cand").as("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("actual", "predicted")
+    },
+
     // language-ID confusion matrix — the eval view for the marker
     // heuristic (per (actual, predicted) cell: count + the within-actual
     // recall share). The classifier-eval census every labeling pipeline
@@ -1551,6 +1614,50 @@ object TextOps {
          |SELECT doc_id, actual, predicted,
          |  CAST(s_en AS BIGINT) AS score_en
          |FROM pred ORDER BY doc_id""".stripMargin,
+    // same closed-form smoothing (unseen trigrams vanish at ln(0+1)=0),
+    // same doc × language grid, same decimal score algebra and argmax
+    // tiebreak as the Spark plan
+    "text_char_trigram_langid" ->
+      """WITH dk AS (
+        |  SELECT doc_id, lang, lower(trim(text)) AS txt FROM documents
+        |  WHERE length(lower(trim(text))) >= 3),
+        |tf AS (
+        |  SELECT doc_id, lang, tri, count(*) AS tf
+        |  FROM (SELECT doc_id, lang, unnest(list_transform(
+        |          generate_series(1, length(txt) - 2),
+        |          i -> substring(txt, i, 3))) AS tri
+        |        FROM dk) t
+        |  GROUP BY 1, 2, 3),
+        |lm AS (SELECT lang, tri, sum(tf) AS cnt FROM tf GROUP BY 1, 2),
+        |vsz AS (SELECT count(DISTINCT tri) AS v_sz FROM lm),
+        |lt AS (
+        |  SELECT lang AS cand,
+        |    CAST(round(ln(CAST(tot + v_sz AS DOUBLE)), 9)
+        |      AS DECIMAL(20,9)) AS lnz
+        |  FROM (SELECT lang, sum(cnt) AS tot FROM lm GROUP BY 1) tt
+        |  CROSS JOIN vsz),
+        |seen AS (
+        |  SELECT tf.doc_id, lm.lang AS cand,
+        |    sum(CAST(round(tf * ln(CAST(cnt + 1 AS DOUBLE)), 9)
+        |      AS DECIMAL(20,9))) AS s1
+        |  FROM tf JOIN lm ON tf.tri = lm.tri
+        |  GROUP BY 1, 2),
+        |nt AS (SELECT doc_id, sum(tf) AS n_tri FROM tf GROUP BY 1),
+        |g AS (
+        |  SELECT d.doc_id, d.lang, lt.cand,
+        |    COALESCE(seen.s1, CAST(0 AS DECIMAL(20,9)))
+        |      - nt.n_tri * lt.lnz AS score
+        |  FROM (SELECT DISTINCT doc_id, lang FROM dk) d
+        |  JOIN nt ON nt.doc_id = d.doc_id
+        |  CROSS JOIN lt
+        |  LEFT JOIN seen ON seen.doc_id = d.doc_id
+        |    AND seen.cand = lt.cand),
+        |p AS (
+        |  SELECT doc_id, lang, cand, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+        |  FROM g)
+        |SELECT lang AS actual, cand AS predicted, count(*) AS n_docs
+        |FROM p WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // shared scorer CTE + one keyed agg and an O(langs) total window
     "text_lang_confusion" ->
       s"""WITH $langPredCtes,

@@ -2945,6 +2945,29 @@ class OperatorSpec extends SparkSpec {
       s"greedy radius increased: ${radii.toSeq}")
   }
 
+  test("text_char_trigram_langid: the diagonal dominates every actual's " +
+      "row and accuracy clears chance") {
+    val rows = SparkEntry.queries("text_char_trigram_langid")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val byActual = rows.groupBy(_.getAs[String]("actual"))
+    byActual.foreach { case (a, cells) =>
+      val diag = cells.filter(_.getAs[String]("predicted") == a)
+        .map(_.getAs[Long]("n_docs")).sum
+      val off = cells.filterNot(_.getAs[String]("predicted") == a)
+        .map(_.getAs[Long]("n_docs"))
+      assert(off.forall(_ < diag),
+        s"actual=$a: an off-diagonal cell beats the diagonal ($diag)")
+    }
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val correct = rows.filter(r =>
+      r.getAs[String]("actual") == r.getAs[String]("predicted"))
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(correct.toDouble / total > 0.4,
+      s"trigram langid accuracy ${correct.toDouble / total} — barely " +
+        "above the 0.2 chance floor, the scorer regressed")
+  }
+
   test("price_elasticity fits one bounded log-log slope per brand") {
     val rows = SparkEntry.queries("price_elasticity")(spark, sf)
       .collect()
