@@ -779,6 +779,50 @@ object Analytics {
             .as("z_score"))
     },
 
+    // Welch's unequal-variance t-test on a CONTINUOUS metric (per-user
+    // purchase revenue) between the md5-split arms — the readout an
+    // experiment runs when the metric is money, not a conversion bit
+    // (events_ab_lift's two-proportion z). The corpus collapses to six
+    // exact moments (per-arm n, Σx, Σx²) in ONE keyed pass — revenue
+    // folds through DECIMAL(18,2) so partial-agg order can't move a
+    // cent — and mean/variance/t/df are closed IEEE formulas over that
+    // single row, mirrored textually in the oracle. Welch-Satterthwaite
+    // df comes out fractional by design.
+    "events_ab_welch" -> { (s, d) =>
+      val u = events(s, d).groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase",
+            expr("CAST(round(value, 2) AS DECIMAL(18,2))"))
+          .otherwise(expr("CAST(0 AS DECIMAL(18,2))"))).as("x"))
+        .withColumn("in_a",
+          substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+      u.agg(
+          sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("in_a"), col("x"))).as("sx_a"),
+          sum(when(!col("in_a"), col("x"))).as("sx_b"),
+          sum(when(col("in_a"), expr("x * x"))).as("sxx_a"),
+          sum(when(!col("in_a"), expr("x * x"))).as("sxx_b"))
+        .withColumn("mean_a", expr("CAST(sx_a AS DOUBLE) / n_a"))
+        .withColumn("mean_b", expr("CAST(sx_b AS DOUBLE) / n_b"))
+        .withColumn("var_a", expr(
+          """(CAST(sxx_a AS DOUBLE)
+            |  - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE) / n_a)
+            |  / (n_a - 1)""".stripMargin))
+        .withColumn("var_b", expr(
+          """(CAST(sxx_b AS DOUBLE)
+            |  - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE) / n_b)
+            |  / (n_b - 1)""".stripMargin))
+        .withColumn("se2", expr("var_a / n_a + var_b / n_b"))
+        .select(col("n_a"), col("n_b"),
+          round(col("mean_a"), 6).as("mean_a"),
+          round(col("mean_b"), 6).as("mean_b"),
+          expr("round((mean_b - mean_a) / sqrt(se2), 6)").as("t_welch"),
+          expr("""round(se2 * se2
+            |  / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+            |    + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6)"""
+            .stripMargin).as("df_welch"))
+    },
+
     // weekly seasonality profile per event type: day-of-week volume,
     // in-type share, and peak-day flag — the load-shaping/anomaly
     // baseline every event pipeline keeps. The corpus collapses to a
@@ -3141,6 +3185,45 @@ object Analytics {
         |      * (1.0 - (conv_a + conv_b) / (n_a + n_b))
         |      * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
         |FROM c""".stripMargin,
+    // same six exact moments, same closed IEEE formulas over them
+    "events_ab_welch" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value, 2) AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+        |    substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS in_a
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    sum(CASE WHEN in_a THEN x END) AS sx_a,
+        |    sum(CASE WHEN NOT in_a THEN x END) AS sx_b,
+        |    sum(CASE WHEN in_a THEN x * x END) AS sxx_a,
+        |    sum(CASE WHEN NOT in_a THEN x * x END) AS sxx_b
+        |  FROM u),
+        |f AS (
+        |  SELECT n_a, n_b,
+        |    CAST(sx_a AS DOUBLE) / n_a AS mean_a,
+        |    CAST(sx_b AS DOUBLE) / n_b AS mean_b,
+        |    (CAST(sxx_a AS DOUBLE)
+        |      - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE) / n_a)
+        |      / (n_a - 1) AS var_a,
+        |    (CAST(sxx_b AS DOUBLE)
+        |      - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE) / n_b)
+        |      / (n_b - 1) AS var_b
+        |  FROM c),
+        |g AS (SELECT *, var_a / n_a + var_b / n_b AS se2 FROM f)
+        |SELECT n_a, n_b,
+        |  round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+        |  round((mean_b - mean_a) / sqrt(se2), 6) AS t_welch,
+        |  round(se2 * se2
+        |    / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+        |      + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6)
+        |    AS df_welch
+        |FROM g""".stripMargin,
     // Sunday=0 on both engines: Spark dayofweek()-1 == DuckDB 'dow'
     "events_seasonality" ->
       """WITH a AS (

@@ -526,6 +526,88 @@ object Graph {
         .orderBy("seed")
     },
 
+    // sampled betweenness centrality (Brandes, 4 seeds, 3-hop horizon):
+    // WHICH nodes the graph's shortest paths flow through — the broker
+    // ranking next to closeness's reach ranking. Forward pass: per
+    // layer, path counts σ fold as frontier equi-joins + keyed sums
+    // (σ_k(v) = Σ σ_{k-1}(u) over layer-respecting edges). Backward
+    // pass: Brandes' dependency δ(u) = Σ σ(u)/σ(w)·(1+δ(w)) over the
+    // shortest-path-DAG edges into the next layer, rounded to 9 as
+    // exact decimals at every accumulation so the nested ratios
+    // hash-match the unrolled-CTE oracle. Horizon-3 truncation is the
+    // honest sampled form (paths longer than the horizon contribute
+    // nothing — documented, deterministic); every hop is an O(V·seeds)
+    // state join against the cached edge list under the same conf-gated
+    // broadcast/shuffle switch as the other iterative keys, and the
+    // global top-10 rides the bounded self-join rank, never a global
+    // window.
+    "graph_betweenness_sampled" -> { (s, d) =>
+      val st = stateSide(s) _
+      val e = edges(s, d)
+      val seeds = e.select(col("src").as("seed")).distinct()
+        .orderBy("seed").limit(4)
+      // each layer is O(V·seeds) and read 3-4× across the forward
+      // exclusions and the backward Brandes joins — uncached, the layer
+      // chains re-evaluate multiplicatively (the iterative-cache-leak
+      // lesson from dedup_connected; measured 26 s uncached at sf0.1)
+      val l1 = st(seeds).join(e, col("seed") === col("src"))
+        .filter(col("dst") =!= col("seed"))
+        .groupBy(col("seed"), col("dst").as("node"))
+        .agg(count(lit(1)).as("sig"))
+        .cache()
+      val l2 = st(l1).join(e, col("node") === col("src"))
+        .filter(col("dst") =!= col("seed"))
+        .join(l1.select(col("seed"), col("node").as("dst")),
+          Seq("seed", "dst"), "left_anti")
+        .groupBy(col("seed"), col("dst").as("node"))
+        .agg(sum(col("sig")).as("sig"))
+        .cache()
+      val l3 = st(l2).join(e, col("node") === col("src"))
+        .filter(col("dst") =!= col("seed"))
+        .join(l1.select(col("seed"), col("node").as("dst")),
+          Seq("seed", "dst"), "left_anti")
+        .join(l2.select(col("seed"), col("node").as("dst")),
+          Seq("seed", "dst"), "left_anti")
+        .groupBy(col("seed"), col("dst").as("node"))
+        .agg(sum(col("sig")).as("sig"))
+        .cache()
+      // backward: δ over the layer-(k -> k+1) shortest-path-DAG edges
+      val d2 = st(l2).join(e, col("node") === col("src"))
+        .join(l3.select(col("seed"), col("node").as("dst"),
+          col("sig").as("sig3")), Seq("seed", "dst"))
+        .withColumn("term", expr(
+          "CAST(round(sig / CAST(sig3 AS DOUBLE), 9) AS DECIMAL(20,9))"))
+        .groupBy("seed", "node")
+        .agg(sum(col("term")).as("delta"))
+        .cache()
+      val d1 = st(l1).join(e, col("node") === col("src"))
+        .join(l2.select(col("seed"), col("node").as("dst"),
+            col("sig").as("sig2"))
+          .join(d2.select(col("seed"), col("node").as("dst"),
+            col("delta").as("delta2")), Seq("seed", "dst"), "left"),
+          Seq("seed", "dst"))
+        .withColumn("term", expr(
+          """CAST(round(sig / CAST(sig2 AS DOUBLE)
+            |  * (1 + CAST(coalesce(delta2, 0) AS DOUBLE)), 9)
+            |  AS DECIMAL(20,9))""".stripMargin))
+        .groupBy("seed", "node")
+        .agg(sum(col("term")).as("delta"))
+      val contrib = d1.select(col("node"), col("delta"))
+        .unionByName(d2.select(col("node"), col("delta")))
+        .groupBy("node")
+        .agg(sum(col("delta")).as("bcd"))
+      val top = graft.plans.TopKPerKey.topK(contrib, Seq(lit(1)),
+        Seq(col("bcd").desc, col("node")), 10)
+      top.join(top.select(col("bcd").as("b2"), col("node").as("n2")),
+          col("b2") > col("bcd")
+            || (col("b2") === col("bcd") && col("n2") <= col("node")))
+        .groupBy("node", "bcd")
+        .agg(count(lit(1)).as("rnk"))
+        .select(col("rnk"), col("node"),
+          round(col("bcd").cast("double"), 6).as("betweenness"))
+        .orderBy("rnk")
+    },
+
     // degree assortativity (Newman's r): Pearson correlation of endpoint
     // degrees across edges — one number separating hub-attracts-leaf
     // graphs (r < 0, the bipartite trade shape) from peer-to-peer ones
@@ -838,6 +920,65 @@ object Graph {
   def oracle: Map[String, String] = Map(
     // same unrolled 3-hop BFS: per-hop DISTINCT frontier, seed/visited
     // exclusion via NOT EXISTS, harmonic sum in the same term order
+    // same layered frontier CTEs as closeness; the backward Brandes pass
+    // nests the σ-ratio decimals exactly as the Spark plan rounds them
+    "graph_betweenness_sampled" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS sp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (
+         |  SELECT c AS src, sp AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT sp AS src, c AS dst FROM pairs),
+         |seeds AS (
+         |  SELECT DISTINCT src AS seed FROM e ORDER BY seed LIMIT 4),
+         |l1 AS (
+         |  SELECT s.seed, e.dst AS node, CAST(count(*) AS BIGINT) AS sig
+         |  FROM seeds s JOIN e ON e.src = s.seed
+         |  WHERE e.dst <> s.seed GROUP BY 1, 2),
+         |l2 AS (
+         |  SELECT f.seed, e.dst AS node, CAST(sum(f.sig) AS BIGINT) AS sig
+         |  FROM l1 f JOIN e ON e.src = f.node
+         |  WHERE e.dst <> f.seed
+         |    AND NOT EXISTS (SELECT 1 FROM l1 x
+         |      WHERE x.seed = f.seed AND x.node = e.dst)
+         |  GROUP BY 1, 2),
+         |l3 AS (
+         |  SELECT f.seed, e.dst AS node, CAST(sum(f.sig) AS BIGINT) AS sig
+         |  FROM l2 f JOIN e ON e.src = f.node
+         |  WHERE e.dst <> f.seed
+         |    AND NOT EXISTS (SELECT 1 FROM l1 x
+         |      WHERE x.seed = f.seed AND x.node = e.dst)
+         |    AND NOT EXISTS (SELECT 1 FROM l2 x
+         |      WHERE x.seed = f.seed AND x.node = e.dst)
+         |  GROUP BY 1, 2),
+         |dd2 AS (
+         |  SELECT u.seed, u.node,
+         |    sum(CAST(round(u.sig / CAST(w.sig AS DOUBLE), 9)
+         |      AS DECIMAL(20,9))) AS delta
+         |  FROM l2 u JOIN e ON e.src = u.node
+         |  JOIN l3 w ON w.seed = u.seed AND w.node = e.dst
+         |  GROUP BY 1, 2),
+         |dd1 AS (
+         |  SELECT u.seed, u.node,
+         |    sum(CAST(round(u.sig / CAST(w.sig AS DOUBLE)
+         |      * (1 + CAST(COALESCE(dd.delta, 0) AS DOUBLE)), 9)
+         |      AS DECIMAL(20,9))) AS delta
+         |  FROM l1 u JOIN e ON e.src = u.node
+         |  JOIN l2 w ON w.seed = u.seed AND w.node = e.dst
+         |  LEFT JOIN dd2 dd ON dd.seed = w.seed AND dd.node = w.node
+         |  GROUP BY 1, 2),
+         |contrib AS (
+         |  SELECT node, sum(delta) AS bcd
+         |  FROM (SELECT node, delta FROM dd1
+         |        UNION ALL SELECT node, delta FROM dd2) u
+         |  GROUP BY 1),
+         |r AS (SELECT node, bcd,
+         |  row_number() OVER (ORDER BY bcd DESC, node) AS rnk
+         |  FROM contrib)
+         |SELECT rnk, node, round(CAST(bcd AS DOUBLE), 6) AS betweenness
+         |FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+
     "graph_closeness_sampled" ->
       s"""WITH pairs AS (
          |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS sp

@@ -197,6 +197,38 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    // container-bloat / bitrate audit over the decoded headers: per
+    // (sample_rate, channels) class, how many bytes the lake stores vs
+    // the PCM payload it actually carries, which assets deviate from
+    // the canonical 44-byte header layout (the LIST-junk containers —
+    // a re-mux candidate list), and the class's nominal kbps — the
+    // table a media-lake owner reads before paying for a transcode or
+    // re-container pass. Same per-partition header walk as the decode
+    // key (headers only, payloads never shuffle); output O(#classes).
+    "multimodal_bitrate_audit" -> { (s, d) =>
+      import s.implicits._
+      t(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          parseWav(id, synthWav(id, text))
+        })
+        .toDF()
+        .groupBy("sample_rate", "n_channels")
+        .agg(count(lit(1)).as("n_assets"),
+          sum(when(col("n_bytes") - col("data_bytes") > 44L, 1L)
+            .otherwise(0L)).as("n_noncanonical"),
+          sum(col("n_bytes")).as("total_bytes"),
+          sum(col("data_bytes")).as("payload_bytes"))
+        .select(col("sample_rate"), col("n_channels"), col("n_assets"),
+          col("n_noncanonical"), col("total_bytes"), col("payload_bytes"),
+          (col("total_bytes") - col("payload_bytes")).as("overhead_bytes"),
+          round((col("total_bytes") - col("payload_bytes")).cast("double")
+            / col("total_bytes"), 6).as("overhead_share"),
+          round(col("sample_rate").cast("double") * col("n_channels")
+            * lit(16d) / lit(1000d), 6).as("nominal_kbps"))
+        .orderBy("sample_rate", "n_channels")
+    },
+
     // media-lake datacard (the corpus_datacard analog for audio): per
     // (sample_rate, n_channels) container class, asset count, total and
     // mean decoded duration, and the class's share of the lake — the
@@ -567,6 +599,36 @@ object Multimodal {
         |  data_bytes,
         |  CAST(data_bytes * 1000000 // byte_rate AS BIGINT) AS duration_us
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    // same synthesized-container arithmetic as the decode oracle,
+    // folded to the per-class byte ledger
+    "multimodal_bitrate_audit" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+        |    CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+        |    CASE WHEN doc_id % 5 = 0 THEN 12 ELSE 0 END AS junk
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, n_channels, sample_rate,
+        |    CAST(n_samples * n_channels * 2 AS BIGINT) AS data_bytes, junk
+        |  FROM p),
+        |a AS (
+        |  SELECT sample_rate, n_channels,
+        |    CAST(44 + data_bytes + junk AS BIGINT) AS n_bytes, data_bytes
+        |  FROM q)
+        |SELECT sample_rate, n_channels, count(*) AS n_assets,
+        |  CAST(sum(CASE WHEN n_bytes - data_bytes > 44 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_noncanonical,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(sum(data_bytes) AS BIGINT) AS payload_bytes,
+        |  CAST(sum(n_bytes) - sum(data_bytes) AS BIGINT) AS overhead_bytes,
+        |  round(CAST(sum(n_bytes) - sum(data_bytes) AS DOUBLE)
+        |    / sum(n_bytes), 6) AS overhead_share,
+        |  round(CAST(sample_rate AS DOUBLE) * n_channels * 16 / 1000, 6)
+        |    AS nominal_kbps
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // ASCII fixture contract: byte offsets == char offsets, ascii() ==
     // byte value — the same contract every byte-slicing oracle here uses

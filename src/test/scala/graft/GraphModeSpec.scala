@@ -20,7 +20,8 @@ class GraphModeSpec extends SparkSpec {
     "graph_pagerank", "graph_hits", "graph_label_prop",
     "graph_modularity", "graph_bfs_layers", "graph_kcore_peel",
     "graph_closeness_sampled", "graph_degree_assortativity",
-    "graph_rich_club", "graph_avg_neighbor_degree")
+    "graph_rich_club", "graph_avg_neighbor_degree",
+    "graph_betweenness_sampled")
 
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq

@@ -2968,6 +2968,50 @@ class OperatorSpec extends SparkSpec {
         "above the 0.2 chance floor, the scorer regressed")
   }
 
+  test("graph_betweenness_sampled ranks positive broker scores in " +
+      "non-increasing order") {
+    val rows = SparkEntry.queries("graph_betweenness_sampled")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("rnk"))
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq ==
+      (1L to rows.length.toLong))
+    val bc = rows.map(_.getAs[Double]("betweenness"))
+    assert(bc.forall(_ > 0.0), s"non-positive dependency: ${bc.toSeq}")
+    assert(bc.zip(bc.tail).forall { case (a, b) => b <= a },
+      s"betweenness not sorted by rank: ${bc.toSeq}")
+    val nodes = rows.map(_.getAs[Long]("node"))
+    assert(nodes.distinct.length == nodes.length)
+  }
+
+  test("events_ab_welch: finite t on a real split and df inside the " +
+      "Welch-Satterthwaite bounds") {
+    val r = SparkEntry.queries("events_ab_welch")(spark, sf).collect()(0)
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    assert(na > 1 && nb > 1, s"degenerate arms: $na / $nb")
+    assert(!r.getAs[Double]("t_welch").isNaN)
+    val df = r.getAs[Double]("df_welch")
+    // min(n)-1 <= df <= n_a+n_b-2 is the textbook Welch df sandwich
+    assert(df >= math.min(na, nb) - 1 - 1e-9 && df <= na + nb - 2 + 1e-9,
+      s"df $df outside [${math.min(na, nb) - 1}, ${na + nb - 2}]")
+  }
+
+  test("multimodal_bitrate_audit: classes partition the lake and flag " +
+      "exactly the junk-chunk containers") {
+    val rows = SparkEntry.queries("multimodal_bitrate_audit")(spark, sf)
+      .collect()
+    assert(rows.length == 6) // 2 channel x 3 sample-rate classes
+    val docs = graft.ops.Tables.t(spark, sf, "documents")
+    assert(rows.map(_.getAs[Long]("n_assets")).sum == docs.count())
+    assert(rows.map(_.getAs[Long]("n_noncanonical")).sum ==
+      docs.filter(col("doc_id") % 5 === 0).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overhead_bytes") ==
+        r.getAs[Long]("total_bytes") - r.getAs[Long]("payload_bytes"))
+      val share = r.getAs[Double]("overhead_share")
+      assert(share > 0.0 && share < 1.0, r.toString)
+    }
+  }
+
   test("price_elasticity fits one bounded log-log slope per brand") {
     val rows = SparkEntry.queries("price_elasticity")(spark, sf)
       .collect()
