@@ -52,9 +52,15 @@ object ScaleProbe {
     "agg_countmin", "corpus_dedup_survivorship", "dedup_method_overlap",
     "dedup_lsh_audit", "dedup_threshold_sweep", "dedup_containment",
     "dedup_ngram_jaccard", "contamination_source_matrix",
-    // trade-graph iterative rounds (keys shifted -> 10 disjoint graphs)
+    // trade-graph iterative rounds (keys shifted -> 10 disjoint graphs;
+    // betweenness's 4 global seeds all land in replica 0 — the probe
+    // measures the frontier joins scanning a 10x edge table)
     "graph_hits", "graph_pagerank", "graph_label_prop",
     "graph_bfs_layers", "graph_kcore_peel", "graph_avg_neighbor_degree",
+    "graph_betweenness_sampled",
+    // char-trigram LM: replica-salted tokens grow the trigram vocab
+    // with the corpus (the Heaps-law shape the broadcast dim must survive)
+    "text_char_trigram_langid",
     // relational/lakehouse over replicated orders/lineitem
     "basket_rules", "q7_nation_volume", "q21_waiting_supplier",
     "supplier_cr4", "convert_parquet_csv", "lakehouse_clustering_depth",
