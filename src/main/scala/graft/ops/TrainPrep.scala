@@ -529,6 +529,35 @@ object TrainPrep {
         .orderBy("rnk")
     },
 
+    // SentencePiece-style unigram seed vocabulary: every substring of
+    // length 2..4 of every vocabulary word, scored freq × len (the
+    // standard seed heuristic — long, frequent pieces are the ones the
+    // unigram-LM EM prune will keep), top-32 with the piece tiebreak.
+    // Like tokenizer_bpe_pairs the corpus collapses to the word-
+    // frequency table FIRST, so the substring explode runs over the
+    // vocabulary (Zipf-small at any corpus size), never the corpus; the
+    // rank window is over the piece table (vocab-bounded, allowlisted).
+    "tokenizer_unigram_seed" -> { (s, d) =>
+      val wf = toks(s, d)
+        .select(explode(col("toks")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("wf"))
+      val wr = Window.orderBy(col("score").desc, col("piece"))
+      wf.select(col("wf"), explode(expr(
+          """flatten(transform(sequence(2, 4), l ->
+            |  CASE WHEN length(w) >= l THEN
+            |    transform(sequence(1, length(w) - l + 1),
+            |      i -> substring(w, i, l))
+            |  ELSE array() END))""".stripMargin)).as("piece"))
+        .groupBy("piece").agg(sum(col("wf")).as("cnt"))
+        .withColumn("piece_len", length(col("piece")).cast("long"))
+        .withColumn("score", col("cnt") * col("piece_len"))
+        .withColumn("rnk", row_number().over(wr).cast("long"))
+        .filter(col("rnk") <= 32)
+        .select("rnk", "piece", "cnt", "piece_len", "score")
+        .orderBy("rnk")
+    },
+
     // the SECOND BPE iteration: apply the winning merge from
     // tokenizer_bpe_pairs and recount adjacent-symbol pairs over the
     // merged sequences — the loop body tokenizer training repeats 30k
@@ -1264,6 +1293,33 @@ object TrainPrep {
         |  FROM a)
         |SELECT CAST(rnk AS BIGINT) AS rnk, pair, n_occ
         |FROM r WHERE rnk <= 50 ORDER BY rnk""".stripMargin,
+
+    // same vocab-first collapse; the CASE-guarded substring fan-out
+    // avoids the descending-sequence trap on short words
+    "tokenizer_unigram_seed" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+        |  FROM documents),
+        |wf AS (
+        |  SELECT w, count(*) AS wf FROM tok WHERE len(w) >= 2 GROUP BY 1),
+        |p AS (
+        |  SELECT unnest(flatten(list_transform([2, 3, 4], l ->
+        |    CASE WHEN length(w) >= l THEN
+        |      list_transform(generate_series(1, length(w) - l + 1),
+        |        i -> substring(w, i, l))
+        |    ELSE CAST([] AS VARCHAR[]) END))) AS piece, wf
+        |  FROM wf),
+        |a AS (
+        |  SELECT piece, CAST(sum(wf) AS BIGINT) AS cnt FROM p GROUP BY 1),
+        |r AS (
+        |  SELECT piece, cnt, CAST(length(piece) AS BIGINT) AS piece_len,
+        |    cnt * CAST(length(piece) AS BIGINT) AS score,
+        |    row_number() OVER (
+        |      ORDER BY cnt * CAST(length(piece) AS BIGINT) DESC, piece)
+        |      AS rnk
+        |  FROM a)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, piece, cnt, piece_len, score
+        |FROM r WHERE rnk <= 32 ORDER BY rnk""".stripMargin,
 
     // same double-spaced merge trick, mirrored operation for operation
     "tokenizer_bpe_merge" ->

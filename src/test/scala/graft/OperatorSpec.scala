@@ -3012,6 +3012,25 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer_unigram_seed: pieces bounded 2..4 chars, score " +
+      "algebra holds, rank order strict") {
+    val rows = SparkEntry.queries("tokenizer_unigram_seed")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("rnk"))
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq ==
+      (1L to rows.length.toLong))
+    rows.foreach { r =>
+      val len = r.getAs[Long]("piece_len")
+      assert(len >= 2 && len <= 4, r.toString)
+      assert(r.getAs[String]("piece").length == len, r.toString)
+      assert(r.getAs[Long]("score") == r.getAs[Long]("cnt") * len,
+        r.toString)
+    }
+    val sc = rows.map(_.getAs[Long]("score"))
+    assert(sc.zip(sc.tail).forall { case (a, b) => b <= a },
+      s"scores not non-increasing: ${sc.toSeq}")
+  }
+
   test("price_elasticity fits one bounded log-log slope per brand") {
     val rows = SparkEntry.queries("price_elasticity")(spark, sf)
       .collect()

@@ -14,16 +14,6 @@ class PlanSpec extends SparkSpec {
   private def optimized(df: DataFrame): String =
     df.queryExecution.optimizedPlan.toString
 
-  /** The physical tree BEFORE adaptive re-planning — `collect` on an
-    * un-executed AdaptiveSparkPlanExec sees no children, so node-level
-    * walks must unwrap it (string pins don't: toString prints through).
-    */
-  private def preAdaptive(df: DataFrame) =
-    df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.inputPlan
-      case p => p
-    }
 
   test("scan_parquet pushes the filter into the parquet scan") {
     val p = plan(SparkEntry.queries("scan_parquet")(spark, sf))
@@ -224,17 +214,24 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup_chunk_cdc shuffles chunk digests, never chunk text") {
-    val df = SparkEntry.queries("dedup_chunk_cdc")(spark, sf)
-    val exchanges = preAdaptive(df).collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    // AQE off for the node walk: the adaptive tree wraps stages in leaf
+    // nodes `collect` cannot descend through, and whether exchanges are
+    // visible pre-execution depends on what earlier suites cached — the
+    // SHAPE under test (what the shuffle carries) is AQE-independent
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val df = SparkEntry.queries("dedup_chunk_cdc")(spark, sf)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e
+      }
+      assert(exchanges.nonEmpty, "expected at least the sig-keyed shuffle")
+      exchanges.foreach { e =>
+        assert(!e.output.exists(_.name == "chunk"),
+          s"a shuffle carries the raw chunk string: ${e.output.map(_.name)}")
+      }
+      val p = plan(df)
+      assert(p.contains("hashpartitioning(sig"), p)
     }
-    assert(exchanges.nonEmpty, "expected at least the sig-keyed shuffle")
-    exchanges.foreach { e =>
-      assert(!e.output.exists(_.name == "chunk"),
-        s"a shuffle carries the raw chunk string: ${e.output.map(_.name)}")
-    }
-    val p = plan(df)
-    assert(p.contains("hashpartitioning(sig"), p)
   }
 
   test("text_bm25 broadcasts the df/length scalars and ranks on the heap " +
@@ -247,27 +244,30 @@ class PlanSpec extends SparkSpec {
 
   test("sim_ivfpq_topk restricts to probed cells below the ADC aggregate " +
       "and never goes all-pairs") {
-    val df = SparkEntry.queries("sim_ivfpq_topk")(spark, sf)
-    val p = plan(df)
-    // the only nested-loop is the bounded O(Q)×O(C) probe crossJoin;
-    // nothing may go corpus × corpus
-    assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("TopKPerKey"), p)
-    // the candidate (cell) restriction must sit BELOW the per-(q, vec)
-    // ADC sum: walking down from that aggregate we must meet the
-    // probe/cand/codes/lut joins, not a bare full code-table scan
-    val agg = preAdaptive(df).collectFirst {
-      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
-          if a.aggregateExpressions.exists(_.toString.contains("sum")) &&
-            a.groupingExpressions.size == 2 => a
+    // AQE off for the node walk (the dedup_chunk_cdc rationale)
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val df = SparkEntry.queries("sim_ivfpq_topk")(spark, sf)
+      val p = plan(df)
+      // the only nested-loop is the bounded O(Q)×O(C) probe crossJoin;
+      // nothing may go corpus × corpus
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("TopKPerKey"), p)
+      // the candidate (cell) restriction must sit BELOW the per-(q, vec)
+      // ADC sum: walking down from that aggregate we must meet the
+      // probe/cand/codes/lut joins, not a bare full code-table scan
+      val agg = df.queryExecution.executedPlan.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+            if a.aggregateExpressions.exists(_.toString.contains("sum")) &&
+              a.groupingExpressions.size == 2 => a
+      }
+      assert(agg.nonEmpty, "per-(q_id, vec_id) ADC sum aggregate not found")
+      val joinsBelow = agg.get.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joinsBelow.size >= 3,
+        s"expected probe+cand+codes+lut joins below the ADC sum, " +
+          s"found ${joinsBelow.size}")
     }
-    assert(agg.nonEmpty, "per-(q_id, vec_id) ADC sum aggregate not found")
-    val joinsBelow = agg.get.collect {
-      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
-    }
-    assert(joinsBelow.size >= 3,
-      s"expected probe+cand+codes+lut joins below the ADC sum, " +
-        s"found ${joinsBelow.size}")
   }
 
   test("q18's HAVING filter runs on aggregated rows, not a subquery scan") {

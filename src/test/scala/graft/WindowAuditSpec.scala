@@ -69,7 +69,9 @@ class WindowAuditSpec extends SparkSpec {
     "text_zipf_fit" -> "top-64 heap survivors only",
     "tokenizer_bpe_merge" -> ("symbol-pair vocabulary (O(charset^2) " +
       "for char pairs; merges are bounded)"),
-    "tokenizer_bpe_pairs" -> "O(charset^2) char-bigram pair table"
+    "tokenizer_bpe_pairs" -> "O(charset^2) char-bigram pair table",
+    "tokenizer_unigram_seed" ->
+      "substring-piece table of the VOCABULARY (Zipf-bounded), not the corpus"
   )
 
   /** Keys whose PLAN CONSTRUCTION legitimately throws in this spec's
