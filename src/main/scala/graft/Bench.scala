@@ -24,6 +24,39 @@ object Bench {
     "join_bucketed", "agg_group", "dedup_minhash", "dedup_connected",
     "sim_cosine_topk", "sim_pairs_lsh")
 
+  /** Per-key timing + the environment snapshot that makes a contaminated
+    * run self-explaining after the fact (VERDICT r11 #3: the r11 record
+    * inflated 41% with `foreign_jvms: 0` and no other attribution signal,
+    * burning a round-over-round comparison). Fields:
+    *  - `gcMs`: JVM GC time spent INSIDE this key's timed window — a key
+    *    whose wall time is mostly GC was a storage/heap-pressure victim,
+    *    not a slow plan;
+    *  - `storageMb` / `cachedRdds`: block-manager storage in use after
+    *    the key ran — a monotone ramp across the run is the cache-leak
+    *    signature, a sawtooth is healthy memo eviction;
+    *  - `load1`: /proc/loadavg 1-min average — >> #cores means something
+    *    outside this JVM (or a stuck fork storm inside it) stole cores
+    *    even when the foreign-JVM tripwire saw nothing at launch time.
+    */
+  final case class KeyStat(name: String, sec: Double, gcMs: Long,
+      storageMb: Double, cachedRdds: Int, load1: Double)
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  private def loadAvg1(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split("\\s+")(0).toDouble finally src.close()
+    } catch {
+      case _: Throwable =>
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .getSystemLoadAverage
+    }
+
   /** Times every query in `selected`; a throwing query is recorded in the
     * returned failure list (never reduced to a silent fast timing row).
     * Factored out of `main` so BenchSpec can pin the failure surface with
@@ -33,6 +66,18 @@ object Bench {
       selected: Map[String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame])
       : (Seq[(String, Double)], List[String]) = {
+    val (stats, failed) = runQueriesDetailed(spark, sfDir, selected)
+    (stats.map(st => st.name -> st.sec), failed)
+  }
+
+  /** [[runQueries]] plus the per-key telemetry columns for the detail
+    * JSON (summary line stays name→sec only; the driver parses it).
+    */
+  def runQueriesDetailed(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String,
+      selected: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame])
+      : (Seq[KeyStat], List[String]) = {
     var failed = List.empty[String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // drain garbage from the PREVIOUS query before starting the clock:
@@ -40,6 +85,7 @@ object Bench {
       // window the collector happens to fire in (measured: a 2.3s query
       // reading as 15s after a 2M-row distinct)
       System.gc()
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch {
@@ -49,8 +95,13 @@ object Bench {
             s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      val gcMs = gcMillis() - gc0
+      val sc = spark.sparkContext
+      val storageMb =
+        sc.getRDDStorageInfo.map(_.memSize).sum / (1024.0 * 1024.0)
+      val cached = sc.getPersistentRDDs.size
       System.err.println(f"[bench] $name%-24s $sec%8.2fs")
-      name -> sec
+      KeyStat(name, sec, gcMs, storageMb, cached, loadAvg1())
     }
     (results, failed)
   }
@@ -110,7 +161,8 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.exists(k.startsWith) }
-    val (results, failed) = runQueries(spark, sfDir, selected)
+    val (stats, failed) = runQueriesDetailed(spark, sfDir, selected)
+    val results = stats.map(st => st.name -> st.sec)
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // can emit ',' decimal separators (invalid JSON) — the exact
     // parsed-as-null failure this summary line exists to prevent
@@ -124,10 +176,23 @@ object Bench {
     val full = jsonMap(results)
     val sfKey = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val detail = s"target/bench_queries_$sfKey.json"
+    // per-key telemetry rides ONLY the detail file (the stdout summary
+    // stays small + stable for the driver's parser): after a run whose
+    // total looks inflated, read gc_ms (heap-pressure victim), the
+    // storage_mb ramp (cache leak vs healthy memo sawtooth), and load1
+    // (cores stolen mid-run that the launch-time foreign-JVM tripwire
+    // could not see)
+    val telemetry = stats.map { st =>
+      "\"" + st.name + "\":{\"gc_ms\":" + st.gcMs +
+        ",\"storage_mb\":" + num(st.storageMb) +
+        ",\"cached_rdds\":" + st.cachedRdds +
+        ",\"load1\":" + num(st.load1) + "}"
+    }.mkString("{", ",", "}")
     Files.createDirectories(Paths.get("/root/repo/target"))
     Files.write(Paths.get(s"/root/repo/$detail"),
       (s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$full,""" +
         s""""failed":$failedJson,"foreign_jvms":${foreign.size},""" +
+        s""""telemetry":$telemetry,""" +
         s""""sf":"$sfDir"}""").getBytes(StandardCharsets.UTF_8))
     val head = jsonMap(results.filter(r => Headline.contains(r._1)))
     spark.stop()

@@ -458,7 +458,7 @@ object Aggregates {
       // cached: the counter build AND the estimate join both read this
       // vocab × depth table — uncached, the corpus-linear word count
       // underneath runs twice (measured 4.0 s → ~1 s at sf0.1)
-      val hashes = wid.select(col("word"), col("cnt"), col("wid"),
+      val hashesPlan = wid.select(col("word"), col("cnt"), col("wid"),
           explode(array(CmsRows.map { case (j, a, b) =>
             struct(lit(j).as("j"), lit(a).as("a"), lit(b).as("b"))
           }: _*)).as("h"))
@@ -466,7 +466,8 @@ object Aggregates {
           col("h.j").as("j"),
           (((col("h.a") * col("wid") + col("h.b")) % CmsP) % CmsW)
             .as("bucket"))
-        .cache()
+      val hashes = graft.plans.ScopedMemo(s, s"countmin_hashes#$d")(
+        hashesPlan)
       val counters = hashes.groupBy("j", "bucket")
         .agg(sum(col("cnt")).as("total"))
       hashes.join(counters, Seq("j", "bucket"))

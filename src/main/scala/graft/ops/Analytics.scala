@@ -1691,13 +1691,13 @@ object Analytics {
     // counts through IEEE division, round(·,6), lift ties broken by
     // brand names.
     "basket_rules" -> { (s, d) =>
-      // cached: the pair generator AND the per-brand count read this same
-      // distinct — uncached it runs twice
-      val baskets = t(s, d, "lineitem")
-        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
-        .distinct()
-        .cache()
+      // memoized: the pair generator AND the per-brand count read this
+      // same distinct — un-pinned it runs twice (ScopedMemo, r12 sweep)
+      val baskets = graft.plans.ScopedMemo(s, s"basket_baskets#$d")(
+        t(s, d, "lineitem")
+          .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+          .distinct())
       val nOrders = t(s, d, "orders").agg(count(lit(1)).as("n_orders"))
       val brandN = baskets.groupBy("brand").agg(count(lit(1)).as("bn"))
       // pair enumeration stays IN-ROW: collapse each order to its sorted
@@ -2118,17 +2118,17 @@ object Analytics {
         .partitionBy("user_id").orderBy("ts", "event_id")
       val wDenom = org.apache.spark.sql.expressions.Window
         .partitionBy("prev")
-      val pm = events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type"))
-        .withColumn("prev", lag("event_type", 1).over(w))
-        .filter(col("prev").isNotNull)
-        .groupBy(col("prev"), col("event_type").as("cur"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("p",
-          col("n").cast("double") / sum(col("n")).over(wDenom))
-        .select("prev", "cur", "p")
-        .cache()
+      val pm = graft.plans.ScopedMemo(s, s"markov_stationary_pm#$d")(
+        events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type").as("cur"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p",
+            col("n").cast("double") / sum(col("n")).over(wDenom))
+          .select("prev", "cur", "p"))
       val states = pm.select(col("prev").as("state")).distinct()
       val nStates = states.agg(count(lit(1)).as("t"))
       val pi0 = states.crossJoin(broadcast(nStates))
@@ -2156,12 +2156,12 @@ object Analytics {
       val e = events(s, d).select(col("user_id"),
         to_date(date_trunc("week", col("ts"))).as("wk"))
       val first = e.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
-      val grid = e.join(first, "user_id")
-        .groupBy(col("cohort_week"),
-          (datediff(col("wk"), col("cohort_week")) / 7).cast("long")
-            .as("week_n"))
-        .agg(countDistinct(col("user_id")).as("n_active"))
-        .cache()
+      val grid = graft.plans.ScopedMemo(s, s"retention_halflife_grid#$d")(
+        e.join(first, "user_id")
+          .groupBy(col("cohort_week"),
+            (datediff(col("wk"), col("cohort_week")) / 7).cast("long")
+              .as("week_n"))
+          .agg(countDistinct(col("user_id")).as("n_active")))
       val sizes = grid.filter(col("week_n") === 0)
         .select(col("cohort_week"), col("n_active").as("cohort_size"))
       val maxWk = e.agg(max(col("wk")).as("max_wk"))
@@ -2549,18 +2549,19 @@ object Analytics {
       val ev = events(s, d)
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type"))
-      val trans = ev
+      val trans = graft.plans.ScopedMemo(s, s"markov_attr_trans#$d")(ev
         .withColumn("prev", lag("event_type", 1).over(w))
         .filter(col("prev").isNotNull)
         .groupBy(col("prev"), col("event_type").as("cur"))
         .agg(count(lit(1)).as("n"))
         .withColumn("p", round(col("n").cast("double")
           / sum(col("n")).over(wDenom), 6))
-        .select("prev", "cur", "p").cache()
-      val starts = ev.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .groupBy(col("event_type").as("state"))
-        .agg(count(lit(1)).as("n")).cache()
+        .select("prev", "cur", "p"))
+      val starts = graft.plans.ScopedMemo(s, s"markov_attr_starts#$d")(
+        ev.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("event_type").as("state"))
+          .agg(count(lit(1)).as("n")))
       val startsP = starts
         .crossJoin(broadcast(starts.agg(sum(col("n")).as("tot"))))
         .select(col("state"),
@@ -2569,12 +2570,14 @@ object Analytics {
         ("no_view", "view"), ("no_error", "error"),
         ("no_signup", "signup")).toDF("scenario", "removed"))
       val states = ev.select(col("event_type").as("state")).distinct()
-      val grid = states.crossJoin(scenarios)
-        .filter(col("state") =!= col("removed")).cache()
-      val strans = trans.crossJoin(scenarios)
-        .filter(col("prev") =!= col("removed")
-          && col("cur") =!= col("removed"))
-        .select("scenario", "prev", "cur", "p").cache()
+      val grid = graft.plans.ScopedMemo(s, s"markov_attr_grid#$d")(
+        states.crossJoin(scenarios)
+          .filter(col("state") =!= col("removed")))
+      val strans = graft.plans.ScopedMemo(s, s"markov_attr_strans#$d")(
+        trans.crossJoin(scenarios)
+          .filter(col("prev") =!= col("removed")
+            && col("cur") =!= col("removed"))
+          .select("scenario", "prev", "cur", "p"))
       val r0 = grid.select(col("scenario"), col("state"),
         when(col("state") === "purchase", 1d).otherwise(0d).as("r"))
       val r4 = (1 to 4).foldLeft(r0) { (r, _) =>
@@ -2615,16 +2618,16 @@ object Analytics {
     // decimal sums. Fully partial-aggregable, one shuffle on user_id.
     "events_uplift_cuped" -> { (s, d) =>
       val split = to_timestamp(lit("2024-01-16 00:00:00"))
-      val u = events(s, d).groupBy("user_id")
-        .agg(
-          coalesce(sum(when(col("ts") < split, money(col("value")))),
-            lit(0).cast("decimal(18,2)")).cast("decimal(14,2)").as("x"),
-          coalesce(sum(when(col("ts") >= split, money(col("value")))),
-            lit(0).cast("decimal(18,2)")).cast("decimal(14,2)").as("y"))
-        .withColumn("arm",
-          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
-            "control").otherwise("treatment"))
-        .cache()
+      val u = graft.plans.ScopedMemo(s, s"cuped_user_xy#$d")(
+        events(s, d).groupBy("user_id")
+          .agg(
+            coalesce(sum(when(col("ts") < split, money(col("value")))),
+              lit(0).cast("decimal(18,2)")).cast("decimal(14,2)").as("x"),
+            coalesce(sum(when(col("ts") >= split, money(col("value")))),
+              lit(0).cast("decimal(18,2)")).cast("decimal(14,2)").as("y"))
+          .withColumn("arm",
+            when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+              "control").otherwise("treatment")))
       val g = broadcast(u.agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"),
@@ -2709,11 +2712,11 @@ object Analytics {
           .as("h"))
         .agg(count(lit(1)).as("ce"))
       val bounds = hc.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-      val series = bounds
-        .select(explode(sequence(col("h0"), col("h1"))).as("h"))
-        .join(hc, Seq("h"), "left")
-        .select(col("h"), coalesce(col("ce"), lit(0L)).as("c"))
-        .cache()
+      val series = graft.plans.ScopedMemo(s, s"autocorr_series#$d")(
+        bounds
+          .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+          .join(hc, Seq("h"), "left")
+          .select(col("h"), coalesce(col("ce"), lit(0L)).as("c")))
       val g = broadcast(series.agg(count(lit(1)).as("n"),
         sum(col("c")).as("s1"), sum(expr("c * c")).as("s2")))
       val lags = broadcast(s.range(1)
@@ -2880,11 +2883,11 @@ object Analytics {
     // p·log₂ terms (log2 parity with DuckDB is pinned by the
     // text_entropy precedent), zero cells contributing zero by guard.
     "events_feature_mi" -> { (s, d) =>
-      val u = events(s, d).groupBy("user_id")
-        .agg(max(when(col("event_type") === "purchase"
-            && col("value") >= 180, 1L).otherwise(0L)).as("conv"),
-          collect_set(col("event_type")).as("types"))
-        .cache()
+      val u = graft.plans.ScopedMemo(s, s"feature_mi_users#$d")(
+        events(s, d).groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase"
+              && col("value") >= 180, 1L).otherwise(0L)).as("conv"),
+            collect_set(col("event_type")).as("types")))
       val n = broadcast(u.agg(count(lit(1)).as("n"),
         sum(col("conv")).as("n_conv")))
       val cells = u
@@ -2937,12 +2940,12 @@ object Analytics {
     // heap operator and the type totals come from ONE more rollup of
     // the same tiny matrix — the fact table is read once.
     "supplier_cr4" -> { (s, d) =>
-      val bySupp = t(s, d, "lineitem")
-        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
-        .groupBy(col("p_type"), col("l_suppkey"))
-        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
-          .as("rev"))
-        .cache()
+      val bySupp = graft.plans.ScopedMemo(s, s"cr4_by_supp#$d")(
+        t(s, d, "lineitem")
+          .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_type"), col("l_suppkey"))
+          .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+            .as("rev")))
       val tot = bySupp.groupBy("p_type")
         .agg(sum(col("rev")).as("tot"), count(lit(1)).as("n_suppliers"))
       graft.plans.TopKPerKey.topK(bySupp, Seq(col("p_type")),

@@ -602,11 +602,10 @@ object Dedup {
         .withColumn("cos", expr(
           "round(c / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)"))
         .select("doc_a", "doc_b", "cos")
-      val ex = pairs
+      val ex = graft.plans.ScopedMemo(s, s"threshold_sweep_ex#$d")(pairs
         .select(explode(array(lit(0.5), lit(0.6), lit(0.7), lit(0.8),
           lit(0.9))).as("thr"), col("doc_a"), col("doc_b"), col("cos"))
-        .filter(col("cos") >= col("thr"))
-        .cache()
+        .filter(col("cos") >= col("thr")))
       val np = ex.groupBy("thr").agg(count(lit(1)).as("n_pairs"))
       val nd = ex.select(col("thr"), col("doc_a").as("doc"))
         .unionAll(ex.select(col("thr"), col("doc_b").as("doc")))

@@ -198,6 +198,106 @@ object Graph {
     */
   def warm(s: SparkSession, d: String): Unit = nodeTable(s, d).count()
 
+  /** Sampled betweenness centrality (Brandes, `nSeeds` seeds, 3-hop
+    * horizon) — factored out of the registry entry so OperatorSpec can
+    * audit a second seed count (VERDICT r12 #8: seed-set growth must only
+    * ADD shortest-path mass, never change existing layers).
+    *
+    * Each layer is O(V·seeds) and read 3-4× across the forward exclusions
+    * and the backward Brandes joins — un-memoized, the layer chains
+    * re-evaluate multiplicatively (measured 26 s at sf0.1). Round 11
+    * pinned them with four bare per-invocation `.cache()` calls that were
+    * never unpersisted; in the driver's 451-key bench session those
+    * orphaned blocks compounded into the run's worst row (48.9 s vs an
+    * 8 s clean budget — VERDICT r11 #1). Round 12: the layer/delta tables
+    * ride the bounded [[graft.plans.ScopedMemo]] keyed
+    * (session, sf, state-mode, seeds) — the lpaLabels discipline — so an
+    * invocation pins nothing the LRU can't evict and re-invocations reuse
+    * one instance.
+    */
+  /** The per-node Brandes dependency totals `(node, bcd)` feeding
+    * [[betweennessSampled]]'s top-10 — exposed separately so OperatorSpec
+    * can pin seed-set monotonicity (VERDICT r12 #8): every δ term is
+    * non-negative and seeds contribute independently, so growing the seed
+    * set must only ADD mass — `bcd(8 seeds) ≥ bcd(4 seeds)` node-wise and
+    * the covered node set can only widen.
+    */
+  private[graft] def betweennessContrib(
+      s: SparkSession, d: String, nSeeds: Int): DataFrame = {
+    val st = stateSide(s) _
+    val e = edges(s, d)
+    val tag = s"#$d#st=${stateModeTag(s)}#seeds=$nSeeds"
+    def memo(name: String)(body: => DataFrame): DataFrame =
+      graft.plans.ScopedMemo(s, name + tag)(body)
+    val seeds = e.select(col("src").as("seed")).distinct()
+      .orderBy("seed").limit(nSeeds)
+    val l1 = memo("graph_bc_l1") {
+      st(seeds).join(e, col("seed") === col("src"))
+        .filter(col("dst") =!= col("seed"))
+        .groupBy(col("seed"), col("dst").as("node"))
+        .agg(count(lit(1)).as("sig"))
+    }
+    val l2 = memo("graph_bc_l2") {
+      st(l1).join(e, col("node") === col("src"))
+        .filter(col("dst") =!= col("seed"))
+        .join(l1.select(col("seed"), col("node").as("dst")),
+          Seq("seed", "dst"), "left_anti")
+        .groupBy(col("seed"), col("dst").as("node"))
+        .agg(sum(col("sig")).as("sig"))
+    }
+    val l3 = memo("graph_bc_l3") {
+      st(l2).join(e, col("node") === col("src"))
+        .filter(col("dst") =!= col("seed"))
+        .join(l1.select(col("seed"), col("node").as("dst")),
+          Seq("seed", "dst"), "left_anti")
+        .join(l2.select(col("seed"), col("node").as("dst")),
+          Seq("seed", "dst"), "left_anti")
+        .groupBy(col("seed"), col("dst").as("node"))
+        .agg(sum(col("sig")).as("sig"))
+    }
+    // backward: δ over the layer-(k -> k+1) shortest-path-DAG edges
+    val d2 = memo("graph_bc_d2") {
+      st(l2).join(e, col("node") === col("src"))
+        .join(l3.select(col("seed"), col("node").as("dst"),
+          col("sig").as("sig3")), Seq("seed", "dst"))
+        .withColumn("term", expr(
+          "CAST(round(sig / CAST(sig3 AS DOUBLE), 9) AS DECIMAL(20,9))"))
+        .groupBy("seed", "node")
+        .agg(sum(col("term")).as("delta"))
+    }
+    val d1 = st(l1).join(e, col("node") === col("src"))
+      .join(l2.select(col("seed"), col("node").as("dst"),
+          col("sig").as("sig2"))
+        .join(d2.select(col("seed"), col("node").as("dst"),
+          col("delta").as("delta2")), Seq("seed", "dst"), "left"),
+        Seq("seed", "dst"))
+      .withColumn("term", expr(
+        """CAST(round(sig / CAST(sig2 AS DOUBLE)
+          |  * (1 + CAST(coalesce(delta2, 0) AS DOUBLE)), 9)
+          |  AS DECIMAL(20,9))""".stripMargin))
+      .groupBy("seed", "node")
+      .agg(sum(col("term")).as("delta"))
+    d1.select(col("node"), col("delta"))
+      .unionByName(d2.select(col("node"), col("delta")))
+      .groupBy("node")
+      .agg(sum(col("delta")).as("bcd"))
+  }
+
+  private[graft] def betweennessSampled(
+      s: SparkSession, d: String, nSeeds: Int): DataFrame = {
+    val contrib = betweennessContrib(s, d, nSeeds)
+    val top = graft.plans.TopKPerKey.topK(contrib, Seq(lit(1)),
+      Seq(col("bcd").desc, col("node")), 10)
+    top.join(top.select(col("bcd").as("b2"), col("node").as("n2")),
+        col("b2") > col("bcd")
+          || (col("b2") === col("bcd") && col("n2") <= col("node")))
+      .groupBy("node", "bcd")
+      .agg(count(lit(1)).as("rnk"))
+      .select(col("rnk"), col("node"),
+        round(col("bcd").cast("double"), 6).as("betweenness"))
+      .orderBy("rnk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // three PageRank rounds over the trade graph; top 50 nodes by rank.
     // Every node appears in the edge list (undirected doubling ⇒ no
@@ -541,72 +641,7 @@ object Graph {
     // broadcast/shuffle switch as the other iterative keys, and the
     // global top-10 rides the bounded self-join rank, never a global
     // window.
-    "graph_betweenness_sampled" -> { (s, d) =>
-      val st = stateSide(s) _
-      val e = edges(s, d)
-      val seeds = e.select(col("src").as("seed")).distinct()
-        .orderBy("seed").limit(4)
-      // each layer is O(V·seeds) and read 3-4× across the forward
-      // exclusions and the backward Brandes joins — uncached, the layer
-      // chains re-evaluate multiplicatively (the iterative-cache-leak
-      // lesson from dedup_connected; measured 26 s uncached at sf0.1)
-      val l1 = st(seeds).join(e, col("seed") === col("src"))
-        .filter(col("dst") =!= col("seed"))
-        .groupBy(col("seed"), col("dst").as("node"))
-        .agg(count(lit(1)).as("sig"))
-        .cache()
-      val l2 = st(l1).join(e, col("node") === col("src"))
-        .filter(col("dst") =!= col("seed"))
-        .join(l1.select(col("seed"), col("node").as("dst")),
-          Seq("seed", "dst"), "left_anti")
-        .groupBy(col("seed"), col("dst").as("node"))
-        .agg(sum(col("sig")).as("sig"))
-        .cache()
-      val l3 = st(l2).join(e, col("node") === col("src"))
-        .filter(col("dst") =!= col("seed"))
-        .join(l1.select(col("seed"), col("node").as("dst")),
-          Seq("seed", "dst"), "left_anti")
-        .join(l2.select(col("seed"), col("node").as("dst")),
-          Seq("seed", "dst"), "left_anti")
-        .groupBy(col("seed"), col("dst").as("node"))
-        .agg(sum(col("sig")).as("sig"))
-        .cache()
-      // backward: δ over the layer-(k -> k+1) shortest-path-DAG edges
-      val d2 = st(l2).join(e, col("node") === col("src"))
-        .join(l3.select(col("seed"), col("node").as("dst"),
-          col("sig").as("sig3")), Seq("seed", "dst"))
-        .withColumn("term", expr(
-          "CAST(round(sig / CAST(sig3 AS DOUBLE), 9) AS DECIMAL(20,9))"))
-        .groupBy("seed", "node")
-        .agg(sum(col("term")).as("delta"))
-        .cache()
-      val d1 = st(l1).join(e, col("node") === col("src"))
-        .join(l2.select(col("seed"), col("node").as("dst"),
-            col("sig").as("sig2"))
-          .join(d2.select(col("seed"), col("node").as("dst"),
-            col("delta").as("delta2")), Seq("seed", "dst"), "left"),
-          Seq("seed", "dst"))
-        .withColumn("term", expr(
-          """CAST(round(sig / CAST(sig2 AS DOUBLE)
-            |  * (1 + CAST(coalesce(delta2, 0) AS DOUBLE)), 9)
-            |  AS DECIMAL(20,9))""".stripMargin))
-        .groupBy("seed", "node")
-        .agg(sum(col("term")).as("delta"))
-      val contrib = d1.select(col("node"), col("delta"))
-        .unionByName(d2.select(col("node"), col("delta")))
-        .groupBy("node")
-        .agg(sum(col("delta")).as("bcd"))
-      val top = graft.plans.TopKPerKey.topK(contrib, Seq(lit(1)),
-        Seq(col("bcd").desc, col("node")), 10)
-      top.join(top.select(col("bcd").as("b2"), col("node").as("n2")),
-          col("b2") > col("bcd")
-            || (col("b2") === col("bcd") && col("n2") <= col("node")))
-        .groupBy("node", "bcd")
-        .agg(count(lit(1)).as("rnk"))
-        .select(col("rnk"), col("node"),
-          round(col("bcd").cast("double"), 6).as("betweenness"))
-        .orderBy("rnk")
-    },
+    "graph_betweenness_sampled" -> ((s, d) => betweennessSampled(s, d, 4)),
 
     // degree assortativity (Newman's r): Pearson correlation of endpoint
     // degrees across edges — one number separating hub-attracts-leaf
@@ -764,11 +799,12 @@ object Graph {
     // round; top-25 per side ships through the bounded-heap operator.
     "graph_hits" -> { (s, d) =>
       val st = stateSide(s) _
-      // cached: 6 rounds × 2 joins re-read this filtered projection —
-      // uncached each re-scans the 1.2M-row undirected cache to keep
-      // half of it (measured 6.7 s → ~3 s at sf0.1); CacheManager dedups
-      // repeated calls by plan equality
-      val ce = edges(s, d).filter(col("src") < SuppOffset).cache()
+      // memoized: 6 rounds × 2 joins re-read this filtered projection —
+      // un-pinned each re-scans the 1.2M-row undirected cache to keep
+      // half of it (measured 6.7 s → ~3 s at sf0.1). ScopedMemo, not a
+      // bare .cache(): the bare pin was one of the r11 systemic leaks.
+      val ce = graft.plans.ScopedMemo(s, s"graph_hits_ce#$d")(
+        edges(s, d).filter(col("src") < SuppOffset))
       // DECIMAL(38,0) accumulators (ADVICE r7): unnormalized scores grow
       // ~degree^rounds (~1e11 at sf0.1) — past int64 headroom Spark
       // (non-ANSI) would wrap silently while DuckDB raises, a divergent

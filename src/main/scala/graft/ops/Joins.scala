@@ -554,12 +554,12 @@ object Joins {
             .stripMargin)))
         .select(col("qk"), col("qx"), col("qy"),
           col("nb.ncx").as("cx"), col("nb.ncy").as("cy"))
-      val cands = broadcast(q).join(pts, Seq("cx", "cy"))
-        .filter(col("o_orderkey") =!= col("qk"))
-        .withColumn("dist2", expr(
-          "(ck - qx) * (ck - qx) + (dy - qy) * (dy - qy)"))
-        .select(col("qk"), col("o_orderkey").as("nn"), col("dist2"))
-        .cache()
+      val cands = graft.plans.ScopedMemo(s, s"spatial_grid_cands#$d")(
+        broadcast(q).join(pts, Seq("cx", "cy"))
+          .filter(col("o_orderkey") =!= col("qk"))
+          .withColumn("dist2", expr(
+            "(ck - qx) * (ck - qx) + (dy - qy) * (dy - qy)"))
+          .select(col("qk"), col("o_orderkey").as("nn"), col("dist2")))
       graft.plans.TopKPerKey.topK(cands, Seq(col("qk")),
           Seq(col("dist2"), col("nn")), 1)
         .join(cands.groupBy("qk").agg(count(lit(1)).as("n_candidates")),

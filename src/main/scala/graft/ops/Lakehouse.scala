@@ -939,8 +939,8 @@ object Lakehouse {
           .unionAll(fb.select(lit(name).as("layout"), lit("dy").as("dim"),
             col("file"), col("dy_lo").as("lo"), col("dy_hi").as("hi")))
       }
-      val zn = zones("f_naive", "naive").unionAll(zones("f_z", "zorder"))
-        .cache()
+      val zn = graft.plans.ScopedMemo(s, s"layout_zones#$d")(
+        zones("f_naive", "naive").unionAll(zones("f_z", "zorder")))
       val agg = zn.groupBy("layout", "dim")
         .agg(count(lit(1)).as("n_files"),
           sum(col("hi") - col("lo") + 1L).as("sum_width"))

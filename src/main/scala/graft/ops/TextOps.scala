@@ -555,17 +555,17 @@ object TextOps {
         .select(col("doc_id"), col("lang"),
           lower(trim(col("text"))).as("txt"))
         .filter(length(col("txt")) >= 3)
-      // cached (the contamination_check pattern): THREE consumers read
+      // memoized (the contamination_check pattern): THREE consumers read
       // this corpus-linear explode+count — the lm build, the seen-score
-      // join, and the per-doc totals — and uncached each re-runs the
-      // 3·n_chars substring explode (measured 9.2 -> ~4 s at sf0.1)
-      val tf = docs
+      // join, and the per-doc totals — and un-pinned each re-runs the
+      // 3·n_chars substring explode (measured 9.2 -> ~4 s at sf0.1).
+      // ScopedMemo, not a bare .cache(): the bare pin was an r11 leak.
+      val tf = graft.plans.ScopedMemo(s, s"trigram_langid_tf#$d")(docs
         .select(col("doc_id"), col("lang"), explode(expr(
           "transform(sequence(1, length(txt) - 2), " +
             "i -> substring(txt, i, 3))")).as("tri"))
         .groupBy("doc_id", "lang", "tri")
-        .agg(count(lit(1)).as("tf"))
-        .cache()
+        .agg(count(lit(1)).as("tf")))
       val lm = tf.groupBy("lang", "tri")
         .agg(sum(col("tf")).as("cnt"))
       val vocab = lm.select("tri").distinct()
@@ -764,14 +764,15 @@ object TextOps {
       val uni = docs.select(explode(col("toks")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("c1"))
       val vsz = uni.agg(count(lit(1)).as("v_sz"))
-      // cached: the exploded bigram stream feeds BOTH the count build and
-      // the scoring join — uncached the corpus-sized explode runs twice
-      val bg = docs.filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(0, size(toks) - 2),
-            |  i -> concat(toks[i], ' ', toks[i + 1]))""".stripMargin))
-          .as("bg"))
-        .cache()
+      // memoized: the exploded bigram stream feeds BOTH the count build
+      // and the scoring join — un-pinned the corpus-sized explode runs
+      // twice (ScopedMemo, r12 sweep)
+      val bg = graft.plans.ScopedMemo(s, s"bigram_lm_bg#$d")(
+        docs.filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(0, size(toks) - 2),
+              |  i -> concat(toks[i], ' ', toks[i + 1]))""".stripMargin))
+            .as("bg")))
       val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
       bg.join(broadcast(c2), "bg")
         .withColumn("w1", split(col("bg"), " ").getItem(0))

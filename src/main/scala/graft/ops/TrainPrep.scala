@@ -342,10 +342,13 @@ object TrainPrep {
     // where an explicit broadcast belongs; PlanSpec pins the no-hint
     // invariant here.)
     "contamination_check" -> { (s, d) =>
-      // one gram explode over the whole corpus, cached — the train and
+      // one gram explode over the whole corpus, memoized — the train and
       // eval branches are filters over the same materialization instead
-      // of two evaluations of the explode+distinct pipeline
-      val g = grams(toks(s, d)).select(col("doc_id"), col("gram")).cache()
+      // of two evaluations of the explode+distinct pipeline (ScopedMemo:
+      // decontaminate_apply re-reads the same key, and the bare .cache()
+      // was an r11 leak)
+      val g = graft.plans.ScopedMemo(s, s"contamination_grams#$d")(
+        grams(toks(s, d)).select(col("doc_id"), col("gram")))
       val evalGrams = g.filter(col("doc_id") % 7 === 0)
         .select(col("doc_id").as("eval_id"), col("gram"))
       g.filter(col("doc_id") % 7 =!= 0)
@@ -369,7 +372,10 @@ object TrainPrep {
     // the semantic invariant: re-running the check on the survivors
     // finds zero contaminated docs.
     "decontaminate_apply" -> { (s, d) =>
-      val g = grams(toks(s, d)).select(col("doc_id"), col("gram"))
+      // same ScopedMemo key as contamination_check: the twin re-reads the
+      // identical gram materialization instead of re-running the explode
+      val g = graft.plans.ScopedMemo(s, s"contamination_grams#$d")(
+        grams(toks(s, d)).select(col("doc_id"), col("gram")))
       val evalG = g.filter(col("doc_id") % 7 === 0)
         .select(col("gram")).distinct()
       val contaminated = g.filter(col("doc_id") % 7 =!= 0)
@@ -569,11 +575,11 @@ object TrainPrep {
     // is ONE broadcast of the 1-row winner + a map-only replace; both
     // keyed aggregates collapse to vocabulary size before shuffling.
     "tokenizer_bpe_merge" -> { (s, d) =>
-      val wf = toks(s, d)
-        .select(explode(col("toks")).as("w"))
-        .filter(length(col("w")) >= 2)
-        .groupBy("w").agg(count(lit(1)).as("wf"))
-        .cache()
+      val wf = graft.plans.ScopedMemo(s, s"bpe_merge_wf#$d")(
+        toks(s, d)
+          .select(explode(col("toks")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy("w").agg(count(lit(1)).as("wf")))
       val top = wf.select(col("wf"), explode(expr(
           "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
           .as("mpair"))

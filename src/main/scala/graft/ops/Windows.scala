@@ -12,6 +12,27 @@ import org.apache.spark.sql.functions._
 object Windows {
   import Tables._
 
+  /** Zero-filled daily-revenue day-index series `(di, ri)` shared by
+    * `win_ar2_forecast` and `forecast_backtest` — both fold lag
+    * self-joins over the identical O(#days) table. One ScopedMemo entry
+    * replaces the two per-invocation `.cache()` pins each consumer used
+    * to leak (r11 sweep); a missing day is revenue 0, not an absent row.
+    */
+  private def dayRevSeries(s: SparkSession, d: String): DataFrame =
+    graft.plans.ScopedMemo(s, s"day_rev_series#$d") {
+      val rev = t(s, d, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1992-01-01").cast("date")).as("di"))
+        .agg(round(sum(money(col("o_totalprice"))), 0)
+          .cast("decimal(13,0)").as("ri"))
+      val bounds = rev.agg(min(col("di")).as("d0"), max(col("di")).as("d1"))
+      bounds
+        .select(explode(sequence(col("d0"), col("d1"))).as("di"))
+        .join(rev, Seq("di"), "left")
+        .select(col("di"),
+          coalesce(col("ri"), lit(0).cast("decimal(13,0)")).as("ri"))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> { (s, d) =>
       val byPrice = Window.partitionBy("o_orderpriority")
@@ -627,18 +648,7 @@ object Windows {
     // final fixed-order formulas. Output is ONE row — nothing about
     // this query grows with corpus size except the one keyed agg.
     "win_ar2_forecast" -> { (s, d) =>
-      val rev = t(s, d, "orders")
-        .groupBy(datediff(to_date(col("o_orderdate")),
-          lit("1992-01-01").cast("date")).as("di"))
-        .agg(round(sum(money(col("o_totalprice"))), 0)
-          .cast("decimal(13,0)").as("ri"))
-      val bounds = rev.agg(min(col("di")).as("d0"), max(col("di")).as("d1"))
-      val series = bounds
-        .select(explode(sequence(col("d0"), col("d1"))).as("di"))
-        .join(rev, Seq("di"), "left")
-        .select(col("di"),
-          coalesce(col("ri"), lit(0).cast("decimal(13,0)")).as("ri"))
-        .cache()
+      val series = dayRevSeries(s, d)
       val g = series.agg(count(lit(1)).cast("decimal(7,0)").as("n"),
         sum(col("ri")).cast("decimal(19,0)").as("s1"),
         sum(expr("ri * ri")).cast("decimal(30,0)").as("s2"),
@@ -692,18 +702,11 @@ object Windows {
     // partial-agg-proof. Output: 3 method rows at any corpus size.
     "forecast_backtest" -> { (s, d) =>
       val H = 7
-      val rev = t(s, d, "orders")
-        .groupBy(datediff(to_date(col("o_orderdate")),
-          lit("1992-01-01").cast("date")).as("di"))
-        .agg(round(sum(money(col("o_totalprice"))), 0)
-          .cast("decimal(13,0)").as("ri"))
-      val bounds = rev.agg(min(col("di")).as("d0"), max(col("di")).as("d1"))
-      val series = bounds
-        .select(explode(sequence(col("d0"), col("d1"))).as("di"))
-        .join(rev, Seq("di"), "left")
-        .select(col("di"),
-          coalesce(col("ri"), lit(0).cast("decimal(13,0)")).as("ri"))
-        .cache()
+      val series = dayRevSeries(s, d)
+      // bounds re-derived from the memoized series (same d0/d1 values —
+      // the series is zero-filled over exactly [d0, d1])
+      val bounds = series.agg(min(col("di")).as("d0"),
+        max(col("di")).as("d1"))
       val split = broadcast(series.crossJoin(broadcast(bounds))
         .filter(col("di") === col("d1") - H)
         .select(col("d1"), (col("d1") - H).as("tEnd"),
@@ -794,14 +797,14 @@ object Windows {
     // quantile_cont as the oracle twin, the text_length_outliers
     // precedent; emitted unrounded.
     "win_theil_sen" -> { (s, d) =>
-      val daily = t(s, d, "orders")
-        .groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(sum(money(col("o_totalprice"))).cast("decimal(18,2)")
-          .cast("double").as("y"))
-        .withColumn("x",
-          datediff(col("day"), lit("1970-01-01").cast("date"))
-            .cast("long"))
-        .cache()
+      val daily = graft.plans.ScopedMemo(s, s"theil_sen_daily#$d")(
+        t(s, d, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(money(col("o_totalprice"))).cast("decimal(18,2)")
+            .cast("double").as("y"))
+          .withColumn("x",
+            datediff(col("day"), lit("1970-01-01").cast("date"))
+              .cast("long")))
       val pairs = daily.join(
           daily.select(col("day").as("day2"), col("y").as("y2"),
             col("x").as("x2")),
@@ -940,11 +943,11 @@ object Windows {
     // compares exact decimals, ties group by exact decimal equality —
     // doubles only in the final variance/z formula, mirrored.
     "win_mann_kendall" -> { (s, d) =>
-      val daily = t(s, d, "orders")
-        .groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(sum(money(col("o_totalprice"))).cast("decimal(18,2)")
-          .as("rev"))
-        .cache()
+      val daily = graft.plans.ScopedMemo(s, s"mann_kendall_daily#$d")(
+        t(s, d, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(money(col("o_totalprice"))).cast("decimal(18,2)")
+            .as("rev")))
       val pairs = daily.join(
           daily.select(col("day").as("day2"), col("rev").as("rev2")),
           col("day") < col("day2"))

@@ -2983,6 +2983,35 @@ class OperatorSpec extends SparkSpec {
     assert(nodes.distinct.length == nodes.length)
   }
 
+  test("graph_betweenness at 8 seeds: seed-set growth only ADDS " +
+      "dependency mass (VERDICT r12 #8 monotonicity audit)") {
+    // seeds contribute independent non-negative δ terms, so doubling the
+    // seed sample must (a) never shrink any node's total and (b) only
+    // widen the covered node set — the invariant that catches a
+    // seed-filter or layer-exclusion regression the ranked top-10 hides
+    def contribs(n: Int): Map[Long, BigDecimal] =
+      graft.ops.Graph.betweennessContrib(spark, sf, n).collect()
+        .map(r => r.getAs[Long]("node") ->
+          BigDecimal(r.getAs[java.math.BigDecimal]("bcd"))).toMap
+    val c4 = contribs(4)
+    val c8 = contribs(8)
+    assert(c4.nonEmpty && c8.size >= c4.size,
+      s"8-seed covered set shrank: ${c8.size} < ${c4.size}")
+    val missing = c4.keySet -- c8.keySet
+    assert(missing.isEmpty, s"nodes lost when seeds grew: $missing")
+    val shrunk = c4.collect {
+      case (n, v4) if c8(n) < v4 - BigDecimal("1e-9") => (n, v4, c8(n))
+    }
+    assert(shrunk.isEmpty, s"dependency mass shrank at 8 seeds: $shrunk")
+    // and the 8-seed ranked output itself stays well-formed
+    val rows8 = graft.ops.Graph.betweennessSampled(spark, sf, 8)
+      .collect().sortBy(_.getAs[Long]("rnk"))
+    assert(rows8.nonEmpty)
+    val bc8 = rows8.map(_.getAs[Double]("betweenness"))
+    assert(bc8.forall(_ > 0.0) &&
+      bc8.zip(bc8.tail).forall { case (a, b) => b <= a })
+  }
+
   test("events_ab_welch: finite t on a real split and df inside the " +
       "Welch-Satterthwaite bounds") {
     val r = SparkEntry.queries("events_ab_welch")(spark, sf).collect()(0)

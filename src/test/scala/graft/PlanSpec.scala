@@ -234,6 +234,57 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_chunk_cdc digest-only shuffle holds in the DEFAULT AQE-on " +
+      "regime (executed-plan walk, VERDICT r11 #6)") {
+    // run the query, then flatten the adaptive tree across stage
+    // boundaries — the AQE-off twin above pins the same shape where the
+    // static tree is walkable; this one proves it in the regime the
+    // bench/driver actually run
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    val df = SparkEntry.queries("dedup_chunk_cdc")(spark, sf)
+    df.collect()
+    val nodes = org.apache.spark.sql.graftbridge.Bridge.deepNodes(
+      df.queryExecution.executedPlan)
+    val exchanges = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e
+    }
+    assert(exchanges.nonEmpty, "expected at least the sig-keyed shuffle")
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "chunk"),
+        s"a shuffle carries the raw chunk string: ${e.output.map(_.name)}")
+    }
+    assert(exchanges.exists(
+      _.outputPartitioning.toString.contains("sig")),
+      exchanges.map(_.outputPartitioning).mkString("; "))
+  }
+
+  test("sim_ivfpq_topk cell restriction holds in the DEFAULT AQE-on " +
+      "regime (executed-plan walk, VERDICT r11 #6)") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    val df = SparkEntry.queries("sim_ivfpq_topk")(spark, sf)
+    df.collect()
+    val nodes = org.apache.spark.sql.graftbridge.Bridge.deepNodes(
+      df.queryExecution.executedPlan)
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins
+        .CartesianProductExec]),
+      "corpus x corpus CartesianProduct in the executed plan")
+    val agg = nodes.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if a.aggregateExpressions.exists(_.toString.contains("sum")) &&
+            a.groupingExpressions.size == 2 => a
+    }
+    assert(agg.nonEmpty, "per-(q_id, vec_id) ADC sum aggregate not found")
+    val joinsBelow = org.apache.spark.sql.graftbridge.Bridge
+      .deepNodes(agg.get).collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+    assert(joinsBelow.size >= 3,
+      s"expected probe+cand+codes+lut joins below the ADC sum, " +
+        s"found ${joinsBelow.size}")
+  }
+
   test("text_bm25 broadcasts the df/length scalars and ranks on the heap " +
       "operator, not a global window") {
     val p = plan(SparkEntry.queries("text_bm25")(spark, sf))

@@ -1,7 +1,14 @@
 #!/usr/bin/env python3
-"""Regenerate bench_budgets.json from a clean-idle-machine Bench JSON line.
+"""Regenerate bench_budgets.json from clean-idle-machine Bench JSON lines.
 
-Usage: python3 tools/make_budgets.py <bench_json_file> <source_note>
+Usage: python3 tools/make_budgets.py <bench_json_file>[,<file2>,...] <source_note>
+
+TWO-RUN RULE (VERDICT r11 #7): pass at least two isolated clean runs,
+comma-separated; each key's budget is the MAX across runs. The r11
+betweenness episode showed single-run budgets are fragile — one lucky
+measurement writes a ceiling the same code misses under ordinary
+session-order variance. A single file still works (bootstrap), but the
+source note should say why.
 
 Reads the one-line {"queries": {key: sec, ...}} JSON the Bench main prints,
 and writes bench_budgets.json with:
@@ -66,8 +73,20 @@ FAMILIES = {
 }
 
 def main(bench_file, source_note):
-    bench = json.load(open(bench_file))
-    times = bench["queries"]
+    files = bench_file.split(",")
+    if len(files) < 2:
+        print("WARNING: single-run budgets are fragile (two-run rule); "
+              "pass two comma-separated clean runs when possible",
+              file=sys.stderr)
+    runs = [json.load(open(f))["queries"] for f in files]
+    keys = set(runs[0])
+    for i, r in enumerate(runs[1:], 2):
+        if set(r) != keys:
+            raise SystemExit(f"run {i} key set differs from run 1: "
+                             f"{set(r) ^ keys}")
+    # max across runs: a budget must hold on an ordinary clean run, not
+    # just the luckiest one
+    times = {k: max(r[k] for r in runs) for k in keys}
     fam_keys = {k for ks in FAMILIES.values() for k in ks}
     missing = fam_keys - times.keys()
     if missing:
