@@ -101,32 +101,46 @@ class MemoEvictionSpec extends SparkSpec {
     // each left one orphaned block set in the CacheManager forever; the
     // census after a full pass is the tripwire that keeps the pattern out.
     graft.ops.Joins.ensureBucketed(spark, sf)
-    val (_, failed) = Bench.runQueries(spark, sf, SparkEntry.queries)
-    assert(failed.isEmpty, s"failed: $failed")
     val sc = spark.sparkContext
     // transient localCheckpoint generations (BFS/k-core/HITS rotation)
     // free via the ContextCleaner on GC — drain them before counting so
     // the census sees only what is genuinely pinned
-    def census(): Int = sc.getPersistentRDDs.size
-    var tries = 0
-    while (census() > CensusBound && tries < 40) {
-      System.gc(); Thread.sleep(250); tries += 1
+    def drained(bound: Int): Int = {
+      var tries = 0
+      // stop early once under the bound; cleanup is async, so keep
+      // nudging the collector while it still helps
+      while (sc.getPersistentRDDs.size > bound && tries < 40) {
+        System.gc(); Thread.sleep(250); tries += 1
+      }
+      sc.getPersistentRDDs.size
     }
-    val n = census()
-    assert(n <= CensusBound,
-      s"$n persisted RDDs after a full-registry pass (bound $CensusBound)" +
-        " — a per-invocation cache leak is back; route the new pin" +
-        " through graft.plans.ScopedMemo or a Generations rotation")
+    // DELTA census, not absolute: in the full suite, earlier specs pin
+    // kernels for OTHER sf dirs (MultiSf/Golden/LargeSfOracle), so the
+    // absolute count depends on suite order — what this tripwire owns is
+    // the growth caused by ONE full-registry pass. The baseline gets a
+    // few fixed GC cycles (bound 0 is unreachable while kernels are
+    // legitimately pinned; 6 cycles empties the transient checkpoints).
+    (1 to 6).foreach { _ => System.gc(); Thread.sleep(250) }
+    val before = sc.getPersistentRDDs.size
+    val (_, failed) = Bench.runQueries(spark, sf, SparkEntry.queries)
+    assert(failed.isEmpty, s"failed: $failed")
+    val n = drained(before + CensusDeltaBound)
+    assert(n - before <= CensusDeltaBound,
+      s"a full-registry pass grew the persisted-RDD census $before -> $n " +
+        s"(delta bound $CensusDeltaBound) — a per-invocation cache leak " +
+        "is back; route the new pin through graft.plans.ScopedMemo or a " +
+        "Generations rotation")
     assert(graft.plans.ScopedMemo.size <= 16)
   }
 
-  /** Full-registry pinned-RDD ceiling: the shared kernels (Tables corpus,
-    * Graph edges/nodes, Dedup shingle/band/labels/simhash, Similarity
-    * vectors/pq/knn/sign, TextOps wordCounts, Aggregates kmv, bucketed/
-    * zoned warm-ups) plus the 16-entry ScopedMemo LRU measure ~45 live
-    * sets after a clean full pass; 70 leaves headroom for Spark-internal
-    * persists without letting a systemic per-key leak (≈ +1 per swept
-    * key, i.e. +25) hide under the bound.
+  /** Registry-pass growth ceiling: one full pass may first-touch the
+    * shared kernels for its sf dir (Tables corpus, Graph edges/nodes,
+    * Dedup shingle/band/labels/simhash, Similarity vectors/pq/knn/sign,
+    * TextOps wordCounts, Aggregates kmv, bucketed/zoned warm-ups — ~30
+    * sets) plus up to the 16-entry ScopedMemo LRU; 60 leaves headroom
+    * for Spark-internal persists without letting a systemic per-key leak
+    * (≈ +1 per formerly-bare-cache key, i.e. +25 on top of the kernels)
+    * hide under the bound.
     */
-  private val CensusBound = 70
+  private val CensusDeltaBound = 60
 }
