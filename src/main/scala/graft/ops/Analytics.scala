@@ -750,6 +750,29 @@ object Analytics {
     // single row — O(1) output at any user count, no pivot, no second
     // scan. All post-agg arithmetic is the same IEEE expression tree in
     // both engines, rounded at the end.
+    // Wilson score LOWER bound on each event type's high-value rate —
+    // the ranking statistic for small-sample proportions (sorting by the
+    // raw rate promotes lucky low-n types; the Wilson interval shrinks
+    // toward 0.5 as n drops, so low-evidence types rank honestly low).
+    // One corpus-collapsing keyed agg to exact (n, k) integers per type;
+    // the bound is a closed fixed-order IEEE formula over those two ints,
+    // mirrored textually in the oracle (the events_ab_lift discipline).
+    // O(#types) rows out at any corpus size.
+    "events_rate_wilson" -> { (s, d) =>
+      val z2 = 1.96 * 1.96
+      val c = events(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") >= 180, 1L).otherwise(0L)).as("k"))
+      val p = col("k") / col("n")
+      c.select(col("event_type"), col("n"), col("k"),
+          round(p, 6).as("rate"),
+          round((p + lit(z2) / (lit(2.0) * col("n"))
+              - lit(1.96) * sqrt(p * (lit(1.0) - p) / col("n")
+                + lit(z2) / (lit(4.0) * col("n") * col("n"))))
+            / (lit(1.0) + lit(z2) / col("n")), 6).as("wilson_lb"))
+        .orderBy("event_type")
+    },
+
     "events_ab_lift" -> { (s, d) =>
       // conversion = a high-value purchase (>= 180): every fixture user
       // purchases SOMETHING, which would pool p to 1 and zero the z
@@ -3162,6 +3185,22 @@ object Analytics {
         |ORDER BY 1, 2""".stripMargin,
     // integer / integer is float division in both engines; the z-score
     // expression tree mirrors term-for-term so IEEE evaluation matches
+    // same closed-formula mirroring as events_ab_lift: exact (n, k) ints,
+    // then the identical IEEE expression text on both engines
+    "events_rate_wilson" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN value >= 180 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS k
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n, k,
+        |  round(k / n, 6) AS rate,
+        |  round((k / n + (1.96 * 1.96) / (2.0 * n)
+        |      - 1.96 * sqrt((k / n) * (1.0 - k / n) / n
+        |        + (1.96 * 1.96) / (4.0 * n * n)))
+        |    / (1.0 + (1.96 * 1.96) / n), 6) AS wilson_lb
+        |FROM c ORDER BY event_type""".stripMargin,
+
     "events_ab_lift" ->
       """WITH u AS (
         |  SELECT user_id,

@@ -613,6 +613,56 @@ object Dedup {
       np.join(nd, "thr").orderBy("thr")
     },
 
+    // WEIGHTED Jaccard re-rank over the same (first-token, token-count-
+    // bucket) blocking as dedup_editdist_blocked: wj = Σ_t min(tf_a, tf_b)
+    // / Σ_t max(tf_a, tf_b) over token FREQUENCIES — set Jaccard treats a
+    // token repeated 40× like one occurrence, so template docs that differ
+    // only in repetition count look identical to it; the weighted form is
+    // what near-dup literature scores when multiplicity carries signal.
+    // Scale shape: the pair space is quadratic only WITHIN a block (the
+    // editdist_blocked bound), the Σmin fold is an equi-join on
+    // (block, token) — docs sharing no block never meet — and Σmax comes
+    // free from the identity Σmax = |A| + |B| − Σmin (token counts with
+    // multiplicity), so no full-outer token join ever runs. Integer
+    // masses end-to-end; ONE IEEE division (mirrored) at the cut and the
+    // rounded output.
+    "dedup_weighted_jaccard" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), lower(trim(col("text"))).as("tx"))
+        .select(col("doc_id"),
+          split(col("tx"), " ").getItem(0).as("w1"),
+          expr("CAST(size(split(tx, ' ')) AS BIGINT) div 5").as("nb"),
+          split(col("tx"), " ").as("toks"))
+      val tf = docs
+        .select(col("doc_id"), col("w1"), col("nb"),
+          explode(col("toks")).as("tok"))
+        .groupBy("doc_id", "w1", "nb", "tok")
+        .agg(count(lit(1)).as("tf"))
+      val sizes = docs.select(col("doc_id"),
+        size(col("toks")).cast("long").as("ntok"))
+      val shared = tf
+        .join(tf.select(col("doc_id").as("doc_b"), col("w1"),
+            col("nb"), col("tok"), col("tf").as("tf_b")),
+          Seq("w1", "nb", "tok"))
+        .filter(col("doc_id") < col("doc_b"))
+        .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+        .agg(sum(least(col("tf"), col("tf_b"))).cast("long")
+          .as("shared_mass"))
+      shared
+        .join(sizes.select(col("doc_id").as("doc_a"),
+          col("ntok").as("n_tok_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"),
+          col("ntok").as("n_tok_b")), "doc_b")
+        .filter(col("shared_mass")
+          / (col("n_tok_a") + col("n_tok_b") - col("shared_mass")) >= 0.4)
+        .select(col("doc_a"), col("doc_b"), col("n_tok_a"),
+          col("n_tok_b"), col("shared_mass"),
+          round(col("shared_mass")
+            / (col("n_tok_a") + col("n_tok_b") - col("shared_mass")), 6)
+            .as("weighted_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // blocked edit-distance near-dup: candidate pairs from a cheap
     // (first-token, token-count-bucket) blocking key, re-ranked by exact
     // Levenshtein over the 80-char head. This is the precise RE-RANK
@@ -1242,6 +1292,36 @@ object Dedup {
          |  GROUP BY thr)
          |SELECT np.thr, np.n_pairs, nd.n_docs
          |FROM np JOIN nd ON np.thr = nd.thr ORDER BY np.thr""".stripMargin,
+    "dedup_weighted_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(trim(text)) AS tx FROM documents),
+        |k AS (
+        |  SELECT doc_id, string_split(tx, ' ')[1] AS w1,
+        |    CAST(len(string_split(tx, ' ')) AS BIGINT) // 5 AS nb,
+        |    string_split(tx, ' ') AS toks
+        |  FROM d),
+        |tfc AS (
+        |  SELECT doc_id, w1, nb, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, w1, nb, unnest(toks) AS tok FROM k)
+        |  GROUP BY doc_id, w1, nb, tok),
+        |sz AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok FROM k),
+        |sm AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS shared_mass
+        |  FROM tfc a JOIN tfc b
+        |    ON a.w1 = b.w1 AND a.nb = b.nb AND a.tok = b.tok
+        |      AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, sa.ntok AS n_tok_a, sb.ntok AS n_tok_b,
+        |  shared_mass,
+        |  round(shared_mass / (sa.ntok + sb.ntok - shared_mass), 6)
+        |    AS weighted_jaccard
+        |FROM sm
+        |JOIN sz sa ON sm.doc_a = sa.doc_id
+        |JOIN sz sb ON sm.doc_b = sb.doc_id
+        |WHERE shared_mass / (sa.ntok + sb.ntok - shared_mass) >= 0.4
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_editdist_blocked" ->
       """WITH d AS (
         |  SELECT doc_id, lower(trim(text)) AS tx FROM documents),

@@ -107,6 +107,24 @@ object SqlOps {
         |GROUP BY ALL
         |ORDER BY ALL""".stripMargin,
 
+    // named WINDOW clause (the ANSI spec-sharing surface both engines
+    // parse identically): one window definition feeds rank AND the
+    // running sum, so the two can never drift apart the way repeated
+    // inline OVER(...) clauses do when one is edited. Unique ORDER BY
+    // tiebreak (o_orderkey) makes the RANGE-frame peers empty, so the
+    // default frame is deterministic on both engines; the running sum
+    // folds through DECIMAL(18,2) (exact) and ships as DOUBLE.
+    "sql_window_named" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS run_value
+        |FROM orders
+        |WHERE o_orderkey <= 2000
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
+
     "sql_unpivot" ->
       """WITH m AS (
         |  SELECT o_orderstatus,

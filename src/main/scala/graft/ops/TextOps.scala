@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
 object TextOps {
   import Tables._
 
+  /** The `text_domain_classify` keyword list (data-engineering domain,
+    * chosen to discriminate on the fixture vocabulary). Single definition
+    * shared by the query and its oracle SQL so the two cannot drift.
+    */
+  private val DomainLexicon = Seq(
+    "join", "hash", "merge", "sort", "filter", "scan",
+    "query", "agg", "batch", "column", "spark", "window")
+
   private def toks(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .withColumn("toks", split(lower(trim(col("text"))), " "))
@@ -531,6 +539,35 @@ object TextOps {
           levenshtein(substring(col("text"), 1, 20),
             substring(col("text"), 11, 20)).cast("long").as("dist_self"))
         .orderBy("doc_id")),
+
+    // fixed-lexicon domain classifier: per-doc hit-rate against a curated
+    // keyword list + a threshold label — the shape of every lexicon-gated
+    // corpus router (code/math/medical/domain filters in training-data
+    // curation: cheap, auditable, runs before any model-based classifier).
+    // Pure in-codegen array fold per row (no explode, no shuffle beyond
+    // the final order) — map-only at any corpus size; the lexicon is a
+    // LITERAL (real deployments broadcast a file, same plan shape). The
+    // label compares the UNROUNDED ratio on both engines (long/long
+    // division is one IEEE op), so the cut is bit-identical.
+    "text_domain_classify" -> { (s, d) =>
+      val lex = DomainLexicon.map(w => s"'$w'").mkString(", ")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          split(lower(trim(col("text"))), " ").as("toks"))
+        .select(col("doc_id"), col("source"),
+          size(col("toks")).cast("long").as("n_tok"),
+          expr(s"CAST(size(filter(toks, t -> array_contains(" +
+            s"array($lex), t))) AS BIGINT)").as("n_hits"),
+          expr(s"""CASE WHEN size(filter(toks, t -> array_contains(
+            |  array($lex), t))) / size(toks) >= 0.35
+            |THEN 'technical' ELSE 'general' END""".stripMargin)
+            .as("domain"))
+        .withColumn("hit_ratio",
+          round(col("n_hits") / col("n_tok"), 6))
+        .select("doc_id", "source", "n_tok", "n_hits", "hit_ratio",
+          "domain")
+        .orderBy("doc_id")
+    },
 
     "text_langid" -> ((s, d) =>
       langScored(s, d)
@@ -1310,6 +1347,23 @@ object TextOps {
   }
 
   def oracle: Map[String, String] = Map(
+    "text_domain_classify" -> {
+      val lex = DomainLexicon.map(w => s"'$w'").mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    string_split(lower(trim(text)), ' ') AS toks
+         |  FROM documents)
+         |SELECT doc_id, source,
+         |  CAST(len(toks) AS BIGINT) AS n_tok,
+         |  CAST(len(list_filter(toks, t -> list_contains(
+         |    [$lex], t))) AS BIGINT) AS n_hits,
+         |  round(len(list_filter(toks, t -> list_contains(
+         |    [$lex], t))) / len(toks), 6) AS hit_ratio,
+         |  CASE WHEN len(list_filter(toks, t -> list_contains(
+         |    [$lex], t))) / len(toks) >= 0.35
+         |  THEN 'technical' ELSE 'general' END AS domain
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
     "text_pii_scrub" ->
       """SELECT event_id,
         |regexp_replace(regexp_replace(regexp_replace(

@@ -3012,6 +3012,74 @@ class OperatorSpec extends SparkSpec {
       bc8.zip(bc8.tail).forall { case (a, b) => b <= a })
   }
 
+  test("events_rate_wilson: lower bound sits strictly inside (0, rate] " +
+      "and shrinks the interval as n grows") {
+    val rows = SparkEntry.queries("events_rate_wilson")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
+      val (rate, lb) = (r.getAs[Double]("rate"), r.getAs[Double]("wilson_lb"))
+      assert(k <= n && k >= 0)
+      // Wilson lb < p-hat whenever k < n; >= 0 always (never the naive
+      // negative bound a normal approximation can produce at small k)
+      assert(lb >= 0.0 && lb <= rate + 1e-9,
+        s"${r.getAs[String]("event_type")}: lb $lb outside [0, $rate]")
+    }
+  }
+
+  test("dedup_weighted_jaccard: scores in (0,1], canonical pair order, " +
+      "and the Σmax identity holds") {
+    val rows = SparkEntry.queries("dedup_weighted_jaccard")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(a < b, s"non-canonical pair ($a, $b)")
+      val (na, nb, sm) = (r.getAs[Long]("n_tok_a"), r.getAs[Long]("n_tok_b"),
+        r.getAs[Long]("shared_mass"))
+      assert(sm >= 1 && sm <= math.min(na, nb),
+        s"shared mass $sm outside [1, min($na, $nb)]")
+      val wj = r.getAs[Double]("weighted_jaccard")
+      assert(wj >= 0.4 - 1e-9 && wj <= 1.0)
+      // recompute from the identity the plan relies on
+      val expect = BigDecimal(sm.toDouble / (na + nb - sm))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(wj - expect) < 1e-9, s"($a,$b): $wj vs $expect")
+    }
+  }
+
+  test("text_domain_classify: hit counts bounded by tokens and the label " +
+      "matches the unrounded ratio cut") {
+    val rows = SparkEntry.queries("text_domain_classify")(spark, sf)
+      .collect()
+    assert(rows.length > 0)
+    val labels = rows.map(_.getAs[String]("domain")).distinct.sorted
+    assert(labels.forall(Set("general", "technical")), labels.mkString(","))
+    assert(labels.length == 2,
+      "fixture should split across both labels — threshold degenerate")
+    rows.foreach { r =>
+      val (n, h) = (r.getAs[Long]("n_tok"), r.getAs[Long]("n_hits"))
+      assert(h >= 0 && h <= n)
+      val cut = h.toDouble / n >= 0.35
+      assert((r.getAs[String]("domain") == "technical") == cut)
+    }
+  }
+
+  test("sql_window_named: one window spec keeps rank and running sum " +
+      "consistent (run_value strictly increases down each priority)") {
+    val rows = SparkEntry.queries("sql_window_named")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("o_orderpriority")).foreach {
+      case (prio, rs) =>
+        val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+        assert(sorted.map(_.getAs[Long]("rnk")).toSeq ==
+          (1L to sorted.length.toLong), s"$prio ranks not dense")
+        val runs = sorted.map(_.getAs[Double]("run_value"))
+        assert(runs.zip(runs.tail).forall { case (x, y) => y > x },
+          s"$prio running sum not strictly increasing")
+    }
+  }
+
   test("events_ab_welch: finite t on a real split and df inside the " +
       "Welch-Satterthwaite bounds") {
     val r = SparkEntry.queries("events_ab_welch")(spark, sf).collect()(0)
