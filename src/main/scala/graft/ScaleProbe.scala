@@ -52,6 +52,12 @@ object ScaleProbe {
     "agg_countmin", "corpus_dedup_survivorship", "dedup_method_overlap",
     "dedup_lsh_audit", "dedup_threshold_sweep", "dedup_containment",
     "dedup_ngram_jaccard", "contamination_source_matrix",
+    // r12b: weighted-Jaccard blocking (salted replicas keep first-token
+    // blocks disjoint, so pairs grow linearly — a REAL 10x corpus over a
+    // fixed vocab grows blocks instead, the documented editdist_blocked
+    // caveat); the lexicon router is map-only and rides along as the
+    // cheap-filter baseline
+    "dedup_weighted_jaccard", "text_domain_classify",
     // trade-graph iterative rounds (keys shifted -> 10 disjoint graphs;
     // betweenness's 4 global seeds all land in replica 0 — the probe
     // measures the frontier joins scanning a 10x edge table)
