@@ -750,6 +750,36 @@ object Analytics {
     // single row — O(1) output at any user count, no pivot, no second
     // scan. All post-agg arithmetic is the same IEEE expression tree in
     // both engines, rounded at the end.
+    // 2-D Pareto front (skyline) over per-customer (spend, order count):
+    // the customers no one strictly dominates on both axes — the classic
+    // skyline operator (Börzsönyi et al.) behind best-tradeoff queries
+    // (cheapest-AND-closest hotel; here highest-spend-AND-most-frequent
+    // accounts). The corpus collapses to O(#customers) points in one
+    // keyed agg; dominance runs as a broadcast anti-join over that
+    // ENTITY-sized table mirroring the NOT EXISTS oracle textually. At a
+    // scale where even the entity table is huge, the standard plan is a
+    // grid pre-filter (only cells not dominated by another cell's corner
+    // enter the pairwise check) — the fixture-exact form here is the
+    // verification baseline, the sim_pairs_threshold discipline.
+    // Dominance compares exact decimals/longs, so no FP tie ambiguity.
+    "customer_pareto_front" -> { (s, d) =>
+      val pts = t(s, d, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(money(col("o_totalprice"))).cast("decimal(18,2)")
+          .as("spend"),
+          count(lit(1)).as("n_orders"))
+      val q = pts.select(col("spend").as("q_spend"),
+        col("n_orders").as("q_n"))
+      pts.join(broadcast(q),
+          col("q_spend") >= col("spend") && col("q_n") >= col("n_orders")
+            && (col("q_spend") > col("spend")
+              || col("q_n") > col("n_orders")),
+          "left_anti")
+        .select(col("custkey"), col("spend").cast("double").as("spend"),
+          col("n_orders"))
+        .orderBy("custkey")
+    },
+
     // Wilson score LOWER bound on each event type's high-value rate —
     // the ranking statistic for small-sample proportions (sorting by the
     // raw rate promotes lucky low-n types; the Wilson interval shrinks
@@ -3185,6 +3215,22 @@ object Analytics {
         |ORDER BY 1, 2""".stripMargin,
     // integer / integer is float division in both engines; the z-score
     // expression tree mirrors term-for-term so IEEE evaluation matches
+    // dominance over exact decimals/longs, mirrored as NOT EXISTS
+    "customer_pareto_front" ->
+      """WITH pts AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS spend,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT p.custkey, CAST(p.spend AS DOUBLE) AS spend, p.n_orders
+        |FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.spend >= p.spend AND q.n_orders >= p.n_orders
+        |    AND (q.spend > p.spend OR q.n_orders > p.n_orders))
+        |ORDER BY custkey""".stripMargin,
+
     // same closed-formula mirroring as events_ab_lift: exact (n, k) ints,
     // then the identical IEEE expression text on both engines
     "events_rate_wilson" ->

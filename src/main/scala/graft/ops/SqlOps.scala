@@ -107,6 +107,24 @@ object SqlOps {
         |GROUP BY ALL
         |ORDER BY ALL""".stripMargin,
 
+    // inline VALUES constructor as a named CTE relation — the seed-table
+    // surface (tier maps, code lookups, config grids) every SQL user
+    // reaches for before a dim table exists. Both engines parse the
+    // identical clause incl. CTE column aliases; the range predicate
+    // makes it a bounded theta-join against a 3-row literal relation
+    // (broadcast by construction). Balances fold through DECIMAL(18,2).
+    "sql_values_cte" ->
+      """WITH tiers(tier, lo, hi) AS (
+        |  VALUES ('bronze', -10000.0, 2000.0),
+        |         ('silver', 2000.0, 6000.0),
+        |         ('gold', 6000.0, 100000.0))
+        |SELECT t.tier, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_bal
+        |FROM customer c JOIN tiers t
+        |  ON c.c_acctbal >= t.lo AND c.c_acctbal < t.hi
+        |GROUP BY t.tier ORDER BY t.tier""".stripMargin,
+
     // named WINDOW clause (the ANSI spec-sharing surface both engines
     // parse identically): one window definition feeds rank AND the
     // running sum, so the two can never drift apart the way repeated

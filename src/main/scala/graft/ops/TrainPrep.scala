@@ -418,6 +418,27 @@ object TrainPrep {
         .select("doc_id", "source", "split")
         .orderBy("doc_id")),
 
+    // GROUP-level holdout: every doc of a SOURCE lands in the same split
+    // (hash the group key, not the doc key) — the leakage-safe split when
+    // documents within a source correlate (same site template, same
+    // author, near-dup rewrites): a doc-level split leaks sibling docs
+    // across train/eval and inflates eval scores, the GroupKFold lesson.
+    // Same determinism contract as sample_split (pure function of key
+    // bytes); the audit output is the per-split source/doc/char census a
+    // pipeline logs to prove the holdout held. Map-only + one tiny agg.
+    "sample_group_holdout" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("source"), col("n_chars"),
+          substring(md5(col("source")), 1, 1).as("b"))
+        .withColumn("split",
+          when(col("b") < "c", "train")
+            .when(col("b") < "e", "valid").otherwise("test"))
+        .groupBy("split")
+        .agg(countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("n_chars"))
+        .orderBy("split")),
+
     // weight-proportional sampling WITHOUT transcendentals — see
     // [[prioritySample]]; shared with the harness-level SampleJob so the
     // operator and the job cannot drift apart
@@ -1265,6 +1286,17 @@ object TrainPrep {
         |      THEN 'valid'
         |    ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_group_holdout" ->
+      """WITH d AS (
+        |  SELECT source, n_chars,
+        |    CASE WHEN substring(md5(source), 1, 1) < 'c' THEN 'train'
+        |         WHEN substring(md5(source), 1, 1) < 'e' THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM d GROUP BY split ORDER BY split""".stripMargin,
     // same md5-derived uniform (DuckDB parses the hex via '0x' cast), the
     // same single exact-operand IEEE division — both engines order by the
     // identical rounded priority with the doc_id tiebreak

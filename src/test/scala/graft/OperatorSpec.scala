@@ -3080,6 +3080,51 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("customer_pareto_front: members are mutually non-dominated and " +
+      "match a brute-force skyline over the same points") {
+    val front = SparkEntry.queries("customer_pareto_front")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("custkey"),
+        r.getAs[Double]("spend"), r.getAs[Long]("n_orders")))
+    assert(front.nonEmpty)
+    // brute-force reference over the full point set
+    val pts = graft.ops.Tables.t(spark, sf, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,2))"))
+        .cast("decimal(18,2)").cast("double").as("spend"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[Long]("o_custkey"),
+        r.getAs[Double]("spend"), r.getAs[Long]("n")))
+    def dominated(p: (Long, Double, Long)) = pts.exists(q =>
+      q._2 >= p._2 && q._3 >= p._3 && (q._2 > p._2 || q._3 > p._3))
+    val expect = pts.filterNot(dominated).map(_._1).sorted.toSeq
+    assert(front.map(_._1).toSeq == expect,
+      s"skyline ${front.map(_._1).toSeq} != brute force $expect")
+    front.foreach(p => assert(!dominated(p)))
+  }
+
+  test("sample_group_holdout: the three splits partition sources and " +
+      "docs exactly (no source straddles train/eval)") {
+    val rows = SparkEntry.queries("sample_group_holdout")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[String]("split")).sorted.toSeq ==
+      Seq("test", "train", "valid"))
+    val docs = graft.ops.Tables.t(spark, sf, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(rows.map(_.getAs[Long]("n_sources")).sum ==
+      docs.select("source").distinct().count(),
+      "per-split source counts must sum to the distinct-source total — " +
+        "a source in two splits double-counts")
+  }
+
+  test("sql_values_cte: literal tiers partition the customer table") {
+    val rows = SparkEntry.queries("sql_values_cte")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("tier")).sorted.toSeq ==
+      Seq("bronze", "gold", "silver"))
+    val total = graft.ops.Tables.t(spark, sf, "customer").count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == total,
+      "tier ranges must cover every c_acctbal incl. negatives")
+  }
+
   test("events_ab_welch: finite t on a real split and df inside the " +
       "Welch-Satterthwaite bounds") {
     val r = SparkEntry.queries("events_ab_welch")(spark, sf).collect()(0)
