@@ -68,6 +68,10 @@ object ScaleProbe {
     // with the corpus (the Heaps-law shape the broadcast dim must survive)
     "text_char_trigram_langid",
     // relational/lakehouse over replicated orders/lineitem
+    // (customer_pareto_front joined at r13 once its dominance pass became
+    // the binned prefix-max form — the quadratic anti-join it replaced
+    // could never have passed the slope gate)
+    "customer_pareto_front",
     "basket_rules", "q7_nation_volume", "q21_waiting_supplier",
     "supplier_cr4", "convert_parquet_csv", "lakehouse_clustering_depth",
     "stream_cdc_apply",

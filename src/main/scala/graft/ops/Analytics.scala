@@ -754,13 +754,18 @@ object Analytics {
     // the customers no one strictly dominates on both axes — the classic
     // skyline operator (Börzsönyi et al.) behind best-tradeoff queries
     // (cheapest-AND-closest hotel; here highest-spend-AND-most-frequent
-    // accounts). The corpus collapses to O(#customers) points in one
-    // keyed agg; dominance runs as a broadcast anti-join over that
-    // ENTITY-sized table mirroring the NOT EXISTS oracle textually. At a
-    // scale where even the entity table is huge, the standard plan is a
-    // grid pre-filter (only cells not dominated by another cell's corner
-    // enter the pairwise check) — the fixture-exact form here is the
-    // verification baseline, the sim_pairs_threshold discipline.
+    // accounts). In 2-D, dominance collapses to a PREFIX MAX: p is
+    // dominated iff max{q.n : q.spend > p.spend} >= p.n, or a same-spend
+    // point has strictly more orders. So instead of the O(C²) pairwise
+    // anti-join the NOT EXISTS oracle spells (the r12b fixture-exact
+    // form — measured and retired this round: a broadcast nested-loop
+    // over the whole entity table is driver-memory-bound and quadratic),
+    // the plan is O(C log C): one keyed agg to entity-sized points, a
+    // per-spend-value group max (the tie case), a 1024-cell spend
+    // binning whose per-bin maxima feed a BIN-SIZED suffix-max window
+    // (the only single-partition window, over <= 1024 rows), and a
+    // within-bin strict-prefix max window partitioned by bin. Everything
+    // data-sized shuffles on spend/bin; nothing entity-sized broadcasts.
     // Dominance compares exact decimals/longs, so no FP tie ambiguity.
     "customer_pareto_front" -> { (s, d) =>
       val pts = t(s, d, "orders")
@@ -768,13 +773,35 @@ object Analytics {
         .agg(sum(money(col("o_totalprice"))).cast("decimal(18,2)")
           .as("spend"),
           count(lit(1)).as("n_orders"))
-      val q = pts.select(col("spend").as("q_spend"),
-        col("n_orders").as("q_n"))
-      pts.join(broadcast(q),
-          col("q_spend") >= col("spend") && col("q_n") >= col("n_orders")
-            && (col("q_spend") > col("spend")
-              || col("q_n") > col("n_orders")),
-          "left_anti")
+      // one row per distinct spend value: gmax covers the
+      // q.spend == p.spend && q.n > p.n dominance case
+      val g = pts.groupBy("spend").agg(max(col("n_orders")).as("gmax"))
+      val bounds = g.agg(min(col("spend")).as("lo"),
+        max(col("spend")).as("hi"))
+      // bin is a nondecreasing function of spend, so a strictly higher
+      // bin implies strictly higher spend (cross-bin strictness is free)
+      val binned = g.crossJoin(broadcast(bounds))
+        .withColumn("bin", when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor((col("spend") - col("lo")) * 1024
+            / (col("hi") - col("lo"))).cast("long"), lit(1023L))))
+        .select("spend", "gmax", "bin")
+      val wBins = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val binMax = binned.groupBy("bin").agg(max(col("gmax")).as("bmax"))
+        .withColumn("above_bin_max", max(col("bmax")).over(wBins))
+        .select("bin", "above_bin_max")
+      // within a bin the g rows carry DISTINCT spends, so rows preceding
+      // under spend DESC are exactly the strictly-greater spends
+      val wIn = Window.partitionBy("bin").orderBy(col("spend").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val strict = binned.join(broadcast(binMax), "bin")
+        .withColumn("strict_max", greatest(
+          coalesce(max(col("gmax")).over(wIn), lit(Long.MinValue)),
+          coalesce(col("above_bin_max"), lit(Long.MinValue))))
+        .select("spend", "gmax", "strict_max")
+      pts.join(strict, "spend")
+        .filter(col("strict_max") < col("n_orders") &&
+          col("gmax") <= col("n_orders"))
         .select(col("custkey"), col("spend").cast("double").as("spend"),
           col("n_orders"))
         .orderBy("custkey")
@@ -874,6 +901,129 @@ object Analytics {
             |  / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
             |    + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6)"""
             .stripMargin).as("df_welch"))
+    },
+
+    // two-sample Kolmogorov–Smirnov test: click vs view value
+    // distributions — the nonparametric distribution-drift gate run
+    // before pooling data sources or after a pipeline change (PSI bins
+    // by hand; KS needs no binning choice). `value` is quantized to 2
+    // decimals, so the merged (value, count) histogram is DOMAIN-bounded
+    // (~20-50k rows at any corpus size) and the ECDF cumulative window
+    // runs over that tiny table, never the raw stream — the
+    // events_outlier_mad shape. The sup gap is maximized over EXACT
+    // integers-in-decimal (|ca·nb − cb·na|, DECIMAL(38,0) so a trillion-
+    // row corpus can't overflow), so the argmax cannot drift; doubles
+    // enter only in the final fixed-order D/z/p formulas, mirrored
+    // textually in the oracle.
+    "stats_ks_test" -> { (s, d) =>
+      val h = events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy("value")
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("na"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("nb"))
+      val w = Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = h.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      h.withColumn("ca", sum(col("na")).over(w))
+        .withColumn("cb", sum(col("nb")).over(w))
+        .crossJoin(broadcast(tot))
+        .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+          // DECIMAL(18,0) factors: the product stays within DuckDB's
+          // 38-digit multiply cap (36 digits) while holding counts to
+          // 10^18 — far past any real corpus
+          max(abs(col("ca").cast("decimal(18,0)")
+              * col("tb").cast("decimal(18,0)")
+            - col("cb").cast("decimal(18,0)")
+              * col("ta").cast("decimal(18,0)"))).as("gap"))
+        .withColumn("d_stat", expr(
+          "CAST(gap AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)"))
+        .withColumn("m", expr(
+          "CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)"))
+        .select(col("n_a"), col("n_b"), round(col("d_stat"), 6).as("d_stat"),
+          expr("round(d_stat * sqrt(m), 6)").as("ks_z"),
+          expr("round(least(1.0, 2 * exp(-2 * m * d_stat * d_stat)), 6)")
+            .as("p_approx"))
+    },
+
+    // Mann–Whitney U (Wilcoxon rank-sum): purchase vs click values — the
+    // rank-based location test that survives the heavy-tailed metrics a
+    // Welch t mis-serves. Average ranks come from the pooled DOMAIN-
+    // bounded value histogram: rows before a tied group (one cumulative
+    // window over the histogram) give each group's average rank as the
+    // exact integer 2·rank = 2·cum_before + n + 1, so the rank-sum
+    // doubles (2R_a) accumulate as exact DECIMAL(38,0) and U, the tie
+    // correction T = Σ(n³−n), and the normal-approximation z are closed
+    // fixed-order IEEE formulas over exact totals — mirrored textually.
+    "stats_mann_whitney" -> { (s, d) =>
+      val h = events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy("value")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("na"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("nb"))
+        .withColumn("n", col("na") + col("nb"))
+      val wPrev = Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      h.withColumn("cum_before",
+          coalesce(sum(col("n")).over(wPrev), lit(0L)))
+        .agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+          // factor widths sized so every product stays under DuckDB's
+          // 38-digit multiply cap: (15,0)×(19,0) = 35; (12,0)³ = 37.
+          // na ≤ 10^15 per histogram CELL and rank doubles ≤ 10^19 hold
+          // to a ~10^14-row pooled sample — far past any real corpus
+          sum(col("na").cast("decimal(15,0)")
+            * (lit(2) * col("cum_before") + col("n") + lit(1))
+              .cast("decimal(19,0)")).as("r2a"),
+          sum((col("n").cast("decimal(12,0)")
+              * col("n").cast("decimal(12,0)") * col("n").cast("decimal(12,0)")
+            - col("n").cast("decimal(12,0)"))).as("ties"))
+        .withColumn("u_stat", expr(
+          "(CAST(r2a AS DOUBLE) - CAST(n_a AS DOUBLE) * (n_a + 1)) / 2"))
+        .withColumn("nn", expr("CAST(n_a AS DOUBLE) + n_b"))
+        .withColumn("sigma2", expr(
+          """CAST(n_a AS DOUBLE) * n_b / 12
+            |  * ((nn + 1) - CAST(ties AS DOUBLE) / (nn * (nn - 1)))"""
+            .stripMargin))
+        .select(col("n_a"), col("n_b"), col("u_stat"),
+          expr("""round((u_stat - CAST(n_a AS DOUBLE) * n_b / 2)
+            |  / sqrt(sigma2), 6)""".stripMargin).as("z_score"))
+    },
+
+    // chi-squared independence test: documents lang × source — the
+    // categorical-association audit a corpus curator runs before
+    // treating language mix as uniform across sources. The corpus
+    // collapses to the O(|langs|·|sources|) contingency table in one
+    // keyed agg; margins are two dimension-bounded aggs joined back
+    // (broadcast), and every (o−e)²/e cell term is rounded to the 1e-6
+    // grid and summed as exact DECIMAL (the forecast_backtest
+    // discipline) so the 2-D sum is partial-agg-proof. Output is one
+    // row: χ², dof, and Cramér's V at any corpus size.
+    "stats_chi2_independence" -> { (s, d) =>
+      val cells = t(s, d, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val rowM = cells.groupBy("lang").agg(sum(col("o")).as("rt"))
+      val colM = cells.groupBy("source").agg(sum(col("o")).as("ct"))
+      val n = cells.agg(sum(col("o")).as("n"),
+        countDistinct(col("lang")).as("r"),
+        countDistinct(col("source")).as("c"))
+      cells.join(broadcast(rowM), "lang")
+        .join(broadcast(colM), "source")
+        .crossJoin(broadcast(n))
+        .withColumn("e", expr(
+          "CAST(rt AS DOUBLE) * ct / n"))
+        .withColumn("term", expr(
+          "CAST(round((o - e) * (o - e) / e, 6) AS DECIMAL(18,6))"))
+        .agg(max(col("n")).as("n"), max(col("r")).as("n_rows"),
+          max(col("c")).as("n_cols"), sum(col("term")).as("chi2_acc"))
+        .select(col("n"), col("n_rows"), col("n_cols"),
+          ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
+          col("chi2_acc").cast("double").as("chi2"),
+          expr("""round(sqrt(CAST(chi2_acc AS DOUBLE)
+            |  / (CAST(n AS DOUBLE) * least(n_rows - 1, n_cols - 1))), 6)"""
+            .stripMargin).as("cramers_v"))
     },
 
     // weekly seasonality profile per event type: day-of-week volume,
@@ -3312,6 +3462,114 @@ object Analytics {
         |      + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6)
         |    AS df_welch
         |FROM g""".stripMargin,
+    // exact-integer sup gap (|ca·nb − cb·na| over the pooled histogram),
+    // then the identical fixed-order D/z/p IEEE formulas on both engines
+    "stats_ks_test" ->
+      """WITH h AS (
+        |  SELECT value,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nb
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY value),
+        |c AS (
+        |  SELECT sum(na) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |    sum(nb) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+        |  FROM h),
+        |tt AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM h),
+        |g AS (
+        |  SELECT CAST(max(ta) AS BIGINT) AS n_a,
+        |    CAST(max(tb) AS BIGINT) AS n_b,
+        |    max(abs(CAST(ca AS DECIMAL(18,0)) * CAST(tb AS DECIMAL(18,0))
+        |      - CAST(cb AS DECIMAL(18,0)) * CAST(ta AS DECIMAL(18,0))))
+        |      AS gap
+        |  FROM c CROSS JOIN tt),
+        |f AS (SELECT n_a, n_b,
+        |    CAST(gap AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b) AS d_stat,
+        |    CAST(n_a AS DOUBLE) * n_b / (n_a + n_b) AS m
+        |  FROM g)
+        |SELECT n_a, n_b, round(d_stat, 6) AS d_stat,
+        |  round(d_stat * sqrt(m), 6) AS ks_z,
+        |  round(least(1.0, 2 * exp(-2 * m * d_stat * d_stat)), 6)
+        |    AS p_approx
+        |FROM f""".stripMargin,
+    // average ranks as exact integers over the pooled histogram
+    // (2·rank = 2·cum_before + n + 1), exact-decimal rank sums and tie
+    // term, then the identical closed U/z formulas on both engines
+    "stats_mann_whitney" ->
+      """WITH h AS (
+        |  SELECT value,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS na,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nb,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      + sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS n
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  GROUP BY value),
+        |c AS (
+        |  SELECT na, nb, n,
+        |    COALESCE(sum(n) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM h),
+        |g AS (
+        |  SELECT CAST(sum(na) AS BIGINT) AS n_a,
+        |    CAST(sum(nb) AS BIGINT) AS n_b,
+        |    sum(CAST(na AS DECIMAL(15,0))
+        |      * CAST(2 * cum_before + n + 1 AS DECIMAL(19,0))) AS r2a,
+        |    sum(CAST(n AS DECIMAL(12,0)) * CAST(n AS DECIMAL(12,0))
+        |        * CAST(n AS DECIMAL(12,0))
+        |      - CAST(n AS DECIMAL(12,0))) AS ties
+        |  FROM c),
+        |f AS (
+        |  SELECT n_a, n_b,
+        |    (CAST(r2a AS DOUBLE) - CAST(n_a AS DOUBLE) * (n_a + 1)) / 2
+        |      AS u_stat,
+        |    CAST(n_a AS DOUBLE) + n_b AS nn, ties
+        |  FROM g),
+        |s AS (
+        |  SELECT n_a, n_b, u_stat,
+        |    CAST(n_a AS DOUBLE) * n_b / 12
+        |      * ((nn + 1) - CAST(ties AS DOUBLE) / (nn * (nn - 1)))
+        |      AS sigma2
+        |  FROM f)
+        |SELECT n_a, n_b, u_stat,
+        |  round((u_stat - CAST(n_a AS DOUBLE) * n_b / 2)
+        |    / sqrt(sigma2), 6) AS z_score
+        |FROM s""".stripMargin,
+    // same per-cell 1e-6-grid rounding + exact-decimal accumulation as
+    // the Spark side, so the 2-D sum order cannot matter on either engine
+    "stats_chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rm AS (SELECT lang, sum(o) AS rt FROM cells GROUP BY 1),
+        |cm AS (SELECT source, sum(o) AS ct FROM cells GROUP BY 1),
+        |t AS (
+        |  SELECT sum(o) AS n, count(DISTINCT lang) AS r,
+        |    count(DISTINCT source) AS c
+        |  FROM cells),
+        |j AS (
+        |  SELECT cells.o, t.n, t.r, t.c,
+        |    CAST(rm.rt AS DOUBLE) * cm.ct / t.n AS e
+        |  FROM cells JOIN rm USING (lang) JOIN cm USING (source)
+        |  CROSS JOIN t),
+        |a AS (
+        |  SELECT CAST(max(n) AS BIGINT) AS n,
+        |    CAST(max(r) AS BIGINT) AS n_rows,
+        |    CAST(max(c) AS BIGINT) AS n_cols,
+        |    sum(CAST(round((o - e) * (o - e) / e, 6) AS DECIMAL(18,6)))
+        |      AS chi2_acc
+        |  FROM j)
+        |SELECT n, n_rows, n_cols,
+        |  (n_rows - 1) * (n_cols - 1) AS dof,
+        |  CAST(chi2_acc AS DOUBLE) AS chi2,
+        |  round(sqrt(CAST(chi2_acc AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * least(n_rows - 1, n_cols - 1))), 6)
+        |    AS cramers_v
+        |FROM a""".stripMargin,
     // Sunday=0 on both engines: Spark dayofweek()-1 == DuckDB 'dow'
     "events_seasonality" ->
       """WITH a AS (

@@ -143,6 +143,25 @@ object SqlOps {
         |             ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_orderpriority, rnk""".stripMargin,
 
+    // SQL-standard PIVOT clause (UNPIVOT's inverse): long (priority,
+    // status, price) rows widened to one status column per value — both
+    // engines parse the identical `PIVOT (agg FOR col IN (v AS name))`
+    // relation suffix. The IN list aliases keep the pivoted columns
+    // clean unquoted identifiers (numeric/bare-literal names diverge:
+    // DuckDB reads "1995" as an identifier, Spark as a string literal);
+    // the outer SELECT casts each pivoted sum to DOUBLE because the
+    // engines widen sum(DECIMAL) differently (the agg_benford lesson).
+    // The pivot itself is one hash aggregate — no self-join per column.
+    "sql_pivot" ->
+      """SELECT o_orderpriority, CAST(f AS DOUBLE) AS val_f,
+        |  CAST(o AS DOUBLE) AS val_o, CAST(p AS DOUBLE) AS val_p
+        |FROM (SELECT o_orderpriority, o_orderstatus,
+        |        CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |      FROM orders)
+        |  PIVOT (sum(price) FOR o_orderstatus IN ('F' AS f, 'O' AS o,
+        |    'P' AS p))
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "sql_unpivot" ->
       """WITH m AS (
         |  SELECT o_orderstatus,

@@ -678,6 +678,133 @@ object TrainPrep {
         .orderBy("doc_id")
     },
 
+    // m-estimate target encoding: p_brand -> smoothed mean l_quantity —
+    // the high-cardinality-categorical feature every tabular model wants
+    // in place of a million-column one-hot. The smoothing pulls a rare
+    // brand toward the global prior (n=3 of quantity 50 should NOT
+    // encode as 50), with m=50 virtual prior rows. One broadcast dim
+    // join + one keyed agg collapses the fact table to O(|brands|);
+    // sums fold through exact DECIMAL so partial aggregation cannot
+    // reorder IEEE adds; the prior and the encode are closed fixed-order
+    // formulas over those exact totals, mirrored textually.
+    "feature_target_encoding" -> { (s, d) =>
+      val per = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sum(money(col("l_quantity"))).as("sy"))
+      val g = per.agg(sum(col("n")).as("gn"), sum(col("sy")).as("gsy"))
+      per.crossJoin(broadcast(g))
+        .select(col("p_brand"), col("n"),
+          expr("round(CAST(sy AS DOUBLE) / n, 6)").as("raw_mean"),
+          expr("""round((CAST(sy AS DOUBLE)
+            |  + 50 * (CAST(gsy AS DOUBLE) / gn)) / (n + 50), 6)"""
+            .stripMargin).as("enc"))
+        .orderBy("p_brand")
+    },
+
+    // K-fold OUT-OF-FOLD target encoding — the leakage-free variant a
+    // pipeline must use for the TRAINING rows themselves (encoding a
+    // row with statistics that include its own target leaks the label;
+    // the sample_group_holdout lesson applied to features). Fold
+    // assignment is a pure md5 function of the order key (reproducible,
+    // partition-independent); each (brand, fold) cell is encoded from
+    // the OTHER folds only: (Σy − Σy_fold + m·prior)/(n − n_fold + m),
+    // all from ONE keyed agg plus a brand-partitioned window — the fact
+    // table is never re-scanned per fold. Output O(|brands|·K).
+    "feature_target_crossfit" -> { (s, d) =>
+      val rows = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("fold", expr(
+          "CAST(conv(substring(md5(CAST(l_orderkey AS STRING)), 1, 4)," +
+            " 16, 10) AS BIGINT) % 5"))
+      val pf = rows.groupBy("p_brand", "fold")
+        .agg(count(lit(1)).as("n"), sum(money(col("l_quantity"))).as("sy"))
+      val g = pf.agg(sum(col("n")).as("gn"), sum(col("sy")).as("gsy"))
+      val wB = Window.partitionBy("p_brand")
+      pf.withColumn("n_all", sum(col("n")).over(wB))
+        .withColumn("sy_all", sum(col("sy")).over(wB))
+        .crossJoin(broadcast(g))
+        .select(col("p_brand"), col("fold"), col("n").as("n_fold"),
+          expr("""round((CAST(sy_all AS DOUBLE) - CAST(sy AS DOUBLE)
+            |  + 50 * (CAST(gsy AS DOUBLE) / gn))
+            |  / (n_all - n + 50), 6)""".stripMargin).as("enc_oof"))
+        .orderBy("p_brand", "fold")
+    },
+
+    // weight-of-evidence binning + information value: o_totalprice vs
+    // the urgent/high-priority target — the credit-scoring-style
+    // monotonic-risk audit for a numeric feature. Ten equal-width bins
+    // over [lo, hi] (bounds from one O(1) agg, broadcast — no global
+    // sort, no ntile window over the corpus); per-bin (pos, neg) are
+    // exact integers from one keyed agg; WOE = ln of the Laplace-
+    // smoothed share ratio and the IV term are closed fixed-order IEEE
+    // formulas over those integers, mirrored textually. Per-bin rows
+    // out, so no cross-bin double summation exists to drift.
+    "feature_woe_iv" -> { (s, d) =>
+      val o = t(s, d, "orders")
+        .select(money(col("o_totalprice")).as("tp"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("pos"))
+      val b = o.agg(min(col("tp")).as("lo"), max(col("tp")).as("hi"))
+      val per = o.crossJoin(broadcast(b))
+        .withColumn("bin", when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor(expr(
+            "CAST(tp - lo AS DOUBLE) * 10 / CAST(hi - lo AS DOUBLE)"))
+            .cast("long"), lit(9L))))
+        .groupBy("bin")
+        .agg(sum(col("pos")).as("n_pos"),
+          sum(lit(1L) - col("pos")).as("n_neg"))
+      val tot = per.agg(sum(col("n_pos")).as("tp_tot"),
+        sum(col("n_neg")).as("tn_tot"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("ps", expr("(n_pos + 0.5) / tp_tot"))
+        .withColumn("ns", expr("(n_neg + 0.5) / tn_tot"))
+        .select(col("bin"), col("n_pos"), col("n_neg"),
+          expr("round(ln(ps / ns), 6)").as("woe"),
+          expr("round((ps - ns) * ln(ps / ns), 6)").as("iv_term"))
+        .orderBy("bin")
+    },
+
+    // k-anonymity audit over the quasi-identifier tuple (lang, source,
+    // n_chars bucket): the re-identification gate run before a corpus
+    // with user-adjacent metadata ships — any QI class smaller than k=5
+    // means those docs are singled out by attributes alone. The corpus
+    // collapses to O(|QI classes|) in one keyed agg; the verdict row is
+    // a second O(1) agg. Census-style output: class count, worst class
+    // size, violating classes, and docs at risk.
+    "privacy_k_anonymity" -> { (s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("lang"), col("source"),
+          expr("CAST(floor(n_chars / 1000.0) AS BIGINT)").as("size_bucket"))
+        .agg(count(lit(1)).as("k"))
+        .agg(count(lit(1)).as("n_classes"), min(col("k")).as("min_k"),
+          sum(when(col("k") < 5, 1L).otherwise(0L)).as("n_violating"),
+          sum(when(col("k") < 5, col("k")).otherwise(0L))
+            .as("docs_at_risk"))
+    },
+
+    // l-diversity audit: within each (source, size-bucket) QI class,
+    // how many DISTINCT values of the sensitive attribute (lang)
+    // appear — k-anonymity's complement (a class of 1000 docs that are
+    // all the same language still discloses the language; diversity
+    // < 2 means the sensitive value is fully determined by the QI).
+    // One exact count-distinct per class (the agg_distinct expand),
+    // then an O(1) verdict agg.
+    "privacy_l_diversity" -> { (s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("source"),
+          expr("CAST(floor(n_chars / 1000.0) AS BIGINT)").as("size_bucket"))
+        .agg(countDistinct(col("lang")).as("l"), count(lit(1)).as("k"))
+        .agg(count(lit(1)).as("n_classes"), min(col("l")).as("min_l"),
+          sum(when(col("l") < 2, 1L).otherwise(0L)).as("n_low_diversity"),
+          sum(when(col("l") < 2, col("k")).otherwise(0L))
+            .as("docs_exposed"))
+    },
+
     // token-balanced shard assignment: docs rank by size (desc) inside
     // PackShards independent hash buckets and snake across BalanceShards
     // output shards (block 0 deals 0..7, block 1 deals 7..0, ...) — the
@@ -1441,6 +1568,95 @@ object TrainPrep {
         |  AND norm2 >= CAST(0.98 AS DECIMAL(20,9))
         |  AND norm2 <= CAST(1.02 AS DECIMAL(20,9))
         |ORDER BY doc_id""".stripMargin,
+    // exact decimal sums per brand, then the identical m-estimate
+    // formula text on both engines
+    "feature_target_encoding" ->
+      """WITH per AS (
+        |  SELECT p_brand, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sy
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand),
+        |g AS (SELECT sum(n) AS gn, sum(sy) AS gsy FROM per)
+        |SELECT p_brand, CAST(n AS BIGINT) AS n,
+        |  round(CAST(sy AS DOUBLE) / n, 6) AS raw_mean,
+        |  round((CAST(sy AS DOUBLE)
+        |    + 50 * (CAST(gsy AS DOUBLE) / gn)) / (n + 50), 6) AS enc
+        |FROM per CROSS JOIN g ORDER BY p_brand""".stripMargin,
+    // the md5 hex prefix parses via '0x' cast (the sample_priority
+    // idiom) — same fold values as Spark's conv(.., 16, 10)
+    "feature_target_crossfit" ->
+      """WITH rows_f AS (
+        |  SELECT p_brand,
+        |    CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)),
+        |      1, 4)) AS BIGINT) % 5 AS fold,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |pf AS (
+        |  SELECT p_brand, fold, count(*) AS n, sum(y) AS sy
+        |  FROM rows_f GROUP BY 1, 2),
+        |w AS (
+        |  SELECT p_brand, fold, n, sy,
+        |    sum(n) OVER (PARTITION BY p_brand) AS n_all,
+        |    sum(sy) OVER (PARTITION BY p_brand) AS sy_all
+        |  FROM pf),
+        |g AS (SELECT sum(n) AS gn, sum(sy) AS gsy FROM pf)
+        |SELECT p_brand, fold, CAST(n AS BIGINT) AS n_fold,
+        |  round((CAST(sy_all AS DOUBLE) - CAST(sy AS DOUBLE)
+        |    + 50 * (CAST(gsy AS DOUBLE) / gn))
+        |    / (n_all - n + 50), 6) AS enc_oof
+        |FROM w CROSS JOIN g ORDER BY p_brand, fold""".stripMargin,
+    // identical DOUBLE bin arithmetic (same IEEE expression -> same
+    // floor on both engines) and identical smoothed-share formula text
+    "feature_woe_iv" ->
+      """WITH o AS (
+        |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS tp,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS pos
+        |  FROM orders),
+        |b AS (SELECT min(tp) AS lo, max(tp) AS hi FROM o),
+        |per AS (
+        |  SELECT CASE WHEN hi = lo THEN 0 ELSE least(CAST(floor(
+        |      CAST(tp - lo AS DOUBLE) * 10 / CAST(hi - lo AS DOUBLE))
+        |      AS BIGINT), 9) END AS bin,
+        |    sum(pos) AS n_pos, sum(1 - pos) AS n_neg
+        |  FROM o CROSS JOIN b GROUP BY 1),
+        |tot AS (SELECT sum(n_pos) AS tp_tot, sum(n_neg) AS tn_tot
+        |  FROM per),
+        |e AS (
+        |  SELECT bin, n_pos, n_neg,
+        |    (n_pos + 0.5) / tp_tot AS ps, (n_neg + 0.5) / tn_tot AS ns
+        |  FROM per CROSS JOIN tot)
+        |SELECT bin, CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(n_neg AS BIGINT) AS n_neg,
+        |  round(ln(ps / ns), 6) AS woe,
+        |  round((ps - ns) * ln(ps / ns), 6) AS iv_term
+        |FROM e ORDER BY bin""".stripMargin,
+    "privacy_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT lang, source,
+        |    CAST(floor(n_chars / 1000.0) AS BIGINT) AS size_bucket,
+        |    count(*) AS k
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(k) AS BIGINT) AS min_k,
+        |  CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating,
+        |  CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+        |    AS docs_at_risk
+        |FROM cls""".stripMargin,
+    "privacy_l_diversity" ->
+      """WITH cls AS (
+        |  SELECT source,
+        |    CAST(floor(n_chars / 1000.0) AS BIGINT) AS size_bucket,
+        |    count(DISTINCT lang) AS l, count(*) AS k
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(l) AS BIGINT) AS min_l,
+        |  CAST(sum(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low_diversity,
+        |  CAST(sum(CASE WHEN l < 2 THEN k ELSE 0 END) AS BIGINT)
+        |    AS docs_exposed
+        |FROM cls""".stripMargin,
     // same two-level snake: per-bucket size rank, explicit block parity
     "shard_balance" ->
       s"""WITH tk AS (

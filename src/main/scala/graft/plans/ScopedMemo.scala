@@ -52,7 +52,13 @@ object ScopedMemo {
   def apply(s: SparkSession, key: String)(body: => DataFrame): DataFrame =
     cache.getOrCompute((s, key), {
       val df = body.cache()
-      df.count()
+      // if the materializing count fails, the cache() registration must
+      // not outlive the failed compute: an entry that never reaches the
+      // LRU would be the unmanaged-pin pattern back through the error
+      // path (ADVICE r12), invisible to the leak census because failed
+      // keys abort the registry pass
+      try df.count()
+      catch { case t: Throwable => df.unpersist(blocking = false); throw t }
       df
     })
 

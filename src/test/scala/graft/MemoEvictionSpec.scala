@@ -105,14 +105,23 @@ class MemoEvictionSpec extends SparkSpec {
     // transient localCheckpoint generations (BFS/k-core/HITS rotation)
     // free via the ContextCleaner on GC — drain them before counting so
     // the census sees only what is genuinely pinned
+    // progress-based drain (ADVICE r12): poll the census and keep waiting
+    // as long as the async ContextCleaner is still shrinking it, instead
+    // of a fixed gc/sleep cycle count — under -XX:+DisableExplicitGC or a
+    // slow cleaner the old 40x250ms budget false-failed. The loop exits
+    // when the census is under the bound OR no entry has been freed for
+    // `stallMs` (the cleaner is genuinely done, not merely slow).
     def drained(bound: Int): Int = {
-      var tries = 0
-      // stop early once under the bound; cleanup is async, so keep
-      // nudging the collector while it still helps
-      while (sc.getPersistentRDDs.size > bound && tries < 40) {
-        System.gc(); Thread.sleep(250); tries += 1
+      val stallMs = 30000L
+      var last = sc.getPersistentRDDs.size
+      var lastProgress = System.nanoTime()
+      while (last > bound &&
+          (System.nanoTime() - lastProgress) < stallMs * 1000000L) {
+        System.gc(); Thread.sleep(200)
+        val cur = sc.getPersistentRDDs.size
+        if (cur < last) { last = cur; lastProgress = System.nanoTime() }
       }
-      sc.getPersistentRDDs.size
+      last
     }
     // DELTA census, not absolute: in the full suite, earlier specs pin
     // kernels for OTHER sf dirs (MultiSf/Golden/LargeSfOracle), so the
@@ -133,14 +142,18 @@ class MemoEvictionSpec extends SparkSpec {
     assert(graft.plans.ScopedMemo.size <= 16)
   }
 
-  /** Registry-pass growth ceiling: one full pass may first-touch the
-    * shared kernels for its sf dir (Tables corpus, Graph edges/nodes,
-    * Dedup shingle/band/labels/simhash, Similarity vectors/pq/knn/sign,
-    * TextOps wordCounts, Aggregates kmv, bucketed/zoned warm-ups — ~30
-    * sets) plus up to the 16-entry ScopedMemo LRU; 60 leaves headroom
-    * for Spark-internal persists without letting a systemic per-key leak
-    * (≈ +1 per formerly-bare-cache key, i.e. +25 on top of the kernels)
-    * hide under the bound.
+  /** Registry-pass growth ceiling — DERIVATION (keep in sync with the
+    * census test above and SURVEY.md §7.5o): one full pass may
+    * first-touch the shared kernels for its sf dir (Tables corpus, Graph
+    * edges/nodes, Dedup shingle/band/labels/simhash, Similarity
+    * vectors/pq/knn/sign, TextOps wordCounts, Aggregates kmv,
+    * bucketed/zoned warm-ups — ~30 block sets, counted from the kernel
+    * registry at the r12 sweep) plus up to the 16-entry ScopedMemo LRU
+    * (≈ 46 legitimate), rounded up to 60 for Spark-internal persists.
+    * The number this must stay BELOW is the leak signature it guards
+    * against: ≈ +1 per formerly-bare-cache key (+25 on top of the
+    * kernels, i.e. ~71+) — so 60 has real headroom on the pass side and
+    * real teeth on the leak side.
     */
   private val CensusDeltaBound = 60
 }

@@ -3187,4 +3187,206 @@ class OperatorSpec extends SparkSpec {
       assert(!e.isNaN && math.abs(e) < 100.0)
     }
   }
+
+  // collected (type -> values) helper for the two-sample stats tests
+  private def eventValues(types: Set[String]): Map[String, Array[Double]] =
+    graft.ops.Tables.events(spark, sf)
+      .filter(col("event_type").isin(types.toSeq.map(lit): _*))
+      .select("event_type", "value").collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Double]("value")) }
+
+  test("stats_ks_test matches a brute-force ECDF sup-gap and the z/p " +
+      "formulas over it") {
+    val r = SparkEntry.queries("stats_ks_test")(spark, sf).collect()(0)
+    val v = eventValues(Set("click", "view"))
+    val (a, b) = (v("click").sorted, v("view").sorted)
+    assert(r.getAs[Long]("n_a") == a.length.toLong)
+    assert(r.getAs[Long]("n_b") == b.length.toLong)
+    // brute-force sup gap over the pooled support
+    val support = (a ++ b).distinct.sorted
+    def ecdf(xs: Array[Double], t: Double) =
+      xs.count(_ <= t).toDouble / xs.length
+    val d = support.map(t => math.abs(ecdf(a, t) - ecdf(b, t))).max
+    assert(math.abs(r.getAs[Double]("d_stat") - d) < 1e-6,
+      s"D ${r.getAs[Double]("d_stat")} != brute force $d")
+    val m = a.length.toDouble * b.length / (a.length + b.length)
+    assert(math.abs(r.getAs[Double]("ks_z") - d * math.sqrt(m)) < 1e-5)
+    val p = r.getAs[Double]("p_approx")
+    assert(p > 0.0 && p <= 1.0)
+  }
+
+  test("stats_mann_whitney matches brute-force pair counting " +
+      "(U = #(a>b) + ties/2)") {
+    val r = SparkEntry.queries("stats_mann_whitney")(spark, sf)
+      .collect()(0)
+    val v = eventValues(Set("purchase", "click"))
+    val (a, b) = (v("purchase"), v("click"))
+    assert(r.getAs[Long]("n_a") == a.length.toLong)
+    assert(r.getAs[Long]("n_b") == b.length.toLong)
+    var wins = 0L; var ties = 0L
+    for (x <- a; y <- b) {
+      if (x > y) wins += 1 else if (x == y) ties += 1
+    }
+    val u = wins + ties / 2.0
+    assert(math.abs(r.getAs[Double]("u_stat") - u) < 1e-6,
+      s"U ${r.getAs[Double]("u_stat")} != brute force $u")
+    val z = r.getAs[Double]("z_score")
+    assert(!z.isNaN && !z.isInfinite)
+  }
+
+  test("stats_chi2_independence matches a brute-force contingency " +
+      "computation") {
+    val r = SparkEntry.queries("stats_chi2_independence")(spark, sf)
+      .collect()(0)
+    val cells = graft.ops.Tables.t(spark, sf, "documents")
+      .groupBy("lang", "source").count().collect()
+      .map(x => ((x.getAs[String]("lang"), x.getAs[String]("source")),
+        x.getAs[Long]("count"))).toMap
+    val n = cells.values.sum
+    val rows = cells.keys.map(_._1).toSet
+    val cols = cells.keys.map(_._2).toSet
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("n_rows") == rows.size.toLong)
+    assert(r.getAs[Long]("n_cols") == cols.size.toLong)
+    assert(r.getAs[Long]("dof") ==
+      (rows.size - 1).toLong * (cols.size - 1))
+    val rt = cells.groupBy(_._1._1).view.mapValues(_.values.sum)
+    val ct = cells.groupBy(_._1._2).view.mapValues(_.values.sum)
+    // same per-cell 1e-6 rounding as the query (exact-decimal sum)
+    val chi2 = BigDecimal(cells.map { case ((l, s), o) =>
+      val e = rt(l).toDouble * ct(s) / n
+      BigDecimal((o - e) * (o - e) / e)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toString).toDouble
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-9,
+      s"chi2 ${r.getAs[Double]("chi2")} != brute force $chi2")
+  }
+
+  test("feature_target_encoding: every encode sits between the brand " +
+      "mean and the global prior (m-estimate shrinkage)") {
+    val rows = SparkEntry.queries("feature_target_encoding")(spark, sf)
+      .collect()
+    assert(rows.length > 1)
+    val gn = rows.map(_.getAs[Long]("n")).sum
+    val prior = rows.map(r =>
+      r.getAs[Double]("raw_mean") * r.getAs[Long]("n")).sum / gn
+    rows.foreach { r =>
+      val (lo, hi) = {
+        val m = r.getAs[Double]("raw_mean")
+        (math.min(m, prior), math.max(m, prior))
+      }
+      val e = r.getAs[Double]("enc")
+      assert(e >= lo - 1e-4 && e <= hi + 1e-4,
+        s"${r.getAs[String]("p_brand")}: enc $e outside [$lo, $hi]")
+    }
+  }
+
+  test("feature_target_crossfit: fold counts partition each brand and " +
+      "the OOF encode excludes the fold's own rows") {
+    val rows = SparkEntry.queries("feature_target_crossfit")(spark, sf)
+      .collect()
+    val full = SparkEntry.queries("feature_target_encoding")(spark, sf)
+      .collect().map(r =>
+        r.getAs[String]("p_brand") -> r.getAs[Long]("n")).toMap
+    val byBrand = rows.groupBy(_.getAs[String]("p_brand"))
+    assert(byBrand.keySet == full.keySet)
+    byBrand.foreach { case (brand, fs) =>
+      assert(fs.map(_.getAs[Long]("n_fold")).sum == full(brand),
+        s"$brand fold sizes don't partition the brand")
+      fs.foreach { f =>
+        val e = f.getAs[Double]("enc_oof")
+        assert(!e.isNaN && e > 0.0 && e < 60.0) // quantity domain [1, 50]
+      }
+    }
+  }
+
+  test("feature_woe_iv: bins partition orders, IV terms are " +
+      "non-negative, WOE sign tracks the share ratio") {
+    val rows = SparkEntry.queries("feature_woe_iv")(spark, sf).collect()
+    val total = rows.map(r =>
+      r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg")).sum
+    assert(total == graft.ops.Tables.t(spark, sf, "orders").count())
+    val tp = rows.map(_.getAs[Long]("n_pos")).sum.toDouble
+    val tn = rows.map(_.getAs[Long]("n_neg")).sum.toDouble
+    rows.foreach { r =>
+      // (ps - ns) and ln(ps/ns) always share sign, so IV terms are >= 0
+      assert(r.getAs[Double]("iv_term") >= -1e-9)
+      val ps = (r.getAs[Long]("n_pos") + 0.5) / tp
+      val ns = (r.getAs[Long]("n_neg") + 0.5) / tn
+      assert(r.getAs[Double]("woe").sign == math.log(ps / ns).sign ||
+        math.abs(r.getAs[Double]("woe")) < 1e-6)
+    }
+  }
+
+  test("privacy audits match brute-force QI class censuses") {
+    val docs = graft.ops.Tables.t(spark, sf, "documents")
+      .select("lang", "source", "n_chars").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source"),
+        math.floor(r.getAs[Long]("n_chars") / 1000.0).toLong))
+    val kCls = docs.groupBy(d => (d._1, d._2, d._3)).values
+      .map(_.length.toLong).toSeq
+    val k = SparkEntry.queries("privacy_k_anonymity")(spark, sf)
+      .collect()(0)
+    assert(k.getAs[Long]("n_classes") == kCls.size.toLong)
+    assert(k.getAs[Long]("min_k") == kCls.min)
+    assert(k.getAs[Long]("n_violating") == kCls.count(_ < 5).toLong)
+    assert(k.getAs[Long]("docs_at_risk") == kCls.filter(_ < 5).sum)
+    val lCls = docs.groupBy(d => (d._2, d._3)).values
+      .map(c => (c.map(_._1).distinct.length.toLong, c.length.toLong))
+      .toSeq
+    val l = SparkEntry.queries("privacy_l_diversity")(spark, sf)
+      .collect()(0)
+    assert(l.getAs[Long]("n_classes") == lCls.size.toLong)
+    assert(l.getAs[Long]("min_l") == lCls.map(_._1).min)
+    assert(l.getAs[Long]("n_low_diversity") ==
+      lCls.count(_._1 < 2).toLong)
+    assert(l.getAs[Long]("docs_exposed") ==
+      lCls.filter(_._1 < 2).map(_._2).sum)
+  }
+
+  test("rank_ndcg_eval: NDCG in (0, 1], hit counts bounded by list " +
+      "size, and top-10 hits >= sim_recall_eval's top-5 hits per query") {
+    val ndcg = SparkEntry.queries("rank_ndcg_eval")(spark, sf).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("n_rel_hit"), r.getAs[Double]("dcg"),
+          r.getAs[Double]("ndcg"))).toMap
+    assert(ndcg.size == 10)
+    ndcg.values.foreach { case (hits, dcg, nd) =>
+      assert(hits >= 0L && hits <= 5L)
+      assert(dcg >= 0.0)
+      assert(nd >= 0.0 && nd <= 1.0 + 1e-9, s"ndcg $nd outside [0,1]")
+    }
+    // ann hits against exact TOP-10 can only exceed hits against TOP-5
+    val recall = SparkEntry.queries("sim_recall_eval")(spark, sf)
+      .collect().map(r => r.getAs[Long]("q_id") ->
+        r.getAs[Long]("n_hit")).toMap
+    recall.foreach { case (q, hit5) =>
+      assert(ndcg(q)._1 >= hit5,
+        s"q$q: top-10 relevance hits ${ndcg(q)._1} < top-5 hits $hit5")
+    }
+  }
+
+  test("sql_pivot matches the filter-aggregation formulation") {
+    val rows = SparkEntry.queries("sql_pivot")(spark, sf).collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Double]("val_f"), r.getAs[Double]("val_o"),
+          r.getAs[Double]("val_p"))).toMap
+    val direct = graft.ops.Tables.t(spark, sf, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("o_orderstatus") === "F",
+          expr("CAST(o_totalprice AS DECIMAL(18,2))")))
+          .cast("double").as("f"),
+        sum(when(col("o_orderstatus") === "O",
+          expr("CAST(o_totalprice AS DECIMAL(18,2))")))
+          .cast("double").as("o"),
+        sum(when(col("o_orderstatus") === "P",
+          expr("CAST(o_totalprice AS DECIMAL(18,2))")))
+          .cast("double").as("p"))
+      .collect().map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Double]("f"), r.getAs[Double]("o"),
+          r.getAs[Double]("p"))).toMap
+    assert(rows == direct)
+  }
 }

@@ -70,6 +70,23 @@ FAMILIES = {
     # first (the HNSW amortization shape)
     "knn_edges": ["embedding_knn_graph", "embedding_hubness",
                   "sim_graph_beam", "sim_graph_beam_recall"],
+    # TrainPrep contamination_grams memo: the 5-gram explode over the
+    # corpus is paid once by whichever contamination consumer runs first
+    "contamination_grams": ["contamination_check", "decontaminate_apply"],
+    # Windows.dayRevSeries memo: the zero-filled daily revenue series is
+    # paid once by whichever forecasting consumer runs first
+    "day_rev_series": ["forecast_backtest", "win_ar2_forecast"],
+    # Similarity.decimalVecs memo: the rounded-decimal vector projection
+    # is paid once by whichever residual-fold consumer runs first
+    "embedding_vecs_dec6": ["embedding_centroid_drift",
+                            "embedding_outlier_dist"],
+    # Similarity.ivfAssign memo (seed codebook): the corpus-wide
+    # nearest-centroid argmin window is paid once by whichever IVF
+    # consumer runs first (ivfpq/knn consumers sit in pq_best/knn_edges,
+    # which pay their own dominant kernels)
+    "ivf_assign": ["sim_topk_ivf", "sim_recall_eval", "sim_ivf_cell_skew",
+                   "sim_ivf_rebuild_churn", "sim_range_search",
+                   "sim_range_recall", "sim_ivf_nprobe_sweep"],
 }
 
 def main(bench_file, source_note):
