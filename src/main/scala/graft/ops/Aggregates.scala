@@ -237,6 +237,23 @@ object Aggregates {
           sort_array(collect_list(col("l_linenumber")))).as("lines"))
         .orderBy("l_orderkey")),
 
+    // ANSI LISTAGG ... WITHIN GROUP (Spark 4's ordered string
+    // aggregation surface — agg_collect's sort_array(collect_list)
+    // expressed the way a SQL user writes it). The WITHIN GROUP order
+    // (p_type, then p_partkey tiebreak on duplicates) makes the
+    // concatenation deterministic under any partitioning; the group is
+    // dimension-bounded (brands × containers), so the strings stay O(1)
+    // however many parts exist.
+    "agg_listagg" -> ((s, d) =>
+      t(s, d, "part")
+        .filter(col("p_partkey") <= 200)
+        .groupBy("p_brand")
+        .agg(expr(
+          "listagg(p_type, ',') WITHIN GROUP (ORDER BY p_type, p_partkey)")
+          .as("types"),
+          count(lit(1)).as("n_parts"))
+        .orderBy("p_brand")),
+
     // HLL sketch; no oracle (approximate) — OperatorSpec checks the bound
     // against an exact count it computes itself
     // HLL++ sketch next to the exact count, reduced to the claim the sketch
@@ -1008,6 +1025,13 @@ object Aggregates {
         |string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS lines
         |FROM lineitem WHERE l_orderkey <= 2000
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    // DuckDB's ordered string_agg == Spark's LISTAGG WITHIN GROUP
+    "agg_listagg" ->
+      """SELECT p_brand,
+        |string_agg(p_type, ',' ORDER BY p_type, p_partkey) AS types,
+        |count(*) AS n_parts
+        |FROM part WHERE p_partkey <= 200
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag,
         |round(stddev_samp(l_quantity), 4) AS sd_qty,

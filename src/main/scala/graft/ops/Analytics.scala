@@ -1026,6 +1026,153 @@ object Analytics {
             .stripMargin).as("cramers_v"))
     },
 
+    // one-way ANOVA F across all five event types' values — the k-group
+    // generalization of events_ab_welch's two-arm t (running 10 pairwise
+    // t-tests inflates false positives; ANOVA asks the one omnibus
+    // question first). The corpus collapses to exact per-type DECIMAL
+    // moments (n, Σy, Σy²) in one keyed pass; each group's SSB/SSW
+    // contribution is rounded to the 1e-6 grid and decimal-summed over
+    // the O(k) group rows (the forecast_backtest discipline), so the
+    // between/within sums are partial-agg-proof; F and η² are closed
+    // IEEE finals over those sums. One row out at any corpus size.
+    "stats_anova_oneway" -> { (s, d) =>
+      val m = events(s, d)
+        .select(col("event_type"), money(col("value")).as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(expr("y * y")).as("syy"))
+      val g = m.agg(sum(col("n")).as("nn"), sum(col("sy")).as("gsy"),
+        count(lit(1)).as("k"))
+      m.crossJoin(broadcast(g))
+        .withColumn("gmean", expr("CAST(gsy AS DOUBLE) / nn"))
+        .withColumn("mean", expr("CAST(sy AS DOUBLE) / n"))
+        .withColumn("ssb_t", expr(
+          "CAST(round(n * (mean - gmean) * (mean - gmean), 6)" +
+            " AS DECIMAL(24,6))"))
+        .withColumn("ssw_t", expr(
+          "CAST(round(CAST(syy AS DOUBLE)" +
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n, 6)" +
+            " AS DECIMAL(24,6))"))
+        .agg(max(col("k")).as("k"), max(col("nn")).as("n"),
+          sum(col("ssb_t")).as("ssb_acc"), sum(col("ssw_t")).as("ssw_acc"))
+        .select(col("k"), col("n"),
+          col("ssb_acc").cast("double").as("ss_between"),
+          col("ssw_acc").cast("double").as("ss_within"),
+          expr("""round((CAST(ssb_acc AS DOUBLE) / (k - 1))
+            |  / (CAST(ssw_acc AS DOUBLE) / (n - k)), 6)""".stripMargin)
+            .as("f_stat"),
+          expr("""round(CAST(ssb_acc AS DOUBLE)
+            |  / (CAST(ssb_acc AS DOUBLE) + CAST(ssw_acc AS DOUBLE)), 6)"""
+            .stripMargin).as("eta_sq"))
+    },
+
+    // Cohen's d + Hedges' g effect sizes (purchase vs click values) —
+    // the companion every significance test needs: at corpus scale n is
+    // so large that trivial differences reach p < 0.001, and only the
+    // standardized effect says whether anyone should care. Same exact
+    // DECIMAL moment pass as the Welch t; pooled SD, d, and the
+    // small-sample Hedges correction are closed fixed-order IEEE
+    // formulas over the one moment row, mirrored textually.
+    "stats_cohens_d" -> { (s, d) =>
+      events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("isa"), money(col("value")).as("y"))
+        .agg(
+          sum(col("isa")).as("n_a"),
+          sum(lit(1L) - col("isa")).as("n_b"),
+          sum(when(col("isa") === 1L, col("y"))).as("sy_a"),
+          sum(when(col("isa") === 0L, col("y"))).as("sy_b"),
+          sum(when(col("isa") === 1L, expr("y * y"))).as("syy_a"),
+          sum(when(col("isa") === 0L, expr("y * y"))).as("syy_b"))
+        .withColumn("mean_a", expr("CAST(sy_a AS DOUBLE) / n_a"))
+        .withColumn("mean_b", expr("CAST(sy_b AS DOUBLE) / n_b"))
+        .withColumn("var_a", expr(
+          """(CAST(syy_a AS DOUBLE)
+            |  - CAST(sy_a AS DOUBLE) * CAST(sy_a AS DOUBLE) / n_a)
+            |  / (n_a - 1)""".stripMargin))
+        .withColumn("var_b", expr(
+          """(CAST(syy_b AS DOUBLE)
+            |  - CAST(sy_b AS DOUBLE) * CAST(sy_b AS DOUBLE) / n_b)
+            |  / (n_b - 1)""".stripMargin))
+        .withColumn("s_pool", expr(
+          """sqrt(((n_a - 1) * var_a + (n_b - 1) * var_b)
+            |  / (n_a + n_b - 2))""".stripMargin))
+        .select(col("n_a"), col("n_b"),
+          round(col("mean_a"), 6).as("mean_a"),
+          round(col("mean_b"), 6).as("mean_b"),
+          expr("round((mean_b - mean_a) / s_pool, 6)").as("cohens_d"),
+          expr("""round((mean_b - mean_a) / s_pool
+            |  * (1 - 3.0 / (4 * (n_a + n_b) - 9)), 6)""".stripMargin)
+            .as("hedges_g"))
+    },
+
+    // Spearman rank correlation between daily volume and daily revenue —
+    // the monotone-association test that survives outlier days Pearson
+    // (agg_corr) is dragged by. The corpus collapses to the O(#days)
+    // daily table in one keyed agg; average ranks with tie handling are
+    // EXACT INTEGERS via doubled ranks (2·rank_avg = 2·min_rank + ties −
+    // 1, from one rank window + one tie count per axis over the tiny day
+    // table), and Spearman = Pearson over those integer ranks (rank
+    // correlation is affine-invariant, so the doubling cancels):
+    // exact-decimal sums, one closed IEEE final. One row out.
+    "stats_spearman_days" -> { (s, d) =>
+      val daily = events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"),
+          sum(money(col("value"))).as("y"))
+      val wx = Window.orderBy("x")
+      val wy = Window.orderBy("y")
+      val ranked = daily
+        .withColumn("ux", lit(2) * rank().over(wx)
+          + count(lit(1)).over(Window.partitionBy("x")) - 1)
+        .withColumn("uy", lit(2) * rank().over(wy)
+          + count(lit(1)).over(Window.partitionBy("y")) - 1)
+      ranked.agg(count(lit(1)).as("n_days"),
+          sum(col("ux").cast("decimal(18,0)")).as("sx"),
+          sum(col("uy").cast("decimal(18,0)")).as("sy"),
+          sum((col("ux") * col("uy")).cast("decimal(18,0)")).as("sxy"),
+          sum((col("ux") * col("ux")).cast("decimal(18,0)")).as("sxx"),
+          sum((col("uy") * col("uy")).cast("decimal(18,0)")).as("syy"))
+        .select(col("n_days"),
+          expr("""round((n_days * CAST(sxy AS DOUBLE)
+            |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |  / sqrt((n_days * CAST(sxx AS DOUBLE)
+            |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |    * (n_days * CAST(syy AS DOUBLE)
+            |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"""
+            .stripMargin).as("spearman_rho"))
+    },
+
+    // robust-scaler fit per event type: median / Q1 / Q3 / IQR — the
+    // outlier-proof alternative to z-score standardization (mean/sd
+    // scaling lets one wild value move every feature; median/IQR don't).
+    // Quantiles come from the DOMAIN-bounded per-type value histogram
+    // with one cumulative window (the events_outlier_mad shape — never a
+    // per-type sort of the raw stream), lower-quantile convention
+    // (smallest value whose scaled cumulative count crosses the exact
+    // integer threshold), so every step is integer/decimal-exact.
+    "feature_robust_scaler" -> { (s, d) =>
+      val h = events(s, d)
+        .groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("value")
+      val cum = h.withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("tot",
+          sum(col("cnt")).over(Window.partitionBy("event_type")))
+      def qAt(cond: org.apache.spark.sql.Column, out: String) =
+        cum.filter(cond).groupBy("event_type")
+          .agg(min(col("value")).as(out))
+      val q1 = qAt(col("cum") * 4 >= col("tot") + 1, "q1")
+      val med = qAt(col("cum") * 2 >= col("tot") + 1, "median")
+      val q3 = qAt(col("cum") * 4 >= col("tot") * 3 + 3, "q3")
+      med.join(q1, "event_type").join(q3, "event_type")
+        .select(col("event_type"), col("median"), col("q1"), col("q3"),
+          round(money(col("q3")) - money(col("q1")), 2)
+            .cast("double").as("iqr"))
+        .orderBy("event_type")
+    },
+
     // weekly seasonality profile per event type: day-of-week volume,
     // in-type share, and peak-day flag — the load-shaping/anomaly
     // baseline every event pipeline keeps. The corpus collapses to a
@@ -3570,6 +3717,129 @@ object Analytics {
         |    / (CAST(n AS DOUBLE) * least(n_rows - 1, n_cols - 1))), 6)
         |    AS cramers_v
         |FROM a""".stripMargin,
+    // same per-group 1e-6-grid rounding + decimal accumulation of the
+    // SSB/SSW terms, closed F / eta-squared finals mirrored textually
+    "stats_anova_oneway" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(value AS DECIMAL(18,2))
+        |      * CAST(value AS DECIMAL(18,2))) AS syy
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT sum(n) AS nn, sum(sy) AS gsy, count(*) AS k FROM m),
+        |j AS (
+        |  SELECT m.n, m.sy, m.syy, g.nn, g.k,
+        |    CAST(g.gsy AS DOUBLE) / g.nn AS gmean,
+        |    CAST(m.sy AS DOUBLE) / m.n AS mean
+        |  FROM m CROSS JOIN g),
+        |a AS (
+        |  SELECT CAST(max(k) AS BIGINT) AS k,
+        |    CAST(max(nn) AS BIGINT) AS n,
+        |    sum(CAST(round(n * (mean - gmean) * (mean - gmean), 6)
+        |      AS DECIMAL(24,6))) AS ssb_acc,
+        |    sum(CAST(round(CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n, 6)
+        |      AS DECIMAL(24,6))) AS ssw_acc
+        |  FROM j)
+        |SELECT k, n, CAST(ssb_acc AS DOUBLE) AS ss_between,
+        |  CAST(ssw_acc AS DOUBLE) AS ss_within,
+        |  round((CAST(ssb_acc AS DOUBLE) / (k - 1))
+        |    / (CAST(ssw_acc AS DOUBLE) / (n - k)), 6) AS f_stat,
+        |  round(CAST(ssb_acc AS DOUBLE)
+        |    / (CAST(ssb_acc AS DOUBLE) + CAST(ssw_acc AS DOUBLE)), 6)
+        |    AS eta_sq
+        |FROM a""".stripMargin,
+    // same exact moment pass as events_ab_welch; pooled SD + Hedges
+    // correction as identical closed formula text
+    "stats_cohens_d" ->
+      """WITH c AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |      AS isa,
+        |    CAST(value AS DECIMAL(18,2)) AS y
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |m AS (
+        |  SELECT CAST(sum(isa) AS BIGINT) AS n_a,
+        |    CAST(sum(1 - isa) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN isa = 1 THEN y END) AS sy_a,
+        |    sum(CASE WHEN isa = 0 THEN y END) AS sy_b,
+        |    sum(CASE WHEN isa = 1 THEN y * y END) AS syy_a,
+        |    sum(CASE WHEN isa = 0 THEN y * y END) AS syy_b
+        |  FROM c),
+        |f AS (
+        |  SELECT n_a, n_b,
+        |    CAST(sy_a AS DOUBLE) / n_a AS mean_a,
+        |    CAST(sy_b AS DOUBLE) / n_b AS mean_b,
+        |    (CAST(syy_a AS DOUBLE)
+        |      - CAST(sy_a AS DOUBLE) * CAST(sy_a AS DOUBLE) / n_a)
+        |      / (n_a - 1) AS var_a,
+        |    (CAST(syy_b AS DOUBLE)
+        |      - CAST(sy_b AS DOUBLE) * CAST(sy_b AS DOUBLE) / n_b)
+        |      / (n_b - 1) AS var_b
+        |  FROM m),
+        |p AS (
+        |  SELECT n_a, n_b, mean_a, mean_b,
+        |    sqrt(((n_a - 1) * var_a + (n_b - 1) * var_b)
+        |      / (n_a + n_b - 2)) AS s_pool
+        |  FROM f)
+        |SELECT n_a, n_b, round(mean_a, 6) AS mean_a,
+        |  round(mean_b, 6) AS mean_b,
+        |  round((mean_b - mean_a) / s_pool, 6) AS cohens_d,
+        |  round((mean_b - mean_a) / s_pool
+        |    * (1 - 3.0 / (4 * (n_a + n_b) - 9)), 6) AS hedges_g
+        |FROM p""".stripMargin,
+    // doubled average ranks are exact integers on both engines; the
+    // Pearson-over-ranks final is one closed IEEE expression
+    "stats_spearman_days" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS x,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS y
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT
+        |    2 * rank() OVER (ORDER BY x)
+        |      + count(*) OVER (PARTITION BY x) - 1 AS ux,
+        |    2 * rank() OVER (ORDER BY y)
+        |      + count(*) OVER (PARTITION BY y) - 1 AS uy
+        |  FROM daily),
+        |a AS (
+        |  SELECT count(*) AS n_days,
+        |    sum(CAST(ux AS DECIMAL(18,0))) AS sx,
+        |    sum(CAST(uy AS DECIMAL(18,0))) AS sy,
+        |    sum(CAST(ux * uy AS DECIMAL(18,0))) AS sxy,
+        |    sum(CAST(ux * ux AS DECIMAL(18,0))) AS sxx,
+        |    sum(CAST(uy * uy AS DECIMAL(18,0))) AS syy
+        |  FROM r)
+        |SELECT CAST(n_days AS BIGINT) AS n_days,
+        |  round((n_days * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((n_days * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (n_days * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS spearman_rho
+        |FROM a""".stripMargin,
+    // per-type histogram + lower-quantile thresholds, all integer-exact
+    "feature_robust_scaler" ->
+      """WITH h AS (
+        |  SELECT event_type, value, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, value,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY value)
+        |      AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS tot
+        |  FROM h),
+        |q1 AS (SELECT event_type, min(value) AS q1 FROM c
+        |  WHERE cum * 4 >= tot + 1 GROUP BY 1),
+        |med AS (SELECT event_type, min(value) AS median FROM c
+        |  WHERE cum * 2 >= tot + 1 GROUP BY 1),
+        |q3 AS (SELECT event_type, min(value) AS q3 FROM c
+        |  WHERE cum * 4 >= tot * 3 + 3 GROUP BY 1)
+        |SELECT event_type, median, q1, q3,
+        |  CAST(round(CAST(q3 AS DECIMAL(18,2))
+        |    - CAST(q1 AS DECIMAL(18,2)), 2) AS DOUBLE) AS iqr
+        |FROM med JOIN q1 USING (event_type) JOIN q3 USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // Sunday=0 on both engines: Spark dayofweek()-1 == DuckDB 'dow'
     "events_seasonality" ->
       """WITH a AS (

@@ -182,6 +182,26 @@ object ScalarFns {
           round(array_min(col("v")), 6).as("mn"))
         .orderBy("vec_id")),
 
+    // the higher-order lambda family fn_array doesn't reach: zip_with
+    // (pairwise combine), filter (predicate projection), forall/exists
+    // (quantifiers). All run IN the row inside codegen — the reason to
+    // prefer them over explode+groupBy for per-array math (no shuffle,
+    // no row explosion). Left-fold accumulation order is the array
+    // order on both engines, so the zip_with dot product is
+    // bit-deterministic before the final round.
+    "fn_lambda" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .filter(col("vec_id") < 200)
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .select(col("vec_id"),
+          round(expr(
+            "aggregate(zip_with(v, reverse(v), (a, b) -> a * b), " +
+              "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"), 6).as("dot_rev"),
+          size(expr("filter(v, x -> x > 0)")).cast("long").as("n_pos"),
+          expr("forall(v, x -> abs(x) <= 1.0)").as("bounded"),
+          expr("exists(v, x -> x > 0.5)").as("has_big"))
+        .orderBy("vec_id")),
+
     "fn_explode" -> ((s, d) =>
       t(s, d, "documents")
         .filter(col("doc_id") < 20)
@@ -374,6 +394,22 @@ object ScalarFns {
         |FROM (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings) e
+        |ORDER BY vec_id""".stripMargin,
+    // DuckDB spells the quantifiers as list_bool_and/or over a
+    // transformed boolean list; the zip_with fold is list_zip +
+    // list_reduce with a prepended 0 seed — same element order, same
+    // left fold, same doubles
+    "fn_lambda" ->
+      """SELECT vec_id,
+        |round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |  list_transform(list_zip(v, list_reverse(v)),
+        |    p -> p[1] * p[2])), (acc, x) -> acc + x), 6) AS dot_rev,
+        |CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+        |list_bool_and(list_transform(v, x -> abs(x) <= 1.0)) AS bounded,
+        |list_bool_or(list_transform(v, x -> x > 0.5)) AS has_big
+        |FROM (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id < 200) e
         |ORDER BY vec_id""".stripMargin,
     "fn_explode" ->
       """SELECT doc_id,

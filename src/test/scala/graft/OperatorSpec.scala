@@ -3367,6 +3367,144 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("stats_anova_oneway matches a brute-force F computation") {
+    val r = SparkEntry.queries("stats_anova_oneway")(spark, sf).collect()(0)
+    val groups = graft.ops.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .groupBy(_.getAs[String]("event_type")).values
+      .map(_.map(x => BigDecimal(x.getAs[Double]("value"))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSeq
+    val n = groups.map(_.length).sum
+    val grand = groups.flatten.sum / n
+    val ssb = groups.map(g =>
+      g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = groups.map(g => {
+      val m = g.sum / g.length; g.map(x => (x - m) * (x - m)).sum
+    }).sum
+    assert(r.getAs[Long]("k") == groups.size.toLong)
+    assert(r.getAs[Long]("n") == n.toLong)
+    assert(math.abs(r.getAs[Double]("ss_between") - ssb) / ssb < 1e-6)
+    assert(math.abs(r.getAs[Double]("ss_within") - ssw) / ssw < 1e-6)
+    val f = (ssb / (groups.size - 1)) / (ssw / (n - groups.size))
+    assert(math.abs(r.getAs[Double]("f_stat") - f) < 1e-3)
+  }
+
+  test("stats_cohens_d matches a brute-force pooled effect size and " +
+      "Hedges' g shrinks it toward zero") {
+    val r = SparkEntry.queries("stats_cohens_d")(spark, sf).collect()(0)
+    val v = eventValues(Set("purchase", "click"))
+      .map { case (k, xs) => k -> xs.map(x => BigDecimal(x)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    val (a, b) = (v("purchase"), v("click"))
+    def mean(x: Array[Double]) = x.sum / x.length
+    def varS(x: Array[Double]) = {
+      val m = mean(x); x.map(e => (e - m) * (e - m)).sum / (x.length - 1)
+    }
+    val sp = math.sqrt(((a.length - 1) * varS(a) + (b.length - 1) * varS(b))
+      / (a.length + b.length - 2))
+    val d = (mean(b) - mean(a)) / sp
+    assert(math.abs(r.getAs[Double]("cohens_d") - d) < 1e-4,
+      s"d ${r.getAs[Double]("cohens_d")} != brute force $d")
+    val g = r.getAs[Double]("hedges_g")
+    assert(math.abs(g) <= math.abs(r.getAs[Double]("cohens_d")) + 1e-9,
+      "the Hedges correction must shrink |d|")
+  }
+
+  test("stats_spearman_days matches a brute-force rank correlation") {
+    val r = SparkEntry.queries("stats_spearman_days")(spark, sf)
+      .collect()(0)
+    val daily = graft.ops.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"),
+        sum(expr("CAST(round(value, 2) AS DECIMAL(18,2))"))
+          .cast("double").as("y"))
+      .collect().map(x => (x.getAs[Double]("x"), x.getAs[Double]("y")))
+    assert(r.getAs[Long]("n_days") == daily.length.toLong)
+    def avgRanks(xs: Array[Double]): Array[Double] = {
+      val sorted = xs.sorted
+      xs.map { v =>
+        val lo = sorted.indexWhere(_ == v) + 1
+        val hi = sorted.lastIndexWhere(_ == v) + 1
+        (lo + hi) / 2.0
+      }
+    }
+    val rx = avgRanks(daily.map(_._1))
+    val ry = avgRanks(daily.map(_._2))
+    val n = daily.length
+    val (sx, sy) = (rx.sum, ry.sum)
+    val sxy = rx.zip(ry).map { case (p, q) => p * q }.sum
+    val sxx = rx.map(p => p * p).sum
+    val syy = ry.map(q => q * q).sum
+    val rho = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(math.abs(r.getAs[Double]("spearman_rho") - rho) < 1e-5,
+      s"rho ${r.getAs[Double]("spearman_rho")} != brute force $rho")
+  }
+
+  test("feature_robust_scaler quantiles bracket correctly per type " +
+      "(q1 <= median <= q3, lower-quantile convention)") {
+    val rows = SparkEntry.queries("feature_robust_scaler")(spark, sf)
+      .collect()
+    assert(rows.length == 5)
+    val byType = graft.ops.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Double]("value")).sorted }
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val xs = byType(t)
+      val n = xs.length
+      // lower-quantile: smallest v with den*cum >= num*tot + num
+      def lq(num: Int, den: Int): Double = {
+        var cum = 0
+        for (v <- xs.distinct) {
+          cum += xs.count(_ == v)
+          if (den.toLong * cum >= num.toLong * n + num) return v
+        }
+        xs.last
+      }
+      assert(r.getAs[Double]("q1") == lq(1, 4), s"$t q1")
+      assert(r.getAs[Double]("median") == lq(1, 2), s"$t median")
+      assert(r.getAs[Double]("q3") == lq(3, 4), s"$t q3")
+      assert(r.getAs[Double]("iqr") >= 0.0)
+    }
+  }
+
+  test("agg_listagg equals the sorted collect_list formulation") {
+    val rows = SparkEntry.queries("agg_listagg")(spark, sf).collect()
+      .map(r => r.getAs[String]("p_brand") -> r.getAs[String]("types"))
+      .toMap
+    val direct = graft.ops.Tables.t(spark, sf, "part")
+      .filter(col("p_partkey") <= 200)
+      .select("p_brand", "p_type", "p_partkey").collect()
+      .groupBy(_.getAs[String]("p_brand"))
+      .map { case (b, rs) => b -> rs
+        .map(r => (r.getAs[String]("p_type"), r.getAs[Long]("p_partkey")))
+        .sortBy(identity).map(_._1).mkString(",") }
+    assert(rows == direct)
+  }
+
+  test("fn_lambda matches driver-side lambda evaluation") {
+    val rows = SparkEntry.queries("fn_lambda")(spark, sf).collect()
+    assert(rows.length == 200)
+    val vecs = graft.ops.Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") < 200).select("vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    rows.foreach { r =>
+      val v = vecs(r.getAs[Long]("vec_id"))
+      val dot = v.zip(v.reverse).map { case (a, b) => a * b }
+        .foldLeft(0.0)(_ + _)
+      assert(math.abs(r.getAs[Double]("dot_rev")
+        - BigDecimal(dot).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble) < 1e-9)
+      assert(r.getAs[Long]("n_pos") == v.count(_ > 0).toLong)
+      assert(r.getAs[Boolean]("bounded") == v.forall(x => math.abs(x) <= 1.0))
+      assert(r.getAs[Boolean]("has_big") == v.exists(_ > 0.5))
+    }
+  }
+
   test("sql_pivot matches the filter-aggregation formulation") {
     val rows = SparkEntry.queries("sql_pivot")(spark, sf).collect()
       .map(r => r.getAs[String]("o_orderpriority") ->

@@ -777,6 +777,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
   }
 
+  test("customer_pareto_front stays prefix-max shaped: no nested-loop " +
+      "dominance join, entity-sized window partitioned by bin") {
+    val df = SparkEntry.queries("customer_pareto_front")(spark, sf)
+    val p = plan(df)
+    // the r12b form planned the dominance check as a BroadcastNestedLoop
+    // LEFT ANTI join over the whole entity table — O(C²) and driver-
+    // bound; the binned prefix-max rewrite must never regress to it.
+    // (A bare Cross BNLJ remains legitimate: it is the 1-row bounds
+    // broadcast, the standard scalar-broadcast shape.)
+    assert(!"BroadcastNestedLoopJoin[^\\n]*(LeftAnti|Inner)".r
+      .findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the point-level join runs as a hash/SMJ equi-join on spend
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    // the within-bin window is partitioned (only the <=1024-row bin
+    // suffix table may run unpartitioned)
+    assert(p.contains("windowspecdefinition(bin"), p)
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -67,6 +67,13 @@ class WindowAuditSpec extends SparkSpec {
     "shard_balance" -> "O(#shards) manifest",
     "stream_lateness_audit" -> "O(max lateness minutes) histogram",
     "text_zipf_fit" -> "top-64 heap survivors only",
+    "customer_pareto_front" -> ("1024-bin suffix-max table (O(bins)); " +
+      "the entity-sized prefix window is PARTITIONED by bin"),
+    "stats_ks_test" -> ("domain-bounded (value, count) histogram " +
+      "(2-decimal quantized values — the events_outlier_mad bound)"),
+    "stats_mann_whitney" -> ("domain-bounded pooled value histogram " +
+      "(2-decimal quantized values)"),
+    "stats_spearman_days" -> "daily calendar (O(#days)), two rank axes",
     "tokenizer_bpe_merge" -> ("symbol-pair vocabulary (O(charset^2) " +
       "for char pairs; merges are bounded)"),
     "tokenizer_bpe_pairs" -> "O(charset^2) char-bigram pair table",
