@@ -153,6 +153,7 @@ object Bench {
     SparkEntry.entry(spark).count()
     graft.ops.Joins.ensureBucketed(spark, sfDir)
     graft.ops.Lakehouse.ensureZoned(spark, sfDir)
+    graft.ops.Lakehouse.ensureManifested(spark, sfDir)
     graft.ops.Graph.warm(spark, sfDir)
     // building the join_bloom plan runs its two sketch driver actions and
     // fills the per-sf sketch cache — pay-once, like the other warm-ups

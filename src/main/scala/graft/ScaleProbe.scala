@@ -80,7 +80,14 @@ object ScaleProbe {
     // embedding kernels with linear shapes (vectors replicated with a
     // per-replica dimension rotation -> decorrelated replicas)
     "sim_ivf_nprobe_sweep", "embedding_sign_lsh", "embedding_pca_power",
-    "embedding_pq")
+    "embedding_pq",
+    // r13: the farthest-point traversal after its per-round ScopedMemo
+    // pin (k corpus scans — the O(k²) re-evaluation it replaced would
+    // have shown here as a super-linear constant), plus the two r12c
+    // keys VERDICT asked onto the probe (cheap, but the slope row
+    // documents the shapes: hash-bucketed holdout is one pass, the
+    // VALUES CTE is O(1) dim + linear join)
+    "sample_kcenter", "sample_group_holdout", "sql_values_cte")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

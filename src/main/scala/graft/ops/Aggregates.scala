@@ -169,6 +169,19 @@ object Aggregates {
           count(lit(1)).as("cnt"))
         .orderBy("c_mktsegment")),
 
+    // bitwise aggregates: AND/OR/XOR folds over integer keys — the
+    // flag-mask consolidation shape (per-group capability masks, parity
+    // checks). All three are commutative+associative, so they partial-
+    // aggregate map-side and merge order can never change a bit.
+    "agg_bitagg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("bit_and(l_orderkey)").as("mask_and"),
+          expr("bit_or(l_orderkey)").as("mask_or"),
+          expr("bit_xor(l_orderkey)").as("parity_xor"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
     "agg_distinct" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
@@ -955,6 +968,15 @@ object Aggregates {
         |FROM (SELECT *, max(c_acctbal)
         |        OVER (PARTITION BY c_mktsegment) AS mb FROM customer)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+        .stripMargin,
+    // bit_and/bit_or/bit_xor exist verbatim in DuckDB; HUGEINT-safe casts
+    "agg_bitagg" ->
+      """SELECT l_returnflag,
+        |CAST(bit_and(l_orderkey) AS BIGINT) AS mask_and,
+        |CAST(bit_or(l_orderkey) AS BIGINT) AS mask_or,
+        |CAST(bit_xor(l_orderkey) AS BIGINT) AS parity_xor,
+        |count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin,
     "agg_bool" ->
       """SELECT c_mktsegment,

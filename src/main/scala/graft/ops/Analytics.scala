@@ -1066,6 +1066,52 @@ object Analytics {
             .stripMargin).as("eta_sq"))
     },
 
+    // Levene's variance-homogeneity test (mean-centered form) across the
+    // event types — the gate BEFORE trusting stats_anova_oneway, whose F
+    // assumes equal group variances. W is the one-way ANOVA F computed
+    // on the absolute deviations z = |y − group mean|: pass 1 collapses
+    // the corpus to O(k) exact-decimal group means, pass 2 broadcasts
+    // them back and re-collapses the z column to O(k) moments — two
+    // corpus-linear keyed aggs, nothing corpus-sized moves. Each z is
+    // rounded to the 1e-6 grid BEFORE its moments (the decimal-sum
+    // discipline: partial-agg merge order can never move W), and the
+    // SSB/SSW terms reuse the stats_anova_oneway accumulation verbatim.
+    "stats_levene" -> { (s, d) =>
+      val base = events(s, d)
+        .select(col("event_type"), money(col("value")).as("y"))
+      val means = base.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+        .select(col("event_type"),
+          expr("CAST(sy AS DOUBLE) / n").as("mean"))
+      val m = base.join(broadcast(means), "event_type")
+        .select(col("event_type"), expr(
+          "CAST(round(abs(CAST(y AS DOUBLE) - mean), 6)" +
+            " AS DECIMAL(18,6))").as("z"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("z")).as("sz"),
+          sum(expr("z * z")).as("szz"))
+      val g = m.agg(sum(col("n")).as("nn"), sum(col("sz")).as("gsz"),
+        count(lit(1)).as("k"))
+      m.crossJoin(broadcast(g))
+        .withColumn("gmean", expr("CAST(gsz AS DOUBLE) / nn"))
+        .withColumn("mean", expr("CAST(sz AS DOUBLE) / n"))
+        .withColumn("ssb_t", expr(
+          "CAST(round(n * (mean - gmean) * (mean - gmean), 6)" +
+            " AS DECIMAL(24,6))"))
+        .withColumn("ssw_t", expr(
+          "CAST(round(CAST(szz AS DOUBLE)" +
+            " - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / n, 6)" +
+            " AS DECIMAL(24,6))"))
+        .agg(max(col("k")).as("k"), max(col("nn")).as("n"),
+          sum(col("ssb_t")).as("ssb_acc"), sum(col("ssw_t")).as("ssw_acc"))
+        .select(col("k"), col("n"),
+          col("ssb_acc").cast("double").as("ss_between"),
+          col("ssw_acc").cast("double").as("ss_within"),
+          expr("""round((CAST(ssb_acc AS DOUBLE) / (k - 1))
+            |  / (CAST(ssw_acc AS DOUBLE) / (n - k)), 6)""".stripMargin)
+            .as("w_stat"))
+    },
+
     // Cohen's d + Hedges' g effect sizes (purchase vs click values) —
     // the companion every significance test needs: at corpus scale n is
     // so large that trivial differences reach p < 0.001, and only the
@@ -3748,6 +3794,44 @@ object Analytics {
         |  round(CAST(ssb_acc AS DOUBLE)
         |    / (CAST(ssb_acc AS DOUBLE) + CAST(ssw_acc AS DOUBLE)), 6)
         |    AS eta_sq
+        |FROM a""".stripMargin,
+    // same two-pass shape: per-group means, 1e-6-rounded |deviations|,
+    // then the anova accumulation verbatim on z
+    "stats_levene" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS y
+        |  FROM events),
+        |mn AS (
+        |  SELECT event_type, CAST(sum(y) AS DOUBLE) / count(*) AS mean
+        |  FROM b GROUP BY 1),
+        |z AS (
+        |  SELECT b.event_type,
+        |    CAST(round(abs(CAST(b.y AS DOUBLE) - mn.mean), 6)
+        |      AS DECIMAL(18,6)) AS z
+        |  FROM b JOIN mn ON mn.event_type = b.event_type),
+        |m AS (
+        |  SELECT event_type, count(*) AS n, sum(z) AS sz,
+        |    sum(z * z) AS szz
+        |  FROM z GROUP BY 1),
+        |g AS (SELECT sum(n) AS nn, sum(sz) AS gsz, count(*) AS k FROM m),
+        |j AS (
+        |  SELECT m.n, m.sz, m.szz, g.nn, g.k,
+        |    CAST(g.gsz AS DOUBLE) / g.nn AS gmean,
+        |    CAST(m.sz AS DOUBLE) / m.n AS mean
+        |  FROM m CROSS JOIN g),
+        |a AS (
+        |  SELECT CAST(max(k) AS BIGINT) AS k,
+        |    CAST(max(nn) AS BIGINT) AS n,
+        |    sum(CAST(round(n * (mean - gmean) * (mean - gmean), 6)
+        |      AS DECIMAL(24,6))) AS ssb_acc,
+        |    sum(CAST(round(CAST(szz AS DOUBLE)
+        |      - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / n, 6)
+        |      AS DECIMAL(24,6))) AS ssw_acc
+        |  FROM j)
+        |SELECT k, n, CAST(ssb_acc AS DOUBLE) AS ss_between,
+        |  CAST(ssw_acc AS DOUBLE) AS ss_within,
+        |  round((CAST(ssb_acc AS DOUBLE) / (k - 1))
+        |    / (CAST(ssw_acc AS DOUBLE) / (n - k)), 6) AS w_stat
         |FROM a""".stripMargin,
     // same exact moment pass as events_ab_welch; pooled SD + Hedges
     // correction as identical closed formula text

@@ -26,6 +26,18 @@ object Dedup {
 
   val JaccardThreshold = 0.8
 
+  /** Max docs per (first-token, token-count-bucket) block that still run
+    * the exact quadratic within-block pair join in the blocked re-rank
+    * keys (`dedup_editdist_blocked`, `dedup_weighted_jaccard`). Blocks
+    * over the cap — the Zipf-headed "the"/"a" first-token blocks of a
+    * real corpus — route their candidates through the banded MinHash
+    * kernel instead (VERDICT r12 #3), bounding a hot block's cost at
+    * |near-dup pairs| instead of |block|². 16 keeps the quadratic budget
+    * at ≤ 120 pairs/block while letting the fixture's largest sf0.1
+    * blocks (21 docs) exercise the routed path in the golden checks.
+    */
+  val BlockCap = 16
+
   /** Max directional n-gram containment at or above which a pair counts as
     * doc-in-doc duplication (`dedup_containment`).
     */
@@ -619,8 +631,15 @@ object Dedup {
     // token repeated 40× like one occurrence, so template docs that differ
     // only in repetition count look identical to it; the weighted form is
     // what near-dup literature scores when multiplicity carries signal.
-    // Scale shape: the pair space is quadratic only WITHIN a block (the
-    // editdist_blocked bound), the Σmin fold is an equi-join on
+    // Scale shape: the pair space is quadratic only within a block AND
+    // only for blocks of ≤ [[BlockCap]] docs — first-token blocks are
+    // Zipf-headed, so a natural-language corpus concentrates "the"/"a"
+    // blocks that would otherwise blow the quadratic budget (VERDICT r12
+    // #3). Oversized blocks route through the banded MinHash index
+    // instead: their candidate pairs are [[minhashPairs]] (recall 1 at
+    // the 0.8 operating point — the dedup_minhash oracle precedent)
+    // restricted to same-block pairs, so a hot block costs
+    // |near-dup pairs|, never |block|². The Σmin fold is an equi-join on
     // (block, token) — docs sharing no block never meet — and Σmax comes
     // free from the identity Σmax = |A| + |B| − Σmin (token counts with
     // multiplicity), so no full-outer token join ever runs. Integer
@@ -633,21 +652,49 @@ object Dedup {
           split(col("tx"), " ").getItem(0).as("w1"),
           expr("CAST(size(split(tx, ' ')) AS BIGINT) div 5").as("nb"),
           split(col("tx"), " ").as("toks"))
+      val bsz = docs.groupBy("w1", "nb").agg(count(lit(1)).as("bsz"))
       val tf = docs
         .select(col("doc_id"), col("w1"), col("nb"),
           explode(col("toks")).as("tok"))
         .groupBy("doc_id", "w1", "nb", "tok")
         .agg(count(lit(1)).as("tf"))
+        .join(bsz, Seq("w1", "nb"))
       val sizes = docs.select(col("doc_id"),
         size(col("toks")).cast("long").as("ntok"))
-      val shared = tf
-        .join(tf.select(col("doc_id").as("doc_b"), col("w1"),
+      // capped quadratic path: the within-block pair join runs only for
+      // blocks the cap admits, so its pair space is ≤ BlockCap²/2 each
+      val tfSmall = tf.filter(col("bsz") <= BlockCap)
+      val sharedSmall = tfSmall
+        .join(tfSmall.select(col("doc_id").as("doc_b"), col("w1"),
             col("nb"), col("tok"), col("tf").as("tf_b")),
           Seq("w1", "nb", "tok"))
         .filter(col("doc_id") < col("doc_b"))
         .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
         .agg(sum(least(col("tf"), col("tf_b"))).cast("long")
           .as("shared_mass"))
+      // hot-block path: banded-LSH candidates (jac ≥ 0.8, doc_a < doc_b)
+      // that land in the SAME oversized block, re-scored by the weighted
+      // measure — candidate-bounded, never block-quadratic
+      val blk = docs.join(bsz, Seq("w1", "nb"))
+        .select(col("doc_id"), col("w1"), col("nb"), col("bsz"))
+      val bigCand = minhashPairs(s, d).select("doc_a", "doc_b")
+        .join(blk.select(col("doc_id").as("doc_a"), col("w1"),
+          col("nb"), col("bsz")), "doc_a")
+        .join(blk.select(col("doc_id").as("doc_b"), col("w1").as("w1_b"),
+          col("nb").as("nb_b")), "doc_b")
+        .filter(col("w1") === col("w1_b") && col("nb") === col("nb_b")
+          && col("bsz") > BlockCap)
+        .select("doc_a", "doc_b")
+      val tfDoc = tf.select(col("doc_id"), col("tok"), col("tf"))
+      val sharedBig = bigCand
+        .join(tfDoc.select(col("doc_id").as("doc_a"), col("tok"),
+          col("tf").as("tf_a")), "doc_a")
+        .join(tfDoc.select(col("doc_id").as("doc_b"), col("tok"),
+          col("tf").as("tf_b")), Seq("doc_b", "tok"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(least(col("tf_a"), col("tf_b"))).cast("long")
+          .as("shared_mass"))
+      val shared = sharedSmall.unionByName(sharedBig)
       shared
         .join(sizes.select(col("doc_id").as("doc_a"),
           col("ntok").as("n_tok_a")), "doc_a")
@@ -667,9 +714,14 @@ object Dedup {
     // (first-token, token-count-bucket) blocking key, re-ranked by exact
     // Levenshtein over the 80-char head. This is the precise RE-RANK
     // stage of a fuzzy-dedup pipeline — the pair space is quadratic only
-    // WITHIN a block (first-token blocks are Zipf-headed, so production
-    // swaps in a MinHash pre-filter when a head block outgrows the
-    // quadratic budget; the bucketed token count caps it here).
+    // WITHIN a block, and since r13 only for blocks of ≤ [[BlockCap]]
+    // docs: first-token blocks are Zipf-headed, so the "the"/"a" head
+    // blocks of a natural-language corpus are exactly the skewed keys
+    // that blow a naive within-block join (VERDICT r12 #3). Blocks over
+    // the cap swap in the MinHash pre-filter the comment always promised:
+    // their candidates are [[minhashPairs]] (banded LSH, recall 1 at the
+    // 0.8 operating point) restricted to same-block pairs, re-ranked by
+    // the same head Levenshtein — |near-dup pairs| work, never |block|².
     // Levenshtein cost is bounded by the fixed 80-char head, not the doc.
     "dedup_editdist_blocked" -> { (s, d) =>
       val docs = t(s, d, "documents")
@@ -678,15 +730,31 @@ object Dedup {
           split(col("tx"), " ").getItem(0).as("w1"),
           expr("CAST(size(split(tx, ' ')) AS BIGINT) div 5").as("nb"),
           substring(col("tx"), 1, 80).as("head"))
-      val a = docs.select(col("doc_id").as("doc_a"), col("w1"),
-        col("nb"), col("head").as("head_a"))
-      val b = docs.select(col("doc_id").as("doc_b"), col("w1"),
-        col("nb"), col("head").as("head_b"))
-      a.join(b, Seq("w1", "nb"))
+      val bsz = docs.groupBy("w1", "nb").agg(count(lit(1)).as("bsz"))
+      val keyed = docs.join(bsz, Seq("w1", "nb"))
+      val smallA = keyed.filter(col("bsz") <= BlockCap)
+        .select(col("doc_id").as("doc_a"), col("w1"), col("nb"),
+          col("head").as("head_a"))
+      val smallB = keyed.filter(col("bsz") <= BlockCap)
+        .select(col("doc_id").as("doc_b"), col("w1"), col("nb"),
+          col("head").as("head_b"))
+      val small = smallA.join(smallB, Seq("w1", "nb"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           levenshtein(col("head_a"), col("head_b")).cast("long")
             .as("head_dist"))
+      val big = minhashPairs(s, d).select("doc_a", "doc_b")
+        .join(keyed.select(col("doc_id").as("doc_a"), col("w1"),
+          col("nb"), col("bsz"), col("head").as("head_a")), "doc_a")
+        .join(keyed.select(col("doc_id").as("doc_b"),
+          col("w1").as("w1_b"), col("nb").as("nb_b"),
+          col("head").as("head_b")), "doc_b")
+        .filter(col("w1") === col("w1_b") && col("nb") === col("nb_b")
+          && col("bsz") > BlockCap)
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("head_a"), col("head_b")).cast("long")
+            .as("head_dist"))
+      small.unionByName(big)
         .filter(col("head_dist") <= 12)
         .orderBy("doc_a", "doc_b")
     },
@@ -1292,26 +1360,46 @@ object Dedup {
          |  GROUP BY thr)
          |SELECT np.thr, np.n_pairs, nd.n_docs
          |FROM np JOIN nd ON np.thr = nd.thr ORDER BY np.thr""".stripMargin,
+    // mirrors the BlockCap rule verbatim: blocks of <= 16 docs pair
+    // all-ways; bigger blocks admit only pairs the near-dup index flags
+    // (exact jac >= 0.8 == the banded engine side, recall 1 pinned by
+    // the dedup_minhash/dedup_lsh_audit oracles) in the SAME block
     "dedup_weighted_jaccard" ->
-      """WITH d AS (
+      s"""WITH $jaccardCtes,
+        |d AS (
         |  SELECT doc_id, lower(trim(text)) AS tx FROM documents),
         |k AS (
         |  SELECT doc_id, string_split(tx, ' ')[1] AS w1,
         |    CAST(len(string_split(tx, ' ')) AS BIGINT) // 5 AS nb,
         |    string_split(tx, ' ') AS toks
         |  FROM d),
+        |bs AS (SELECT w1, nb, count(*) AS bsz FROM k GROUP BY 1, 2),
         |tfc AS (
         |  SELECT doc_id, w1, nb, tok, CAST(count(*) AS BIGINT) AS tf
         |  FROM (SELECT doc_id, w1, nb, unnest(toks) AS tok FROM k)
         |  GROUP BY doc_id, w1, nb, tok),
         |sz AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok FROM k),
-        |sm AS (
+        |sm_small AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS shared_mass
         |  FROM tfc a JOIN tfc b
         |    ON a.w1 = b.w1 AND a.nb = b.nb AND a.tok = b.tok
         |      AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
+        |  JOIN bs ON bs.w1 = a.w1 AND bs.nb = a.nb
+        |  WHERE bs.bsz <= 16
+        |  GROUP BY a.doc_id, b.doc_id),
+        |sm_big AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    CAST(sum(least(ta.tf, tb.tf)) AS BIGINT) AS shared_mass
+        |  FROM jpairs p
+        |  JOIN k ka ON ka.doc_id = p.doc_a
+        |  JOIN k kb ON kb.doc_id = p.doc_b
+        |    AND kb.w1 = ka.w1 AND kb.nb = ka.nb
+        |  JOIN bs ON bs.w1 = ka.w1 AND bs.nb = ka.nb AND bs.bsz > 16
+        |  JOIN tfc ta ON ta.doc_id = p.doc_a
+        |  JOIN tfc tb ON tb.doc_id = p.doc_b AND tb.tok = ta.tok
+        |  GROUP BY p.doc_a, p.doc_b),
+        |sm AS (SELECT * FROM sm_small UNION ALL SELECT * FROM sm_big)
         |SELECT doc_a, doc_b, sa.ntok AS n_tok_a, sb.ntok AS n_tok_b,
         |  shared_mass,
         |  round(shared_mass / (sa.ntok + sb.ntok - shared_mass), 6)
@@ -1322,19 +1410,35 @@ object Dedup {
         |WHERE shared_mass / (sa.ntok + sb.ntok - shared_mass) >= 0.4
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // same BlockCap mirror as dedup_weighted_jaccard, same jpairs chain
     "dedup_editdist_blocked" ->
-      """WITH d AS (
+      s"""WITH $jaccardCtes,
+        |d AS (
         |  SELECT doc_id, lower(trim(text)) AS tx FROM documents),
         |k AS (
         |  SELECT doc_id, string_split(tx, ' ')[1] AS w1,
         |    CAST(len(string_split(tx, ' ')) AS BIGINT) // 5 AS nb,
         |    substr(tx, 1, 80) AS head
-        |  FROM d)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(levenshtein(a.head, b.head) AS BIGINT) AS head_dist
-        |FROM k a JOIN k b
-        |  ON a.w1 = b.w1 AND a.nb = b.nb AND a.doc_id < b.doc_id
-        |WHERE levenshtein(a.head, b.head) <= 12
+        |  FROM d),
+        |bs AS (SELECT w1, nb, count(*) AS bsz FROM k GROUP BY 1, 2),
+        |small AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(levenshtein(a.head, b.head) AS BIGINT) AS head_dist
+        |  FROM k a JOIN k b
+        |    ON a.w1 = b.w1 AND a.nb = b.nb AND a.doc_id < b.doc_id
+        |  JOIN bs ON bs.w1 = a.w1 AND bs.nb = a.nb
+        |  WHERE bs.bsz <= 16),
+        |big AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    CAST(levenshtein(ka.head, kb.head) AS BIGINT) AS head_dist
+        |  FROM jpairs p
+        |  JOIN k ka ON ka.doc_id = p.doc_a
+        |  JOIN k kb ON kb.doc_id = p.doc_b
+        |    AND kb.w1 = ka.w1 AND kb.nb = ka.nb
+        |  JOIN bs ON bs.w1 = ka.w1 AND bs.nb = ka.nb AND bs.bsz > 16)
+        |SELECT doc_a, doc_b, head_dist
+        |FROM (SELECT * FROM small UNION ALL SELECT * FROM big)
+        |WHERE head_dist <= 12
         |ORDER BY doc_a, doc_b""".stripMargin,
     // URL twin: identical synthesis, identical extract-per-part
     // canonicalization (no regex group refs — Spark $1 vs DuckDB \1

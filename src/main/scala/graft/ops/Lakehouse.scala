@@ -154,6 +154,41 @@ object Lakehouse {
   /** Zone-mapped file count for `zonemap_skip`. */
   val ZoneFiles = 16
 
+  /** Pay-once-at-write warm-up for `manifest_read` (the [[ensureZoned]]
+    * pattern, but the stats index is a JSON manifest — the Delta-log /
+    * Iceberg-manifest shape): orders range-clustered on o_orderdate into
+    * [[ManifestFiles]] part files, plus ONE JSON-lines manifest recording
+    * per file its basename, row count, and o_orderdate min/max (ISO
+    * strings, so lexicographic compare == date compare). Idempotent per
+    * (query, sf) scratch path.
+    */
+  def ensureManifested(s: SparkSession, d: String): (String, String) = {
+    val data = scratch("manifest_data_v1", d)
+    val man = scratch("manifest_json_v1", d)
+    val done = new org.apache.hadoop.fs.Path(man, "_SUCCESS")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      val src = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate")
+      src.repartitionByRange(ManifestFiles, col("o_orderdate"))
+        .write.mode("overwrite").parquet(data)
+      s.read.schema(src.schema).parquet(data)
+        .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
+        .agg(count(lit(1)).as("row_count"),
+          date_format(min("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+            .as("min_orderdate"),
+          date_format(max("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+            .as("max_orderdate"))
+        .coalesce(1)
+        .write.mode("overwrite").json(man)
+    }
+    (data, man)
+  }
+
+  /** Manifest-tracked file count for `manifest_read`. */
+  val ManifestFiles = 16
+
   /** ANALYZE-style per-column profile: ONE aggregate pass, O(1) output —
     * `cols` maps each reported column name to the expression used for
     * ndv/min/max (callers pass a lossless decimal cast for money doubles
@@ -213,6 +248,40 @@ object Lakehouse {
         .agg(count(lit(1)).as("n_lines"),
           moneySum(col("l_quantity")).as("sum_qty"))
         .orderBy("l_returnflag")
+    },
+
+    // manifest-planned scan — the Delta/Iceberg read shape (VERDICT r12
+    // #8): the table of record is a JSON manifest-of-files with per-file
+    // stats; planning a query means reading the MANIFEST (O(#files)
+    // metadata, collected driver-side exactly like every lakehouse
+    // format's log replay), pruning files whose [min, max] o_orderdate
+    // interval misses the predicate, and scanning only the survivors.
+    // Differs from zonemap_skip in what carries the index: there the
+    // stats are a parquet side table; here they ride the manifest
+    // document itself, so the file list NEVER comes from a directory
+    // listing — the property that makes object-store tables transactional
+    // (readers see exactly the manifest's snapshot, half-written files
+    // are invisible). The exact predicate stays on the scan, so stats
+    // false positives cost I/O, never correctness; the oracle pins
+    // pruned-scan == full-scan filter.
+    "manifest_read" -> { (s, d) =>
+      val (data, man) = ensureManifested(s, d)
+      val lo = to_timestamp(lit("1995-01-01 00:00:00"))
+      val hi = to_timestamp(lit("1995-07-01 00:00:00"))
+      val files = s.read.json(man)
+        .filter(!(to_timestamp(col("max_orderdate")) < lo
+          || to_timestamp(col("min_orderdate")) >= hi))
+        .select("file").collect().map(r => s"$data/${r.getString(0)}")
+      // an empty survivor list (possible only on an empty table) degrades
+      // to the full scan, which is equally empty — never a crash
+      val src = if (files.isEmpty) t(s, d, "orders")
+        else s.read.parquet(files.toIndexedSeq: _*)
+      src
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy("o_orderstatus")
     },
 
     // ANALYZE-style table profile: per-column ndv/min/max in ONE pass over
@@ -973,6 +1042,14 @@ object Lakehouse {
          |WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
          |  AND l_shipdate <  TIMESTAMP '1995-09-01 00:00:00'
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the manifest-planned scan must produce exactly the full-scan answer
+    "manifest_read" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |${sql.moneySum("o_totalprice")} AS revenue
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |  AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // n_rows via scalar subquery (NOT a cross join + GROUP BY, which
     // yields zero rows on an empty table while Spark's df.agg yields one
     // row per column — the op/oracle pair stays equivalent on any input)

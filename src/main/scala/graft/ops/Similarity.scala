@@ -617,6 +617,47 @@ object Similarity {
         .orderBy("cell")
     },
 
+    // streaming ANN-index MAINTENANCE twin (the VERDICT r12 extension
+    // margin): vectors arrive in ingest batches of 256 (arrival order =
+    // vec_id — the StreamTwin discipline: same expressions a
+    // readStream + stream-static centroid join would run, minus the
+    // watermark), each new vector routes to its IVF cell via the
+    // broadcast seed codebook, and every batch closes with the health
+    // report an index operator pages on: new/total counts, the hottest
+    // cell's cumulative share, live-cell census, and the rebuild flag
+    // (hot cell ≥ 3× uniform — IVF latency is Σ|probed cells|, so one
+    // overloaded cell is what silently turns nprobe/16 into a full
+    // scan). State per batch is the O(cells) cumulative census — what a
+    // mapGroupsWithState keeper would hold — never the vectors; the
+    // running sums ride a cluster-partitioned window over the
+    // batch × 16 grid (bounded: arrivals/256 rows per cell). Integer
+    // counts; one mirrored IEEE division for the share.
+    "stream_ann_ingest" -> { (s, d) =>
+      val a = ivfAssign(s, d)
+        .select(expr("CAST(vec_id AS BIGINT) div 256").as("batch"),
+          col("cluster"))
+      val bc = a.groupBy("batch", "cluster").agg(count(lit(1)).as("n_new"))
+      val grid = bc.select("batch").distinct()
+        .crossJoin(s.range(16).select(col("id").as("cluster")))
+      val w = Window.partitionBy("cluster").orderBy("batch")
+      val cum = grid.join(bc, Seq("batch", "cluster"), "left")
+        .na.fill(0L, Seq("n_new"))
+        .withColumn("cum", sum(col("n_new")).over(w))
+      cum.groupBy("batch")
+        .agg(sum(col("n_new")).as("n_new"),
+          sum(col("cum")).as("n_indexed"),
+          max(col("cum")).as("hot_cell_n"),
+          sum(when(col("cum") > 0, 1L).otherwise(0L)).as("n_cells_live"))
+        .select(col("batch"), col("n_new"), col("n_indexed"),
+          col("hot_cell_n"),
+          round(col("hot_cell_n").cast("double")
+            / col("n_indexed").cast("double"), 6).as("hot_cell_share"),
+          col("n_cells_live"),
+          (col("hot_cell_n") * 16 >= col("n_indexed") * 3)
+            .as("rebuild_hot"))
+        .orderBy("batch")
+    },
+
     // ANN quality gate: recall@k of the IVF path against brute-force
     // exact search over the same queries — the eval loop every ANN
     // deployment runs before trusting an index config (C, nprobe) at
@@ -1074,10 +1115,17 @@ object Similarity {
     // examples" sampler a curation pipeline runs when it wants coverage
     // rather than volume. Each round is ONE broadcast of the O(k) chosen
     // set + a corpus-linear min-reduce + a bounded-heap argmax (≤1 row
-    // per partition moves) — k passes total, no pair materialization, so
-    // the plan is exactly k corpus scans at any scale. Ties break to the
-    // smallest id; distances round to 6 before every comparison, so the
-    // trajectory (and output) hash-matches the unrolled-CTE oracle.
+    // per partition moves). The accumulated chosen set is PINNED through
+    // ScopedMemo after every round (≤4 rows each): the recursion is
+    // plan-lazy, so without the per-round materialization round r's
+    // broadcast job would re-execute rounds 2..r-1's TopK subtrees —
+    // O(k²) corpus scans instead of the k this plan does (VERDICT r12
+    // #1, the 3.02× bench-gate breach). With the pins, round r reads a
+    // 1-row-per-prior-round in-memory table and scans the corpus exactly
+    // once, so the whole traversal is k corpus scans at any scale.
+    // Ties break to the smallest id; distances round to 6 before every
+    // comparison, so the trajectory (and output) hash-matches the
+    // unrolled-CTE oracle — materialization cannot move rounded values.
     "sample_kcenter" -> { (s, d) =>
       val e = vectors(s, d)
       val c1 = e.filter(col("vec_id") === 0L)
@@ -1091,8 +1139,9 @@ object Similarity {
         val next = graft.plans.TopKPerKey.topK(
           dists.join(e, "vec_id"), Seq(lit(1)),
           Seq(col("dist").desc, col("vec_id")), 1)
-        acc.unionByName(next.select(lit(r.toLong).as("rnk"),
-          col("vec_id").as("c_id"), col("v").as("cv"), col("dist")))
+        graft.plans.ScopedMemo(s, s"kcenter_round#$d#$r")(
+          acc.unionByName(next.select(lit(r.toLong).as("rnk"),
+            col("vec_id").as("c_id"), col("v").as("cv"), col("dist"))))
       }
       chosen.select(col("rnk"), col("c_id").as("vec_id"), col("dist"))
         .orderBy("rnk")
@@ -2126,6 +2175,37 @@ object Similarity {
          |FROM grid LEFT JOIN counts ON counts.cluster = grid.cell
          |CROSS JOIN tot
          |ORDER BY cell""".stripMargin,
+    // same assign CTE; batch ingest census + cluster-windowed running
+    // sums over the batch x 16 grid, mirrored stage-for-stage
+    "stream_ann_ingest" ->
+      s"""WITH $ivfSqlCtes,
+         |ab AS (
+         |  SELECT vec_id // 256 AS batch, cluster FROM assign),
+         |bc AS (
+         |  SELECT batch, cluster, CAST(count(*) AS BIGINT) AS n_new
+         |  FROM ab GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT b.batch, g.cluster
+         |  FROM (SELECT DISTINCT batch FROM bc) b
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS cluster) g),
+         |cum AS (
+         |  SELECT grid.batch, grid.cluster,
+         |    COALESCE(bc.n_new, 0) AS n_new,
+         |    sum(COALESCE(bc.n_new, 0)) OVER (
+         |      PARTITION BY grid.cluster ORDER BY grid.batch) AS cum
+         |  FROM grid LEFT JOIN bc
+         |    ON bc.batch = grid.batch AND bc.cluster = grid.cluster)
+         |SELECT CAST(batch AS BIGINT) AS batch,
+         |  CAST(sum(n_new) AS BIGINT) AS n_new,
+         |  CAST(sum(cum) AS BIGINT) AS n_indexed,
+         |  CAST(max(cum) AS BIGINT) AS hot_cell_n,
+         |  round(CAST(max(cum) AS DOUBLE) / CAST(sum(cum) AS DOUBLE), 6)
+         |    AS hot_cell_share,
+         |  CAST(sum(CASE WHEN cum > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_cells_live,
+         |  max(cum) * 16 >= sum(cum) * 3 AS rebuild_hot
+         |FROM cum GROUP BY batch ORDER BY batch""".stripMargin,
+
     // same IVF CTE chain + a brute-force exact top-k branch; the hit
     // join and recall arithmetic mirror the Spark plan stage-for-stage
     "sim_recall_eval" ->

@@ -629,6 +629,68 @@ object TrainPrep {
         .orderBy("rnk")
     },
 
+    // the BPE training LOOP, four iterations deep: count adjacent-symbol
+    // pairs on the current segmentation, pick the top pair (count desc,
+    // pair tiebreak), apply the merge, repeat — the body tokenizer
+    // training runs 30k times, here unrolled to a fixed N the oracle can
+    // mirror CTE-for-CTE (the sql_recursive discipline). State lives in
+    // the word-frequency table (vocabulary-sized at any corpus scale —
+    // the corpus collapses FIRST, so each iteration's pair count and
+    // merge are O(vocab), never O(corpus)); each iteration's segmentation
+    // is pinned through ScopedMemo so iteration k's plan reads
+    // materialized state instead of replaying iterations 1..k-1 (the
+    // sample_kcenter lesson — lazy recursion re-evaluates quadratically).
+    // The double-spaced merge trick is tokenizer_bpe_merge's; symbols are
+    // multi-char from iteration 2 on, which is why pairs carry an
+    // explicit ' ' separator. Output per iteration: the merge learned,
+    // its support, and the corpus token count after applying it — the
+    // compression trajectory a tokenizer team actually reads. All
+    // integers; no FP anywhere.
+    "tokenizer_bpe_apply" -> { (s, d) =>
+      val s0 = graft.plans.ScopedMemo(s, s"bpe_apply_s0#$d")(
+        toks(s, d)
+          .select(explode(col("toks")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy("w").agg(count(lit(1)).as("wf"))
+          .select(col("wf"), expr(
+            """' ' || array_join(transform(sequence(1, length(w)),
+              |  i -> substring(w, i, 1)), '  ') || ' '""".stripMargin)
+            .as("seq")))
+      val (_, rows) = (1 to 4).foldLeft((s0, Seq.empty[DataFrame])) {
+        case ((seqs, acc), it) =>
+          val pairsAgg = seqs
+            .withColumn("syms",
+              expr("filter(split(seq, ' '), x -> x != '')"))
+            .filter(expr("size(syms) >= 2"))
+            .select(col("wf"), explode(expr(
+              """transform(sequence(1, size(syms) - 1),
+                |  i -> concat(element_at(syms, i), ' ',
+                |    element_at(syms, i + 1)))""".stripMargin)).as("pair"))
+            .groupBy("pair").agg(sum(col("wf")).as("n_occ"))
+          val top = pairsAgg
+            .orderBy(col("n_occ").desc, col("pair")).limit(1)
+          val merged = graft.plans.ScopedMemo(s, s"bpe_apply_s$it#$d")(
+            seqs.crossJoin(broadcast(top.select(col("pair").as("mp"))))
+              .withColumn("seq", expr(
+                """replace(seq,
+                  |  ' ' || element_at(split(mp, ' '), 1) || '  '
+                  |    || element_at(split(mp, ' '), 2) || ' ',
+                  |  ' ' || concat(element_at(split(mp, ' '), 1),
+                  |    element_at(split(mp, ' '), 2)) || ' ')"""
+                  .stripMargin))
+              .select("wf", "seq"))
+          val row = top.crossJoin(merged
+              .select((col("wf") * expr(
+                "size(filter(split(seq, ' '), x -> x != ''))")).as("ns"))
+              .agg(sum(col("ns")).cast("long").as("n_symbols_after")))
+            .select(lit(it.toLong).as("iter"),
+              col("pair").as("merged_pair"), col("n_occ"),
+              col("n_symbols_after"))
+          (merged, acc :+ row)
+      }
+      rows.reduce(_ unionByName _).orderBy("iter")
+    },
+
     // soft dedup: instead of deleting near-duplicates, weight each doc
     // 1/cluster_size so every near-dup CLUSTER contributes one unit of
     // training signal (the "count once" alternative when deletion is too
@@ -760,9 +822,17 @@ object TrainPrep {
           sum(lit(1L) - col("pos")).as("n_neg"))
       val tot = per.agg(sum(col("n_pos")).as("tp_tot"),
         sum(col("n_neg")).as("tn_tot"))
+      // explicit DOUBLE smoothing arithmetic: a bare `+ 0.5` makes Spark
+      // run the whole chain in DECIMAL with quotient-scale rounding while
+      // DuckDB computes IEEE doubles — at sf0.01 bin 0's woe lands on the
+      // 1e-6 half boundary and the two conventions round apart (the one
+      // CORRECTNESS flake of r13a). Identical double inputs feed ln on
+      // both sides instead.
       per.crossJoin(broadcast(tot))
-        .withColumn("ps", expr("(n_pos + 0.5) / tp_tot"))
-        .withColumn("ns", expr("(n_neg + 0.5) / tn_tot"))
+        .withColumn("ps",
+          expr("(CAST(n_pos AS DOUBLE) + 0.5) / CAST(tp_tot AS DOUBLE)"))
+        .withColumn("ns",
+          expr("(CAST(n_neg AS DOUBLE) + 0.5) / CAST(tn_tot AS DOUBLE)"))
         .select(col("bin"), col("n_pos"), col("n_neg"),
           expr("round(ln(ps / ns), 6)").as("woe"),
           expr("round((ps - ns) * ln(ps / ns), 6)").as("iv_term"))
@@ -1527,6 +1597,65 @@ object TrainPrep {
         |SELECT CAST(rnk AS BIGINT) AS rnk, pair, n_occ
         |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
 
+    // the four-iteration loop unrolled CTE-for-CTE (the sql_recursive
+    // discipline): stage k reads s{k-1}, counts symbol pairs, picks the
+    // deterministic top-1, applies the double-spaced replace, and
+    // reports the post-merge corpus token count
+    "tokenizer_bpe_apply" -> {
+      val stages = (1 to 4).map { k =>
+        s"""y$k AS (
+           |  SELECT wf, list_filter(string_split(seq, ' '), x -> x <> '')
+           |    AS syms
+           |  FROM s${k - 1}),
+           |p$k AS (
+           |  SELECT wf, unnest(list_transform(
+           |    generate_series(1, len(syms) - 1),
+           |    i -> syms[i] || ' ' || syms[i + 1])) AS pair
+           |  FROM y$k WHERE len(syms) >= 2),
+           |a$k AS (
+           |  SELECT pair, CAST(sum(wf) AS BIGINT) AS n_occ
+           |  FROM p$k GROUP BY 1),
+           |t$k AS (SELECT pair, n_occ FROM a$k
+           |  ORDER BY n_occ DESC, pair LIMIT 1),
+           |s$k AS (
+           |  SELECT s.wf, replace(s.seq,
+           |      ' ' || string_split(t.pair, ' ')[1] || '  '
+           |        || string_split(t.pair, ' ')[2] || ' ',
+           |      ' ' || string_split(t.pair, ' ')[1]
+           |        || string_split(t.pair, ' ')[2] || ' ') AS seq
+           |  FROM s${k - 1} s CROSS JOIN t$k t),
+           |n$k AS (
+           |  SELECT CAST(sum(wf * len(list_filter(
+           |    string_split(seq, ' '), x -> x <> ''))) AS BIGINT)
+           |    AS n_symbols_after
+           |  FROM s$k)""".stripMargin
+      }.mkString(",\n")
+      val selects = (1 to 4).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS iter, t$k.pair AS merged_pair,
+           |  t$k.n_occ, n$k.n_symbols_after FROM t$k, n$k"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      // stages/selects splice in AFTER the shell's stripMargin: their
+      // own margins are already stripped, and a second pass would eat
+      // the first '|' of any continuation line starting with '||'
+      """WITH tok AS (
+        |  SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+        |  FROM documents),
+        |wf AS (
+        |  SELECT w, count(*) AS wf FROM tok WHERE len(w) >= 2 GROUP BY 1),
+        |s0 AS (
+        |  SELECT wf, ' ' || array_to_string(list_transform(
+        |    generate_series(1, len(w)), i -> substring(w, i, 1)),
+        |    '  ') || ' ' AS seq
+        |  FROM wf),
+        |__STAGES__
+        |SELECT * FROM (
+        |__SELECTS__
+        |) ORDER BY iter""".stripMargin
+        .replace("__STAGES__", stages)
+        .replace("__SELECTS__", selects)
+    },
+
     "sample_dedup_weight" ->
       s"""WITH RECURSIVE ${Dedup.jaccardCtes},
          |edges AS (
@@ -1624,7 +1753,8 @@ object TrainPrep {
         |  FROM per),
         |e AS (
         |  SELECT bin, n_pos, n_neg,
-        |    (n_pos + 0.5) / tp_tot AS ps, (n_neg + 0.5) / tn_tot AS ns
+        |    (CAST(n_pos AS DOUBLE) + 0.5) / CAST(tp_tot AS DOUBLE) AS ps,
+        |    (CAST(n_neg AS DOUBLE) + 0.5) / CAST(tn_tot AS DOUBLE) AS ns
         |  FROM per CROSS JOIN tot)
         |SELECT bin, CAST(n_pos AS BIGINT) AS n_pos,
         |  CAST(n_neg AS BIGINT) AS n_neg,

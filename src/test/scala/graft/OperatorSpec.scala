@@ -185,6 +185,27 @@ class OperatorSpec extends SparkSpec {
     assert(pruned == full)
   }
 
+  test("manifest_read plans from the JSON manifest: few files scanned, " +
+      "answer equals the full-scan filter") {
+    val lo = to_timestamp(lit("1995-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1995-07-01 00:00:00"))
+    val df = SparkEntry.queries("manifest_read")(spark, sf)
+    // the scan's file list must be the manifest's surviving sliver, not
+    // the directory listing (a ~6-month slice of ~7 years ⇒ a small
+    // fraction of the 16 range-clustered files)
+    val scanned = df.inputFiles.count(_.contains("manifest_data_v1"))
+    assert(scanned >= 1 && scanned <= Lakehouse.ManifestFiles / 2,
+      s"$scanned of ${Lakehouse.ManifestFiles} files scanned")
+    val pruned = df.collect().map(_.toSeq).toSeq
+    val full = Tables.t(spark, sf, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        Tables.moneySum(col("o_totalprice")).as("revenue"))
+      .orderBy("o_orderstatus").collect().map(_.toSeq).toSeq
+    assert(pruned == full)
+  }
+
   test("text_heavy_hitters is non-vacuous on the corpus") {
     val hh = SparkEntry.queries("text_heavy_hitters")(spark, sf).collect()
     assert(hh.nonEmpty, "no word above n/64 — threshold vacuous at this sf")
@@ -3526,5 +3547,67 @@ class OperatorSpec extends SparkSpec {
         (r.getAs[Double]("f"), r.getAs[Double]("o"),
           r.getAs[Double]("p"))).toMap
     assert(rows == direct)
+  }
+
+  test("blocked dedup BlockCap: a planted hot block (every doc first-" +
+      "token 'the') routes through the MinHash pre-filter — near-dups " +
+      "survive, quadratic-only pairs drop, small blocks keep all-pairs") {
+    import spark.implicits._
+    // one 58-doc (w1='the', nb=6) block — 3.6x over BlockCap=16 — plus a
+    // 4-doc 'rare' control block. All docs have exactly 30 tokens so the
+    // hot block cannot fragment across nb buckets.
+    def doc(first: String, toks: Seq[String]) = (first +: toks).mkString(" ")
+    val common = (1 to 29).map(i => s"c$i")
+    // planted NEAR-DUP pair (shingle jac = 27/29 >= 0.8): survives the cap
+    val nd1 = doc("the", common)
+    val nd2 = doc("the", common.dropRight(1) :+ "zz")
+    // PERMUTATION pair: identical token multiset (weighted jaccard 1.0)
+    // but shuffled order -> shingle jac << 0.8. The quadratic rule would
+    // emit it; the cap rule must drop it (its block is oversized and the
+    // near-dup index never flags it).
+    val perm = (1 to 29).map(i => s"p$i")
+    val pm1 = doc("the", perm)
+    val pm2 = doc("the", perm.reverse)
+    // HEAD-TWIN pair: identical 80-char head (editdist 0) but disjoint
+    // tails -> shingle jac << 0.8. Same story: dropped in the hot block.
+    val longPfx = (1 to 6).map(i => s"prefixword$i$i$i$i")
+    val ht1 = doc("the", longPfx ++ (1 to 23).map(i => s"q$i"))
+    val ht2 = doc("the", longPfx ++ (1 to 23).map(i => s"r$i"))
+    // small-block CONTROL: the same head-twin shape under first token
+    // 'rare' (block of 4 <= 16) must still pair all-ways and emit.
+    val ct1 = doc("rare", longPfx ++ (1 to 23).map(i => s"s$i"))
+    val ct2 = doc("rare", longPfx ++ (1 to 23).map(i => s"t$i"))
+    val cp1 = doc("rare", (1 to 29).map(i => s"v$i"))
+    val cp2 = doc("rare", (1 to 29).map(i => s"v$i").reverse)
+    val filler = (0 until 52).map(i =>
+      doc("the", (1 to 29).map(j => s"u${i}x$j")))
+    val all = Seq(nd1, nd2, pm1, pm2, ht1, ht2, ct1, ct2, cp1, cp2) ++
+      filler
+    val docs = all.zipWithIndex
+      .map { case (tx, i) => (i.toLong, tx, "en", "s", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = "target/tmp/hotblock_cap"
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val ed = SparkEntry.queries("dedup_editdist_blocked")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hot block: only the near-dup pair (0,1); the head-twin (4,5) is
+    // gone. control block: head-twin (6,7) still present.
+    assert(ed.contains((0L, 1L)), ed.mkString(", "))
+    assert(!ed.contains((4L, 5L)), ed.mkString(", "))
+    assert(ed.contains((6L, 7L)), ed.mkString(", "))
+
+    val wj = SparkEntry.queries("dedup_weighted_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hot block: near-dup (0,1) survives (wj = 29/31), permutation (2,3)
+    // is gone despite wj = 1.0. control block: permutation (8,9) stays.
+    assert(wj.contains((0L, 1L)), wj.mkString(", "))
+    assert(!wj.contains((2L, 3L)), wj.mkString(", "))
+    assert(wj.contains((8L, 9L)), wj.mkString(", "))
+    // near-linearity, as a pair-count bound: the 58-doc hot block admits
+    // only index-flagged candidates, so the emitted pair set stays O(near-
+    // dups) — nowhere near the 58*57/2 = 1653 pairs the quadratic form
+    // would have scored.
+    assert(ed.size + wj.size <= 12, s"ed=$ed wj=$wj")
   }
 }

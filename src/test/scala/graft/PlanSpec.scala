@@ -796,6 +796,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(bin"), p)
   }
 
+  test("sample_kcenter rounds are pinned: the returned plan reads the " +
+      "materialized chosen set, not the recursion (k scans, not k²)") {
+    // building the query materializes each round's accumulated chosen set
+    // through ScopedMemo; the DataFrame handed back must therefore be a
+    // flat read of the round-4 in-memory table. If any round's pin were
+    // dropped, the lazy union-of-TopK recursion would reappear here as
+    // joins over the corpus — the O(k²) re-evaluation shape VERDICT r12
+    // #1 flagged (round r's broadcast re-running rounds 2..r-1).
+    // tree-walk, not a string match: the InMemoryRelation dump embeds its
+    // one-time BUILD plan (which legitimately contains the round's
+    // broadcast join), but the live operator tree must not.
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val exec = SparkEntry.queries("sample_kcenter")(spark, sf)
+      .queryExecution.executedPlan
+    val nodes = org.apache.spark.sql.graftbridge.Bridge.deepNodes(exec)
+    assert(nodes.exists(_.isInstanceOf[InMemoryTableScanExec]),
+      exec.toString)
+    assert(!nodes.exists(_.isInstanceOf[BaseJoinExec]), exec.toString)
+    assert(!nodes.exists(_.isInstanceOf[FileSourceScanExec]),
+      exec.toString)
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -86,7 +86,10 @@ FAMILIES = {
     # which pay their own dominant kernels)
     "ivf_assign": ["sim_topk_ivf", "sim_recall_eval", "sim_ivf_cell_skew",
                    "sim_ivf_rebuild_churn", "sim_range_search",
-                   "sim_range_recall", "sim_ivf_nprobe_sweep"],
+                   "sim_range_recall", "sim_ivf_nprobe_sweep",
+                   # r13: the streaming ingest census reads the same
+                   # memoized seed assignment
+                   "stream_ann_ingest"],
 }
 
 def main(bench_file, source_note):
