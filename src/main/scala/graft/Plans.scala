@@ -14,6 +14,10 @@ object Plans {
     val wanted = args.drop(1).toSet
     val spark = Sessions.local(4, appName = "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
+    // plan dumps want the untruncated text (Sessions caps the plan-string
+    // length for the bench's AQE-update path; see Sessions.scala)
+    try spark.conf.set("spark.sql.maxPlanStringLength", 134217728)
+    catch { case _: Throwable => () }
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.isEmpty || wanted(n) }
       .foreach { case (name, fn) =>

@@ -35,6 +35,25 @@ object Sessions {
       .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.referenceTracking.blocking", "false")
+      // r13 (measured, stack-sampled): AQE's onUpdatePlan regenerates the
+      // FULL plan-description string on every adaptive stage update, on
+      // the driver main thread, before the job can proceed — and the
+      // default explain mode ("formatted") re-walks the whole tree
+      // several times (ExplainUtils.processPlan operator-id passes),
+      // including every memoized InMemoryRelation's embedded lineage.
+      // jstack sampling of a full bench run showed
+      // TreeNode.generateTreeString as the top main-thread frame, and the
+      // cost grows with session-accumulated memo nesting: individual keys
+      // stalled 10-30 s (agg_countmin 24 s vs 4 s isolated; betweenness
+      // 35 s vs 13 s) with load1 ≈ 2 and near-zero GC. "simple" posts one
+      // single-pass physical-plan string instead, and the string-length
+      // cap bounds the generated text either way. Diagnostics-only
+      // settings: query results and executed plans are untouched, and a
+      // UI-attached debugging session can flip them back per-session.
+      .config("spark.sql.ui.explainMode",
+        sys.env.getOrElse("SPARK_GRAFT_UI_EXPLAIN", "simple"))
+      .config("spark.sql.maxPlanStringLength",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PLAN_STR", "262144"))
       // committer v2: task outputs move to the destination at task
       // commit instead of a SERIAL driver-side rename sweep at job
       // commit — the difference between O(#files/parallelism) and

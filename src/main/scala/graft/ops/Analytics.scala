@@ -2087,27 +2087,34 @@ object Analytics {
     // counts through IEEE division, round(·,6), lift ties broken by
     // brand names.
     "basket_rules" -> { (s, d) =>
-      // memoized: the pair generator AND the per-brand count read this
-      // same distinct — un-pinned it runs twice (ScopedMemo, r12 sweep)
+      // memoized: the pair generator AND the per-brand count read the
+      // per-order brand-SET table. r13 (guide §2.3 "aggregate before you
+      // shuffle" / §2.4): the former (okey, brand) DISTINCT + second
+      // groupBy(okey) paid two corpus-sized exchanges; collect_set
+      // dedups inside ONE partial-aggregable hash agg, so the corpus
+      // crosses one exchange and brandN explodes the order-sized basket
+      // table instead of rescanning the join (identical sets: sort_array
+      // over the set == sort_array(collect_list) over the old distinct).
       val baskets = graft.plans.ScopedMemo(s, s"basket_baskets#$d")(
         t(s, d, "lineitem")
           .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
-          .distinct())
+          .groupBy("okey")
+          .agg(sort_array(collect_set(col("brand"))).as("bs")))
       val nOrders = t(s, d, "orders").agg(count(lit(1)).as("n_orders"))
-      val brandN = baskets.groupBy("brand").agg(count(lit(1)).as("bn"))
-      // pair enumeration stays IN-ROW: collapse each order to its sorted
-      // brand array and emit the (i < j) pairs with one codegen'd nested
-      // transform — the okey SELF-JOIN this replaces re-exchanged both
-      // cached sides and sort-merged them (measured 14.3 s vs 4.0 s cold
-      // at sf0.1 for identical pair counts). Fan-out per order is
-      // (brands-per-order choose 2), bounded by the brand dimension (25
-      // fixture-wide), so no per-key blowup exists at any corpus size —
-      // the market-basket shape where the catalog is small and the fact
-      // table is the 100 TB side.
+      val brandN = baskets
+        .select(explode(col("bs")).as("brand"))
+        .groupBy("brand").agg(count(lit(1)).as("bn"))
+      // pair enumeration stays IN-ROW: emit the (i < j) pairs from the
+      // sorted per-order set with one codegen'd nested transform — the
+      // okey SELF-JOIN this replaces re-exchanged both cached sides and
+      // sort-merged them (measured 14.3 s vs 4.0 s cold at sf0.1 for
+      // identical pair counts). Fan-out per order is (brands-per-order
+      // choose 2), bounded by the brand dimension (25 fixture-wide), so
+      // no per-key blowup exists at any corpus size — the market-basket
+      // shape where the catalog is small and the fact table is the
+      // 100 TB side.
       val pairs = baskets
-        .groupBy("okey")
-        .agg(sort_array(collect_list(col("brand"))).as("bs"))
         .select(explode(expr(
           """flatten(transform(bs, (x, i) ->
             |  transform(slice(bs, i + 2, size(bs)), y ->

@@ -73,7 +73,7 @@ object Dedup {
     * the cache-per-pipeline-stage pattern a production dedup job would use.
     */
   private[graft] def shingled(s: SparkSession, d: String): DataFrame = {
-    shingleCache.getOrCompute((s, d),
+    graft.plans.ScopedMemo.compact(shingleCache.getOrCompute((s, d),
       corpus(s, d)
         .withColumn("toks", split(lower(trim(col("text"))), " "))
         .withColumn("shingles",
@@ -83,7 +83,7 @@ object Dedup {
                 |  i -> concat_ws(' ', slice(toks, i + 1, 3)))""".stripMargin)))
             .otherwise(array()))
         .select("doc_id", "shingles")
-        .cache())
+        .cache()))
   }
 
   /** The exact-dedup pipeline (normalize -> sha256 fingerprint -> groupBy
@@ -121,11 +121,12 @@ object Dedup {
     // scans it twice, and every set-similarity dedup needs the identical
     // (doc_id, band, bh) table — one instance serves them all instead of
     // re-deriving + re-analyzing the 64-hash sketch plan per query.
-    val banded = bandCache.getOrCompute((s, d),
-      sh.filter(size(col("shingles")) > 0)
-        .select(col("doc_id"),
-          posexplode(expr("minhash_bands(shingles)")).as(Seq("band", "bh")))
-        .cache())
+    val banded = graft.plans.ScopedMemo.compact(
+      bandCache.getOrCompute((s, d),
+        sh.filter(size(col("shingles")) > 0)
+          .select(col("doc_id"),
+            posexplode(expr("minhash_bands(shingles)")).as(Seq("band", "bh")))
+          .cache()))
 
     // LSH candidates: equal (band, band-hash), ordered pair, distinct
     val right = banded
@@ -158,13 +159,23 @@ object Dedup {
     * `dedup_connected` (which feeds the pairs into components and must NOT
     * pay a range-partition/sort — the RangePartitioner's sampling job alone
     * is one extra pass per materialization).
+    *
+    * Memoized (r13, guide §2.4 "remove shuffles outright"): EIGHT keys
+    * consume this pair list (dedup_minhash, dedup_connected,
+    * dedup_cross_source, dedup_split_leakage, dedup_lsh_audit,
+    * dedup_weighted_jaccard, dedup_editdist_blocked, dedup_method_overlap)
+    * and each invocation previously re-ran the band self-join + exact
+    * verify over the memoized sketch (~0.5-0.7 s each at sf0.1). The
+    * output is the thresholded near-dup pair list — tiny by the LSH
+    * pruning invariant — so pinning it costs O(pairs), not O(corpus).
     */
   private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame =
-    candidateOverlaps(s, d)
-      .withColumn("jac",
-        col("c").cast("double") / (col("na") + col("nb") - col("c")))
-      .filter(col("jac") >= JaccardThreshold)
-      .select("doc_a", "doc_b", "jac")
+    graft.plans.ScopedMemo(s, s"dedup_minhash_pairs#$d")(
+      candidateOverlaps(s, d)
+        .withColumn("jac",
+          col("c").cast("double") / (col("na") + col("nb") - col("c")))
+        .filter(col("jac") >= JaccardThreshold)
+        .select("doc_a", "doc_b", "jac"))
 
   /** Exact-Jaccard qualifying pairs (doc_a < doc_b, jac >= threshold) via
     * the shingle inverted index — NO LSH pruning, quadratic only in docs
@@ -181,8 +192,20 @@ object Dedup {
   /** Raw exact-overlap pair statistics (doc_a < doc_b, |A∩B|, |A|, |B|)
     * from the shingle inverted index — UNthresholded, so operating-curve
     * consumers (dedup_threshold_sweep) see full recall at any cut.
+    *
+    * Memoized (r13): the inverted-index self-join + pair aggregate is the
+    * heaviest dedup subplan and EIGHT keys re-ran it per invocation
+    * (dedup_ngram_jaccard, dedup_containment, dedup_threshold_sweep,
+    * dedup_pair_similarity_hist, dedup_minhash_estimate, dedup_lsh_audit,
+    * dedup_method_overlap, corpus_dedup_survivorship — ~22 s of the r13
+    * baseline bench). The pair-stats table is O(pairs sharing a shingle),
+    * small at any sf; one materialization serves the family.
     */
-  private def exactPairStats(s: SparkSession, d: String): DataFrame = {
+  private def exactPairStats(s: SparkSession, d: String): DataFrame =
+    graft.plans.ScopedMemo(s, s"dedup_pairstats#$d")(
+      exactPairStatsPlan(s, d))
+
+  private def exactPairStatsPlan(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d)
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
@@ -234,7 +257,7 @@ object Dedup {
     * DuckDB twin's logical shift on UBIGINT.
     */
   private[graft] def simhashBanded(s: SparkSession, d: String): DataFrame =
-    simhashCache.getOrCompute((s, d), {
+    graft.plans.ScopedMemo.compact(simhashCache.getOrCompute((s, d), {
       graft.functions.CharikarSimHash.register(s)
       // corpus(), not the raw table: the one-row-group fixture scans as a
       // single partition, serializing the 64-bit sketch on one core while
@@ -251,7 +274,7 @@ object Dedup {
         .select(col("doc_id"), col("sig"), col("bk.band").as("band"),
           col("bk.bh").as("bh"))
         .cache()
-    })
+    }))
 
   private[graft] def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val banded = simhashBanded(s, d)
@@ -338,9 +361,11 @@ object Dedup {
     // (~4 s/run at sf0.1) — without memoization each consumer pays it
     // again. The result is O(#labeled-docs), tiny to pin.
     labelsCache.getOrCompute((s, d), {
+      // r13: minhashPairs is itself memoized + compacted now, so the
+      // former per-build `pairs.cache()` + count would double-cache a
+      // projection of an already-pinned IMR — both union branches read
+      // the memo directly
       val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
-        .cache()
-      pairs.count()
       val edges = pairs
         .union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst")
@@ -349,7 +374,7 @@ object Dedup {
         val labels = connectedComponents(s, edges).cache()
         labels.count() // materialize before the inputs unpersist
         labels
-      } finally { edges.unpersist(); pairs.unpersist() }
+      } finally edges.unpersist()
     })
   }
 
@@ -653,12 +678,16 @@ object Dedup {
           expr("CAST(size(split(tx, ' ')) AS BIGINT) div 5").as("nb"),
           split(col("tx"), " ").as("toks"))
       val bsz = docs.groupBy("w1", "nb").agg(count(lit(1)).as("bsz"))
-      val tf = docs
+      // memoized (r13): the token-frequency table is read FOUR times by
+      // this plan (the capped self-join's two legs + the hot-path's two
+      // per-side joins) — un-pinned, Catalyst re-runs the corpus explode
+      // + groupBy once per read
+      val tf = graft.plans.ScopedMemo(s, s"dedup_wj_tf#$d")(docs
         .select(col("doc_id"), col("w1"), col("nb"),
           explode(col("toks")).as("tok"))
         .groupBy("doc_id", "w1", "nb", "tok")
         .agg(count(lit(1)).as("tf"))
-        .join(bsz, Seq("w1", "nb"))
+        .join(bsz, Seq("w1", "nb")))
       val sizes = docs.select(col("doc_id"),
         size(col("toks")).cast("long").as("ntok"))
       // capped quadratic path: the within-block pair join runs only for
@@ -731,7 +760,11 @@ object Dedup {
           expr("CAST(size(split(tx, ' ')) AS BIGINT) div 5").as("nb"),
           substring(col("tx"), 1, 80).as("head"))
       val bsz = docs.groupBy("w1", "nb").agg(count(lit(1)).as("bsz"))
-      val keyed = docs.join(bsz, Seq("w1", "nb"))
+      // memoized (r13): read four times (both legs of the capped
+      // self-join + the hot-path's two endpoint joins); the table is one
+      // narrow row per doc
+      val keyed = graft.plans.ScopedMemo(s, s"dedup_ed_keyed#$d")(
+        docs.join(bsz, Seq("w1", "nb")))
       val smallA = keyed.filter(col("bsz") <= BlockCap)
         .select(col("doc_id").as("doc_a"), col("w1"), col("nb"),
           col("head").as("head_a"))

@@ -116,14 +116,17 @@ object Graph {
       .select(col("o_custkey").as("c"),
         (col("l_suppkey") + SuppOffset).as("sp"))
       .distinct()
-    pairs.select(col("c").as("src"), col("sp").as("dst"))
-      .unionAll(pairs.select(col("sp").as("src"), col("c").as("dst")))
-      // materialize PRE-PARTITIONED on src: every round joins the edges
-      // on src, and InMemoryRelation preserves the partitioning, so the
-      // 1.2M-edge side never re-exchanges — only the (tiny) rank side
-      // moves per round. The classic iterative-graph layout.
-      .repartition(col("src"))
-      .cache()
+    // compact (r13): every graph key embeds this plan 2-5× per round —
+    // re-rooting consumers on the IMR leaf keeps their logical trees flat
+    graft.plans.ScopedMemo.compact(
+      pairs.select(col("c").as("src"), col("sp").as("dst"))
+        .unionAll(pairs.select(col("sp").as("src"), col("c").as("dst")))
+        // materialize PRE-PARTITIONED on src: every round joins the edges
+        // on src, and InMemoryRelation preserves the partitioning, so the
+        // 1.2M-edge side never re-exchanges — only the (tiny) rank side
+        // moves per round. The classic iterative-graph layout.
+        .repartition(col("src"))
+        .cache())
   }
 
   /** 2-round synchronous label propagation over the trade graph (modal
@@ -141,7 +144,8 @@ object Graph {
   private val lpaCache = new graft.plans.DfLru(Dedup.MemoCap)
 
   private[graft] def lpaLabels(s: SparkSession, d: String): DataFrame =
-    lpaCache.getOrCompute((s, d + "#st=" + stateModeTag(s)), {
+    graft.plans.ScopedMemo.compact(
+      lpaCache.getOrCompute((s, d + "#st=" + stateModeTag(s)), {
       val st = stateSide(s) _
       val e = edges(s, d)
       val l0 = e.select(col("src").as("node")).distinct()
@@ -156,7 +160,7 @@ object Graph {
       }.cache()
       lab.count()
       lab
-    })
+    }))
 
   /** The LSH-verified near-dup pair list `(doc_a < doc_b)`, projected to
     * the two id columns and memoized per (session, sf): FIVE graph
@@ -171,11 +175,11 @@ object Graph {
   private val pairCache = new graft.plans.DfLru(Dedup.MemoCap)
 
   private[graft] def dupPairs(s: SparkSession, d: String): DataFrame =
-    pairCache.getOrCompute((s, d), {
+    graft.plans.ScopedMemo.compact(pairCache.getOrCompute((s, d), {
       val p = Dedup.minhashPairs(s, d).select("doc_a", "doc_b").cache()
       p.count()
       p
-    })
+    }))
 
   /** (node, degree, n_nodes) — the second table every pagerank round
     * touches, cached for the same reason as the edge list (each round
@@ -186,8 +190,9 @@ object Graph {
   private[graft] def nodeTable(s: SparkSession, d: String): DataFrame = {
     val deg = edges(s, d).groupBy("src").agg(count(lit(1)).as("deg"))
     val n = deg.agg(count(lit(1)).as("n_nodes"))
-    deg.select(col("src").as("node"), col("deg"))
-      .crossJoin(broadcast(n)).cache()
+    graft.plans.ScopedMemo.compact(
+      deg.select(col("src").as("node"), col("deg"))
+        .crossJoin(broadcast(n)).cache())
   }
 
   /** Bench warm-up (the [[Joins.ensureBucketed]] pattern): materialize the
@@ -237,11 +242,22 @@ object Graph {
         .groupBy(col("seed"), col("dst").as("node"))
         .agg(count(lit(1)).as("sig"))
     }
+    // r13: the two dropped anti-joins are structural no-ops on this
+    // graph: the node-id space is bipartite by construction (customers <
+    // SuppOffset ≤ supplier ids — the edges() id-space invariant), so odd
+    // layers are all supplier-side and even layers customer-side;
+    // "exclude l1 from l2" (supplier set vs customer candidates) and
+    // "exclude l2 from l3" (customer set vs supplier candidates) can
+    // never match, while "exclude l1 from l3" is the one real exclusion
+    // and stays. Same rows out — the oracle (which keeps the exclusions)
+    // pins it. (Also measured and REJECTED here: memoizing the
+    // st(layer)⋈edges expansions shared by the forward and backward
+    // passes — materializing the ~4.8M-row expansion cost more than the
+    // second broadcast-probe of the cached edge list it saved: 12.9 s →
+    // 16.2 s isolated at sf0.1.)
     val l2 = memo("graph_bc_l2") {
       st(l1).join(e, col("node") === col("src"))
         .filter(col("dst") =!= col("seed"))
-        .join(l1.select(col("seed"), col("node").as("dst")),
-          Seq("seed", "dst"), "left_anti")
         .groupBy(col("seed"), col("dst").as("node"))
         .agg(sum(col("sig")).as("sig"))
     }
@@ -249,8 +265,6 @@ object Graph {
       st(l2).join(e, col("node") === col("src"))
         .filter(col("dst") =!= col("seed"))
         .join(l1.select(col("seed"), col("node").as("dst")),
-          Seq("seed", "dst"), "left_anti")
-        .join(l2.select(col("seed"), col("node").as("dst")),
           Seq("seed", "dst"), "left_anti")
         .groupBy(col("seed"), col("dst").as("node"))
         .agg(sum(col("sig")).as("sig"))
@@ -285,7 +299,15 @@ object Graph {
 
   private[graft] def betweennessSampled(
       s: SparkSession, d: String, nSeeds: Int): DataFrame = {
-    val contrib = betweennessContrib(s, d, nSeeds)
+    // memoized (r13, measured): the rank self-join below references `top`
+    // twice, so the un-pinned O(V) contrib table — and the whole d1
+    // backward chain above it — re-executed once per reference (stage
+    // profile: 4.2 s of the key's 12.2 s was this one final join). The
+    // pin is O(V) rows; the memo key carries the same sf/state/seed tag
+    // as the layer memos.
+    val contrib = graft.plans.ScopedMemo(s,
+      s"graph_bc_contrib#$d#st=${stateModeTag(s)}#seeds=$nSeeds")(
+      betweennessContrib(s, d, nSeeds))
     val top = graft.plans.TopKPerKey.topK(contrib, Seq(lit(1)),
       Seq(col("bcd").desc, col("node")), 10)
     top.join(top.select(col("bcd").as("b2"), col("node").as("n2")),

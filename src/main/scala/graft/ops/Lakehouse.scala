@@ -268,7 +268,21 @@ object Lakehouse {
       val (data, man) = ensureManifested(s, d)
       val lo = to_timestamp(lit("1995-01-01 00:00:00"))
       val hi = to_timestamp(lit("1995-07-01 00:00:00"))
-      val files = s.read.json(man)
+      // explicit manifest schema (r13 inherited-state fix): on an EMPTY
+      // table the manifest file has no rows, schema inference returns an
+      // empty struct, and the stats filter failed analysis with
+      // UNRESOLVED_COLUMN — exactly the empty-inputs tripwire case. Real
+      // manifest readers always know their log schema a priori.
+      val manSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("row_count",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("min_orderdate",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("max_orderdate",
+          org.apache.spark.sql.types.StringType)))
+      val files = s.read.schema(manSchema).json(man)
         .filter(!(to_timestamp(col("max_orderdate")) < lo
           || to_timestamp(col("min_orderdate")) >= hi))
         .select("file").collect().map(r => s"$data/${r.getString(0)}")

@@ -201,11 +201,11 @@ object Similarity {
   private val pqCache = new graft.plans.DfLru(Dedup.MemoCap)
 
   private def pqBest(s: SparkSession, d: String): DataFrame =
-    pqCache.getOrCompute((s, d), {
+    graft.plans.ScopedMemo.compact(pqCache.getOrCompute((s, d), {
       val b = pqBestBuild(s, d).cache()
       b.count()
       b
-    })
+    }))
 
   private def pqBestBuild(s: SparkSession, d: String): DataFrame = {
     val e = vectors(s, d)

@@ -38,14 +38,14 @@ object TextOps {
   private val wcCache = new graft.plans.DfLru(Dedup.MemoCap)
 
   def wordCounts(s: SparkSession, d: String): DataFrame =
-    wcCache.getOrCompute((s, d), {
+    graft.plans.ScopedMemo.compact(wcCache.getOrCompute((s, d), {
       val wc = corpus(s, d)
         .select(explode(split(lower(trim(col("text"))), " ")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .cache()
       wc.count()
       wc
-    })
+    }))
 
   /** Chunk width for `text_boilerplate`: 3 tokens — sized to the fixture's
     * ~31-word near-uniform vocabulary so repeated chunks actually occur

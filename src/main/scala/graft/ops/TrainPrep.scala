@@ -126,8 +126,15 @@ object TrainPrep {
     // this measures verbatim n-gram mass. Same gram-keyed equi-join
     // shape as contamination_check (never doc × doc); output O(sources²).
     "contamination_source_matrix" -> { (s, d) =>
-      val g = grams(toks(s, d)).select(col("source"), col("gram"))
-        .distinct()
+      // rides the contamination_grams memo (same materialization the
+      // check/apply twins pin) and memoizes the per-source distinct —
+      // previously this key re-ran the corpus gram explode + distinct
+      // THREE times (the size leg + both self-join legs)
+      val g = graft.plans.ScopedMemo(s, s"contamination_src_grams#$d")(
+        graft.plans.ScopedMemo(s, s"contamination_grams#$d")(
+          grams(toks(s, d)).select(col("doc_id"), col("source"),
+            col("gram")))
+          .select(col("source"), col("gram")).distinct())
       val sz = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
       g.select(col("source").as("source_a"), col("gram"))
         .join(g.select(col("source").as("source_b"), col("gram")), "gram")
@@ -348,7 +355,7 @@ object TrainPrep {
       // decontaminate_apply re-reads the same key, and the bare .cache()
       // was an r11 leak)
       val g = graft.plans.ScopedMemo(s, s"contamination_grams#$d")(
-        grams(toks(s, d)).select(col("doc_id"), col("gram")))
+        grams(toks(s, d)).select(col("doc_id"), col("source"), col("gram")))
       val evalGrams = g.filter(col("doc_id") % 7 === 0)
         .select(col("doc_id").as("eval_id"), col("gram"))
       g.filter(col("doc_id") % 7 =!= 0)
@@ -375,7 +382,7 @@ object TrainPrep {
       // same ScopedMemo key as contamination_check: the twin re-reads the
       // identical gram materialization instead of re-running the explode
       val g = graft.plans.ScopedMemo(s, s"contamination_grams#$d")(
-        grams(toks(s, d)).select(col("doc_id"), col("gram")))
+        grams(toks(s, d)).select(col("doc_id"), col("source"), col("gram")))
       val evalG = g.filter(col("doc_id") % 7 === 0)
         .select(col("gram")).distinct()
       val contaminated = g.filter(col("doc_id") % 7 =!= 0)

@@ -33,13 +33,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ScopedMemo {
   /** Max scoped intermediates pinned at once, across ALL modules. Sized
-    * to the widest single query (betweenness pins 4 layer/delta tables;
-    * the ANN sweep pins its shared legs) with headroom for a consumer
-    * composing two such queries — far below the ~450 an unbounded bench
-    * session used to accumulate, and small enough that [[Cap]] sf0.1
-    * intermediates fit executor storage with room to spare.
+    * to the widest single query (betweenness pins 5 layer/delta/contrib
+    * tables; the ANN sweep pins its shared legs) PLUS the r13 cross-key
+    * shared kernels (dedup pair stats / minhash pairs / blocked-tf) that
+    * must survive the ~15 alphabetically-interleaved dedup keys between
+    * their first and last consumer — at 16 the LRU evicted the shared
+    * pair kernel mid-family and late consumers silently recomputed it
+    * (measured: dedup_containment +0.8 s in the full suite vs isolated).
+    * Still far below the ~450 an unbounded bench session used to
+    * accumulate; the bench telemetry's storage_mb sawtooth peaks ~65 MB,
+    * so 32 sf0.1 intermediates fit storage with room to spare.
     */
-  private[graft] val Cap = 16
+  private[graft] val Cap = 32
 
   private val cache = new DfLru(Cap)
 
@@ -48,9 +53,23 @@ object ScopedMemo {
     * later touches hand back the same pinned instance. Eager on purpose —
     * the kernels' `InMemoryRelation` must exist before the enclosing plan
     * is walked, and lazy pins are what leaked.
+    *
+    * r13: the returned frame is [[compact]]ed — its logical plan is the
+    * `InMemoryRelation` LEAF, not the original lineage. Measured reason:
+    * memo-composing queries (betweenness layers, kcenter rounds, the ANN
+    * sweep legs) built logical trees tens of thousands of nodes deep, and
+    * every action re-paid analysis + cache-substitution + AQE
+    * plan-description stringification over that whole tree on the DRIVER
+    * main thread — a warm second invocation of betweennessSampled cost
+    * 3.8 s with every memo hit (guide §3.3/§7.3: very large plans make
+    * planning itself the bottleneck; truncate them). The LRU keeps the
+    * ORIGINAL frame, so eviction's unpersist still matches the
+    * CacheManager entry; consumers of the compact leaf stay correct
+    * either way (an IMR scan over dropped blocks rebuilds from its
+    * embedded physical plan).
     */
   def apply(s: SparkSession, key: String)(body: => DataFrame): DataFrame =
-    cache.getOrCompute((s, key), {
+    compact(cache.getOrCompute((s, key), {
       val df = body.cache()
       // if the materializing count fails, the cache() registration must
       // not outlive the failed compute: an entry that never reaches the
@@ -60,7 +79,24 @@ object ScopedMemo {
       try df.count()
       catch { case t: Throwable => df.unpersist(blocking = false); throw t }
       df
-    })
+    }))
+
+  /** Re-root `df` on its own InMemoryRelation: after `cache()` +
+    * materialization, the analyzed-with-cache-substitution plan of the
+    * memo frame is exactly the IMR leaf. Falls back to the original frame
+    * if substitution didn't take (cache raced away). Public for the
+    * DfLru kernel caches (shingled / banded / wordCounts / lpaLabels /
+    * pqBest …), whose consumers otherwise compose with the kernel's full
+    * lineage — same driver-side planning cost the memo compaction
+    * removes here. IMR stats survive (post-materialization, accurate),
+    * so downstream broadcast decisions are unchanged-or-better.
+    */
+  private[graft] def compact(df: DataFrame): DataFrame =
+    df.queryExecution.withCachedData match {
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        org.apache.spark.sql.graftbridge.Bridge.ofRows(df.sparkSession, imr)
+      case _ => df
+    }
 
   /** Live entry count (leak-tripwire spec hook). */
   def size: Int = cache.size

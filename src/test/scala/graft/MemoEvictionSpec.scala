@@ -83,7 +83,7 @@ class MemoEvictionSpec extends SparkSpec {
     // first invocation may add managed memo entries (ScopedMemo layers +
     // the shared edge/node kernels) — those are bounded by the LRU cap
     SparkEntry.queries("graph_betweenness_sampled")(spark, sf).count()
-    assert(graft.plans.ScopedMemo.size <= 16,
+    assert(graft.plans.ScopedMemo.size <= graft.plans.ScopedMemo.Cap,
       s"ScopedMemo overflowed its cap: ${graft.plans.ScopedMemo.size}")
     val afterFirst = sc.getPersistentRDDs.keySet.toSet
     // the leak signature was one fresh orphaned block set PER INVOCATION:
@@ -139,7 +139,7 @@ class MemoEvictionSpec extends SparkSpec {
         s"(delta bound $CensusDeltaBound) — a per-invocation cache leak " +
         "is back; route the new pin through graft.plans.ScopedMemo or a " +
         "Generations rotation")
-    assert(graft.plans.ScopedMemo.size <= 16)
+    assert(graft.plans.ScopedMemo.size <= graft.plans.ScopedMemo.Cap)
   }
 
   /** Registry-pass growth ceiling — DERIVATION (keep in sync with the
@@ -148,12 +148,12 @@ class MemoEvictionSpec extends SparkSpec {
     * edges/nodes, Dedup shingle/band/labels/simhash, Similarity
     * vectors/pq/knn/sign, TextOps wordCounts, Aggregates kmv,
     * bucketed/zoned warm-ups — ~30 block sets, counted from the kernel
-    * registry at the r12 sweep) plus up to the 16-entry ScopedMemo LRU
-    * (≈ 46 legitimate), rounded up to 60 for Spark-internal persists.
-    * The number this must stay BELOW is the leak signature it guards
-    * against: ≈ +1 per formerly-bare-cache key (+25 on top of the
-    * kernels, i.e. ~71+) — so 60 has real headroom on the pass side and
-    * real teeth on the leak side.
+    * registry at the r12 sweep) plus up to the ScopedMemo LRU cap
+    * (30 + 32 ≈ 62 legitimate since the r13 cap raise), rounded up for
+    * Spark-internal persists. The number this must stay BELOW is the
+    * leak signature it guards against: ≈ +1 per formerly-bare-cache key
+    * (+25 on top of the kernels+cap, i.e. ~87+) — so the bound has real
+    * headroom on the pass side and real teeth on the leak side.
     */
-  private val CensusDeltaBound = 60
+  private val CensusDeltaBound = 30 + graft.plans.ScopedMemo.Cap + 14
 }

@@ -72,7 +72,22 @@ FAMILIES = {
                   "sim_graph_beam", "sim_graph_beam_recall"],
     # TrainPrep contamination_grams memo: the 5-gram explode over the
     # corpus is paid once by whichever contamination consumer runs first
-    "contamination_grams": ["contamination_check", "decontaminate_apply"],
+    # (r13: the source matrix now rides the same memo)
+    "contamination_grams": ["contamination_check", "decontaminate_apply",
+                            "contamination_source_matrix"],
+    # r13: Dedup.exactPairStats + Dedup.minhashPairs are memoized — the
+    # inverted-index pair kernel and the banded-LSH verified pair list are
+    # each paid once by whichever consumer runs first; every other member
+    # reads the pinned pair tables. (dedup_method_overlap also rides both
+    # but already sits in simhash_sig; cc_labels members ride minhashPairs
+    # through the memoized label table they already share.)
+    "dedup_pair_kernels": [
+        "dedup_minhash", "dedup_cross_source", "dedup_split_leakage",
+        "dedup_lsh_audit", "dedup_ngram_jaccard", "dedup_containment",
+        "dedup_threshold_sweep", "dedup_pair_similarity_hist",
+        "dedup_minhash_estimate", "dedup_weighted_jaccard",
+        "dedup_editdist_blocked",
+    ],
     # Windows.dayRevSeries memo: the zero-filled daily revenue series is
     # paid once by whichever forecasting consumer runs first
     "day_rev_series": ["forecast_backtest", "win_ar2_forecast"],
