@@ -37,6 +37,33 @@ class MemoEvictionSpec extends SparkSpec {
     assert(mk(100).count() == 10L)
   }
 
+  test("ScopedMemo returns a compacted IMR-leaf frame with identical " +
+      "rows (r13: consumers must not re-pay analysis over memo lineage)") {
+    import graft.plans.ScopedMemo
+    val key = s"compaction_spec#${System.identityHashCode(this)}"
+    def body = spark.range(0, 50L).toDF("id")
+      .withColumn("v", col("id") * 2)
+      .groupBy(expr("id % 5").as("g")).agg(sum(col("v")).as("s"))
+    val memo = ScopedMemo(spark, key)(body)
+    // the returned logical plan is the InMemoryRelation LEAF itself —
+    // O(1) nodes — not the original scan+agg lineage
+    val analyzed = memo.queryExecution.analyzed
+    assert(analyzed.isInstanceOf[
+        org.apache.spark.sql.execution.columnar.InMemoryRelation],
+      s"expected an IMR leaf, got:\n$analyzed")
+    // rows identical to the uncompacted body
+    val got = memo.orderBy("g").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = body.orderBy("g").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sameElements(want), s"${got.toSeq} vs ${want.toSeq}")
+    // a second touch hands back another leaf over the SAME cache entry
+    val again = ScopedMemo(spark, key)(fail("memo hit must not re-run body"))
+    assert(again.queryExecution.analyzed.isInstanceOf[
+      org.apache.spark.sql.execution.columnar.InMemoryRelation])
+    // post-materialization stats ride the leaf (broadcast decisions keep
+    // working downstream of a compacted memo)
+    assert(again.queryExecution.optimizedPlan.stats.sizeInBytes > 0)
+  }
+
   test("DfLru getOrCompute purges stopped-session keys") {
     val lru = new DfLru(4)
     val dead = spark.newSession()
