@@ -12,12 +12,26 @@ object Plans {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val wanted = args.drop(1).toSet
-    val spark = Sessions.local(4, appName = "graft-plans")
+    // plan dumps want long untruncated text (Sessions caps the plan-string
+    // length for the bench's AQE-update path). ADVICE r13 #4: the old
+    // runtime `spark.conf.set` sat under a swallow-all catch, so on any
+    // Spark version where this conf is static the dump would silently
+    // truncate at the Sessions default and the before/after artifacts
+    // would lie. Setting it at builder time is correct on every version
+    // and leaves nothing swallowed; 8 MiB bounds a runaway dump while
+    // comfortably holding the largest real plan (betweenness ≈ 3.8 MB).
+    val spark = Sessions.local(4, appName = "graft-plans",
+      extraConf = Map(
+        "spark.sql.maxPlanStringLength" ->
+          sys.env.getOrElse("SPARK_GRAFT_MAX_PLAN_STR", "8388608"),
+        // SPARK_GRAFT_HIDE_CACHED=false dumps the FULL nested cache
+        // trees (each memo's build plan inline) instead of the bench's
+        // walk-opaque MemoScan leaves — the form that shows what each
+        // memoized kernel executes (e.g. the betweenness layer
+        // exclusions live inside the l2/l3 memo builds)
+        "spark.graft.hideCachedPlanTrees" ->
+          sys.env.getOrElse("SPARK_GRAFT_HIDE_CACHED", "true")))
     spark.sparkContext.setLogLevel("ERROR")
-    // plan dumps want the untruncated text (Sessions caps the plan-string
-    // length for the bench's AQE-update path; see Sessions.scala)
-    try spark.conf.set("spark.sql.maxPlanStringLength", 134217728)
-    catch { case _: Throwable => () }
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.isEmpty || wanted(n) }
       .foreach { case (name, fn) =>

@@ -22,8 +22,15 @@ import org.apache.spark.sql.SparkSession
   *    measured as multi-second bimodal swings on loop-heavy queries.
   */
 object Sessions {
-  def local(cores: Int, appName: String = "graft"): SparkSession = {
-    val s = SparkSession.builder()
+  /** @param extraConf build-time conf overrides for entry points with
+    *   special needs (graft.Plans raises `spark.sql.maxPlanStringLength`
+    *   here, at builder time, so the value applies whether or not the
+    *   conf is runtime-settable on this Spark version — ADVICE r13 #4).
+    *   Later entries win over the defaults above.
+    */
+  def local(cores: Int, appName: String = "graft",
+      extraConf: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cores]")
       // native functions + the FuseIntersectSize optimizer rewrite — the
@@ -64,6 +71,7 @@ object Sessions {
       // jobs, re-run from scratch on failure, never partially consumed.
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
         "2")
+    val s = extraConf.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

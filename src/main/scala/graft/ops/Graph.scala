@@ -242,32 +242,44 @@ object Graph {
         .groupBy(col("seed"), col("dst").as("node"))
         .agg(count(lit(1)).as("sig"))
     }
-    // r13: the two dropped anti-joins are structural no-ops on this
-    // graph: the node-id space is bipartite by construction (customers <
-    // SuppOffset ≤ supplier ids — the edges() id-space invariant), so odd
-    // layers are all supplier-side and even layers customer-side;
-    // "exclude l1 from l2" (supplier set vs customer candidates) and
-    // "exclude l2 from l3" (customer set vs supplier candidates) can
-    // never match, while "exclude l1 from l3" is the one real exclusion
-    // and stays. Same rows out — the oracle (which keeps the exclusions)
-    // pins it. (Also measured and REJECTED here: memoizing the
-    // st(layer)⋈edges expansions shared by the forward and backward
-    // passes — materializing the ~4.8M-row expansion cost more than the
-    // second broadcast-probe of the cached edge list it saved: 12.9 s →
-    // 16.2 s isolated at sf0.1.)
+    // r14 (VERDICT r13 #1): the full BFS-layer exclusions are BACK. r13
+    // dropped "exclude l1 from l2" and "exclude l2 from l3" as structural
+    // no-ops under the bipartite id-space invariant (customers <
+    // SuppOffset ≤ supplier ids), but SuppOffset is a fixed literal —
+    // TPC-H custkeys cross 10M above SF≈67, the invariant is a fixture
+    // property, not a structural one, and past it the dropped exclusions
+    // become load-bearing (silent oracle divergence). The anti-joins
+    // probe the memoized O(V·seeds) layer IMRs, so the cost is two
+    // broadcast-anti probes, not a plan restructuring; the fixture-scale
+    // invariant itself is now tripwired by FixtureContractSpec instead.
+    // (Still REJECTED from r13, unchanged: memoizing the st(layer)⋈edges
+    // expansions shared by the forward and backward passes —
+    // materializing the ~4.8M-row expansion cost more than the second
+    // broadcast-probe of the cached edge list it saved: 12.9 s → 16.2 s
+    // isolated at sf0.1.)
+    // The exclusions run AFTER each layer's aggregation (r14): the
+    // predicate depends only on the group key (seed, node), so dropping
+    // whole groups commutes with the sum — identical rows out — and the
+    // anti-join probes the O(V·seeds) aggregated layer instead of the
+    // ~4.8M-row pre-aggregation expansion (measured: pre-agg placement
+    // cost +2.5 s/key at sf0.1; post-agg placement is noise-level).
     val l2 = memo("graph_bc_l2") {
       st(l1).join(e, col("node") === col("src"))
         .filter(col("dst") =!= col("seed"))
         .groupBy(col("seed"), col("dst").as("node"))
         .agg(sum(col("sig")).as("sig"))
+        .join(l1.select(col("seed"), col("node")),
+          Seq("seed", "node"), "left_anti")
     }
     val l3 = memo("graph_bc_l3") {
       st(l2).join(e, col("node") === col("src"))
         .filter(col("dst") =!= col("seed"))
-        .join(l1.select(col("seed"), col("node").as("dst")),
-          Seq("seed", "dst"), "left_anti")
         .groupBy(col("seed"), col("dst").as("node"))
         .agg(sum(col("sig")).as("sig"))
+        .join(l1.select(col("seed"), col("node")),
+          Seq("seed", "node"), "left_anti")
+        .join(l2.select(col("seed"), col("node")),
+          Seq("seed", "node"), "left_anti")
     }
     // backward: δ over the layer-(k -> k+1) shortest-path-DAG edges
     val d2 = memo("graph_bc_d2") {

@@ -45,7 +45,17 @@ object Scans {
       val out = scratch("convert_parquet_csv", d)
       val li = t(s, d, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-      li.write.mode("overwrite").option("compression", "gzip")
+      // r14 (guide §6): gzip is UNSPLITTABLE — the write's file count is
+      // the re-read's maximum parallelism, and the parquet scan handed
+      // this job only 2 input splits, so both the gzip compression and
+      // the whole read-back ran 2-wide on a 32-core session (measured
+      // 2.2 s, ~half of it the serial gzip legs). Fan the write out to
+      // the session's parallelism: same rows, same aggregate, one file
+      // per core instead of one gzip stream per input split. The knob is
+      // core-count-derived, not a constant, so cluster deployments scale
+      // it automatically.
+      li.repartition(s.sparkContext.defaultParallelism)
+        .write.mode("overwrite").option("compression", "gzip")
         .option("header", "true").csv(out)
       s.read.schema(li.schema).option("header", "true").csv(out)
         .groupBy("l_returnflag")

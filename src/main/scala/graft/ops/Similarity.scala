@@ -325,35 +325,63 @@ object Similarity {
     * those clusters, rank the survivors. Returns (q_id, n_id, cos, rnk)
     * with rnk <= TopK, unordered.
     */
+  /** Widest nprobe any consumer asks for — the shared candidate memo
+    * below scores once at this width and every narrower nprobe filters
+    * down by probe rank.
+    */
+  private val MaxNprobe = 4
+
+  /** Scored IVF candidates per codebook at nprobe = [[MaxNprobe]], each
+    * row tagged with its cluster's probe rank `prn` (r14, VERDICT r13
+    * #5): probing nprobe ∈ {1, 2, 4} re-ran the probe + cluster search +
+    * cosine re-scoring PER SWEEP LEG — but the nprobe=1 candidate set is
+    * exactly the prn ≤ 1 slice of the nprobe=4 one (probe ranks are a
+    * fixed total order per query: round-6 cosine desc, c_id tiebreak),
+    * so one scored superset serves every leg. Each (q, vec) appears at
+    * most once (a vector lives in exactly one cluster), making `prn` a
+    * function of the row — filtering it commutes with everything
+    * downstream. One ScopedMemo entry per codebook; O(q · N · nprobe/C)
+    * rows, the same size class as one leg's intermediate.
+    */
+  private def ivfScoredCands(s: SparkSession, d: String,
+      codebook: String): DataFrame =
+    graft.plans.ScopedMemo(s, s"ivf_scored_cands#$codebook#$d") {
+      val e = vectors(s, d)
+      // probe and assignment MUST share one codebook: seed slices by
+      // default, or the learned Lloyd codebook for the sweep's second
+      // leg. Both assignments are ScopedMemo-backed.
+      val cent =
+        if (codebook == "seed") ivfCentroids(s, d)
+        else broadcast(learnedCentroids(s, d))
+      val assign =
+        if (codebook == "seed") ivfAssign(s, d) else learnedAssign(s, d)
+      val q = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val wProbe = Window.partitionBy("q_id")
+        .orderBy(col("qcos").desc, col("c_id"))
+      val probes = q.crossJoin(cent)
+        .withColumn("qcos", expr("round(cosine_sim(qv, cv), 6)"))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= MaxNprobe)
+        .select("q_id", "qv", "prn", "c_id")
+      probes.join(assign, col("c_id") === col("cluster"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", expr("round(cosine_sim(qv, v), 6)"))
+        .select(col("q_id"), col("prn"), col("vec_id").as("n_id"),
+          col("cos"))
+    }
+
   private def ivfTopK(s: SparkSession, d: String,
       nprobe: Int = 4, codebook: String = "seed"): DataFrame = {
-    val e = vectors(s, d)
-    // probe and assignment MUST share one codebook: seed slices by
-    // default, or the learned Lloyd codebook for the sweep's second leg.
-    // Both assignments are ScopedMemo-backed, so the sweep's three legs
-    // per codebook share one materialized assignment instead of three.
-    val cent =
-      if (codebook == "seed") ivfCentroids(s, d)
-      else broadcast(learnedCentroids(s, d))
-    val assign =
-      if (codebook == "seed") ivfAssign(s, d) else learnedAssign(s, d)
-    // queries probe their nprobe nearest centroids
-    val q = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val wProbe = Window.partitionBy("q_id")
-      .orderBy(col("qcos").desc, col("c_id"))
-    val probes = q.crossJoin(cent)
-      .withColumn("qcos", expr("round(cosine_sim(qv, cv), 6)"))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nprobe)
-      .select("q_id", "qv", "c_id")
-    // search only the probed clusters
+    require(nprobe <= MaxNprobe, s"nprobe $nprobe > MaxNprobe $MaxNprobe")
+    // search only the clusters probed within this nprobe budget: the
+    // prn ≤ nprobe slice of the shared scored-candidate memo is exactly
+    // the candidate set the per-leg probe used to rebuild
     val wTop = Window.partitionBy("q_id")
-      .orderBy(col("cos").desc, col("vec_id"))
-    probes.join(assign, col("c_id") === col("cluster"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", expr("round(cosine_sim(qv, v), 6)"))
-      .select(col("q_id"), col("vec_id").as("n_id"), col("cos"),
+      .orderBy(col("cos").desc, col("n_id"))
+    ivfScoredCands(s, d, codebook)
+      .filter(col("prn") <= nprobe)
+      .select(col("q_id"), col("n_id"), col("cos"),
         row_number().over(wTop).cast("long").as("rnk"))
       .filter(col("rnk") <= TopK)
   }

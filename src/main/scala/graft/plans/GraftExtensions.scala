@@ -41,5 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RewriteBinnedRangeJoin)
     ext.injectOptimizerRule(_ => RewriteIntervalJoin)
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    // r14: stop driver-side tree walks at the cache boundary (see
+    // MemoScan.scala) — bounds AQE/event plan-string generation over
+    // memo-composed plans without touching what executes
+    ext.injectQueryStagePrepRule(s => HideCachedPlanTrees(s))
   }
 }

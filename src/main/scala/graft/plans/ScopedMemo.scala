@@ -90,6 +90,16 @@ object ScopedMemo {
     * lineage — same driver-side planning cost the memo compaction
     * removes here. IMR stats survive (post-materialization, accurate),
     * so downstream broadcast decisions are unchanged-or-better.
+    *
+    * Post-eviction behavior (ADVICE r13 #2): if the LRU evicts the
+    * original frame (unpersist + CacheManager entry removed) while a
+    * consumer still holds the compacted leaf, re-executing that leaf
+    * rebuilds through the IMR's own CachedRDDBuilder, which re-persists
+    * the buffers with no CacheManager entry. That storage is untracked by
+    * the manager but BOUNDED — the builder memoizes its buffer RDD, so
+    * repeated actions reuse one block set, reclaimed by the
+    * ContextCleaner once the frame is unreferenced (MemoEvictionSpec pins
+    * the one-block-set bound).
     */
   private[graft] def compact(df: DataFrame): DataFrame =
     df.queryExecution.withCachedData match {

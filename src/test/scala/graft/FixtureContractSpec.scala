@@ -137,6 +137,29 @@ class FixtureContractSpec extends SparkSpec {
         "rewrite those oracles to iterate UTF-8 bytes")
   }
 
+  // Graph.edges encodes graph side in ONE node-id column by offsetting
+  // supplier ids with SuppOffset = 1e7. TPC-H custkeys ≈ SF·150k, so the
+  // id spaces collide above SF≈67 and every graph key silently corrupts
+  // (both engines use the same literal, so the oracle would NOT catch it
+  // — ADVICE r13 #3). This tripwire makes a fixture generation that
+  // crosses the offset fail LOUDLY, naming the cause, instead of as a
+  // silent node-id collision.
+  test("customer ids stay below Graph.SuppOffset (bipartite id-space " +
+      "invariant behind the offset node encoding)") {
+    val maxCust = Tables.t(spark, sf, "customer")
+      .agg(max(col("c_custkey"))).head().getLong(0)
+    val maxSupp = Tables.t(spark, sf, "supplier")
+      .agg(max(col("s_suppkey"))).head().getLong(0)
+    assert(maxCust < graft.ops.Graph.SuppOffset,
+      s"max c_custkey $maxCust >= SuppOffset " +
+        s"${graft.ops.Graph.SuppOffset}: the customer/supplier node-id " +
+        "spaces collide — Graph.edges' offset encoding (and the oracle " +
+        "SQL mirroring it) must be re-keyed before any graph result can " +
+        "be trusted at this fixture size")
+    assert(maxSupp + graft.ops.Graph.SuppOffset > 0,
+      "supplier offset addition overflowed")
+  }
+
   acceptedSchemas.foreach { case (table, cols) =>
     test(s"fixture table $table scans with the accepted column types") {
       val schema = Tables.t(spark, sf, table).schema

@@ -64,6 +64,43 @@ class MemoEvictionSpec extends SparkSpec {
     assert(again.queryExecution.optimizedPlan.stats.sizeInBytes > 0)
   }
 
+  test("an EVICTED compacted frame re-executes correctly and re-persists " +
+      "at most one block set, not one per action (ADVICE r13 #2)") {
+    import graft.plans.ScopedMemo
+    // eviction unpersists the victim and removes its CacheManager entry,
+    // but a consumer still holding the COMPACTED leaf re-executes through
+    // the IMR's own CachedRDDBuilder, which re-materializes AND
+    // re-persists its buffers with no CacheManager entry. That storage is
+    // untracked-by-the-manager but BOUNDED: the builder memoizes its
+    // buffer RDD, so repeated actions reuse one block set (freed by the
+    // ContextCleaner once the frame is unreferenced). This pins both
+    // halves: rows stay correct after eviction, and the census grows by
+    // at most one entry across repeated re-executions.
+    val lru = new DfLru(1)
+    def build(lo: Long) = {
+      val df = spark.range(lo, lo + 20L).toDF("id")
+        .withColumn("v", col("id") * 3).cache()
+      df.count()
+      df
+    }
+    val compacted = ScopedMemo.compact(lru.getOrCompute((spark, "ek1"), build(0)))
+    assert(compacted.queryExecution.analyzed.isInstanceOf[
+      org.apache.spark.sql.execution.columnar.InMemoryRelation])
+    // force eviction of ek1 (cap 1): its blocks are unpersisted
+    lru.getOrCompute((spark, "ek2"), build(100))
+    assert(!lru.contains((spark, "ek1")), "ek1 must be the LRU victim")
+    val censusBefore = spark.sparkContext.getPersistentRDDs.size
+    // re-execute the orphaned compacted frame several times
+    (1 to 3).foreach { _ =>
+      assert(compacted.count() == 20L)
+      assert(compacted.agg(sum(col("v"))).head().getLong(0) == (0L until 20L).map(_ * 3).sum)
+    }
+    val censusAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(censusAfter - censusBefore <= 1,
+      s"post-eviction re-execution must re-persist at most once, census " +
+        s"grew $censusBefore -> $censusAfter")
+  }
+
   test("DfLru getOrCompute purges stopped-session keys") {
     val lru = new DfLru(4)
     val dead = spark.newSession()
