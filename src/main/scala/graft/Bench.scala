@@ -190,11 +190,21 @@ object Bench {
         ",\"load1\":" + num(st.load1) + "}"
     }.mkString("{", ",", "}")
     Files.createDirectories(Paths.get("/root/repo/target"))
-    Files.write(Paths.get(s"/root/repo/$detail"),
+    val detailJson =
       (s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$full,""" +
         s""""failed":$failedJson,"foreign_jvms":${foreign.size},""" +
+        s""""cpus":${Sessions.envCores},""" +
         s""""telemetry":$telemetry,""" +
-        s""""sf":"$sfDir"}""").getBytes(StandardCharsets.UTF_8))
+        s""""sf":"$sfDir"}""").getBytes(StandardCharsets.UTF_8)
+    Files.write(Paths.get(s"/root/repo/$detail"), detailJson)
+    // r14 (VERDICT r13 #8): the driver benches at TWO core counts, and a
+    // detail file keyed by sf alone is overwritten by the second run —
+    // also write a copy keyed by core count so the scaling block can be
+    // checked per key afterwards. Additive: the sf-keyed path above (the
+    // one the summary line advertises) is unchanged.
+    Files.write(Paths.get(
+      s"/root/repo/target/bench_queries_${sfKey}_c${Sessions.envCores}.json"),
+      detailJson)
     val head = jsonMap(results.filter(r => Headline.contains(r._1)))
     spark.stop()
     // the machine-readable summary is the FINAL stdout line, after

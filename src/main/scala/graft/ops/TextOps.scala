@@ -612,11 +612,19 @@ object TextOps {
         .select(col("lang").as("cand"),
           expr("CAST(round(ln(CAST(tot + v_sz AS DOUBLE)), 9) " +
             "AS DECIMAL(20,9))").as("lnz"))
+      // r14 (guide §1.2 per-task work): ln(cnt+1) depends only on the
+      // (lang, tri) LM row, so compute it ONCE per broadcast row instead
+      // of once per joined corpus row (~16M ln() calls -> ~120k at
+      // sf0.1). Bit-identical: the same double ln feeds the same double
+      // multiply, and the round(·,9) trajectory the oracle pins is
+      // unchanged. The isolated profile (r14) shows this key is
+      // executor-compute-bound (85 s CPU over 32 cores post-memo), so
+      // per-row work is the only lever left.
       val seen = tf
         .join(broadcast(lm.select(col("lang").as("cand"), col("tri"),
-          col("cnt"))), "tri")
+          expr("ln(CAST(cnt + 1 AS DOUBLE))").as("lnc"))), "tri")
         .groupBy("doc_id", "cand")
-        .agg(sum(expr("CAST(round(tf * ln(CAST(cnt + 1 AS DOUBLE)), 9) " +
+        .agg(sum(expr("CAST(round(tf * lnc, 9) " +
           "AS DECIMAL(20,9))")).as("s1"))
       val nTri = tf.groupBy("doc_id").agg(sum(col("tf")).as("n_tri"))
       val w = Window.partitionBy("doc_id")

@@ -104,7 +104,13 @@ FAMILIES = {
                    "sim_range_recall", "sim_ivf_nprobe_sweep",
                    # r13: the streaming ingest census reads the same
                    # memoized seed assignment
-                   "stream_ann_ingest"],
+                   "stream_ann_ingest",
+                   # r14: ivfTopK legs now share one scored-candidate
+                   # memo per codebook (ivfScoredCands); rank_ndcg_eval
+                   # calls ivfTopK and sorts alphabetically FIRST among
+                   # the consumers, so it pays the assign + scored-cands
+                   # builds in bench order
+                   "rank_ndcg_eval"],
 }
 
 def main(bench_file, source_note):
