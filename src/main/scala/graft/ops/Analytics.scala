@@ -14,6 +14,29 @@ object Analytics {
   private val revenue = "CAST(sum(" + sql.discPrice("l_extendedprice",
     "l_discount") + ") AS DOUBLE)"
 
+  /** Markov transition-pair counts `(prev, cur, n)` over consecutive
+    * event types per user — the one corpus window pass (lag over
+    * (user_id; ts, event_id)) behind THREE keys (r14, guide §2.4):
+    * `events_markov`, `events_markov_stationary` and
+    * `events_markov_attribution` each re-ran the identical
+    * window + (prev, cur) aggregate; only their probability
+    * NORMALIZATION differs (round-6 vs unrounded), which stays per-key
+    * on top of this O(types²) memo. Whichever markov key runs first
+    * pays the pass (budget family `markov_pairs`).
+    */
+  private def markovPairCounts(s: SparkSession, d: String): DataFrame =
+    graft.plans.ScopedMemo(s, s"markov_pair_counts#$d") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("cur"))
+        .agg(count(lit(1)).as("n"))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q3-shaped: top 10 high-revenue unshipped BUILDING orders
     "q3_shipping" -> { (s, d) =>
@@ -514,17 +537,9 @@ object Analytics {
     // user_id + one (prev, cur) agg; the probability denominator is a
     // window over the tiny aggregated matrix, not a second scan.
     "events_markov" -> { (s, d) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
       val wDenom = org.apache.spark.sql.expressions.Window
         .partitionBy("prev")
-      events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type"))
-        .withColumn("prev", lag("event_type", 1).over(w))
-        .filter(col("prev").isNotNull)
-        .groupBy(col("prev"), col("event_type").as("cur"))
-        .agg(count(lit(1)).as("n"))
+      markovPairCounts(s, d)
         .withColumn("p", round(col("n").cast("double")
           / sum(col("n")).over(wDenom), 6))
         .orderBy("prev", "cur")
@@ -2517,18 +2532,13 @@ object Analytics {
     // round is a tiny broadcast join + keyed sum. π·P terms follow the
     // round-9 decimal contract so the per-state sums are order-free.
     "events_markov_stationary" -> { (s, d) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
       val wDenom = org.apache.spark.sql.expressions.Window
         .partitionBy("prev")
+      // normalization (unrounded here) stays per-key on top of the
+      // shared pair-count memo; the window runs over the O(types²)
+      // matrix, never the corpus (r14, guide §2.4)
       val pm = graft.plans.ScopedMemo(s, s"markov_stationary_pm#$d")(
-        events(s, d)
-          .select(col("user_id"), col("ts"), col("event_id"),
-            col("event_type"))
-          .withColumn("prev", lag("event_type", 1).over(w))
-          .filter(col("prev").isNotNull)
-          .groupBy(col("prev"), col("event_type").as("cur"))
-          .agg(count(lit(1)).as("n"))
+        markovPairCounts(s, d)
           .withColumn("p",
             col("n").cast("double") / sum(col("n")).over(wDenom))
           .select("prev", "cur", "p"))
@@ -2946,24 +2956,30 @@ object Analytics {
     // probability by an ulp.
     "events_markov_attribution" -> { (s, d) =>
       import s.implicits._
-      val W = org.apache.spark.sql.expressions.Window
-      val w = W.partitionBy("user_id").orderBy("ts", "event_id")
-      val wDenom = W.partitionBy("prev")
+      val wDenom = org.apache.spark.sql.expressions.Window
+        .partitionBy("prev")
       val ev = events(s, d)
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type"))
-      val trans = graft.plans.ScopedMemo(s, s"markov_attr_trans#$d")(ev
-        .withColumn("prev", lag("event_type", 1).over(w))
-        .filter(col("prev").isNotNull)
-        .groupBy(col("prev"), col("event_type").as("cur"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("p", round(col("n").cast("double")
-          / sum(col("n")).over(wDenom), 6))
-        .select("prev", "cur", "p"))
+      // transitions ride the shared pair-count memo (r14, guide §2.4 —
+      // this key previously re-ran the corpus window pass two sibling
+      // keys had already done); the round-6 normalization stays per-key
+      // over the O(types²) matrix
+      val trans = graft.plans.ScopedMemo(s, s"markov_attr_trans#$d")(
+        markovPairCounts(s, d)
+          .withColumn("p", round(col("n").cast("double")
+            / sum(col("n")).over(wDenom), 6))
+          .select("prev", "cur", "p"))
+      // first event per user via min_by over the total order
+      // (ts, event_id) — identical row to the old rn=1 window filter
+      // (event_id makes the order total), but partial-aggregable: one
+      // candidate per (user, partition) moves map-side instead of every
+      // event through a user-partitioned sort (r14, guide §2.3)
       val starts = graft.plans.ScopedMemo(s, s"markov_attr_starts#$d")(
-        ev.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .groupBy(col("event_type").as("state"))
+        ev.groupBy("user_id")
+          .agg(expr("min_by(event_type, struct(ts, event_id))")
+            .as("state"))
+          .groupBy("state")
           .agg(count(lit(1)).as("n")))
       val startsP = starts
         .crossJoin(broadcast(starts.agg(sum(col("n")).as("tot"))))
@@ -2995,6 +3011,10 @@ object Analytics {
             when(col("state") === "purchase", 1d)
               .otherwise(coalesce(col("acc"), lit(0d))).as("r"))
       }
+      // (r14, measured and left alone: memoizing conv — 5 rows referenced
+      // twice below — swapped the in-plan double execution of the tiny
+      // 4-round chain for an extra eager job and measured no better
+      // inside ambient noise, so the simpler lazy form stays)
       val conv = r4.join(startsP, "state")
         .groupBy("scenario")
         .agg(sum(expr("CAST(round(sp * r, 12) AS DECIMAL(16,12))"))

@@ -91,6 +91,11 @@ FAMILIES = {
     # Windows.dayRevSeries memo: the zero-filled daily revenue series is
     # paid once by whichever forecasting consumer runs first
     "day_rev_series": ["forecast_backtest", "win_ar2_forecast"],
+    # r14: Analytics.markovPairCounts — the corpus lag-window pass behind
+    # the transition matrix is paid once by whichever markov key runs
+    # first; the other two read the O(types²) memo
+    "markov_pairs": ["events_markov", "events_markov_attribution",
+                     "events_markov_stationary"],
     # Similarity.decimalVecs memo: the rounded-decimal vector projection
     # is paid once by whichever residual-fold consumer runs first
     "embedding_vecs_dec6": ["embedding_centroid_drift",
